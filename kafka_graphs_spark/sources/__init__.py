@@ -1,0 +1,19 @@
+"""Graph sources & sinks (reference: io/kgraph/utils/{GraphUtils,Parsers,GraphGenerators}.java)."""
+
+from kafka_graphs_spark.sources.generators import complete_graph, grid_graph, star_graph
+from kafka_graphs_spark.sources.readers import (
+    read_edges_parquet,
+    read_edges_text,
+    read_vertices_text,
+    write_vertices_text,
+)
+
+__all__ = [
+    "complete_graph",
+    "grid_graph",
+    "star_graph",
+    "read_edges_text",
+    "read_vertices_text",
+    "read_edges_parquet",
+    "write_vertices_text",
+]
