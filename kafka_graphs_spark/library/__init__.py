@@ -1,0 +1,32 @@
+"""Graph algorithm library — the reference's Pregel algorithms, DataFrame-native.
+
+Reference: io/kgraph/library/ (17 ComputeFunctions) and the REST registry
+io/kgraph/library/GraphAlgorithmType.java:33-116. Every algorithm here is
+re-expressed as an iterative DataFrame recurrence (JVM-side expressions,
+message combining as partial aggregation) rather than a per-vertex Java
+compute function — same fixpoints, Spark-first physical execution. The
+generic Python compute surface lives in kafka_graphs_spark.pregel for
+user-defined algorithms.
+"""
+
+from kafka_graphs_spark.library.basic import edge_count, reverse_edges, vertex_count
+from kafka_graphs_spark.library.clustering_coefficient import local_clustering_coefficient
+from kafka_graphs_spark.library.components import connected_components, label_propagation
+from kafka_graphs_spark.library.pagerank import pagerank
+from kafka_graphs_spark.library.paths import bfs, mssp, sssp
+from kafka_graphs_spark.library.registry import ALGORITHMS, get_algorithm
+
+__all__ = [
+    "bfs",
+    "sssp",
+    "mssp",
+    "connected_components",
+    "label_propagation",
+    "pagerank",
+    "local_clustering_coefficient",
+    "edge_count",
+    "vertex_count",
+    "reverse_edges",
+    "ALGORITHMS",
+    "get_algorithm",
+]

@@ -1,0 +1,104 @@
+"""Connected components & label propagation.
+
+Reference compute functions:
+- io/kgraph/library/ConnectedComponents.java:28-62 — min-label propagation
+  with a label-to-label messaging quirk (`sendMessageTo(currentValue,
+  e.target())` when the out-neighbor id is smaller) whose fixpoint is the
+  weakly-connected-component labeling min(component). We compute the same
+  fixpoint by propagating min labels over the undirected edge set —
+  frontier-based, min-combined (map-side partial agg).
+- io/kgraph/library/LabelPropagation.java:29-59 — community detection:
+  adopt the max-frequency label among in-messages (ties → larger label),
+  move only upward (vertexValue < maxKey), fixed iteration count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_graphs_spark.graph import Graph
+from kafka_graphs_spark.library._loop import LoopState
+
+
+def connected_components(graph: Graph, max_iterations: int = 50) -> DataFrame:
+    """Weakly connected components: (id, value = min vertex id in component).
+
+    Reference: ConnectedComponents.java:28-62; init value = own id
+    (GraphAlgorithmType.java:111-112). The reference's directed messaging +
+    label-to-label quirk converges to the weak-component min; propagating
+    over the undirected edge set reaches the same fixpoint with standard
+    frontier semantics (HashMin, cf. GraphOperationsITCase/CC tests).
+    """
+    und = (
+        graph.edges.select("src", "dst")
+        .unionByName(graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    state = graph.vertices.select("id", F.col("id").alias("value"))
+    loop = LoopState()
+    state = loop.checkpoint(state)
+    frontier = state
+    it = 0
+    while it < max_iterations:
+        it += 1
+        msgs = (
+            frontier.join(und, frontier["id"] == und["src"])
+            .select(F.col("dst").alias("id"), F.col("value").alias("m"))
+            .groupBy("id")
+            .agg(F.min("m").alias("m"))  # min combiner
+        )
+        updated = state.join(msgs, on="id", how="left").select(
+            "id",
+            F.when(F.col("m") < F.col("value"), F.col("m")).otherwise(F.col("value")).alias("value"),
+            (F.col("m") < F.col("value")).alias("_changed"),
+        )
+        state = loop.checkpoint(updated)
+        frontier = state.filter(F.col("_changed")).select("id", "value")
+        if frontier.count() == 0:
+            break
+    result = state.select("id", "value").localCheckpoint(eager=True)
+    loop.release()
+    und.unpersist()
+    return result
+
+
+def label_propagation(graph: Graph, max_iterations: int = 10) -> DataFrame:
+    """Community detection by monotone max-frequency label adoption.
+
+    Reference: LabelPropagation.java:29-59 — per superstep every vertex
+    sends map{label: 1} along OUT-edges; receivers sum counts per label and
+    adopt argmax (ties broken toward the LARGER label) only if it exceeds
+    their current label. No vote-to-halt: runs exactly ``max_iterations``
+    update rounds. Init value = own id (GraphAlgorithmType.java:111-112).
+
+    Spark: the message maps become (dst, label) rows; count aggregation is
+    a partial agg; argmax via max_by over struct(count, label) — the exact
+    (count, then label) comparator of LabelPropagation.java:45-48.
+    """
+    edges = graph.edges.select("src", "dst")
+    state = graph.vertices.select("id", F.col("id").alias("value"))
+    loop = LoopState()
+    state = loop.checkpoint(state)
+    for _ in range(max_iterations):
+        counts = (
+            state.join(edges, state["id"] == edges["src"])
+            .groupBy(F.col("dst").alias("id"), F.col("value").alias("label"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        best = counts.groupBy("id").agg(
+            F.max_by("label", F.struct(F.col("cnt"), F.col("label"))).alias("best")
+        )
+        state = loop.checkpoint(
+            state.join(best, on="id", how="left").select(
+                "id",
+                F.when(F.col("best") > F.col("value"), F.col("best"))
+                .otherwise(F.col("value"))
+                .alias("value"),
+            )
+        )
+    result = state.localCheckpoint(eager=True)
+    loop.release()
+    return result

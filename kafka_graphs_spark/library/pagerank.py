@@ -1,0 +1,110 @@
+"""PageRank / personalized PageRank — the reference's exact delta recurrence.
+
+Reference: io/kgraph/library/PageRank.java:32-112. This is NOT the textbook
+``0.15 + 0.85·Σ`` form (SURVEY.md §2.8):
+
+- vertices start at (rank=0, delta=0); personalized source at (0, −∞)
+  (PageRankTest.java:213-215).
+- superstep 0: out-edge weights normalized to 1/outDegree
+  (setNewEdgeValue) and the initial message is re-sent to self. Initial
+  message = resetProb/(1−resetProb), personalized: 0.0
+  (PageRankTest.java:96, :232).
+- superstep ≥1: newRank = oldRank + (1−resetProb)·Σmessages
+  (personalized source first activation: newRank = 1.0);
+  delta = newRank − oldRank; send delta·edgeWeight along out-edges only
+  where delta > tolerance; vote to halt.
+- run(maxIterations) executes update supersteps 1..maxIterations.
+
+Spark: message exchange = senders ⋈ normalized-edges → groupBy(dst).sum —
+sum-combined (map-side partial agg). Vertices that receive no messages
+keep their (rank, delta) untouched, matching vote-to-halt semantics.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_graphs_spark.graph import Graph
+from kafka_graphs_spark.library._loop import INF, LoopState
+
+
+def pagerank(
+    graph: Graph,
+    tolerance: float = 0.0001,
+    reset_probability: float = 0.15,
+    src_vertex_id=None,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Returns (id, rank double, delta double) after the delta iteration.
+
+    ``max_iterations`` counts update supersteps like the reference's
+    ``run(maxIterations)`` (supersteps 1..N after the normalization step 0).
+    """
+    personalized = src_vertex_id is not None
+    init_msg = 0.0 if personalized else reset_probability / (1.0 - reset_probability)
+    damp = 1.0 - reset_probability
+
+    # superstep 0: normalize out-edge weights to 1/outDegree
+    # (PageRank.java:63-71 via cb.setNewEdgeValue)
+    out_deg = graph.edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    edges_w = (
+        graph.edges.select("src", "dst")
+        .join(out_deg, on="src")
+        .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("w"))
+        .persist()
+    )
+
+    state = graph.vertices.select(
+        "id",
+        F.lit(0.0).alias("rank"),
+        (
+            F.when(F.col("id") == src_vertex_id, F.lit(-INF)).otherwise(F.lit(0.0))
+            if personalized
+            else F.lit(0.0)
+        ).alias("delta"),
+    )
+    loop = LoopState()
+    state = loop.checkpoint(state)
+
+    # superstep 0 re-sends the initial message to self → at superstep 1
+    # every vertex receives exactly init_msg (PageRank.java:72-75).
+    msgs = state.select("id", F.lit(init_msg).alias("m"))
+
+    it = 0
+    while it < max_iterations:
+        it += 1
+        agg = msgs.groupBy("id").agg(F.sum("m").alias("msum"))
+        new_state = state.join(agg, on="id", how="left").select(
+            "id",
+            F.when(F.col("msum").isNull(), F.col("rank"))
+            .when(F.col("delta") == -INF, F.lit(1.0))
+            .otherwise(F.col("rank") + F.lit(damp) * F.col("msum"))
+            .alias("rank"),
+            F.col("rank").alias("_old_rank"),
+            F.col("delta").alias("_old_delta"),
+            F.col("msum"),
+        ).select(
+            "id",
+            "rank",
+            # non-receivers do not compute: (rank, delta) untouched (vote-to-halt)
+            F.when(F.col("msum").isNull(), F.col("_old_delta"))
+            .otherwise(F.col("rank") - F.col("_old_rank"))
+            .alias("delta"),
+            F.col("msum").isNotNull().alias("_recv"),
+        )
+        state = loop.checkpoint(new_state)
+        # only vertices that computed this superstep send (PageRank.java:99-106)
+        senders = state.filter(F.col("_recv") & (F.col("delta") > tolerance))
+        msgs = senders.join(edges_w, senders["id"] == edges_w["src"]).select(
+            F.col("dst").alias("id"), (F.col("delta") * F.col("w")).alias("m")
+        )
+        # one tiny action per superstep decides termination (no messages)
+        if it < max_iterations and senders.count() == 0:
+            break
+    result = state.select("id", F.col("rank").alias("value"), "delta").localCheckpoint(eager=True)
+    loop.release()
+    edges_w.unpersist()
+    return result

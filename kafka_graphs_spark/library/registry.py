@@ -1,0 +1,82 @@
+"""Algorithm registry — name → (runner, initial vertex value, defaults).
+
+Reference: io/kgraph/library/GraphAlgorithmType.java:33-116 — the enum of
+REST-exposed algorithms (bfs, lcc, lp, mssp, pagerank, sssp, svdpp, wcc)
+with per-algorithm serdes and initial-vertex-value mappers (bfs →
+Long.MAX_VALUE, lp/wcc → id, sssp/pagerank → +∞, mssp → {}, lcc → 1.0).
+Here the serde declarations become Spark schemas and the mappers become
+Column expressions; each entry points at the DataFrame-native runner.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict
+
+from pyspark.sql import functions as F
+
+from kafka_graphs_spark.library.basic import edge_count, reverse_edges, vertex_count
+from kafka_graphs_spark.library.clustering_coefficient import local_clustering_coefficient
+from kafka_graphs_spark.library.components import connected_components, label_propagation
+from kafka_graphs_spark.library.pagerank import pagerank as _pagerank
+from kafka_graphs_spark.library.paths import bfs, mssp, sssp
+from kafka_graphs_spark.library._loop import INF, MAX_LONG
+
+
+@dataclass(frozen=True)
+class AlgorithmSpec:
+    name: str
+    run: Callable                      # (graph, **params) -> DataFrame
+    initial_vertex_value: Any          # Column expr fn of id (GraphAlgorithmType.java:95-116)
+    vertex_value_type: str
+    defaults: Dict[str, Any] = field(default_factory=dict)
+
+
+ALGORITHMS: Dict[str, AlgorithmSpec] = {
+    "bfs": AlgorithmSpec(
+        "bfs", bfs, lambda id_col: F.lit(MAX_LONG), "long", {"src_vertex_id": 0}
+    ),
+    "sssp": AlgorithmSpec(
+        "sssp", sssp, lambda id_col: F.lit(INF), "double", {"src_vertex_id": 0}
+    ),
+    "mssp": AlgorithmSpec(
+        "mssp",
+        mssp,
+        lambda id_col: F.create_map().cast("map<bigint,double>"),
+        "map<bigint,double>",
+        {"landmark_vertex_ids": (0,)},
+    ),
+    "wcc": AlgorithmSpec(
+        "wcc", connected_components, lambda id_col: id_col, "long", {}
+    ),
+    "lp": AlgorithmSpec(
+        "lp", label_propagation, lambda id_col: id_col, "long", {"max_iterations": 10}
+    ),
+    "pagerank": AlgorithmSpec(
+        "pagerank",
+        _pagerank,
+        lambda id_col: F.lit(0.0),
+        "double",
+        {"tolerance": 0.0001, "reset_probability": 0.15},
+    ),
+    "lcc": AlgorithmSpec(
+        "lcc",
+        local_clustering_coefficient,
+        lambda id_col: F.lit(1.0),
+        "double",
+        {},
+    ),
+    "edge_count": AlgorithmSpec("edge_count", edge_count, lambda id_col: id_col, "long", {}),
+    "vertex_count": AlgorithmSpec(
+        "vertex_count", vertex_count, lambda id_col: id_col, "long", {}
+    ),
+    "reverse_edges": AlgorithmSpec(
+        "reverse_edges", reverse_edges, lambda id_col: id_col, "long", {}
+    ),
+}
+
+
+def get_algorithm(name: str) -> AlgorithmSpec:
+    if name not in ALGORITHMS:
+        raise KeyError(f"unknown algorithm {name!r}; available: {sorted(ALGORITHMS)}")
+    return ALGORITHMS[name]

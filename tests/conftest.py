@@ -1,5 +1,14 @@
+import os
+
 import pytest
 from pyspark.sql import SparkSession
+
+# Executor python workers must import both the package and the test modules
+# (pytest puts these on sys.path driver-side only; workers inherit env).
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    [_REPO, os.path.join(_REPO, "tests"), os.environ.get("PYTHONPATH", "")]
+)
 
 
 @pytest.fixture(scope="session")

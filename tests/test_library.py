@@ -1,0 +1,201 @@
+"""Algorithm-library goldens, ported from the reference integration tests.
+
+Reference: kafka-graphs-core/src/test/java/io/kgraph/library/*Test.java —
+hard-coded expected vectors (our cross-engine oracle, SURVEY.md §5).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_graphs_spark import Graph
+from kafka_graphs_spark.library import (
+    bfs,
+    connected_components,
+    edge_count,
+    label_propagation,
+    local_clustering_coefficient,
+    mssp,
+    pagerank,
+    reverse_edges,
+    sssp,
+    vertex_count,
+)
+from kafka_graphs_spark.library._loop import MAX_LONG
+
+INF = float("inf")
+
+
+def vmap(df):
+    return {r["id"]: r["value"] for r in df.collect()}
+
+
+def make_graph(spark, edges, vertex_value=None, edge_type="double"):
+    e = spark.createDataFrame(edges, f"src long, dst long, value {edge_type}")
+    return Graph.from_edges(e, vertex_value if vertex_value is not None else F.col("id"))
+
+
+@pytest.fixture
+def chain(spark):
+    # F2: TestGraphUtils.getChain — 0..9, i→i+1, value 1.0
+    return make_graph(spark, [(i, i + 1, 1.0) for i in range(9)])
+
+
+@pytest.fixture
+def two_chains(spark):
+    # F3: TestGraphUtils.getTwoChains — chain 0..9 + chain 10..20
+    edges = [(i, i + 1, 1.0) for i in range(9)] + [(i, i + 1, 1.0) for i in range(10, 20)]
+    return make_graph(spark, edges)
+
+
+@pytest.fixture
+def long_double(spark):
+    # F1 value-double variant: TestGraphUtils.getLongDoubleEdges
+    edges = [(1, 2, 12.0), (1, 3, 13.0), (2, 3, 23.0), (3, 4, 34.0), (3, 5, 35.0),
+             (4, 5, 45.0), (5, 1, 51.0)]
+    return make_graph(spark, edges)
+
+
+class TestBFS:
+    def test_two_chains_from_0(self, two_chains):
+        # BreadthFirstSearchTest golden: hops on chain 1, UNVISITED on chain 2
+        got = vmap(bfs(two_chains, src_vertex_id=0))
+        expected = {i: i for i in range(10)}
+        expected.update({i: MAX_LONG for i in range(10, 21)})
+        assert got == expected
+
+
+class TestSSSP:
+    def test_long_double_from_1(self, long_double):
+        # SingleSourceShortestPathsTest golden
+        got = vmap(sssp(long_double, src_vertex_id=1))
+        assert got == {1: 0.0, 2: 12.0, 3: 13.0, 4: 47.0, 5: 48.0}
+
+    def test_unreachable_is_inf(self, two_chains):
+        got = vmap(sssp(two_chains, src_vertex_id=0))
+        assert got[9] == 9.0
+        assert got[10] == INF
+
+
+class TestMSSP:
+    def test_reference_graph(self, spark):
+        # MultipleSourceShortestPathsTest fixture: symmetric 6-vertex graph,
+        # landmarks {1, 4}
+        fwd = [(1, 2), (1, 5), (2, 3), (2, 5), (3, 4), (4, 5), (4, 6)]
+        edges = [(a, b, 1.0) for a, b in fwd] + [(b, a, 1.0) for a, b in fwd]
+        g = make_graph(spark, edges)
+        got = vmap(mssp(g, landmark_vertex_ids=[1, 4]))
+        expected = {
+            1: {1: 0.0, 4: 2.0},
+            2: {1: 1.0, 4: 2.0},
+            3: {1: 2.0, 4: 1.0},
+            4: {1: 2.0, 4: 0.0},
+            5: {1: 1.0, 4: 1.0},
+            6: {1: 3.0, 4: 1.0},
+        }
+        assert got == expected
+
+
+class TestConnectedComponents:
+    def test_two_chains(self, two_chains):
+        # ConnectedComponentsTest golden: 0..9 → 0, 10..20 → 10
+        got = vmap(connected_components(two_chains))
+        expected = {i: 0 for i in range(10)}
+        expected.update({i: 10 for i in range(10, 21)})
+        assert got == expected
+
+    def test_two_cliques_with_bridge(self, spark):
+        # TestGraphUtils.getTwoCliques(5): bridge 0→5 merges both cliques
+        n = 5
+        edges = [(i, j, 1) for i in range(n) for j in range(n)]
+        edges += [(i + n, j + n, 1) for i in range(n) for j in range(n)]
+        edges += [(0, 5, 1)]
+        g = make_graph(spark, edges, edge_type="long")
+        got = vmap(connected_components(g))
+        assert got == {i: 0 for i in range(2 * n)}
+
+
+class TestLabelPropagation:
+    def test_two_cliques(self, spark):
+        # LabelPropagationTest golden: clique {0-4} → 4, clique {5-9} → 9
+        n = 5
+        edges = [(i, j, 1) for i in range(n) for j in range(n)]
+        edges += [(i + n, j + n, 1) for i in range(n) for j in range(n)]
+        edges += [(0, 5, 1)]
+        g = make_graph(spark, edges, edge_type="long")
+        got = vmap(label_propagation(g, max_iterations=10))
+        assert got == {0: 4, 1: 4, 2: 4, 3: 4, 4: 4, 5: 9, 6: 9, 7: 9, 8: 9, 9: 9}
+
+
+class TestPageRank:
+    def test_chain_two_iterations(self, chain):
+        # PageRankTest.testChainPageRank golden (maxIterations=2):
+        # sorted ranks = [0.15, 0.2775 × 9]
+        got = sorted(r["value"] for r in pagerank(chain, max_iterations=2).collect())
+        expected = [0.15] + [0.27749999999999997] * 9
+        assert got == pytest.approx(expected, abs=1e-12)
+
+    def test_chain_converged(self, chain):
+        # PageRankTest.testChainLongerPageRank golden (maxIterations=51)
+        got = vmap(pagerank(chain, max_iterations=51).select("id", F.col("value")))
+        # delta iteration converges: rank(0)=0.15, rank(i)=0.15+0.85*rank(i-1)
+        expected = {}
+        r = 0.0
+        for i in range(10):
+            r = 0.15 + 0.85 * r if i > 0 else 0.15
+            expected[i] = r
+        for i in range(10):
+            assert got[i] == pytest.approx(expected[i], abs=1e-4)
+
+    def test_chain_personalized(self, chain):
+        # PageRankTest.testChainPersonalPageRank golden (maxIterations=4, src=4):
+        # sorted = [0×6, 0.614125, 0.7225, 0.85, 1.0]
+        got = sorted(
+            r["value"]
+            for r in pagerank(chain, src_vertex_id=4, max_iterations=4).collect()
+        )
+        expected = [0.0] * 6 + [0.6141249999999999, 0.7224999999999999, 0.85, 1.0]
+        assert got == pytest.approx(expected, abs=1e-12)
+
+    def test_star(self, spark):
+        # PageRankTest.testStarPageRank shape: hub collects from all leaves
+        from kafka_graphs_spark.sources import star_graph
+
+        g = star_graph(spark, 10)
+        g = Graph(g.vertices, g.edges.withColumn("value", F.col("value").cast("double")))
+        got = vmap(pagerank(g, max_iterations=2).select("id", "value"))
+        # leaves: 0.15; hub: 0.15 + 0.85 * 9 * (0.15/0.85 * 0.85) = 0.15 + 9*0.1275
+        assert got[1] == pytest.approx(0.15)
+        assert got[0] == pytest.approx(0.15 + 9 * 0.85 * 0.15, abs=1e-10)
+
+
+class TestLCC:
+    def test_reference_graph(self, spark):
+        # LocalClusteringCoefficientTest golden on F5 edges
+        edges = [(0, 1, 1.0), (0, 2, 1.0), (2, 1, 1.0), (2, 3, 1.0), (3, 1, 1.0),
+                 (3, 4, 1.0), (5, 3, 1.0)]
+        g = make_graph(spark, edges, vertex_value=F.lit(1.0))
+        got = vmap(local_clustering_coefficient(g))
+        expected = {
+            0: 0.5,
+            1: 1.0 / 3.0,
+            2: 1.0 / 3.0,
+            3: 1.0 / 12.0,
+            4: 0.0,
+            5: 0.0,
+        }
+        for k, v in expected.items():
+            assert got[k] == pytest.approx(v, abs=1e-12), f"vertex {k}"
+
+
+class TestBasic:
+    def test_counts(self, long_double):
+        assert edge_count(long_double) == 7
+        assert vertex_count(long_double) == 5
+
+    def test_reverse_edges(self, spark):
+        g = make_graph(spark, [(1, 2, 1.0), (2, 1, 5.0), (2, 3, 2.0)])
+        got = {(r["src"], r["dst"]): r["value"] for r in reverse_edges(g).edges.collect()}
+        # existing reverse (2,1)=5.0 kept; missing (3,2) added with value 2.0
+        assert got == {(1, 2): 1.0, (2, 1): 5.0, (2, 3): 2.0, (3, 2): 2.0}
