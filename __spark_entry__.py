@@ -1,10 +1,21 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() = one entry per implemented operator (SURVEY.md §2 + pipeline
+ops); oracle_sql() = the DuckDB twin of each. Graph workloads are derived
+from the driver's tables so that every graph result has a closed-form SQL
+oracle (see kafka_graphs_spark/datasets.py):
+
+- event-chain graph: per-user chains of events ordered by (ts, event_id) —
+  disjoint directed paths, so WCC/BFS/SSSP/PageRank/LP have window-function
+  oracles (PageRank's delta recurrence is reproduced bit-exactly by a
+  recursive CTE computing the identical float64 operation sequence).
+- supplier→part bipartite graph from lineitem — the relational-operator
+  workbench (degrees, filters, joins, reductions).
+- customer→nation→region hierarchy (has triangles) — clustering coefficient.
+
+FP discipline: values that both engines compute with the same operation
+order ship raw (bit-identical); accumulations whose order may differ
+(window sums, dot products) are rounded on BOTH sides.
 """
 
 from __future__ import annotations
@@ -12,27 +23,488 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+MAX_LONG = (1 << 63) - 1
+INF = float("inf")
+
+# ---------------------------------------------------------------------------
+# shared SQL fragments (DuckDB)
+# ---------------------------------------------------------------------------
+
+# tokenizer twin of kafka_graphs_spark.pipeline.text.tokens
+TOKS = "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> x <> '')"
+
+SP_EDGES = """
+  SELECT l_suppkey AS src, l_partkey + 1000000 AS dst, SUM(l_quantity) AS value
+  FROM lineitem GROUP BY 1, 2
+"""
+
+SP_VERTICES = "SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)"
+
+EC_POS = """
+  SELECT event_id, user_id, abs(value) AS w,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+  FROM events
+"""
+
+SHINGLES = f"""
+  WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+  SELECT DISTINCT doc_id,
+         unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(0, len(toks) - 2),
+                                    i -> array_to_string(toks[i+1:i+3], ' '))
+                ELSE CAST([] AS VARCHAR[]) END) AS shingle
+  FROM t
+"""
+
+STOP_EN = "['the','a','and','of','to','in','is','it','that','for','on','as','with']"
+STOP_DE = "['der','die','das','und','ist','von','zu','mit','den','im','ein','eine']"
+STOP_FR = "['le','la','les','et','des','un','une','est','dans','pour','sur','que']"
+STOP_ES = "['el','los','las','y','que','en','un','una','es','por','con','para']"
+
+
+# ---------------------------------------------------------------------------
+# graph builders (lazy imports keep the module importable without the pkg)
+# ---------------------------------------------------------------------------
+
+def _sp_graph(spark, sf_dir):
+    from kafka_graphs_spark import datasets
+
+    return datasets.supplier_part_graph(spark, sf_dir)
+
+
+def _ec_graph(spark, sf_dir):
+    from kafka_graphs_spark import datasets
+
+    return datasets.event_chain_graph(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 5-iteration delta PageRank over the event-chain graph."""
+    from kafka_graphs_spark.library import pagerank
 
+    g = _ec_graph(spark, "/root/testdata/sf0.001")
+    return pagerank(g, max_iterations=5).select("id", "value")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from kafka_graphs_spark import EdgeDirection, datasets
+    from kafka_graphs_spark.library import (
+        bfs,
+        connected_components,
+        label_propagation,
+        local_clustering_coefficient,
+        mssp,
+        pagerank,
+        sssp,
+    )
+    from kafka_graphs_spark.pipeline import dedup, multimodal, similarity, text
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- graph transformation algebra (supplier→part graph) ----
 
+    def sp_out_degrees(spark, sf):
+        return _sp_graph(spark, sf).out_degrees()
+
+    def sp_in_degrees(spark, sf):
+        return _sp_graph(spark, sf).in_degrees()
+
+    def sp_subgraph_edges(spark, sf):
+        g = _sp_graph(spark, sf).subgraph(F.col("value") % 2 == 0, F.col("value") > 25)
+        return g.edges.select("src", "dst", "value")
+
+    def sp_filter_edges(spark, sf):
+        return _sp_graph(spark, sf).filter_on_edges(F.col("value") > 40).edges.select(
+            "src", "dst", "value"
+        )
+
+    def sp_undirected_edges(spark, sf):
+        return _sp_graph(spark, sf).undirected().edges.select("src", "dst", "value")
+
+    def sp_join_vertices(spark, sf):
+        g = _sp_graph(spark, sf)
+        return g.join_with_vertices(g.out_degrees(), lambda old, new: old + new).vertices
+
+    def sp_reduce_edges_min_in(spark, sf):
+        return _sp_graph(spark, sf).reduce_on_edges("min", EdgeDirection.IN)
+
+    def sp_reduce_neighbors_sum_out(spark, sf):
+        return _sp_graph(spark, sf).reduce_on_neighbors("sum", EdgeDirection.OUT)
+
+    # ---- graph algorithms (event-chain graph + hierarchy graph) ----
+
+    def ec_wcc(spark, sf):
+        return connected_components(_ec_graph(spark, sf), max_iterations=500)
+
+    def ec_bfs(spark, sf):
+        src = datasets.chain_sources(spark, sf, 1)[0]
+        return bfs(_ec_graph(spark, sf), src_vertex_id=src, max_iterations=500)
+
+    def ec_sssp(spark, sf):
+        src = datasets.chain_sources(spark, sf, 1)[0]
+        out = sssp(_ec_graph(spark, sf), src_vertex_id=src, max_iterations=500)
+        return out.filter(F.col("value") < INF).select("id", F.round("value", 4).alias("value"))
+
+    def ec_pagerank5(spark, sf):
+        return pagerank(_ec_graph(spark, sf), max_iterations=5).select("id", "value")
+
+    def ec_lp10(spark, sf):
+        return label_propagation(_ec_graph(spark, sf), max_iterations=10)
+
+    def ec_mssp(spark, sf):
+        lms = datasets.chain_sources(spark, sf, 2)
+        out = mssp(_ec_graph(spark, sf), landmark_vertex_ids=lms, max_iterations=500)
+        return (
+            out.select("id", F.explode("value").alias("landmark", "dist"))
+            .filter(F.col("dist") < INF)
+            .select("id", "landmark", F.round("dist", 4).alias("dist"))
+        )
+
+    def hier_lcc(spark, sf):
+        from kafka_graphs_spark.datasets import hierarchy_graph
+
+        return local_clustering_coefficient(hierarchy_graph(spark, sf))
+
+    # ---- text analysis (documents) ----
+
+    def doc_token_count(spark, sf):
+        docs = datasets.load(spark, sf, "documents")
+        return text.token_count(docs)
+
+    def doc_language_id(spark, sf):
+        return text.language_id(datasets.load(spark, sf, "documents"))
+
+    def doc_quality(spark, sf):
+        return text.quality_score(datasets.load(spark, sf, "documents"))
+
+    def doc_fingerprint(spark, sf):
+        return text.fingerprint(datasets.load(spark, sf, "documents"))
+
+    # ---- dedup (documents) ----
+
+    def dedup_exact(spark, sf):
+        return dedup.exact_duplicates(datasets.load(spark, sf, "documents"))
+
+    def dedup_ngram_jaccard(spark, sf):
+        return dedup.ngram_jaccard_pairs(
+            datasets.load(spark, sf, "documents"), n=3, threshold=0.05
+        )
+
+    def dedup_minhash(spark, sf):
+        docs = datasets.load(spark, sf, "documents")
+        sh = dedup.minhash_signatures(docs, num_hashes=16, n=3)
+        return sh.select(
+            "doc_id", F.posexplode("sig").alias("seed", "mh")
+        )
+
+    def dedup_minhash_lsh(spark, sf):
+        return dedup.minhash_lsh_candidates(
+            datasets.load(spark, sf, "documents"), num_hashes=16, bands=4, n=3
+        )
+
+    def dedup_simhash(spark, sf):
+        return dedup.simhash(datasets.load(spark, sf, "documents"), bits=16)
+
+    # ---- similarity search (embeddings) ----
+
+    def emb_cosine_topk(spark, sf):
+        emb = datasets.load(spark, sf, "embeddings")
+        return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+    def emb_near_dup(spark, sf):
+        emb = datasets.load(spark, sf, "embeddings")
+        return similarity.embedding_near_duplicates(emb, threshold=0.8)
+
+    def emb_lsh_topk(spark, sf):
+        # approximate scale path — no SQL oracle (rows-only check)
+        emb = datasets.load(spark, sf, "embeddings")
+        return similarity.rp_lsh_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8, n_tables=4, dim=64
+        )
+
+    # ---- multimodal plumbing (documents as binary payloads) ----
+
+    def multimodal_features(spark, sf):
+        docs = datasets.load(spark, sf, "documents")
+        media = multimodal.attach_media(docs, "doc_id", F.encode(F.col("text"), "utf-8"), "text")
+        feats = multimodal.extract_features(media, strict=False)
+        return feats.select("media_id", F.posexplode("features").alias("idx", "feat"))
+
+    return {
+        "sp_out_degrees": sp_out_degrees,
+        "sp_in_degrees": sp_in_degrees,
+        "sp_subgraph_edges": sp_subgraph_edges,
+        "sp_filter_edges": sp_filter_edges,
+        "sp_undirected_edges": sp_undirected_edges,
+        "sp_join_vertices": sp_join_vertices,
+        "sp_reduce_edges_min_in": sp_reduce_edges_min_in,
+        "sp_reduce_neighbors_sum_out": sp_reduce_neighbors_sum_out,
+        "ec_wcc": ec_wcc,
+        "ec_bfs": ec_bfs,
+        "ec_sssp": ec_sssp,
+        "ec_pagerank5": ec_pagerank5,
+        "ec_lp10": ec_lp10,
+        "ec_mssp": ec_mssp,
+        "hier_lcc": hier_lcc,
+        "doc_token_count": doc_token_count,
+        "doc_language_id": doc_language_id,
+        "doc_quality": doc_quality,
+        "doc_fingerprint": doc_fingerprint,
+        "dedup_exact": dedup_exact,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash": dedup_minhash,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_simhash": dedup_simhash,
+        "emb_cosine_topk": emb_cosine_topk,
+        "emb_near_dup": emb_near_dup,
+        "emb_lsh_topk": emb_lsh_topk,
+        "multimodal_features": multimodal_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "sp_out_degrees": f"""
+            WITH e AS ({SP_EDGES}), v AS ({SP_VERTICES})
+            SELECT v.id, coalesce(c.cnt, 0) AS value
+            FROM v LEFT JOIN (SELECT src, count(*) AS cnt FROM e GROUP BY 1) c ON v.id = c.src
+        """,
+        "sp_in_degrees": f"""
+            WITH e AS ({SP_EDGES}), v AS ({SP_VERTICES})
+            SELECT v.id, coalesce(c.cnt, 0) AS value
+            FROM v LEFT JOIN (SELECT dst, count(*) AS cnt FROM e GROUP BY 1) c ON v.id = c.dst
+        """,
+        "sp_subgraph_edges": f"""
+            WITH e AS ({SP_EDGES})
+            SELECT src, dst, value FROM e
+            WHERE src % 2 = 0 AND dst % 2 = 0 AND value > 25
+        """,
+        "sp_filter_edges": f"""
+            WITH e AS ({SP_EDGES}) SELECT src, dst, value FROM e WHERE value > 40
+        """,
+        "sp_undirected_edges": f"""
+            WITH e AS ({SP_EDGES})
+            SELECT src, dst, value FROM e
+            UNION ALL
+            SELECT e.dst AS src, e.src AS dst, e.value FROM e
+            WHERE NOT EXISTS (SELECT 1 FROM e r WHERE r.src = e.dst AND r.dst = e.src)
+        """,
+        "sp_join_vertices": f"""
+            WITH e AS ({SP_EDGES}), v AS ({SP_VERTICES})
+            SELECT v.id, v.id + coalesce(c.cnt, 0) AS value
+            FROM v LEFT JOIN (SELECT src, count(*) AS cnt FROM e GROUP BY 1) c ON v.id = c.src
+        """,
+        "sp_reduce_edges_min_in": f"""
+            WITH e AS ({SP_EDGES})
+            SELECT dst AS id, MIN(value) AS value FROM e GROUP BY 1
+        """,
+        "sp_reduce_neighbors_sum_out": f"""
+            WITH e AS ({SP_EDGES})
+            SELECT src AS id, CAST(SUM(dst) AS BIGINT) AS value FROM e GROUP BY 1
+        """,
+        "ec_wcc": """
+            SELECT event_id AS id, MIN(event_id) OVER (PARTITION BY user_id) AS value
+            FROM events
+        """,
+        "ec_bfs": f"""
+            WITH pos AS ({EC_POS}),
+            s AS (SELECT user_id AS su, rn AS sr FROM pos
+                  WHERE rn = 0 AND user_id = (SELECT MIN(user_id) FROM events))
+            SELECT pos.event_id AS id,
+                   CASE WHEN pos.user_id = s.su AND pos.rn >= s.sr
+                        THEN pos.rn - s.sr ELSE 9223372036854775807 END AS value
+            FROM pos, s
+        """,
+        "ec_sssp": f"""
+            WITH pos AS ({EC_POS}),
+            u AS (SELECT * FROM pos WHERE user_id = (SELECT MIN(user_id) FROM events))
+            SELECT event_id AS id,
+                   round(coalesce(SUM(CASE WHEN rn > 0 THEN w END)
+                         OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 4)
+                   AS value
+            FROM u
+        """,
+        # bit-exact oracle: the recursive CTE reproduces the engine's exact
+        # float64 op sequence (r += 0.85*d; d = new - old), so no rounding
+        "ec_pagerank5": f"""
+            WITH RECURSIVE pr(j, r, d) AS (
+                SELECT 0, 0.85 * (0.15/0.85), 0.85 * (0.15/0.85)
+                UNION ALL
+                SELECT j + 1, r + 0.85 * d, (r + 0.85 * d) - r FROM pr WHERE j < 4
+            ),
+            pos AS ({EC_POS})
+            SELECT pos.event_id AS id, pr.r AS value
+            FROM pos JOIN pr ON pr.j = least(pos.rn, 4)
+        """,
+        "ec_lp10": """
+            SELECT event_id AS id,
+                   MAX(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN 10 PRECEDING AND CURRENT ROW) AS value
+            FROM events
+        """,
+        "ec_mssp": f"""
+            WITH pos AS ({EC_POS}),
+            lm AS (SELECT user_id, event_id AS landmark FROM pos
+                   WHERE rn = 0 AND user_id IN
+                     (SELECT user_id FROM (SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 2))),
+            d AS (SELECT user_id, event_id,
+                         coalesce(SUM(CASE WHEN rn > 0 THEN w END)
+                           OVER (PARTITION BY user_id ORDER BY rn
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS dist
+                  FROM pos)
+            SELECT d.event_id AS id, lm.landmark, round(d.dist, 4) AS dist
+            FROM d JOIN lm ON d.user_id = lm.user_id
+        """,
+        "hier_lcc": """
+            WITH e AS (
+                SELECT CAST(c_custkey AS BIGINT) AS src,
+                       CAST(c_nationkey + 2000000 AS BIGINT) AS dst FROM customer
+                UNION ALL
+                SELECT CAST(n_nationkey + 2000000 AS BIGINT),
+                       CAST(n_regionkey + 3000000 AS BIGINT) FROM nation
+                UNION ALL
+                SELECT CAST(c_custkey AS BIGINT), CAST(n_regionkey + 3000000 AS BIGINT)
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ),
+            nb AS (SELECT DISTINCT v, u FROM (
+                SELECT src AS v, dst AS u FROM e
+                UNION ALL SELECT dst AS v, src AS u FROM e WHERE src <> dst)),
+            deg AS (SELECT v, count(*) AS d FROM nb GROUP BY 1),
+            m AS (SELECT a.v, count(*) AS matches
+                  FROM nb a JOIN e ON a.u = e.src JOIN nb b ON b.v = a.v AND b.u = e.dst
+                  GROUP BY 1),
+            vts AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e))
+            SELECT vts.id,
+                   CASE WHEN coalesce(deg.d, 0) >= 2
+                        THEN CAST(coalesce(m.matches, 0) AS DOUBLE) / (deg.d * (deg.d - 1))
+                        ELSE 0.0 END AS value
+            FROM vts LEFT JOIN deg ON vts.id = deg.v LEFT JOIN m ON vts.id = m.v
+        """,
+        "doc_token_count": f"""
+            SELECT doc_id, CAST(len({TOKS}) AS INTEGER) AS n_tokens FROM documents
+        """,
+        "doc_language_id": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                len(list_filter(toks, x -> list_contains({STOP_DE}, x))) AS s_de,
+                len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS s_en,
+                len(list_filter(toks, x -> list_contains({STOP_ES}, x))) AS s_es,
+                len(list_filter(toks, x -> list_contains({STOP_FR}, x))) AS s_fr
+                FROM t)
+            SELECT doc_id,
+                CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+                     WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                     WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                     WHEN s_en >= s_de THEN 'en'
+                     ELSE 'de' END AS lang_pred
+            FROM s
+        """,
+        "doc_quality": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS n_stop,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS mean_token_len
+                FROM t)
+            SELECT doc_id, n_tokens,
+                CASE WHEN n_tokens > 0 THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS stop_ratio,
+                mean_token_len,
+                (CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE)/n_tokens >= 0.01
+                           AND CAST(n_stop AS DOUBLE)/n_tokens <= 0.5 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.3 ELSE 0.0 END) AS score
+            FROM s
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fp FROM documents
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, count(*) AS n_dups
+            FROM documents GROUP BY 1
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS ({SHINGLES}),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT doc_a, doc_b,
+                   CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
+            FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05
+        """,
+        "dedup_minhash": f"""
+            WITH sh AS ({SHINGLES}),
+            seeds AS (SELECT unnest(range(0, 16)) AS seed)
+            SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+                   MIN(md5(shingle || ':' || seed::VARCHAR)) AS mh
+            FROM sh, seeds GROUP BY 1, 2
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH sh AS ({SHINGLES}),
+            seeds AS (SELECT unnest(range(0, 16)) AS seed),
+            mh AS (SELECT doc_id, seed, MIN(md5(shingle || ':' || seed::VARCHAR)) AS mh
+                   FROM sh, seeds GROUP BY 1, 2),
+            bands AS (SELECT doc_id, seed // 4 AS band,
+                             string_agg(mh, '|' ORDER BY seed) AS bucket
+                      FROM mh GROUP BY 1, 2)
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        "dedup_simhash": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tk FROM t),
+            h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+            bits AS (SELECT doc_id, b,
+                            SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                     FROM h, (SELECT unnest(range(0, 16)) AS b) GROUP BY 1, 2)
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+            FROM bits GROUP BY 1
+        """,
+        "emb_cosine_topk": """
+            WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS cv FROM embeddings),
+            s AS (SELECT qid AS query_id, nid AS neighbor_id,
+                         list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+                  FROM q, c WHERE qid <> nid),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+            SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 5
+        """,
+        "emb_near_dup": """
+            WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+            s AS (SELECT a.id AS id_a, b.id AS id_b,
+                         list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
+                  FROM v a JOIN v b ON a.id < b.id)
+            SELECT id_a, id_b, round(cos, 6) AS cos FROM s WHERE round(cos, 6) >= 0.8
+        """,
+        "multimodal_features": """
+            WITH m AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
+            i AS (SELECT unnest(range(0, 8)) AS idx)
+            SELECT media_id, CAST(idx AS INTEGER) AS idx,
+                   ((strpos('0123456789abcdef', substr(hx, idx*2 + 1, 1)) - 1) * 16
+                    + (strpos('0123456789abcdef', substr(hx, idx*2 + 2, 1)) - 1)) / 256.0 AS feat
+            FROM m, i
+        """,
+        # emb_lsh_topk: intentionally no oracle (approximate / non-SQL) —
+        # driver records the weaker rows-only check.
+    }

@@ -1,0 +1,103 @@
+"""Benchmark harness — headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. The mix covers every engine tier:
+iterative graph algorithms (PageRank/WCC/SSSP/LP), graph algebra (degrees),
+dedup (MinHash-LSH, SimHash), similarity search (cosine top-k), and text
+analysis — the same workloads the correctness gate checks, at bench scale.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def build_session() -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("kafka-graphs-spark-bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.default.parallelism", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
+    from kafka_graphs_spark import EdgeDirection, datasets
+    from kafka_graphs_spark.library import (
+        connected_components,
+        label_propagation,
+        pagerank,
+        sssp,
+    )
+    from kafka_graphs_spark.pipeline import dedup, similarity, text
+
+    ec = datasets.event_chain_graph(spark, sf_dir).persist()
+    ec.vertices.count(), ec.edges.count()  # materialize outside the timers
+    sp = datasets.supplier_part_graph(spark, sf_dir)
+    docs = datasets.load(spark, sf_dir, "documents").persist()
+    docs.count()
+    emb = datasets.load(spark, sf_dir, "embeddings").persist()
+    emb.count()
+
+    def src():
+        return datasets.chain_sources(spark, sf_dir, 1)[0]
+
+    return {
+        "pagerank5": lambda: pagerank(ec, max_iterations=5).count(),
+        "wcc": lambda: connected_components(ec, max_iterations=500).count(),
+        "sssp": lambda: sssp(ec, src_vertex_id=src(), max_iterations=500).count(),
+        "lp10": lambda: label_propagation(ec, max_iterations=10).count(),
+        "sp_degrees": lambda: sp.out_degrees().unionByName(sp.in_degrees()).count(),
+        "minhash_lsh": lambda: dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4).count(),
+        "simhash": lambda: dedup.simhash(docs, bits=16).count(),
+        "cosine_topk": lambda: similarity.cosine_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5
+        ).count(),
+        "quality": lambda: text.quality_score(docs).count(),
+    }
+
+
+def main() -> None:
+    spark = build_session()
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = bench_queries(spark, SF_DIR)
+    times = {}
+    t0 = time.time()
+    for name, fn in qs.items():
+        t = time.time()
+        fn()
+        times[name] = round(time.time() - t, 3)
+        print(f"# {name}: {times[name]}s", file=sys.stderr)
+    total = round(time.time() - t0, 3)
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

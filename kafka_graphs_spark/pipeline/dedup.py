@@ -1,0 +1,224 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (100 TB mindset):
+- exact dedup is one hash-groupBy (partial-aggregated; the md5 runs
+  map-side, only 16-byte digests shuffle).
+- n-gram Jaccard is the EXACT pairwise path: shingle-inverted-index
+  self-join. Quadratic in the worst case — gate it behind MinHash+LSH
+  candidate generation at scale (``minhash_lsh_candidates`` produces the
+  candidate pairs; ``ngram_jaccard_pairs`` can verify just those).
+- MinHash signatures use md5(shingle + seed) as the hash family — md5 is
+  reproducible across engines (DuckDB oracle) and stable across runs;
+  the min is taken over the hex string (order-isomorphic to the integer).
+- SimHash packs per-token md5 bits into a small signature; near-dups =
+  signatures at small Hamming distance.
+
+All JVM-side expressions (explode / groupBy / join); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_graphs_spark.pipeline.text import tokens
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(fp, keep_id, n_dups) per content hash — keep_id = min doc_id.
+
+    The classic exact-dedup reduction: md5 map-side, one partial-agg
+    groupBy. Survivor selection is deterministic (min id).
+    """
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams joined by single spaces."""
+    toks = tokens(F.col(text_col))
+    # n-gram i..i+n-1 for i in 0..len-n (empty when len < n)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select("doc_id", F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8, text_col: str = "text"
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs with n-gram Jaccard ≥ threshold.
+
+    Inverted-index self-join: |A∩B| from the shingle join, |A∪B| =
+    |A|+|B|−|A∩B|. doc_a < doc_b canonical order.
+    """
+    sh = shingles(docs, n=n, text_col=text_col).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), on="doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            # raw double: int/int division is bit-identical across engines,
+            # so no rounding (rounding itself is the cross-engine hazard)
+            (F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    result = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return result
+
+
+def minhash_signatures(
+    docs: DataFrame, num_hashes: int = 16, n: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig array<string>) — per-seed min of md5(shingle || ':' || seed).
+
+    md5-hex min is order-isomorphic to the integer min, and both Spark and
+    DuckDB produce identical digests — the cross-engine-reproducible hash
+    family. Documents with no shingles get an empty signature row.
+    """
+    sh = shingles(docs, n=n, text_col=text_col)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
+        F.col("shingle"),
+    ).select(
+        "doc_id",
+        "seed",
+        F.md5(F.concat_ws(":", F.col("shingle"), F.col("seed"))).alias("h"),
+    )
+    per_seed = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
+    return per_seed.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s.mh
+        ).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b) candidate near-dup pairs sharing ≥1 LSH band bucket.
+
+    Banding: the signature splits into ``bands`` bands of
+    ``num_hashes/bands`` rows; band key = concat of its min-hashes. Pairs
+    colliding in any band become candidates — the standard
+    shingle→minhash→band→bucket-join pipeline. At scale this is the
+    candidate generator in front of exact Jaccard verification.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n, text_col=text_col)
+    banded = sig.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+        F.col("sig"),
+    ).select(
+        "doc_id",
+        "band",
+        F.array_join(F.slice("sig", F.col("band") * rows_per_band + 1, rows_per_band), "|").alias(
+            "bucket"
+        ),
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+    b = banded.select(F.col("doc_id").alias("doc_b"), "band", "bucket")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash long) — ``bits``-bit SimHash over distinct tokens.
+
+    Each token votes ±1 per bit position using bits of
+    md5-derived integers; the signature bit is 1 where the vote sum > 0.
+    Near-duplicates are signatures within small Hamming distance
+    (pair them with ``simhash_near_pairs``).
+    """
+    toks = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("t")).distinct()
+    # token hash: first 15 hex chars of md5 → bigint (fits in 60 bits)
+    hashed = toks.select(
+        "doc_id", F.conv(F.substring(F.md5("t"), 1, 15), 16, 10).cast("long").alias("h")
+    )
+    votes = hashed.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b"),
+        F.col("h"),
+    ).select(
+        "doc_id",
+        "b",
+        # shiftright with a column shift amount needs the SQL form
+        F.when(F.expr("shiftright(h, b) & 1") == 1, F.lit(1)).otherwise(F.lit(-1)).alias("v"),
+    )
+    bitsum = votes.groupBy("doc_id", "b").agg(F.sum("v").alias("s"))
+    return bitsum.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), b)")).otherwise(F.lit(0))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 2,
+                       text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs within ``max_hamming`` bit flips.
+
+    Scale path: block on signature halves (a pair within distance d must
+    agree exactly on at least one of d+1 blocks), join per block, verify
+    with popcount — avoids the full cross join.
+    """
+    sig = simhash(docs, bits=bits, text_col=text_col)
+    blocks = max_hamming + 1
+    block_bits = bits // blocks
+    banded = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("blk"),
+    ).select(
+        "doc_id",
+        "simhash",
+        "blk",
+        F.shiftright(F.col("simhash"), F.col("blk") * block_bits)
+        .bitwiseAND(F.lit((1 << block_bits) - 1))
+        .alias("key"),
+    )
+    a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "blk", "key")
+    b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "blk", "key")
+    pairs = (
+        a.join(b, on=["blk", "key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.col("sig_a").bitwiseXOR(F.col("sig_b")).alias("x"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("x"))
+    return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

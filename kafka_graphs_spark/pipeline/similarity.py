@@ -1,0 +1,161 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH scale path.
+
+- ``cosine_topk``: the exact baseline — query×corpus join, JVM-side dot
+  product (``F.aggregate``/``F.zip_with``, no Python UDF), per-query top-k
+  via window. Exact but O(|Q|·|C|): use for small query sets / verification.
+- ``rp_lsh_topk``: the scale path — deterministic random-hyperplane LSH:
+  sign-bit bucket join + exact re-rank inside buckets (with multi-probe via
+  several independent tables). Approximate; recall grows with tables.
+- ``embedding_near_duplicates``: cosine ≥ threshold pairs (near-dup dedup
+  over an embedding column).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank) — exact brute-force top-k.
+
+    Query side is broadcast (small); corpus never shuffles. Cosine in
+    float64; ranking ties broken by neighbor id for determinism.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
+    """Deterministic pseudo-random hyperplanes (seeded; no global RNG)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane buckets, exact re-rank in-bucket.
+
+    Each table hashes vectors to an ``n_planes``-bit sign bucket; candidate
+    pairs share a bucket in ANY table (multi-probe across tables). At 100 TB
+    the bucket join replaces the quadratic cross join; n_tables/n_planes
+    trade recall vs candidate volume.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+
+    def bucket_expr(vec, table: int):
+        planes = _hyperplanes(dim, n_planes, seed + table)
+        bits = [
+            F.when(_dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1)).otherwise(F.lit(0))
+            for p in planes
+        ]
+        acc = F.lit(0)
+        for b in bits:
+            acc = acc * 2 + b
+        return acc
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+
+    cand = None
+    for t in range(n_tables):
+        cb = c.withColumn("bucket", bucket_expr(F.col("cv"), t)).withColumn("table", F.lit(t))
+        qb = q.withColumn("bucket", bucket_expr(F.col("qv"), t)).withColumn("table", F.lit(t))
+        joined = cb.join(F.broadcast(qb), on=["table", "bucket"]).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        cand = joined if cand is None else cand.unionByName(joined)
+
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+def embedding_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine ≥ threshold (embedding near-dup).
+
+    Exact all-pairs (self-join) — correct baseline; swap the pair source
+    for ``rp_lsh_topk`` buckets at scale.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("n", _norm(F.col("v")))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

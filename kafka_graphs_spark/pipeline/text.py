@@ -1,0 +1,108 @@
+"""Text analysis operators: tokenize, language-ID, quality, fingerprint.
+
+All pure ``pyspark.sql.functions`` expressions — whole-stage-codegen'd
+JVM-side, no Python in the hot path. Each op has a DuckDB-SQL twin
+(``*_SQL`` helpers) used as the correctness oracle; keep both sides in
+lock-step when editing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Deterministic tokenizer shared by every text op: lowercase, split on
+# non-alphanumeric runs, drop empties.
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+
+def tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def tokens_sql(col: str) -> str:
+    """DuckDB twin of ``tokens`` (oracle)."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({col}), '{TOKEN_SPLIT_RE}'), x -> x <> '')"
+    )
+
+
+# Small fixed stopword sets per language for the lang-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for", "on", "as", "with"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den", "im", "ein", "eine"],
+    "fr": ["le", "la", "les", "et", "des", "un", "une", "est", "dans", "pour", "sur", "que"],
+    "es": ["el", "los", "las", "y", "que", "en", "un", "una", "es", "por", "con", "para"],
+}
+
+
+def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens) — whitespace/punct tokenization count."""
+    return docs.select("doc_id", F.size(tokens(F.col(text_col))).alias("n_tokens"))
+
+
+def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, lang_pred) — stopword-hit argmax heuristic.
+
+    Scores each language by the number of tokens in its stopword set;
+    predicts the argmax (ties broken toward the lexicographically greatest
+    language code), 'und' when no stopword hits at all. Deterministic;
+    mirrored 1:1 by the oracle SQL in __spark_entry__.
+    """
+    toks = tokens(F.col(text_col))
+
+    def _score(lang):
+        words = STOPWORDS[lang]
+        return F.size(F.filter(toks, lambda t: t.isin(words))).alias(f"s_{lang}")
+
+    scores = [_score(lang) for lang in sorted(STOPWORDS)]
+    scored = docs.select("doc_id", *scores)
+    # argmax by (score, lang) — struct comparison is lexicographic
+    pairs = F.array(
+        *[F.struct(F.col(f"s_{lang}").alias("s"), F.lit(lang).alias("l")) for lang in sorted(STOPWORDS)]
+    )
+    best = F.array_max(pairs)
+    return scored.select(
+        "doc_id",
+        F.when(best.s > 0, best.l).otherwise(F.lit("und")).alias("lang_pred"),
+    )
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, stop_ratio, mean_token_len, score).
+
+    score = 0.4·stopword-ratio-band + 0.3·token-length-band + 0.3·size-band —
+    a deterministic heuristic in the spirit of C4/Gopher quality rules.
+    """
+    toks = tokens(F.col(text_col))
+    en = STOPWORDS["en"]
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(en)))
+    mean_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t)) / n_tokens,
+    ).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tokens > 0, n_stop.cast("double") / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.when((stop_ratio >= 0.01) & (stop_ratio <= 0.5), F.lit(0.4)).otherwise(F.lit(0.0))
+        + F.when((mean_len >= 3.0) & (mean_len <= 10.0), F.lit(0.3)).otherwise(F.lit(0.0))
+        + F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(0.3)).otherwise(F.lit(0.0))
+    )
+    # raw doubles: ratios of exact ints are bit-identical across engines
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+        mean_len.alias("mean_token_len"),
+        score.alias("score"),
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, fp) — md5 of the normalized token stream.
+
+    Canonical document fingerprint: tokenize, re-join with single spaces —
+    robust to whitespace/punctuation/case variance.
+    """
+    normalized = F.array_join(tokens(F.col(text_col)), " ")
+    return docs.select("doc_id", F.md5(normalized).alias("fp"))
