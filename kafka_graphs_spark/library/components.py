@@ -40,24 +40,49 @@ def connected_components(graph: Graph, max_iterations: int = 50) -> DataFrame:
     state = graph.vertices.select("id", F.col("id").alias("value"))
     loop = LoopState()
     state = loop.checkpoint(state)
-    frontier = state
     it = 0
     while it < max_iterations:
         it += 1
-        msgs = (
-            frontier.join(und, frontier["id"] == und["src"])
+        # (a) HashMin propagation: min neighbor label per vertex
+        nbr = (
+            state.join(und, state["id"] == und["src"])
             .select(F.col("dst").alias("id"), F.col("value").alias("m"))
             .groupBy("id")
-            .agg(F.min("m").alias("m"))  # min combiner
+            .agg(F.min("m").alias("m"))  # min combiner — map-side partial agg
         )
-        updated = state.join(msgs, on="id", how="left").select(
-            "id",
-            F.when(F.col("m") < F.col("value"), F.col("m")).otherwise(F.col("value")).alias("value"),
-            (F.col("m") < F.col("value")).alias("_changed"),
+        # (b) pointer jumping: label-of-label — doubles propagation reach per
+        # round, turning O(diameter) rounds into O(log diameter). The label
+        # table is (id → comp), so comp(comp(id)) is one self-join.
+        jump = (
+            state.alias("a")
+            .join(
+                state.select(F.col("id").alias("_cid"), F.col("value").alias("j")),
+                F.col("a.value") == F.col("_cid"),
+            )
+            .select(F.col("a.id").alias("id"), F.col("j"))
+        )
+        updated = (
+            state.join(nbr, on="id", how="left")
+            .join(jump, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("value"),
+                    F.coalesce(F.col("m"), F.col("value")),
+                    F.coalesce(F.col("j"), F.col("value")),
+                ).alias("value"),
+                (
+                    F.least(
+                        F.col("value"),
+                        F.coalesce(F.col("m"), F.col("value")),
+                        F.coalesce(F.col("j"), F.col("value")),
+                    )
+                    < F.col("value")
+                ).alias("_changed"),
+            )
         )
         state = loop.checkpoint(updated)
-        frontier = state.filter(F.col("_changed")).select("id", "value")
-        if frontier.count() == 0:
+        if state.filter(F.col("_changed")).isEmpty():
             break
     result = state.select("id", "value").localCheckpoint(eager=True)
     loop.release()
@@ -78,7 +103,7 @@ def label_propagation(graph: Graph, max_iterations: int = 10) -> DataFrame:
     a partial agg; argmax via max_by over struct(count, label) — the exact
     (count, then label) comparator of LabelPropagation.java:45-48.
     """
-    edges = graph.edges.select("src", "dst")
+    edges = graph.edges.select("src", "dst").persist()
     state = graph.vertices.select("id", F.col("id").alias("value"))
     loop = LoopState()
     state = loop.checkpoint(state)
@@ -101,4 +126,5 @@ def label_propagation(graph: Graph, max_iterations: int = 10) -> DataFrame:
         )
     result = state.localCheckpoint(eager=True)
     loop.release()
+    edges.unpersist()
     return result

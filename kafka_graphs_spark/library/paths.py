@@ -8,21 +8,33 @@ Reference compute functions:
 Spark re-expression: frontier-based relaxation loops. The per-superstep
 message exchange becomes ``frontier ⋈ edges → groupBy(dst).min`` — the min
 combiner is a partial aggregation, so hub vertices (skew) are combined
-map-side before the shuffle. MSSP runs ALL landmarks in one loop by
-normalizing the reference's ``Map<landmark,double>`` vertex value into
-(id, landmark, dist) rows — one Spark job relaxes every landmark at once
-instead of a map-typed column, and the map is reassembled at the end.
+map-side before the shuffle.
+
+Scale mechanics shared by all three:
+- the edges projection is persisted once (otherwise every iteration
+  re-reads the source and recomputes any derivation under it);
+- relaxations run in CHUNKS of lazy iterations between materializations —
+  one localCheckpoint + one emptiness probe per chunk instead of per
+  iteration, amortizing the driver round-trips that dominate when the
+  per-iteration data is small relative to job overhead. Monotonicity makes
+  overshooting into an empty frontier harmless (no-op joins).
+
+MSSP runs ALL landmarks in one loop by normalizing the reference's
+``Map<landmark,double>`` vertex value into (id, landmark, dist) rows — one
+Spark job relaxes every landmark at once; the map is reassembled at the end.
 """
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+from typing import Iterable
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_graphs_spark.graph import Graph
 from kafka_graphs_spark.library._loop import INF, MAX_LONG, LoopState
+
+CHUNK = 4  # lazy relaxations per materialization
 
 
 def bfs(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
@@ -31,7 +43,7 @@ def bfs(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
     Reference: BreadthFirstSearch.java:33-73 — superstep n labels the
     frontier with n; messages only carry activation. Returns (id, value).
     """
-    edges = graph.edges.select("src", "dst")
+    edges = graph.edges.select("src", "dst").persist()
     state = graph.vertices.select(
         "id",
         F.when(F.col("id") == src_vertex_id, F.lit(0).cast("long"))
@@ -43,28 +55,30 @@ def bfs(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
     frontier = state.filter(F.col("value") == 0).select("id")
     hop = 0
     while hop < max_iterations:
-        hop += 1
-        # messages: activation of unvisited out-neighbors of the frontier
-        reached = (
-            frontier.join(edges, frontier["id"] == edges["src"])
-            .select(F.col("dst").alias("id"))
-            .distinct()
-        )
-        newly = reached.join(
-            state.filter(F.col("value") == MAX_LONG).select("id"), on="id", how="left_semi"
-        )
-        n = newly.count()
-        if n == 0:
-            break
-        state = loop.checkpoint(
-            state.join(newly.withColumn("_new", F.lit(True)), on="id", how="left").select(
-                "id",
-                F.when(F.col("_new"), F.lit(hop).cast("long")).otherwise(F.col("value")).alias("value"),
+        for _ in range(min(CHUNK, max_iterations - hop)):
+            hop += 1
+            reached = (
+                frontier.join(edges, frontier["id"] == edges["src"])
+                .select(F.col("dst").alias("id"))
+                .distinct()
             )
-        )
-        frontier = state.filter(F.col("value") == hop).select("id")
-    result = state.localCheckpoint(eager=True)
+            state = (
+                state.join(reached.withColumn("_new", F.lit(True)), on="id", how="left")
+                .select(
+                    "id",
+                    F.when(F.col("_new") & (F.col("value") == MAX_LONG), F.lit(hop).cast("long"))
+                    .otherwise(F.col("value"))
+                    .alias("value"),
+                    (F.col("_new") & (F.col("value") == MAX_LONG)).alias("_changed"),
+                )
+            )
+            frontier = state.filter(F.col("_changed")).select("id")
+        state, frontier = loop.checkpoint(state.select("id", "value"), frontier)
+        if frontier.isEmpty():
+            break
+    result = state.select("id", "value").localCheckpoint(eager=True)
     loop.release()
+    edges.unpersist()
     return result
 
 
@@ -75,38 +89,38 @@ def sssp(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
     min message < value, then send ``min + edge.value`` along out-edges.
     Returns (id, value double).
     """
-    edges = graph.edges.select("src", "dst", F.col("value").cast("double").alias("w"))
+    edges = graph.edges.select("src", "dst", F.col("value").cast("double").alias("w")).persist()
     state = graph.vertices.select(
         "id",
         F.when(F.col("id") == src_vertex_id, F.lit(0.0)).otherwise(F.lit(INF)).alias("value"),
     )
     loop = LoopState()
     state = loop.checkpoint(state)
-    # initial frontier = the source (everything else holds +inf)
     frontier = state.filter(F.col("value") < INF).select("id", "value")
     it = 0
     while it < max_iterations:
-        it += 1
-        msgs = (
-            frontier.join(edges, frontier["id"] == edges["src"])
-            .select(F.col("dst").alias("id"), (F.col("value") + F.col("w")).alias("d"))
-            .groupBy("id")
-            .agg(F.min("d").alias("d"))  # min combiner — map-side partial agg
-        )
-        updated = (
-            state.join(msgs, on="id", how="left")
-            .select(
+        for _ in range(min(CHUNK, max_iterations - it)):
+            it += 1
+            msgs = (
+                frontier.join(edges, frontier["id"] == edges["src"])
+                .select(F.col("dst").alias("id"), (F.col("value") + F.col("w")).alias("d"))
+                .groupBy("id")
+                .agg(F.min("d").alias("d"))  # min combiner — map-side partial agg
+            )
+            state = state.join(msgs, on="id", how="left").select(
                 "id",
-                F.when(F.col("d") < F.col("value"), F.col("d")).otherwise(F.col("value")).alias("value"),
+                F.when(F.col("d") < F.col("value"), F.col("d"))
+                .otherwise(F.col("value"))
+                .alias("value"),
                 (F.col("d") < F.col("value")).alias("_changed"),
             )
-        )
-        state = loop.checkpoint(updated.select("id", "value", "_changed"))
-        frontier = state.filter(F.col("_changed")).select("id", "value")
-        if frontier.count() == 0:
+            frontier = state.filter(F.col("_changed")).select("id", "value")
+        state, frontier = loop.checkpoint(state.select("id", "value"), frontier)
+        if frontier.isEmpty():
             break
     result = state.select("id", "value").localCheckpoint(eager=True)
     loop.release()
+    edges.unpersist()
     return result
 
 
@@ -116,16 +130,17 @@ def mssp(
     """Per-landmark min-distance map: (id, value map<landmark,double>).
 
     Reference: MultipleSourceShortestPaths.java:32-75 — vertex value is a
-    Map<landmark,double>, merged with ``min`` per landmark. Here the map is
-    normalized to (id, landmark, dist) rows so one relaxation loop advances
-    every landmark simultaneously; unreached landmarks surface as +inf in
-    the final map, matching the reference's map initialization.
+    Map<landmark,double>, merged with ``min`` per landmark. Unreached
+    landmarks surface as +inf in the final map, matching the reference's
+    map initialization.
     """
     landmarks = list(landmark_vertex_ids)
     spark = graph.vertices.sparkSession
-    edges = graph.edges.select("src", "dst", F.col("value").cast("double").alias("w"))
+    edges = graph.edges.select("src", "dst", F.col("value").cast("double").alias("w")).persist()
 
     lm_df = spark.createDataFrame([(l,) for l in landmarks], "landmark long")
+    # Sparse state: only (id, landmark) pairs actually reached carry a row —
+    # at scale this is |V|·|reached landmarks|, not |V|·|landmarks|.
     state = (
         graph.vertices.select("id")
         .filter(F.col("id").isin(landmarks))
@@ -139,22 +154,27 @@ def mssp(
         it += 1
         msgs = (
             frontier.join(edges, frontier["id"] == edges["src"])
-            .select(F.col("dst").alias("id"), "landmark", (F.col("dist") + F.col("w")).alias("d"))
+            .select(
+                F.col("dst").alias("id"), "landmark", (F.col("dist") + F.col("w")).alias("d")
+            )
             .groupBy("id", "landmark")
             .agg(F.min("d").alias("d"))
         )
-        joined = msgs.join(state, on=["id", "landmark"], how="left")
-        improved = joined.filter(F.col("dist").isNull() | (F.col("d") < F.col("dist"))).select(
-            "id", "landmark", F.col("d").alias("dist")
+        # Single full-outer merge — state appears ONCE in the new plan, so
+        # lineage stays linear in the iteration count between checkpoints.
+        merged = state.join(msgs, on=["id", "landmark"], how="full_outer").select(
+            "id",
+            "landmark",
+            F.least(
+                F.coalesce(F.col("dist"), F.lit(INF)), F.coalesce(F.col("d"), F.lit(INF))
+            ).alias("dist"),
+            (F.col("d") < F.coalesce(F.col("dist"), F.lit(INF))).alias("_changed"),
         )
-        new_state, frontier = loop.checkpoint(
-            state.join(improved.select("id", "landmark"), on=["id", "landmark"], how="left_anti")
-            .unionByName(improved),
-            improved,
-        )
-        if frontier.count() == 0:
+        merged = loop.checkpoint(merged)
+        state = merged.select("id", "landmark", "dist")
+        frontier = merged.filter(F.col("_changed")).select("id", "landmark", "dist")
+        if frontier.isEmpty():
             break
-        state = new_state
     # reassemble the reference's map value, +inf for unreached landmarks
     full = (
         graph.vertices.select("id")
@@ -167,4 +187,5 @@ def mssp(
     )
     out = result.localCheckpoint(eager=True)
     loop.release()
+    edges.unpersist()
     return out
