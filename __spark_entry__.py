@@ -42,6 +42,22 @@ SP_EDGES = """
 
 SP_VERTICES = "SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION SELECT dst FROM e)"
 
+HIER_UND = """
+  WITH e0 AS (
+      SELECT CAST(c_custkey AS BIGINT) AS src,
+             CAST(c_nationkey + 2000000 AS BIGINT) AS dst FROM customer
+      UNION ALL
+      SELECT CAST(n_nationkey + 2000000 AS BIGINT),
+             CAST(n_regionkey + 3000000 AS BIGINT) FROM nation
+      UNION ALL
+      SELECT CAST(c_custkey AS BIGINT), CAST(n_regionkey + 3000000 AS BIGINT)
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+  ),
+  und AS (SELECT DISTINCT src, dst
+          FROM (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+  deg AS (SELECT src, count(*) AS d FROM und GROUP BY 1)
+"""
+
 EC_POS = """
   SELECT event_id, user_id, abs(value) AS w,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
@@ -173,6 +189,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return local_clustering_coefficient(hierarchy_graph(spark, sf))
 
+    def hier_jaccard(spark, sf):
+        from kafka_graphs_spark.datasets import hierarchy_graph
+        from kafka_graphs_spark.library import jaccard
+
+        out = jaccard(hierarchy_graph(spark, sf).undirected())
+        return out.select("src", "dst", F.round("value", 6).alias("value"))
+
+    def hier_adamic_adar(spark, sf):
+        from kafka_graphs_spark.datasets import hierarchy_graph
+        from kafka_graphs_spark.library import adamic_adar
+
+        out = adamic_adar(hierarchy_graph(spark, sf).undirected())
+        return out.select("src", "dst", F.round("value", 6).alias("value"))
+
     # ---- text analysis (documents) ----
 
     def doc_token_count(spark, sf):
@@ -254,6 +284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_lp10": ec_lp10,
         "ec_mssp": ec_mssp,
         "hier_lcc": hier_lcc,
+        "hier_jaccard": hier_jaccard,
+        "hier_adamic_adar": hier_adamic_adar,
         "doc_token_count": doc_token_count,
         "doc_language_id": doc_language_id,
         "doc_quality": doc_quality,
@@ -391,6 +423,30 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(coalesce(m.matches, 0) AS DOUBLE) / (deg.d * (deg.d - 1))
                         ELSE 0.0 END AS value
             FROM vts LEFT JOIN deg ON vts.id = deg.v LEFT JOIN m ON vts.id = m.v
+        """,
+        "hier_jaccard": f"""
+            {HIER_UND},
+            cm AS (SELECT a.src AS v, b.src AS u, count(*) AS c
+                   FROM und a JOIN und b ON a.dst = b.dst AND a.src <> b.src
+                   JOIN und p ON p.src = a.src AND p.dst = b.src
+                   GROUP BY 1, 2)
+            SELECT und.src, und.dst,
+                   round(CAST(coalesce(cm.c, 0) AS DOUBLE)
+                         / (dv.d + du.d - coalesce(cm.c, 0)), 6) AS value
+            FROM und
+            LEFT JOIN cm ON cm.v = und.src AND cm.u = und.dst
+            JOIN deg dv ON dv.src = und.src
+            JOIN deg du ON du.src = und.dst
+        """,
+        "hier_adamic_adar": f"""
+            {HIER_UND},
+            aa AS (SELECT a.dst AS v, b.dst AS w, SUM(ln(1.0 / d.d)) AS s
+                   FROM und a JOIN und b ON a.src = b.src AND a.dst <> b.dst
+                   JOIN und p ON p.src = a.dst AND p.dst = b.dst
+                   JOIN deg d ON d.src = a.src
+                   GROUP BY 1, 2)
+            SELECT und.src, und.dst, round(1.0 + coalesce(aa.s, 0.0), 6) AS value
+            FROM und LEFT JOIN aa ON aa.v = und.src AND aa.w = und.dst
         """,
         "doc_token_count": f"""
             SELECT doc_id, CAST(len({TOKS}) AS INTEGER) AS n_tokens FROM documents

@@ -15,6 +15,7 @@ from kafka_graphs_spark.library.components import connected_components, label_pr
 from kafka_graphs_spark.library.pagerank import pagerank
 from kafka_graphs_spark.library.paths import bfs, mssp, sssp
 from kafka_graphs_spark.library.registry import ALGORITHMS, get_algorithm
+from kafka_graphs_spark.library.similarity import adamic_adar, jaccard
 
 __all__ = [
     "bfs",
@@ -27,6 +28,8 @@ __all__ = [
     "edge_count",
     "vertex_count",
     "reverse_edges",
+    "jaccard",
+    "adamic_adar",
     "ALGORITHMS",
     "get_algorithm",
 ]

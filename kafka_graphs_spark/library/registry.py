@@ -20,6 +20,7 @@ from kafka_graphs_spark.library.clustering_coefficient import local_clustering_c
 from kafka_graphs_spark.library.components import connected_components, label_propagation
 from kafka_graphs_spark.library.pagerank import pagerank as _pagerank
 from kafka_graphs_spark.library.paths import bfs, mssp, sssp
+from kafka_graphs_spark.library.similarity import adamic_adar, jaccard
 from kafka_graphs_spark.library._loop import INF, MAX_LONG
 
 
@@ -72,6 +73,13 @@ ALGORITHMS: Dict[str, AlgorithmSpec] = {
     ),
     "reverse_edges": AlgorithmSpec(
         "reverse_edges", reverse_edges, lambda id_col: id_col, "long", {}
+    ),
+    "jaccard": AlgorithmSpec(
+        "jaccard", jaccard, lambda id_col: id_col, "long", {"distance_conversion": False}
+    ),
+    "adamicadar": AlgorithmSpec(
+        "adamicadar", adamic_adar, lambda id_col: F.lit(0.0), "double",
+        {"distance_conversion": False},
     ),
 }
 

@@ -199,3 +199,72 @@ class TestBasic:
         got = {(r["src"], r["dst"]): r["value"] for r in reverse_edges(g).edges.collect()}
         # existing reverse (2,1)=5.0 kept; missing (3,2) added with value 2.0
         assert got == {(1, 2): 1.0, (2, 1): 5.0, (2, 3): 2.0, (3, 2): 2.0}
+
+
+class TestSimilarity:
+    """Jaccard + Adamic-Adar goldens (hand-computed on a triangle + pendant).
+
+    Reference semantics: io/kgraph/library/similarity/{Jaccard,AdamicAdar}.java.
+    Undirected square of edges: 1-2, 1-3, 2-3, 3-4 (both directions).
+    N(1)={2,3} N(2)={1,3} N(3)={1,2,4} N(4)={3}.
+    """
+
+    def _und(self, spark):
+        base = [(1, 2), (1, 3), (2, 3), (3, 4)]
+        edges = [(a, b, 0.0) for a, b in base] + [(b, a, 0.0) for a, b in base]
+        return make_graph(spark, edges)
+
+    def test_jaccard(self, spark):
+        from kafka_graphs_spark.library import jaccard
+
+        out = jaccard(self._und(spark))
+        got = {(r["src"], r["dst"]): r["value"] for r in out.collect()}
+        exp = {
+            (1, 2): 1 / 3, (2, 1): 1 / 3,        # common {3}, union {1,2,3}
+            (1, 3): 1 / 4, (3, 1): 1 / 4,        # common {2}, union {1,2,3,4}
+            (2, 3): 1 / 4, (3, 2): 1 / 4,
+            (3, 4): 0.0, (4, 3): 0.0,            # no common neighbor
+        }
+        assert got == pytest.approx(exp)
+
+    def test_jaccard_distance(self, spark):
+        from kafka_graphs_spark.library import jaccard
+
+        out = jaccard(self._und(spark), distance_conversion=True)
+        got = {(r["src"], r["dst"]): r["value"] for r in out.collect()}
+        assert got[(1, 2)] == pytest.approx(2.0)       # 1/(1/3) - 1
+        assert got[(1, 3)] == pytest.approx(3.0)
+        assert got[(3, 4)] > 1e300                     # Double.MAX_VALUE for sim 0
+
+    def test_jaccard_no_reciprocal_keeps_value(self, spark):
+        from kafka_graphs_spark.library import jaccard
+
+        # directed-only edge keeps its original value (Jaccard.java:159-161)
+        g = make_graph(spark, [(1, 2, 7.0), (2, 3, 8.0), (3, 1, 9.0)])
+        got = {(r["src"], r["dst"]): r["value"] for r in jaccard(g).collect()}
+        assert got == {(1, 2): 7.0, (2, 3): 8.0, (3, 1): 9.0}
+
+    def test_adamic_adar(self, spark):
+        from kafka_graphs_spark.library import adamic_adar
+
+        out = adamic_adar(self._und(spark))
+        got = {(r["src"], r["dst"]): r["value"] for r in out.collect()}
+        exp = {
+            (1, 2): math.log(1 / 3), (2, 1): math.log(1 / 3),  # common nbr 3, deg 3
+            (1, 3): math.log(1 / 2), (3, 1): math.log(1 / 2),  # common nbr 2, deg 2
+            (2, 3): math.log(1 / 2), (3, 2): math.log(1 / 2),
+            (3, 4): 0.0, (4, 3): 0.0,
+        }
+        assert got == pytest.approx(exp)
+
+    def test_adamic_adar_distance_and_offset(self, spark):
+        from kafka_graphs_spark.library import adamic_adar
+
+        # AA ADDS onto the existing edge value (AdamicAdar.java:166-173);
+        # distance conversion multiplies by -1.
+        base = [(1, 2), (1, 3), (2, 3), (3, 4)]
+        edges = [(a, b, 1.0) for a, b in base] + [(b, a, 1.0) for a, b in base]
+        out = adamic_adar(make_graph(spark, edges), distance_conversion=True)
+        got = {(r["src"], r["dst"]): r["value"] for r in out.collect()}
+        assert got[(1, 2)] == pytest.approx(-(1.0 + math.log(1 / 3)))
+        assert got[(3, 4)] == pytest.approx(-1.0)
