@@ -184,10 +184,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("id", "landmark", F.round("dist", 4).alias("dist"))
         )
 
+    def ec_sybilrank(spark, sf):
+        from pyspark.sql.window import Window
+
+        from kafka_graphs_spark.library import sybil_rank
+
+        ev = datasets.load(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        heads = (
+            ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("event_id").alias("id"))
+        )
+        out = sybil_rank(_ec_graph(spark, sf), trusted=heads)
+        # chain tails have deg 0 → NaN/Inf (Java division semantics); the
+        # oracle covers the finite rows
+        return out.filter(~F.isnan("value") & (F.col("value") < INF)).select(
+            "id", F.round("value", 6).alias("value")
+        )
+
     def hier_lcc(spark, sf):
         from kafka_graphs_spark.datasets import hierarchy_graph
 
         return local_clustering_coefficient(hierarchy_graph(spark, sf))
+
+    def ec_maxbmatching(spark, sf):
+        # greedy message protocol — no SQL oracle (rows-only check)
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import max_b_matching
+
+        e = datasets.event_chain_edges(spark, sf)
+        und = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "value")
+        )
+        g = Graph.from_edges(und, F.lit(1))  # capacity 1 everywhere
+        out = max_b_matching(g, max_iterations=12)
+        return out.filter(F.col("state") == 3).select("src", "dst")
 
     def hier_jaccard(spark, sf):
         from kafka_graphs_spark.datasets import hierarchy_graph
@@ -283,7 +315,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_pagerank5": ec_pagerank5,
         "ec_lp10": ec_lp10,
         "ec_mssp": ec_mssp,
+        "ec_sybilrank": ec_sybilrank,
         "hier_lcc": hier_lcc,
+        "ec_maxbmatching": ec_maxbmatching,
         "hier_jaccard": hier_jaccard,
         "hier_adamic_adar": hier_adamic_adar,
         "doc_token_count": doc_token_count,
@@ -423,6 +457,18 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(coalesce(m.matches, 0) AS DOUBLE) / (deg.d * (deg.d - 1))
                         ELSE 0.0 END AS value
             FROM vts LEFT JOIN deg ON vts.id = deg.v LEFT JOIN m ON vts.id = m.v
+        """,
+        "ec_sybilrank": f"""
+            WITH pos AS ({EC_POS}),
+            n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM events),
+            p AS (SELECT CAST(ceil(log10(n)) AS BIGINT) AS p FROM n),
+            nt AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM pos WHERE rn = 0),
+            nxt AS (SELECT event_id, rn,
+                           lead(w) OVER (PARTITION BY user_id ORDER BY rn) AS wn
+                    FROM pos)
+            SELECT event_id AS id,
+                   round(CASE WHEN rn = p THEN (n / nt) / wn ELSE 0.0 END, 6) AS value
+            FROM nxt, n, nt, p WHERE wn IS NOT NULL
         """,
         "hier_jaccard": f"""
             {HIER_UND},

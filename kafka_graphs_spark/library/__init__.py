@@ -16,6 +16,8 @@ from kafka_graphs_spark.library.pagerank import pagerank
 from kafka_graphs_spark.library.paths import bfs, mssp, sssp
 from kafka_graphs_spark.library.registry import ALGORITHMS, get_algorithm
 from kafka_graphs_spark.library.similarity import adamic_adar, jaccard
+from kafka_graphs_spark.library.maxbmatching import max_b_matching
+from kafka_graphs_spark.library.sybilrank import sybil_rank
 
 __all__ = [
     "bfs",
@@ -30,6 +32,8 @@ __all__ = [
     "reverse_edges",
     "jaccard",
     "adamic_adar",
+    "sybil_rank",
+    "max_b_matching",
     "ALGORITHMS",
     "get_algorithm",
 ]

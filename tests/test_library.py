@@ -268,3 +268,79 @@ class TestSimilarity:
         got = {(r["src"], r["dst"]): r["value"] for r in out.collect()}
         assert got[(1, 2)] == pytest.approx(-(1.0 + math.log(1 / 3)))
         assert got[(3, 4)] == pytest.approx(-1.0)
+
+
+class TestSybilRank:
+    """Hand-computed golden on an undirected unit-weight triangle.
+
+    N=3 ⇒ P=⌈log10(3)⌉=1 power iteration; trusted={1}, totalTrust=N=3:
+    init u=(3,0,0), deg=2 everywhere; u¹(2)=u¹(3)=3/2; rank=u¹/deg.
+    """
+
+    def _triangle(self, spark):
+        base = [(1, 2), (2, 3), (1, 3)]
+        edges = [(a, b, 1.0) for a, b in base] + [(b, a, 1.0) for a, b in base]
+        return make_graph(spark, edges)
+
+    def test_triangle_one_trusted(self, spark):
+        from kafka_graphs_spark.library import sybil_rank
+
+        out = sybil_rank(self._triangle(spark), trusted=F.col("id") == 1)
+        assert vmap(out) == pytest.approx({1: 0.0, 2: 0.75, 3: 0.75})
+
+    def test_triangle_two_power_iterations(self, spark):
+        from kafka_graphs_spark.library import sybil_rank
+
+        # multiplier 3 ⇒ P=⌈3·log10(3)⌉=2: u²(1)=1.5, u²(2)=u²(3)=0.75
+        out = sybil_rank(
+            self._triangle(spark), trusted=F.col("id") == 1, iteration_multiplier=3
+        )
+        assert vmap(out) == pytest.approx({1: 0.75, 2: 0.375, 3: 0.375})
+
+    def test_trusted_dataframe_and_total_trust(self, spark):
+        from kafka_graphs_spark.library import sybil_rank
+
+        g = self._triangle(spark)
+        t = spark.createDataFrame([(1,), (2,)], "id long")
+        out = sybil_rank(g, trusted=t, total_trust=6.0)
+        # init u=(3,3,0); u¹(1)=1.5, u¹(2)=1.5, u¹(3)=3; rank=u¹/2
+        assert vmap(out) == pytest.approx({1: 0.75, 2: 0.75, 3: 1.5})
+
+
+class TestMaxBMatching:
+    """Protocol traces hand-simulated against MaxBMatching.java semantics."""
+
+    INCLUDED = 3
+
+    def _graph(self, spark, caps, und_edges):
+        v = spark.createDataFrame(caps, "id long, value int")
+        e = spark.createDataFrame(
+            [(a, b, w) for a, b, w in und_edges] + [(b, a, w) for a, b, w in und_edges],
+            "src long, dst long, value double",
+        )
+        return Graph(v, e)
+
+    def test_path_capacity_one(self, spark):
+        from kafka_graphs_spark.library import max_b_matching
+
+        # 1-2 (w10) beats 2-3 (w5); vertex 2 includes only the heavier edge,
+        # then removes 2-3 at capacity 0
+        g = self._graph(spark, [(1, 1), (2, 1), (3, 1)], [(1, 2, 10.0), (2, 3, 5.0)])
+        out = {(r["src"], r["dst"]): r["state"] for r in max_b_matching(g).collect()}
+        assert out == {(1, 2): self.INCLUDED, (2, 1): self.INCLUDED}
+
+    def test_path_capacity_two(self, spark):
+        from kafka_graphs_spark.library import max_b_matching
+
+        g = self._graph(spark, [(1, 1), (2, 2), (3, 1)], [(1, 2, 10.0), (2, 3, 5.0)])
+        out = {(r["src"], r["dst"]): r["state"] for r in max_b_matching(g).collect()}
+        assert out == {
+            (1, 2): self.INCLUDED, (2, 1): self.INCLUDED,
+            (2, 3): self.INCLUDED, (3, 2): self.INCLUDED,
+        }
+
+    def test_zero_capacity_center_removes_all(self, spark):
+        from kafka_graphs_spark.library import max_b_matching
+
+        g = self._graph(spark, [(1, 0), (2, 1), (3, 1)], [(1, 2, 4.0), (1, 3, 6.0)])
+        assert max_b_matching(g).count() == 0
