@@ -73,7 +73,9 @@ def bfs(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
                 )
             )
             frontier = state.filter(F.col("_changed")).select("id")
-        state, frontier = loop.checkpoint(state.select("id", "value"), frontier)
+        # one checkpoint per chunk; the frontier is a lazy filter over it
+        state = loop.checkpoint(state)
+        frontier = state.filter(F.col("_changed")).select("id")
         if frontier.isEmpty():
             break
     result = state.select("id", "value").localCheckpoint(eager=True)
@@ -115,7 +117,9 @@ def sssp(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
                 (F.col("d") < F.col("value")).alias("_changed"),
             )
             frontier = state.filter(F.col("_changed")).select("id", "value")
-        state, frontier = loop.checkpoint(state.select("id", "value"), frontier)
+        # one checkpoint per chunk; the frontier is a lazy filter over it
+        state = loop.checkpoint(state)
+        frontier = state.filter(F.col("_changed")).select("id", "value")
         if frontier.isEmpty():
             break
     result = state.select("id", "value").localCheckpoint(eager=True)
