@@ -208,6 +208,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return local_clustering_coefficient(hierarchy_graph(spark, sf))
 
+    def hier_triangles(spark, sf):
+        from kafka_graphs_spark.datasets import hierarchy_edges
+        from kafka_graphs_spark.streaming import exact_triangle_count
+
+        return exact_triangle_count(hierarchy_edges(spark, sf))
+
+    def ec_stream_degrees(spark, sf):
+        from kafka_graphs_spark.streaming import EdgeStream
+
+        return EdgeStream(
+            datasets.event_chain_edges(spark, sf).withColumn("event_time", F.lit(None).cast("timestamp"))
+        ).degrees()
+
     def ec_maxbmatching(spark, sf):
         # greedy message protocol — no SQL oracle (rows-only check)
         from kafka_graphs_spark import Graph
@@ -317,6 +330,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
         "hier_lcc": hier_lcc,
+        "hier_triangles": hier_triangles,
+        "ec_stream_degrees": ec_stream_degrees,
         "ec_maxbmatching": ec_maxbmatching,
         "hier_jaccard": hier_jaccard,
         "hier_adamic_adar": hier_adamic_adar,
@@ -457,6 +472,40 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(coalesce(m.matches, 0) AS DOUBLE) / (deg.d * (deg.d - 1))
                         ELSE 0.0 END AS value
             FROM vts LEFT JOIN deg ON vts.id = deg.v LEFT JOIN m ON vts.id = m.v
+        """,
+        "hier_triangles": """
+            WITH e0 AS (
+                SELECT CAST(c_custkey AS BIGINT) AS src,
+                       CAST(c_nationkey + 2000000 AS BIGINT) AS dst FROM customer
+                UNION ALL
+                SELECT CAST(n_nationkey + 2000000 AS BIGINT),
+                       CAST(n_regionkey + 3000000 AS BIGINT) FROM nation
+                UNION ALL
+                SELECT CAST(c_custkey AS BIGINT), CAST(n_regionkey + 3000000 AS BIGINT)
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ),
+            e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                  FROM e0 WHERE src <> dst),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM e e1 JOIN e e2 ON e1.b = e2.a
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            pv AS (SELECT id, count(*) AS count FROM (
+                       SELECT x AS id FROM tri
+                       UNION ALL SELECT y FROM tri
+                       UNION ALL SELECT z FROM tri) GROUP BY 1)
+            SELECT id, count FROM pv
+            UNION ALL
+            SELECT CAST(-1 AS BIGINT), count(*) FROM tri
+        """,
+        "ec_stream_degrees": f"""
+            WITH pos AS ({EC_POS}),
+            e AS (SELECT user_id, rn, event_id FROM pos)
+            SELECT event_id AS id, CAST(
+              (CASE WHEN rn > 0 THEN 1 ELSE 0 END) +
+              (CASE WHEN rn < (SELECT MAX(rn) FROM pos p2 WHERE p2.user_id = e.user_id)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS degree
+            FROM e
+            WHERE rn > 0 OR rn < (SELECT MAX(rn) FROM pos p3 WHERE p3.user_id = e.user_id)
         """,
         "ec_sybilrank": f"""
             WITH pos AS ({EC_POS}),

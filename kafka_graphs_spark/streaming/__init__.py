@@ -1,0 +1,38 @@
+"""Graph-streaming tier: EdgeStream transformations, windowed folds, and
+single-pass summaries over Structured Streaming or batch DataFrames.
+
+Reference: io/kgraph/streaming/ (SURVEY.md §2.9).
+"""
+
+from kafka_graphs_spark.streaming.aggregations import (
+    collect_summaries,
+    run_streaming,
+    summary_bulk_aggregation,
+)
+from kafka_graphs_spark.streaming.edge_stream import EdgeStream, WindowedEdgeStream
+from kafka_graphs_spark.streaming.library import (
+    bipartiteness_check,
+    connected_components,
+    exact_triangle_count,
+    spanner,
+)
+from kafka_graphs_spark.streaming.summaries import (
+    AdjacencyListGraph,
+    Candidates,
+    DisjointSet,
+)
+
+__all__ = [
+    "EdgeStream",
+    "WindowedEdgeStream",
+    "summary_bulk_aggregation",
+    "collect_summaries",
+    "run_streaming",
+    "connected_components",
+    "bipartiteness_check",
+    "exact_triangle_count",
+    "spanner",
+    "DisjointSet",
+    "Candidates",
+    "AdjacencyListGraph",
+]

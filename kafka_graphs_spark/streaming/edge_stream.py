@@ -1,0 +1,193 @@
+"""EdgeStream — the graph-streaming transformation surface.
+
+Reference: io/kgraph/streaming/EdgeStream.java:54-494 (edge-only stream;
+vertices derived from endpoints) and KGraphWindowedStream.java:41-105.
+
+Spark re-expression: one class over EITHER a batch DataFrame or a
+Structured Streaming DataFrame of edge events ``(src, dst, value[,
+event_time])`` — every transformation below is identical DataFrame
+algebra in both modes, which is precisely the Structured Streaming
+promise. Running aggregates (degrees, counts) are plain streaming
+aggregations the caller runs in update/complete output mode; the
+reference's per-partition HashMap state (EdgeStream.java:325-338) is
+replaced by the fault-tolerant state store for free.
+
+Windows: the reference supports tumbling processing-time windows only
+(SummaryBulkAggregation.java:73-80); ``slice`` takes any Spark window
+duration and gets sliding/session windows for free if wanted.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_graphs_spark.graph import DST, SRC, VALUE, EdgeDirection
+
+ColumnLike = Union[Column, str]
+
+
+class EdgeStream:
+    """Edge-only graph stream (reference: EdgeStream.java:54-87)."""
+
+    def __init__(self, edges: DataFrame, event_time: str = "event_time"):
+        if SRC not in edges.columns or DST not in edges.columns:
+            raise ValueError(f"edge stream needs '{SRC}' and '{DST}', got {edges.columns}")
+        self.edges = edges
+        self.event_time = event_time
+
+    # ---- projections (EdgeStream.java:73-87) ----
+
+    def vertices(self) -> DataFrame:
+        """Distinct endpoint stream (EdgeStream.java:82-90 re-keys by vertex)."""
+        return (
+            self.edges.select(F.col(SRC).alias("id"))
+            .unionByName(self.edges.select(F.col(DST).alias("id")))
+            .distinct()
+        )
+
+    # ---- per-edge transformations ----
+
+    def map_edges(self, mapper: Union[Column, Callable[[Column], Column]]) -> "EdgeStream":
+        """Reference: EdgeStream.java:108-122."""
+        col = mapper(F.col(VALUE)) if callable(mapper) else mapper
+        out = self.edges.withColumn(VALUE, col)
+        return EdgeStream(out, self.event_time)
+
+    def filter_edges(self, predicate: ColumnLike) -> "EdgeStream":
+        """Reference: EdgeStream.java:126-135."""
+        return EdgeStream(self.edges.filter(predicate), self.event_time)
+
+    def filter_vertices(self, predicate: Callable[[Column], Column]) -> "EdgeStream":
+        """Keep edges where BOTH endpoints pass (EdgeStream.java:139-162
+        applies the vertex predicate to source and target)."""
+        return EdgeStream(
+            self.edges.filter(predicate(F.col(SRC)) & predicate(F.col(DST))),
+            self.event_time,
+        )
+
+    def reverse(self) -> "EdgeStream":
+        """Reference: EdgeStream.java:252-261."""
+        others = [c for c in self.edges.columns if c not in (SRC, DST)]
+        return EdgeStream(
+            self.edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), *others),
+            self.event_time,
+        )
+
+    def undirected(self) -> "EdgeStream":
+        """Emit both directions of every edge (EdgeStream.java:243-246)."""
+        return EdgeStream(self.edges.unionByName(self.reverse().edges), self.event_time)
+
+    def distinct(self) -> "EdgeStream":
+        """Drop duplicate (src,dst) pairs (EdgeStream.java:215-237 keeps a
+        stateful per-vertex neighbor set; Structured Streaming's
+        dropDuplicates state store is the same mechanism, fault-tolerant)."""
+        return EdgeStream(self.edges.dropDuplicates([SRC, DST]), self.event_time)
+
+    def union(self, other: "EdgeStream") -> "EdgeStream":
+        """Reference: EdgeStream.java:345-347."""
+        return EdgeStream(self.edges.unionByName(other.edges), self.event_time)
+
+    # ---- running aggregates (update/complete output mode) ----
+
+    def number_of_edges(self) -> DataFrame:
+        """Running edge count (EdgeStream.java:166-183)."""
+        return self.edges.groupBy().agg(F.count(F.lit(1)).alias("count"))
+
+    def number_of_vertices(self) -> DataFrame:
+        """Continuously-improving distinct-vertex count (EdgeStream.java:189-207)."""
+        return self.vertices().groupBy().agg(F.count(F.lit(1)).alias("count"))
+
+    def degrees(self) -> DataFrame:
+        """Running total degree per vertex (EdgeStream.java:269-295)."""
+        ends = self.edges.select(F.col(SRC).alias("id")).unionByName(
+            self.edges.select(F.col(DST).alias("id"))
+        )
+        return ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+    def in_degrees(self) -> DataFrame:
+        """Reference: EdgeStream.java:307-318."""
+        return self.edges.groupBy(F.col(DST).alias("id")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+
+    def out_degrees(self) -> DataFrame:
+        """Reference: EdgeStream.java:299-303."""
+        return self.edges.groupBy(F.col(SRC).alias("id")).agg(
+            F.count(F.lit(1)).alias("degree")
+        )
+
+    # ---- aggregates over mapped vertex streams ----
+
+    def aggregate(
+        self,
+        edge_to_rows: Callable[[DataFrame], DataFrame],
+        agg: Column,
+    ) -> DataFrame:
+        """Edge stream → (id, contribution) rows → per-vertex aggregate.
+
+        Reference: EdgeStream.java:359-365 (flatMap + groupByKey +
+        stateful aggregate). ``edge_to_rows`` maps the edge frame to an
+        (id, ...) frame; ``agg`` is the per-id aggregate expression.
+        """
+        return edge_to_rows(self.edges).groupBy("id").agg(agg)
+
+    def global_aggregate(
+        self, edge_to_rows: Callable[[DataFrame], DataFrame], agg: Column
+    ) -> DataFrame:
+        """Same to a single global key (EdgeStream.java:377-407)."""
+        return edge_to_rows(self.edges).groupBy().agg(agg)
+
+    # ---- windowing (slice → KGraphWindowedStream) ----
+
+    def slice(
+        self, window_duration: str, direction: EdgeDirection = EdgeDirection.OUT
+    ) -> "WindowedEdgeStream":
+        """Key edges by vertex into tumbling windows.
+
+        Reference: EdgeStream.java:453-494 — IN keys by target, OUT by
+        source, BOTH emits both keyings (via undirected()).
+        """
+        if direction == EdgeDirection.IN:
+            keyed = self.edges.select(F.col(DST).alias("id"), SRC, DST, VALUE, self.event_time)
+        elif direction == EdgeDirection.OUT:
+            keyed = self.edges.select(F.col(SRC).alias("id"), SRC, DST, VALUE, self.event_time)
+        else:
+            keyed = self.undirected().edges.select(
+                F.col(SRC).alias("id"), SRC, DST, VALUE, self.event_time
+            )
+        return WindowedEdgeStream(keyed, window_duration, self.event_time)
+
+
+class WindowedEdgeStream:
+    """Per-vertex, per-window neighborhood view (KGraphWindowedStream.java:41-47)."""
+
+    def __init__(self, keyed: DataFrame, window_duration: str, event_time: str):
+        self.keyed = keyed
+        self.window_duration = window_duration
+        self.event_time = event_time
+
+    def _grouped(self):
+        return self.keyed.groupBy(
+            F.window(F.col(self.event_time), self.window_duration).alias("window"),
+            F.col("id"),
+        )
+
+    def reduce_on_edges(self, reducer: str) -> DataFrame:
+        """Windowed per-vertex reduce of edge values
+        (KGraphWindowedStream.java:87-105). reducer: min|max|sum|avg|count."""
+        return self._grouped().agg(getattr(F, reducer)(F.col(VALUE)).alias(VALUE))
+
+    def fold_neighbors(self, initial: Column, fold: Callable[[Column, Column], Column]) -> DataFrame:
+        """Windowed per-vertex fold over neighborhood edges
+        (KGraphWindowedStream.java:56-74). ``fold(acc, edge_struct)`` is a
+        JVM-side expression applied via F.aggregate over the collected
+        neighborhood (order is the collection order, as in the reference's
+        per-record fold)."""
+        return self._grouped().agg(
+            F.aggregate(
+                F.collect_list(F.struct(SRC, DST, VALUE)), initial, fold
+            ).alias(VALUE)
+        )

@@ -1,0 +1,155 @@
+"""Streaming algorithm library: single-pass windowed graph summaries.
+
+Reference: io/kgraph/streaming/library/{ConnectedComponents,
+BipartitenessCheck,ExactTriangleCount,Spanner}.java (SURVEY.md §2.9).
+Each rides the SummaryBulkAggregation fold/combine engine with the
+matching summary structure; ExactTriangleCount additionally has a fully
+relational batch-parity form (edge-edge-edge join) that is the idiomatic
+Spark shape at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_graphs_spark.streaming.aggregations import summary_bulk_aggregation
+from kafka_graphs_spark.streaming.summaries import (
+    AdjacencyListGraph,
+    Candidates,
+    DisjointSet,
+)
+
+
+def connected_components(
+    edges: DataFrame,
+    window_duration: Optional[str] = None,
+    event_time: str = "event_time",
+) -> DataFrame:
+    """Windowed union-find components → (window_start, summary DisjointSet).
+
+    Reference: io/kgraph/streaming/library/ConnectedComponents.java:39-115
+    — per-partition DisjointSet fold, pairwise merge (smaller into larger).
+    Use aggregations.collect_summaries, then DisjointSet.components().
+    """
+
+    def fold(s: DisjointSet, row) -> DisjointSet:
+        s.union(row.src, row.dst)
+        return s
+
+    def combine(a: DisjointSet, b: DisjointSet) -> DisjointSet:
+        # merge smaller into larger (ConnectedComponents.java:95-101)
+        return b.merge(a) if len(a) < len(b) else a.merge(b)
+
+    return summary_bulk_aggregation(
+        edges.select("src", "dst", *([event_time] if window_duration else [])),
+        DisjointSet,
+        fold,
+        combine,
+        window_duration,
+        event_time,
+    )
+
+
+def bipartiteness_check(
+    edges: DataFrame,
+    window_duration: Optional[str] = None,
+    event_time: str = "event_time",
+) -> DataFrame:
+    """Windowed 2-colorability → (window_start, summary Candidates).
+
+    Reference: io/kgraph/streaming/library/BipartitenessCheck.java:35-120.
+    ``summary.success`` is False once an odd cycle is observed.
+    """
+
+    def fold(s: Candidates, row) -> Candidates:
+        s.add_edge(row.src, row.dst)
+        return s
+
+    def combine(a: Candidates, b: Candidates) -> Candidates:
+        return a.merge(b)
+
+    return summary_bulk_aggregation(
+        edges.select("src", "dst", *([event_time] if window_duration else [])),
+        Candidates,
+        fold,
+        combine,
+        window_duration,
+        event_time,
+    )
+
+
+def spanner(
+    edges: DataFrame,
+    k: int,
+    window_duration: Optional[str] = None,
+    event_time: str = "event_time",
+) -> DataFrame:
+    """k-spanner maintenance → (window_start, summary AdjacencyListGraph).
+
+    Reference: io/kgraph/streaming/library/Spanner.java:35-84 — fold adds
+    an edge only when the current spanner distance exceeds k; merge
+    replays each partial's edges with the same bound.
+    """
+
+    def fold(s: AdjacencyListGraph, row) -> AdjacencyListGraph:
+        s.observe_edge(row.src, row.dst)
+        return s
+
+    def combine(a: AdjacencyListGraph, b: AdjacencyListGraph) -> AdjacencyListGraph:
+        return a.merge(b)
+
+    return summary_bulk_aggregation(
+        edges.select("src", "dst", *([event_time] if window_duration else [])),
+        lambda: AdjacencyListGraph(k),
+        fold,
+        combine,
+        window_duration,
+        event_time,
+    )
+
+
+def exact_triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-vertex + global triangle counts → (id, count) with id −1 = global.
+
+    Reference: io/kgraph/streaming/library/ExactTriangleCount.java:44-126 —
+    canonicalize each edge, snapshot both endpoint neighborhoods, +1 per
+    common neighbor, counts keyed to src, dst and the global key −1.
+
+    Batch-parity Spark shape (the reference's insertion-order state would
+    pin the whole graph per executor; the relational form shuffles ids
+    only): canonical undirected edge set E; triangles = E ⋈ E ⋈ E over
+    (a<b<c); per-vertex count = triangles containing v.
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    # wedges x<y<z with edges (x,y),(y,z); close with (x,z)
+    tri = (
+        e1.join(e2, on="y")
+        .join(
+            e.select(F.col("a").alias("x"), F.col("b").alias("z")),
+            on=["x", "z"],
+            how="left_semi",
+        )
+        .select("x", "y", "z")
+    )
+    per_vertex = (
+        tri.select(F.col("x").alias("id"))
+        .unionByName(tri.select(F.col("y").alias("id")))
+        .unionByName(tri.select(F.col("z").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    total = tri.groupBy().agg(F.count(F.lit(1)).alias("count")).select(
+        F.lit(-1).cast("long").alias("id"), "count"
+    )
+    return per_vertex.unionByName(total)
