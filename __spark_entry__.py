@@ -208,6 +208,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return local_clustering_coefficient(hierarchy_graph(spark, sf))
 
+    def sp_als_factors(spark, sf):
+        # iterative numpy least-squares — no SQL oracle (rows-only check)
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import als
+
+        li = datasets.load(spark, sf, "lineitem")
+        ratings = li.groupBy(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + 1000000).alias("dst"),
+        ).agg((F.avg("l_quantity") / 10.0).alias("value"))
+        g = Graph.from_edges(ratings, F.lit(0.0))
+        return als(g, dim=8, iterations=4, seed=11).select(
+            "id", F.posexplode("vec").alias("i", "x")
+        )
+
+    def emb_kmeans(spark, sf):
+        # iterative centroid refinement — no SQL oracle (rows-only check)
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import kmeans
+
+        emb = datasets.load(spark, sf, "embeddings")
+        v = emb.select(
+            F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("value")
+        )
+        e = spark.createDataFrame([], "src long, dst long, value double")
+        return kmeans(Graph(v, e), k=8, max_iterations=10, seed=5)
+
     def hier_triangles(spark, sf):
         from kafka_graphs_spark.datasets import hierarchy_edges
         from kafka_graphs_spark.streaming import exact_triangle_count
@@ -330,6 +357,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
         "hier_lcc": hier_lcc,
+        "sp_als_factors": sp_als_factors,
+        "emb_kmeans": emb_kmeans,
         "hier_triangles": hier_triangles,
         "ec_stream_degrees": ec_stream_degrees,
         "ec_maxbmatching": ec_maxbmatching,

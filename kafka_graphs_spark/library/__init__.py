@@ -16,6 +16,8 @@ from kafka_graphs_spark.library.pagerank import pagerank
 from kafka_graphs_spark.library.paths import bfs, mssp, sssp
 from kafka_graphs_spark.library.registry import ALGORITHMS, get_algorithm
 from kafka_graphs_spark.library.similarity import adamic_adar, jaccard
+from kafka_graphs_spark.library.cf import als, als_ml, predict, sgd
+from kafka_graphs_spark.library.clustering import kmeans, kmeans_ml, semi_clustering
 from kafka_graphs_spark.library.maxbmatching import max_b_matching
 from kafka_graphs_spark.library.sybilrank import sybil_rank
 
@@ -34,6 +36,13 @@ __all__ = [
     "adamic_adar",
     "sybil_rank",
     "max_b_matching",
+    "als",
+    "sgd",
+    "als_ml",
+    "predict",
+    "kmeans",
+    "kmeans_ml",
+    "semi_clustering",
     "ALGORITHMS",
     "get_algorithm",
 ]

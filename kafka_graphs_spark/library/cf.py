@@ -1,0 +1,280 @@
+"""Collaborative filtering: ALS and SGD matrix factorization on the
+bipartite user→item ratings graph.
+
+Reference:
+- io/kgraph/library/cf/Als.java:36-302 — per-vertex normal-equation solve
+  ``(M·Mᵀ + λ·N·I)·u = M·R`` (updateValue :166-180, jblas Solve.solve);
+  superstep 1 inits user factors to 0.01·rand(dim), superstep 2 adds the
+  reverse edges and solves the items, then sides alternate; RMSE
+  aggregator halts when below target.
+- io/kgraph/library/cf/Sgd.java:34-359 — per-message in-place update
+  ``v ← v − γ(λv + err·u)`` with the prediction clamped to
+  [min_rating, max_rating] (updateValue :222-237); both sides update
+  every superstep from the factors of the previous one.
+
+Spark re-expression: the per-vertex linear algebra runs in numpy inside
+``mapInPandas`` over rows of ``(id, [neighbor factors], [ratings])``
+built with one join + ``collect_list`` — an Arrow-batched vectorized
+path, never a row-at-a-time Python UDF. Message order (which the
+reference's SGD result depends on) is pinned by sorting neighbors by
+sender id, making results deterministic under any partitioning.
+Randomness: factor init uses ``RandomState(seed + id)`` per vertex —
+deterministic and partition-independent (the reference seeds one PRNG
+per JVM, which is NOT deterministic across partition assignments; we pin
+our own goldens, SURVEY.md §7 watch-list).
+
+Scale notes: state is one (id, vec) row per vertex; each half-step is
+join → map-side-combinable collect_list → Arrow batch solve. Hub items
+with millions of ratings make |M| huge — cap with ``max_neighbors``
+(uniform deterministic sample) the way production ALS implementations
+block their least squares.
+
+A ``pyspark.ml.recommendation.ALS`` fast path (:func:`als_ml`) is
+exposed for capability parity at cluster scale.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator, Optional, Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_graphs_spark.graph import Graph
+from kafka_graphs_spark.library._loop import LoopState
+
+_FACTORS_SCHEMA = "id long, vec array<double>"
+
+
+def _init_factors(vertices: DataFrame, dim: int, seed: int) -> DataFrame:
+    """0.01·uniform(dim) per vertex, deterministic per (seed, id).
+
+    Reference: Als.java InitUsersComputation (0.01f * rand float).
+    """
+
+    def gen(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            vecs = [
+                (0.01 * np.random.RandomState((seed + int(i)) & 0x7FFFFFFF).rand(dim)).tolist()
+                for i in pdf["id"]
+            ]
+            yield pd.DataFrame({"id": pdf["id"], "vec": vecs})
+
+    return vertices.select("id").mapInPandas(gen, schema=_FACTORS_SCHEMA)
+
+
+def _gathered(edges: DataFrame, factors: DataFrame, max_neighbors: Optional[int]) -> DataFrame:
+    """(id=dst, vecs array<array<double>>, ratings array<double>) sorted by sender."""
+    j = (
+        edges.select(F.col("src").alias("_s"), F.col("dst").alias("id"),
+                     F.col("value").cast("double").alias("_r"))
+        .join(factors.select(F.col("id").alias("_s"), "vec"), on="_s")
+    )
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col("_s").alias("s"), F.col("vec").alias("v"), F.col("_r").alias("r")))
+    )
+    if max_neighbors:
+        pairs = F.slice(pairs, 1, max_neighbors)
+    return j.groupBy("id").agg(
+        F.transform(pairs, lambda p: p["v"]).alias("vecs"),
+        F.transform(pairs, lambda p: p["r"]).alias("ratings"),
+    )
+
+
+def als(
+    graph: Graph,
+    dim: int = 50,
+    lambda_: float = 0.01,
+    iterations: int = 10,
+    rmse_target: Optional[float] = None,
+    seed: int = 42,
+    max_neighbors: Optional[int] = None,
+) -> DataFrame:
+    """Alternating least squares → (id, vec array<double>) for users ∪ items.
+
+    ``graph.edges``: (src=user, dst=item, value=rating); id spaces must be
+    disjoint (the reference's CfLongId type byte becomes an id-space
+    convention). ``iterations`` counts half-steps (one side updated per
+    step, items first), matching the reference's superstep alternation.
+    """
+    edges = graph.edges.select("src", "dst", F.col("value").cast("double").alias("value")).persist()
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), "value"
+    )  # Als.java InitItemsComputation cb.addEdge reverse
+    users = edges.select(F.col("src").alias("id")).distinct()
+    items = edges.select(F.col("dst").alias("id")).distinct()
+    n_ratings = edges.count()
+
+    def solve_batch(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for vecs, ratings in zip(pdf["vecs"], pdf["ratings"]):
+                M = np.asarray(list(vecs), dtype="float64").T  # dim × n
+                R = np.asarray(list(ratings), dtype="float64")
+                A = M @ M.T + lambda_ * len(R) * np.eye(dim)
+                V = M @ R
+                out.append(np.linalg.solve(A, V).tolist())
+            yield pd.DataFrame({"id": pdf["id"], "vec": out})
+
+    loop = LoopState()
+    user_f = loop.checkpoint(_init_factors(users, dim, seed))
+    item_f = None
+
+    dot = F.aggregate(
+        F.zip_with(F.col("uv"), F.col("iv"), lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+    for step in range(iterations):
+        if step % 2 == 0:  # update items from user factors (original direction)
+            item_f = loop.checkpoint(
+                _gathered(edges, user_f, max_neighbors).mapInPandas(
+                    solve_batch, schema=_FACTORS_SCHEMA
+                )
+            )
+        else:  # update users from item factors (reverse direction)
+            user_f = loop.checkpoint(
+                _gathered(rev, item_f, max_neighbors).mapInPandas(
+                    solve_batch, schema=_FACTORS_SCHEMA
+                )
+            )
+        if rmse_target is not None and item_f is not None:
+            sq = (
+                edges.join(user_f.select(F.col("id").alias("src"), F.col("vec").alias("uv")), on="src")
+                .join(item_f.select(F.col("id").alias("dst"), F.col("vec").alias("iv")), on="dst")
+                .select(((dot - F.col("value")) ** 2).alias("e2"))
+                .agg(F.sum("e2").alias("s"))
+                .collect()[0]["s"]
+            )
+            if math.sqrt(sq / n_ratings) < rmse_target:
+                break
+
+    result = user_f.unionByName(item_f if item_f is not None else user_f.limit(0))
+    out = result.localCheckpoint(eager=True)
+    loop.release()
+    edges.unpersist()
+    return out
+
+
+def sgd(
+    graph: Graph,
+    dim: int = 50,
+    lambda_: float = 0.01,
+    gamma: float = 0.005,
+    iterations: int = 10,
+    rmse_target: Optional[float] = None,
+    min_rating: float = 0.0,
+    max_rating: float = 5.0,
+    seed: int = 42,
+    max_neighbors: Optional[int] = None,
+) -> DataFrame:
+    """Stochastic gradient descent MF → (id, vec array<double>).
+
+    Both sides update every superstep from the previous superstep's
+    factors; per-vertex message order is pinned (sorted by sender id) so
+    the sequential in-place update chain (Sgd.java:222-237) is
+    deterministic.
+    """
+    edges = graph.edges.select("src", "dst", F.col("value").cast("double").alias("value")).persist()
+    und = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "value")
+    ).persist()
+    all_v = und.select(F.col("src").alias("id")).distinct()
+    n_ratings = edges.count()
+
+    def update_batch(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for own, vecs, ratings in zip(pdf["own"], pdf["vecs"], pdf["ratings"]):
+                v = np.asarray(own, dtype="float64").copy()
+                for u, r in zip(vecs, ratings):
+                    u = np.asarray(u, dtype="float64")
+                    pred = min(max(float(v @ u), min_rating), max_rating)
+                    err = pred - r
+                    v -= gamma * (lambda_ * v + err * u)
+                out.append(v.tolist())
+            yield pd.DataFrame({"id": pdf["id"], "vec": out})
+
+    loop = LoopState()
+    factors = loop.checkpoint(_init_factors(all_v, dim, seed))
+
+    dot = F.aggregate(
+        F.zip_with(F.col("uv"), F.col("iv"), lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+    for _ in range(iterations):
+        gathered = _gathered(und, factors, max_neighbors).join(
+            factors.select("id", F.col("vec").alias("own")), on="id"
+        )
+        factors = loop.checkpoint(
+            gathered.mapInPandas(update_batch, schema=_FACTORS_SCHEMA)
+        )
+        if rmse_target is not None:
+            sq = (
+                edges.join(factors.select(F.col("id").alias("src"), F.col("vec").alias("uv")), on="src")
+                .join(factors.select(F.col("id").alias("dst"), F.col("vec").alias("iv")), on="dst")
+                .select(
+                    (
+                        (F.least(F.greatest(dot, F.lit(min_rating)), F.lit(max_rating)) - F.col("value"))
+                        ** 2
+                    ).alias("e2")
+                )
+                .agg(F.sum("e2").alias("s"))
+                .collect()[0]["s"]
+            )
+            if math.sqrt(sq / n_ratings) < rmse_target:
+                break
+
+    out = factors.localCheckpoint(eager=True)
+    loop.release()
+    edges.unpersist()
+    und.unpersist()
+    return out
+
+
+def predict(factors: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Predicted rating per (src, dst) pair = dot(user vec, item vec)."""
+    dot = F.aggregate(
+        F.zip_with(F.col("uv"), F.col("iv"), lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    return (
+        pairs.select("src", "dst")
+        .join(factors.select(F.col("id").alias("src"), F.col("vec").alias("uv")), on="src")
+        .join(factors.select(F.col("id").alias("dst"), F.col("vec").alias("iv")), on="dst")
+        .select("src", "dst", dot.alias("prediction"))
+    )
+
+
+def als_ml(
+    graph: Graph,
+    dim: int = 50,
+    lambda_: float = 0.01,
+    iterations: int = 10,
+    seed: int = 42,
+):
+    """Cluster-scale fast path: pyspark.ml ALS on the same ratings edges.
+
+    Returns the fitted ALSModel (blocked, JVM-native normal equations —
+    the right tool at 100 TB; the Pregel-parity :func:`als` exists for
+    reference-semantics tests).
+    """
+    from pyspark.ml.recommendation import ALS as MLALS
+
+    ratings = graph.edges.select(
+        F.col("src").cast("int").alias("user"),
+        F.col("dst").cast("int").alias("item"),
+        F.col("value").cast("float").alias("rating"),
+    )
+    return MLALS(
+        rank=dim, regParam=lambda_, maxIter=iterations, seed=seed,
+        userCol="user", itemCol="item", ratingCol="rating",
+    ).fit(ratings)

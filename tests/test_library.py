@@ -344,3 +344,112 @@ class TestMaxBMatching:
 
         g = self._graph(spark, [(1, 0), (2, 1), (3, 1)], [(1, 2, 4.0), (1, 3, 6.0)])
         assert max_b_matching(g).count() == 0
+
+
+class TestCollaborativeFiltering:
+    """ALS/SGD on a rank-1 ratings matrix: r(u,i) = a_u · b_i is exactly
+    representable, so the factorization must drive RMSE near zero.
+    Reference fixtures: test/library/cf/{AlsTest,SgdTest}.java (small
+    explicit ratings, seeded randomness — we pin our own seeds)."""
+
+    RATINGS = [(1, 10, 4.0), (1, 11, 2.0), (2, 10, 2.0), (2, 11, 1.0)]
+
+    def _graph(self, spark):
+        e = spark.createDataFrame(self.RATINGS, "src long, dst long, value double")
+        return Graph.from_edges(e, F.lit(0.0))
+
+    def _rmse(self, preds):
+        want = {(u, i): r for u, i, r in self.RATINGS}
+        errs = [(p["prediction"] - want[(p["src"], p["dst"])]) ** 2 for p in preds]
+        return math.sqrt(sum(errs) / len(errs))
+
+    def test_als_converges(self, spark):
+        from kafka_graphs_spark.library import als, predict
+
+        g = self._graph(spark)
+        f = als(g, dim=2, lambda_=0.001, iterations=6, seed=7)
+        preds = predict(f, g.edges).collect()
+        assert len(preds) == 4
+        assert self._rmse(preds) < 0.05
+
+    def test_als_rmse_early_stop(self, spark):
+        from kafka_graphs_spark.library import als
+
+        f = als(self._graph(spark), dim=2, lambda_=0.001, iterations=50,
+                rmse_target=0.01, seed=7)
+        assert f.count() == 4  # 2 users + 2 items
+
+    def test_als_deterministic(self, spark):
+        from kafka_graphs_spark.library import als
+
+        g = self._graph(spark)
+        a = {r["id"]: r["vec"] for r in als(g, dim=2, iterations=3, seed=9).collect()}
+        b = {r["id"]: r["vec"] for r in als(g, dim=2, iterations=3, seed=9).collect()}
+        assert a == b
+
+    def test_sgd_improves(self, spark):
+        from kafka_graphs_spark.library import predict, sgd
+
+        g = self._graph(spark)
+        f1 = sgd(g, dim=2, gamma=0.05, lambda_=0.001, iterations=1, seed=7)
+        f40 = sgd(g, dim=2, gamma=0.05, lambda_=0.001, iterations=40, seed=7)
+        r1 = self._rmse(predict(f1, g.edges).collect())
+        r40 = self._rmse(predict(f40, g.edges).collect())
+        assert r40 < r1 and r40 < 0.5
+
+    def test_als_ml_fast_path(self, spark):
+        from kafka_graphs_spark.library import als_ml
+
+        model = als_ml(self._graph(spark), dim=2, iterations=5, seed=1)
+        assert model.rank == 2
+
+
+class TestClustering:
+    def _points(self, spark):
+        # two tight blobs around (0,0) and (10,10)
+        pts = [(i, [0.0 + i * 0.1, 0.0]) for i in range(5)] + [
+            (10 + i, [10.0 + i * 0.1, 10.0]) for i in range(5)
+        ]
+        v = spark.createDataFrame(pts, "id long, value array<double>")
+        e = spark.createDataFrame([(0, 10, 1.0)], "src long, dst long, value double")
+        return Graph(v, e)
+
+    def test_kmeans_two_blobs(self, spark):
+        from kafka_graphs_spark.library import kmeans
+
+        out = kmeans(self._points(spark), k=2, seed=3)
+        got = {r["id"]: r["cluster"] for r in out.collect()}
+        low = {got[i] for i in range(5)}
+        high = {got[10 + i] for i in range(5)}
+        assert len(low) == 1 and len(high) == 1 and low != high
+
+    def test_kmeans_explicit_centers(self, spark):
+        from kafka_graphs_spark.library import kmeans
+
+        out = kmeans(
+            self._points(spark), k=2, initial_centers=[[0.0, 0.0], [10.0, 10.0]]
+        )
+        got = {r["id"]: r["cluster"] for r in out.collect()}
+        assert all(got[i] == 0 for i in range(5))
+        assert all(got[10 + i] == 1 for i in range(5))
+
+    def test_kmeans_ml_fast_path(self, spark):
+        from kafka_graphs_spark.library import kmeans_ml
+
+        out = kmeans_ml(self._points(spark), k=2, seed=3)
+        got = {r["id"]: r["cluster"] for r in out.collect()}
+        assert len({got[i] for i in range(5)}) == 1
+
+    def test_semi_clustering(self, spark):
+        from kafka_graphs_spark.library import semi_clustering
+
+        # two triangles joined by one weak edge → clusters align to triangles
+        tri1 = [(1, 2, 5.0), (2, 3, 5.0), (1, 3, 5.0)]
+        tri2 = [(4, 5, 5.0), (5, 6, 5.0), (4, 6, 5.0)]
+        bridge = [(3, 4, 0.1)]
+        g = make_graph(spark, tri1 + tri2 + bridge)
+        out = semi_clustering(g, iterations=4, max_clusters=3, cluster_capacity=4)
+        rows = {r["id"]: [tuple(c) for c in r["clusters"]] for r in out.collect()}
+        assert set(rows) == {1, 2, 3, 4, 5, 6}
+        # best cluster containing vertex 1 should be the full triangle
+        assert any(set(c) == {1, 2, 3} for c in rows[1])
