@@ -16,7 +16,7 @@ from kafka_graphs_spark.library.pagerank import pagerank
 from kafka_graphs_spark.library.paths import bfs, mssp, sssp
 from kafka_graphs_spark.library.registry import ALGORITHMS, get_algorithm
 from kafka_graphs_spark.library.similarity import adamic_adar, jaccard
-from kafka_graphs_spark.library.cf import als, als_ml, predict, sgd
+from kafka_graphs_spark.library.cf import als, als_ml, predict, sgd, svdpp, svdpp_predict
 from kafka_graphs_spark.library.clustering import kmeans, kmeans_ml, semi_clustering
 from kafka_graphs_spark.library.maxbmatching import max_b_matching
 from kafka_graphs_spark.library.sybilrank import sybil_rank
@@ -43,6 +43,8 @@ __all__ = [
     "kmeans",
     "kmeans_ml",
     "semi_clustering",
+    "svdpp",
+    "svdpp_predict",
     "ALGORITHMS",
     "get_algorithm",
 ]

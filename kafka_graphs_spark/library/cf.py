@@ -278,3 +278,222 @@ def als_ml(
         rank=dim, regParam=lambda_, maxIter=iterations, seed=seed,
         userCol="user", itemCol="item", ratingCol="rating",
     ).fit(ratings)
+
+
+def svdpp(
+    graph: Graph,
+    dim: int = 10,
+    bias_lambda: float = 0.005,
+    bias_gamma: float = 0.01,
+    factor_lambda: float = 0.005,
+    factor_gamma: float = 0.01,
+    iterations: int = 10,
+    rmse_target: Optional[float] = None,
+    min_rating: float = 0.0,
+    max_rating: float = 5.0,
+    seed: int = 42,
+) -> Tuple[DataFrame, DataFrame, float]:
+    """Koren SVD++ → (users(id, b, p), items(id, b, q, y), mean_rating).
+
+    Reference: io/kgraph/library/cf/Svdpp.java:35-630 — prediction
+    ``clamp(mean + bu + bi + q·(p + Σy/√N))`` (:156-170); user supersteps
+    (odd) run the sequential per-message baseline/factor updates
+    (:410-500) and emit item steps; item supersteps (even) apply them via
+    ``v += step − γλv`` (:204-228). ``mean`` reproduces the reference's
+    ``Σr / (2·|E|)`` (:405-406). One ``iterations`` round = one user +
+    one item superstep; message order is pinned by sorting on the
+    counterpart id. RMSE (aggregated on user supersteps) halts early when
+    below ``rmse_target``.
+    """
+    edges = graph.edges.select("src", "dst", F.col("value").cast("double").alias("value")).persist()
+    users = edges.select(F.col("src").alias("id")).distinct()
+    items = edges.select(F.col("dst").alias("id")).distinct()
+    n_ratings = edges.count()
+    mean = edges.agg(F.sum("value")).collect()[0][0] / (2.0 * n_ratings)
+
+    def init_side(vertices: DataFrame, with_weights: bool) -> DataFrame:
+        def gen(batches: Iterator) -> Iterator:
+            import numpy as np
+            import pandas as pd
+
+            for pdf in batches:
+                rows = []
+                for i in pdf["id"]:
+                    rs = np.random.RandomState((seed + int(i)) & 0x7FFFFFFF)
+                    p = (0.01 * rs.rand(dim)).tolist()
+                    b = float(rs.rand())
+                    if with_weights:
+                        y = (0.01 * rs.rand(dim)).tolist()
+                        rows.append((int(i), b, p, y))
+                    else:
+                        rows.append((int(i), b, p))
+                cols = ["id", "b", "vec"] + (["w"] if with_weights else [])
+                yield pd.DataFrame(rows, columns=cols)
+
+        schema = "id long, b double, vec array<double>" + (
+            ", w array<double>" if with_weights else ""
+        )
+        return vertices.mapInPandas(gen, schema=schema)
+
+    loop = LoopState()
+    user_f = loop.checkpoint(init_side(users, False))
+    item_f = loop.checkpoint(init_side(items, True))
+
+    msg_schema = (
+        "id long, b double, vec array<double>, rmse double, "
+        "msgs array<struct<item: long, fstep: array<double>, wstep: array<double>, bstep: double>>"
+    )
+
+    def user_step(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for uid, bu, p, nbrs in zip(pdf["id"], pdf["b"], pdf["vec"], pdf["nbrs"]):
+                p = np.asarray(p, dtype="float64").copy()
+                bu = float(bu)
+                nbrs = sorted(nbrs, key=lambda t: t["i"])  # TreeMap order, Svdpp.java:428-431
+                n = len(nbrs)
+                sum_w = np.zeros(dim)
+                for t in nbrs:
+                    sum_w += np.asarray(t["w"], dtype="float64")
+                imp = sum_w / math.sqrt(n)
+                w_step = np.zeros(dim)
+                for t in nbrs:
+                    q = np.asarray(t["q"], dtype="float64")
+                    pred = min(max(mean + bu + t["bi"] + float(q @ (p + imp)), min_rating), max_rating)
+                    # NOTE: standard Koren'08 sign (err = observed − predicted).
+                    # The reference's UserComputation.updateValue (Svdpp.java
+                    # :388-393, :184-190) ADDS the (predicted − observed)
+                    # gradient — an ascent step that diverges; its own Sgd.java
+                    # :222-237 subtracts. We use descent and pin our goldens.
+                    err = t["r"] - pred
+                    bu = bu + bias_gamma * (err - bias_lambda * bu)
+                    p += -factor_lambda * factor_gamma * p + factor_gamma * err * q
+                    w_step += err * q
+                w_step *= factor_gamma / math.sqrt(n)
+                msgs, rmse = [], 0.0
+                for t in nbrs:
+                    q = np.asarray(t["q"], dtype="float64")
+                    pred = min(max(mean + bu + t["bi"] + float(q @ (p + imp)), min_rating), max_rating)
+                    err = t["r"] - pred
+                    f_step = (imp + p) * (factor_gamma * err)
+                    rmse += err * err
+                    msgs.append((int(t["i"]), f_step.tolist(), w_step.tolist(), bias_gamma * err))
+                rows.append((int(uid), bu, p.tolist(), rmse, msgs))
+            yield pd.DataFrame(rows, columns=["id", "b", "vec", "rmse", "msgs"])
+
+    def item_step(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for iid, bi, q, y, steps in zip(pdf["id"], pdf["b"], pdf["vec"], pdf["w"], pdf["steps"]):
+                q = np.asarray(q, dtype="float64").copy()
+                y = np.asarray(y, dtype="float64").copy()
+                bi = float(bi)
+                for s in sorted(steps, key=lambda t: t["u"]):
+                    bi = bi + s["bstep"] - bias_gamma * bias_lambda * bi
+                    q += np.asarray(s["fstep"], dtype="float64") - factor_gamma * factor_lambda * q
+                    y += np.asarray(s["wstep"], dtype="float64") - factor_gamma * factor_lambda * y
+                rows.append((int(iid), bi, q.tolist(), y.tolist()))
+            yield pd.DataFrame(rows, columns=["id", "b", "vec", "w"])
+
+    for _ in range(iterations):
+        gathered = (
+            edges.select(F.col("src").alias("id"), F.col("dst").alias("_i"),
+                         F.col("value").alias("_r"))
+            .join(
+                item_f.select(F.col("id").alias("_i"), F.col("b").alias("_bi"),
+                              F.col("vec").alias("_q"), F.col("w").alias("_w")),
+                on="_i",
+            )
+            .groupBy("id")
+            .agg(F.collect_list(F.struct(
+                F.col("_i").alias("i"), F.col("_q").alias("q"), F.col("_w").alias("w"),
+                F.col("_bi").alias("bi"), F.col("_r").alias("r"))).alias("nbrs"))
+            .join(user_f.select("id", "b", "vec"), on="id")
+        )
+        ures = loop.checkpoint(gathered.mapInPandas(user_step, schema=msg_schema))
+        user_f = ures.select("id", "b", "vec")
+
+        if rmse_target is not None:
+            sq = ures.agg(F.sum("rmse")).collect()[0][0] or 0.0
+            if math.sqrt(sq / n_ratings) < rmse_target:
+                break
+
+        steps = (
+            ures.select(F.col("id").alias("u"), F.explode("msgs").alias("m"))
+            .select(F.col("m.item").alias("id"), F.struct(
+                F.col("u").alias("u"), F.col("m.fstep").alias("fstep"),
+                F.col("m.wstep").alias("wstep"), F.col("m.bstep").alias("bstep")).alias("s"))
+            .groupBy("id")
+            .agg(F.collect_list("s").alias("steps"))
+        )
+        item_f = loop.checkpoint(
+            item_f.join(steps, on="id", how="left")
+            .withColumn("steps", F.coalesce(F.col("steps"), F.array()))
+            .mapInPandas(item_step, schema="id long, b double, vec array<double>, w array<double>")
+        )
+
+    users_out = user_f.select("id", "b", F.col("vec").alias("p")).localCheckpoint(eager=True)
+    items_out = item_f.select("id", "b", F.col("vec").alias("q"), F.col("w").alias("y")
+                              ).localCheckpoint(eager=True)
+    loop.release()
+    edges.unpersist()
+    return users_out, items_out, mean
+
+
+def svdpp_predict(
+    users: DataFrame,
+    items: DataFrame,
+    pairs: DataFrame,
+    ratings: DataFrame,
+    mean: float,
+    min_rating: float = 0.0,
+    max_rating: float = 5.0,
+) -> DataFrame:
+    """clamp(mean + bu + bi + q·(p + Σy_j/√N)) per (src, dst) pair.
+
+    Reference predictor: rest-app tools SvdppPredictor.java:77-131.
+    ``ratings`` supplies each user's rated-item set for the implicit term.
+    """
+    imp = (
+        ratings.select(F.col("src").alias("uid"), F.col("dst").alias("_i"))
+        .join(items.select(F.col("id").alias("_i"), F.col("y")), on="_i")
+        .groupBy("uid")
+        .agg(
+            F.aggregate(
+                F.collect_list("y"),
+                F.array_repeat(F.lit(0.0), F.size(F.first("y"))),
+                lambda acc, y: F.zip_with(acc, y, lambda a, b: a + b),
+            ).alias("sumy"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q"),
+            F.zip_with(F.col("p"), F.col("impvec"), lambda a, b: a + b),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        pairs.select("src", "dst")
+        .join(users.select(F.col("id").alias("src"), F.col("b").alias("bu"), "p"), on="src")
+        .join(items.select(F.col("id").alias("dst"), F.col("b").alias("bi"), "q"), on="dst")
+        .join(imp.withColumnRenamed("uid", "src"), on="src")
+        .withColumn("impvec", F.transform(F.col("sumy"), lambda x: x / F.sqrt(F.col("n"))))
+        .select(
+            "src",
+            "dst",
+            F.least(
+                F.greatest(F.lit(mean) + F.col("bu") + F.col("bi") + dot, F.lit(min_rating)),
+                F.lit(max_rating),
+            ).alias("prediction"),
+        )
+    )

@@ -20,7 +20,11 @@ from kafka_graphs_spark.library.clustering_coefficient import local_clustering_c
 from kafka_graphs_spark.library.components import connected_components, label_propagation
 from kafka_graphs_spark.library.pagerank import pagerank as _pagerank
 from kafka_graphs_spark.library.paths import bfs, mssp, sssp
+from kafka_graphs_spark.library.cf import als, sgd, svdpp
+from kafka_graphs_spark.library.clustering import kmeans, semi_clustering
+from kafka_graphs_spark.library.maxbmatching import max_b_matching
 from kafka_graphs_spark.library.similarity import adamic_adar, jaccard
+from kafka_graphs_spark.library.sybilrank import sybil_rank
 from kafka_graphs_spark.library._loop import INF, MAX_LONG
 
 
@@ -80,6 +84,37 @@ ALGORITHMS: Dict[str, AlgorithmSpec] = {
     "adamicadar": AlgorithmSpec(
         "adamicadar", adamic_adar, lambda id_col: F.lit(0.0), "double",
         {"distance_conversion": False},
+    ),
+    # svdpp completes the reference's REST enum (GraphAlgorithmType.java:33-93:
+    # bfs, lcc, lp, mssp, pagerank, sssp, svdpp, wcc); the rest mirror the
+    # non-REST ComputeFunctions in io/kgraph/library/.
+    "svdpp": AlgorithmSpec(
+        "svdpp", svdpp, lambda id_col: F.lit(0.0), "struct<b:double,p:array<double>>",
+        {"dim": 10, "iterations": 10},
+    ),
+    "als": AlgorithmSpec(
+        "als", als, lambda id_col: F.lit(0.0), "array<double>",
+        {"dim": 50, "iterations": 10, "lambda_": 0.01},
+    ),
+    "sgd": AlgorithmSpec(
+        "sgd", sgd, lambda id_col: F.lit(0.0), "array<double>",
+        {"dim": 50, "iterations": 10, "lambda_": 0.01, "gamma": 0.005},
+    ),
+    "sybilrank": AlgorithmSpec(
+        "sybilrank", sybil_rank, lambda id_col: F.lit(0.0), "double",
+        {"iteration_multiplier": 1},
+    ),
+    "mbm": AlgorithmSpec(
+        "mbm", max_b_matching, lambda id_col: F.lit(1), "int", {"max_iterations": 30}
+    ),
+    "kmeans": AlgorithmSpec(
+        "kmeans", kmeans, lambda id_col: F.array(), "array<double>",
+        {"k": 2, "max_iterations": 20, "epsilon": 0.001},
+    ),
+    "semiclustering": AlgorithmSpec(
+        "semiclustering", semi_clustering, lambda id_col: F.array(F.array(id_col)),
+        "array<array<bigint>>",
+        {"iterations": 10, "max_clusters": 5, "cluster_capacity": 15, "score_factor": 0.5},
     ),
 }
 

@@ -453,3 +453,45 @@ class TestClustering:
         assert set(rows) == {1, 2, 3, 4, 5, 6}
         # best cluster containing vertex 1 should be the full triangle
         assert any(set(c) == {1, 2, 3} for c in rows[1])
+
+
+class TestSvdpp:
+    RATINGS = [(1, 10, 4.0), (1, 11, 2.0), (2, 10, 2.0), (2, 11, 1.0), (3, 10, 5.0)]
+
+    def _graph(self, spark):
+        e = spark.createDataFrame(self.RATINGS, "src long, dst long, value double")
+        return Graph.from_edges(e, F.lit(0.0))
+
+    def test_svdpp_improves_rmse(self, spark):
+        from kafka_graphs_spark.library import svdpp, svdpp_predict
+
+        g = self._graph(spark)
+        want = {(u, i): r for u, i, r in self.RATINGS}
+
+        def rmse(users, items, mean):
+            preds = svdpp_predict(users, items, g.edges, g.edges, mean).collect()
+            errs = [(p["prediction"] - want[(p["src"], p["dst"])]) ** 2 for p in preds]
+            assert len(errs) == len(self.RATINGS)
+            return math.sqrt(sum(errs) / len(errs))
+
+        u1, i1, m1 = svdpp(g, dim=4, iterations=1, bias_gamma=0.1, factor_gamma=0.1, seed=3)
+        u2, i2, m2 = svdpp(g, dim=4, iterations=30, bias_gamma=0.1, factor_gamma=0.1, seed=3)
+        assert rmse(u2, i2, m2) < rmse(u1, i1, m1)
+        assert rmse(u2, i2, m2) < 1.0
+
+    def test_svdpp_deterministic(self, spark):
+        from kafka_graphs_spark.library import svdpp
+
+        g = self._graph(spark)
+        ua, _, _ = svdpp(g, dim=3, iterations=3, seed=5)
+        ub, _, _ = svdpp(g, dim=3, iterations=3, seed=5)
+        assert {r["id"]: r["p"] for r in ua.collect()} == {r["id"]: r["p"] for r in ub.collect()}
+
+    def test_svdpp_rmse_target(self, spark):
+        from kafka_graphs_spark.library import svdpp
+
+        users, items, _ = svdpp(
+            self._graph(spark), dim=4, iterations=100, rmse_target=0.5,
+            bias_gamma=0.1, factor_gamma=0.1, seed=3,
+        )
+        assert users.count() == 3 and items.count() == 2
