@@ -57,8 +57,23 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
     def src():
         return datasets.chain_sources(spark, sf_dir, 1)[0]
 
+    from kafka_graphs_spark.library import als
+    from kafka_graphs_spark.streaming import exact_triangle_count
+
+    def run_als():
+        from kafka_graphs_spark.graph import Graph
+
+        ratings = datasets.load(spark, sf_dir, "lineitem").groupBy(
+            F.col("l_suppkey").alias("src"), (F.col("l_partkey") + 1000000).alias("dst")
+        ).agg((F.avg("l_quantity") / 10.0).alias("value"))
+        return als(Graph.from_edges(ratings, F.lit(0.0)), dim=8, iterations=4, seed=11).count()
+
     return {
         "pagerank5": lambda: pagerank(ec, max_iterations=5).count(),
+        "triangles": lambda: exact_triangle_count(
+            datasets.hierarchy_edges(spark, sf_dir)
+        ).count(),
+        "als4": run_als,
         "wcc": lambda: connected_components(ec, max_iterations=500).count(),
         "sssp": lambda: sssp(ec, src_vertex_id=src(), max_iterations=500).count(),
         "lp10": lambda: label_propagation(ec, max_iterations=10).count(),
