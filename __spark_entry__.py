@@ -155,6 +155,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sp_reduce_neighbors_sum_out(spark, sf):
         return _sp_graph(spark, sf).reduce_on_neighbors("sum", EdgeDirection.OUT)
 
+    def sp_group_reduce_max_out(spark, sf):
+        # groupReduceOnEdges: arbitrary fn over (vertex value, edge array)
+        return _sp_graph(spark, sf).group_reduce_on_edges(
+            lambda v, edges: F.when(
+                edges.isNotNull(),
+                F.aggregate(
+                    edges, F.lit(None).cast("double"),
+                    lambda acc, e: F.greatest(F.coalesce(acc, e["value"]), e["value"]),
+                ),
+            ),
+            EdgeDirection.OUT,
+        )
+
     # ---- graph algorithms (event-chain graph + hierarchy graph) ----
 
     def ec_wcc(spark, sf):
@@ -207,6 +220,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kafka_graphs_spark.datasets import hierarchy_graph
 
         return local_clustering_coefficient(hierarchy_graph(spark, sf))
+
+    def sp_sgd_factors(spark, sf):
+        # iterative gradient chain — no SQL oracle (rows-only check)
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import sgd
+
+        li = datasets.load(spark, sf, "lineitem")
+        ratings = li.groupBy(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + 1000000).alias("dst"),
+        ).agg((F.avg("l_quantity") / 10.0).alias("value"))
+        g = Graph.from_edges(ratings, F.lit(0.0))
+        return sgd(g, dim=4, iterations=2, seed=11).select(
+            "id", F.posexplode("vec").alias("i", "x")
+        )
+
+    def hier_semiclusters(spark, sf):
+        # overlapping cluster sets, Python scoring — no SQL oracle
+        from kafka_graphs_spark.datasets import hierarchy_graph
+        from kafka_graphs_spark.library import semi_clustering
+
+        out = semi_clustering(hierarchy_graph(spark, sf), iterations=2, max_clusters=2,
+                              cluster_capacity=4)
+        return out.select("id", F.size("clusters").alias("n_clusters"))
 
     def sp_als_factors(spark, sf):
         # iterative numpy least-squares — no SQL oracle (rows-only check)
@@ -349,6 +386,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_join_vertices": sp_join_vertices,
         "sp_reduce_edges_min_in": sp_reduce_edges_min_in,
         "sp_reduce_neighbors_sum_out": sp_reduce_neighbors_sum_out,
+        "sp_group_reduce_max_out": sp_group_reduce_max_out,
         "ec_wcc": ec_wcc,
         "ec_bfs": ec_bfs,
         "ec_sssp": ec_sssp,
@@ -358,6 +396,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_sybilrank": ec_sybilrank,
         "hier_lcc": hier_lcc,
         "sp_als_factors": sp_als_factors,
+        "sp_sgd_factors": sp_sgd_factors,
+        "hier_semiclusters": hier_semiclusters,
         "emb_kmeans": emb_kmeans,
         "hier_triangles": hier_triangles,
         "ec_stream_degrees": ec_stream_degrees,
@@ -501,6 +541,12 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(coalesce(m.matches, 0) AS DOUBLE) / (deg.d * (deg.d - 1))
                         ELSE 0.0 END AS value
             FROM vts LEFT JOIN deg ON vts.id = deg.v LEFT JOIN m ON vts.id = m.v
+        """,
+        "sp_group_reduce_max_out": f"""
+            WITH e AS ({SP_EDGES}), v AS ({SP_VERTICES})
+            SELECT v.id, m.mx AS value
+            FROM v LEFT JOIN (SELECT src, MAX(value) AS mx FROM e GROUP BY 1) m
+              ON v.id = m.src
         """,
         "hier_triangles": """
             WITH e0 AS (
