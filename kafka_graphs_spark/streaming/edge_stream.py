@@ -140,6 +140,20 @@ class EdgeStream:
         """Same to a single global key (EdgeStream.java:377-407)."""
         return edge_to_rows(self.edges).groupBy().agg(agg)
 
+    def build_neighborhood(self, directed: bool = False) -> DataFrame:
+        """Per edge, attach the source vertex's neighbor set →
+        ``(src, dst, neighborhood array)``.
+
+        Reference: EdgeStream.java:417-438 — the adjacency snapshot fed to
+        ExactTriangleCount (undirected when ``directed`` is False). The
+        batch form materializes the full adjacency (the streaming form's
+        per-record prefix snapshot is an artifact of single-pass
+        processing, not of the result semantics).
+        """
+        base = self.edges if directed else self.undirected().edges
+        adj = base.groupBy(SRC).agg(F.collect_set(DST).alias("neighborhood"))
+        return self.edges.select(SRC, DST).join(adj, on=SRC, how="left")
+
     # ---- windowing (slice → KGraphWindowedStream) ----
 
     def slice(

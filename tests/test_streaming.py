@@ -266,3 +266,17 @@ class TestRunStreaming:
         comps = updates[-1][0].components()
         assert comps[1] == comps[2] == comps[3]
         assert comps[4] == comps[5] != comps[1]
+
+
+class TestBuildNeighborhood:
+    def test_undirected_adjacency_per_edge(self, stream):
+        out = stream.build_neighborhood().collect()
+        by_edge = {(r["src"], r["dst"]): sorted(r["neighborhood"]) for r in out}
+        assert by_edge[(1, 2)] == [2, 3]
+        assert by_edge[(3, 4)] == [1, 2, 4, 5]
+
+    def test_directed(self, stream):
+        out = stream.build_neighborhood(directed=True).collect()
+        by_edge = {(r["src"], r["dst"]): sorted(r["neighborhood"]) for r in out}
+        assert by_edge[(1, 2)] == [2, 3]
+        assert by_edge[(3, 4)] == [4, 5]
