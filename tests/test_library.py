@@ -495,3 +495,66 @@ class TestSvdpp:
             bias_gamma=0.1, factor_gamma=0.1, seed=3,
         )
         assert users.count() == 3 and items.count() == 2
+
+
+class TestPageRankGeneratorParity:
+    """Cross-check the DataFrame delta-PageRank against an independent
+    per-vertex Python simulation of the reference recurrence
+    (PageRank.java:32-112) on the reference's own test graph shapes
+    (PageRankTest.java: complete, grid, star via GraphGenerators.java)."""
+
+    @staticmethod
+    def simulate(edges, n_iter, reset=0.15, tol=0.0001):
+        from collections import defaultdict
+
+        out = defaultdict(list)
+        for s, d in edges:
+            out[s].append(d)
+        verts = {v for e in edges for v in e}
+        rank = {v: 0.0 for v in verts}
+        init = reset / (1 - reset)
+        msgs = {v: [init] for v in verts}  # superstep-0 self-send
+        for _ in range(n_iter):
+            nxt = defaultdict(list)
+            for v in verts:
+                if not msgs.get(v):
+                    continue
+                new_rank = rank[v] + (1 - reset) * sum(msgs[v])
+                delta = new_rank - rank[v]
+                rank[v] = new_rank
+                if delta > tol and out[v]:
+                    w = 1.0 / len(out[v])
+                    for d in out[v]:
+                        nxt[d].append(delta * w)
+            msgs = nxt
+        return rank
+
+    def _check(self, spark, edge_list, iters):
+        from kafka_graphs_spark.library import pagerank
+
+        g = make_graph(spark, [(s, d, 1.0) for s, d in edge_list])
+        got = {
+            r["id"]: r["value"]
+            for r in pagerank(g, max_iterations=iters).collect()
+        }
+        want = self.simulate(edge_list, iters)
+        assert got == pytest.approx(want, rel=1e-12)
+
+    def test_complete_k5(self, spark):
+        edges = [(i, j) for i in range(5) for j in range(5) if i != j]
+        self._check(spark, edges, 8)
+
+    def test_grid_3x3(self, spark):
+        edges = []
+        for r in range(3):
+            for c in range(3):
+                v = r * 3 + c
+                if c < 2:
+                    edges.append((v, v + 1))
+                if r < 2:
+                    edges.append((v, v + 3))
+        self._check(spark, edges, 10)
+
+    def test_star_10(self, spark):
+        edges = [(i, 0) for i in range(1, 10)]
+        self._check(spark, edges, 5)
