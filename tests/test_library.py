@@ -558,3 +558,46 @@ class TestPageRankGeneratorParity:
     def test_star_10(self, spark):
         edges = [(i, 0) for i in range(1, 10)]
         self._check(spark, edges, 5)
+
+
+class TestLabelPropagationParity:
+    """Cross-check DataFrame LP against an independent simulation of
+    LabelPropagation.java:29-59 (argmax by (count, label), adopt only if
+    larger than own label, messages along out-edges)."""
+
+    @staticmethod
+    def simulate(edges, n_iter):
+        from collections import defaultdict
+
+        out = defaultdict(list)
+        for s, d in edges:
+            out[s].append(d)
+        verts = {v for e in edges for v in e}
+        value = {v: v for v in verts}
+        for _ in range(n_iter):
+            counts = {v: defaultdict(int) for v in verts}
+            for s, d in edges:
+                counts[d][value[s]] += 1
+            new_value = dict(value)
+            for v in verts:
+                if counts[v]:
+                    max_key = max(counts[v], key=lambda k: (counts[v][k], k))
+                    if value[v] < max_key:
+                        new_value[v] = max_key
+            value = new_value
+        return value
+
+    @pytest.mark.parametrize("seed", [1, 2, 3])
+    def test_random_graphs(self, spark, seed):
+        import random
+
+        from kafka_graphs_spark.library import label_propagation
+
+        rng = random.Random(seed)
+        n = 12
+        edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(30)})
+        edges = [(s, d) for s, d in edges if s != d]
+        g = make_graph(spark, [(s, d, 1.0) for s, d in edges])
+        got = vmap(label_propagation(g, max_iterations=5))
+        want = self.simulate(edges, 5)
+        assert got == want
