@@ -601,3 +601,88 @@ class TestLabelPropagationParity:
         got = vmap(label_propagation(g, max_iterations=5))
         want = self.simulate(edges, 5)
         assert got == want
+
+
+class TestPathsParityRandom:
+    """SSSP/BFS/WCC on random graphs vs independent reference simulations —
+    catches fan-in relaxation and convergence issues the chain-shaped
+    DuckDB oracles cannot express."""
+
+    def _random_edges(self, seed, n=14, m=35):
+        import random
+
+        rng = random.Random(seed)
+        edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+        return [(s, d, float(1 + (s * 7 + d * 3) % 9)) for s, d in edges if s != d]
+
+    @pytest.mark.parametrize("seed", [4, 5])
+    def test_sssp_bellman_ford(self, spark, seed):
+        from kafka_graphs_spark.library import sssp
+
+        edges = self._random_edges(seed)
+        g = make_graph(spark, edges)
+        got = vmap(sssp(g, src_vertex_id=0, max_iterations=100))
+        # reference Bellman-Ford fixpoint
+        verts = {v for s, d, _ in edges for v in (s, d)}
+        dist = {v: (0.0 if v == 0 else INF) for v in verts}
+        for _ in range(len(verts)):
+            for s, d, w in edges:
+                if dist[s] + w < dist[d]:
+                    dist[d] = dist[s] + w
+        assert got == pytest.approx(dist)
+
+    @pytest.mark.parametrize("seed", [6, 7])
+    def test_bfs_hops(self, spark, seed):
+        from collections import deque
+
+        from kafka_graphs_spark.library import bfs
+        from kafka_graphs_spark.library._loop import MAX_LONG
+
+        edges = self._random_edges(seed)
+        g = make_graph(spark, edges)
+        got = vmap(bfs(g, src_vertex_id=0, max_iterations=100))
+        out = {}
+        for s, d, _ in edges:
+            out.setdefault(s, []).append(d)
+        verts = {v for s, d, _ in edges for v in (s, d)}
+        hop = {v: MAX_LONG for v in verts}
+        hop[0] = 0
+        q = deque([0])
+        while q:
+            v = q.popleft()
+            for d in out.get(v, []):
+                if hop[d] == MAX_LONG:
+                    hop[d] = hop[v] + 1
+                    q.append(d)
+        assert got == hop
+
+    @pytest.mark.parametrize("seed", [8, 9])
+    def test_wcc_min_label(self, spark, seed):
+        from kafka_graphs_spark.library import connected_components
+
+        edges = self._random_edges(seed)
+        g = make_graph(spark, edges)
+        got = vmap(connected_components(g, max_iterations=100))
+        # union-find ground truth over the undirected view
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, d, _ in edges:
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rs] = rd
+        comp = {}
+        for v in {v for s, d, _ in edges for v in (s, d)}:
+            comp.setdefault(find(v), []).append(v)
+        want = {}
+        for members in comp.values():
+            label = min(members)
+            for v in members:
+                want[v] = label
+        assert got == want
