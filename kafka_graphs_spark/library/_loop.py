@@ -23,13 +23,72 @@ temporary cache entry.
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional, Sequence, Tuple
 
 from pyspark import StorageLevel
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Row
+from pyspark.sql import functions as F
 
 MAX_LONG = (1 << 63) - 1  # reference UNVISITED (BreadthFirstSearch.java:37)
 INF = float("inf")
+
+
+def _persistent_rdd_ids(sc) -> set:
+    return {int(i) for i in sc._jsc.getPersistentRDDs().keySet()}
+
+
+def lazy_checkpoint(df: DataFrame) -> DataFrame:
+    """``localCheckpoint(eager=False)`` with the created RDD's block ids
+    tagged for explicit release (``free_df``). The checkpoint RDD is
+    registered as persisted at mark time; its blocks materialize on the
+    first action that computes through the returned frame."""
+    sc = df.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
+    out = df.localCheckpoint(eager=False)
+    out._kgs_ckpt_ids = sorted(_persistent_rdd_ids(sc) - before)
+    return out
+
+
+def eager_checkpoint(df: DataFrame, count: bool = False) -> DataFrame:
+    """``localCheckpoint(eager=True)`` that records which block-manager RDDs
+    the checkpoint created (tagged on the frame as ``_kgs_ckpt_ids``).
+
+    ``DataFrame.unpersist()`` is a CacheManager call and a NO-OP for
+    checkpointed frames (their LogicalRDD never registers there), so without
+    the tag the blocks are reclaimed only by GC/ContextCleaner and long
+    loops accumulate dead generations in the block manager. ``free_df``
+    drops the tagged blocks explicitly. Returns (optionally) the row count
+    alongside when ``count=True`` callers need it for free.
+    """
+    sc = df.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
+    out = df.localCheckpoint(eager=True)
+    out._kgs_ckpt_ids = sorted(_persistent_rdd_ids(sc) - before)
+    return out
+
+
+def free_df(df: DataFrame) -> None:
+    """Release a frame produced by persist() OR eager_checkpoint().
+
+    Only call once nothing lazy still reads the frame — dropped checkpoint
+    blocks cannot be recomputed (lineage is truncated).
+    """
+    try:
+        df.unpersist()  # frees CacheManager entries (persisted frames)
+    except Exception:
+        pass
+    ids = getattr(df, "_kgs_ckpt_ids", None)
+    if ids:
+        try:
+            sc = df.sparkSession.sparkContext
+            jmap = sc._jsc.getPersistentRDDs()
+            for i in ids:
+                jrdd = jmap.get(i)
+                if jrdd is not None:
+                    jrdd.unpersist(False)
+        except Exception:
+            pass
+        df._kgs_ckpt_ids = []
 
 
 def checkpoint_with_real_stats(df: DataFrame) -> DataFrame:
@@ -37,7 +96,7 @@ def checkpoint_with_real_stats(df: DataFrame) -> DataFrame:
     the exponentially-compounding product estimate (see module docstring)."""
     df.persist(StorageLevel.MEMORY_AND_DISK)
     df.count()  # materialize the cache so InMemoryRelation has real stats
-    out = df.localCheckpoint(eager=True)
+    out = eager_checkpoint(df)
     df.unpersist()
     return out
 
@@ -48,7 +107,8 @@ class LoopState:
     checkpoint(df) returns an eagerly-materialized, lineage-free frame
     with measured size stats. The previous generation is kept alive for
     one more round (lazy plans built this round may still reference it),
-    then unpersisted.
+    then its blocks are dropped explicitly (``free_df`` — plain unpersist
+    is a no-op on checkpointed frames).
     """
 
     def __init__(self):
@@ -58,13 +118,81 @@ class LoopState:
     def checkpoint(self, *dfs: DataFrame) -> DataFrame:
         outs = [checkpoint_with_real_stats(df) for df in dfs]
         for old in self._prev:
-            old.unpersist()
+            free_df(old)
         self._prev = self._cur
         self._cur = outs
         return outs[0] if len(outs) == 1 else tuple(outs)
 
-    def release(self) -> None:
+    def release(self, keep: DataFrame = None) -> None:
+        """Free all retained generations. Pass ``keep`` to protect a frame
+        (e.g. the final checkpointed result) from block dropping."""
         for old in self._prev + self._cur:
-            old.unpersist()
+            if keep is not None and old is keep:
+                continue
+            free_df(old)
         self._prev = []
         self._cur = []
+
+
+class ChainLoop:
+    """Loop-state tracker with ONE Spark action per iteration.
+
+    The localCheckpoint-per-round discipline (LoopState) costs 2 driver
+    actions per round (count + eager checkpoint) plus any termination probe
+    — 3 jobs per iteration, dominated by job-launch overhead when the
+    per-round data is small. Chaining rounds lazily instead is exponential:
+    each round references the previous state 2-3×, so k lazy rounds
+    reference the base subplan 2^k-3^k times — measured: driver OOM in
+    Catalyst before round 10 of the 3-reference WCC loop.
+
+    ``advance`` does three things in one job:
+      1. ``persist`` the new generation and materialize it with a single
+         ``agg`` that doubles as the termination probe (returned Row);
+      2. wrap it in a NON-EAGER ``localCheckpoint`` — the returned frame is
+         a LogicalRDD LEAF, so the next round's plan is bounded (no lineage
+         growth, no estimate compounding: the leaf copies the MEASURED
+         InMemoryRelation stats);
+      3. the checkpoint's blocks materialize lazily during the NEXT round's
+         probe action (first computation through the leaf) — the lineage
+         truncation job rides an action we were paying anyway.
+
+    Generation bookkeeping: round k's probe materializes round k-1's
+    checkpoint blocks, after which round k-1's cache and round k-2's
+    checkpoint blocks are both dead; they are freed one round later
+    (double-buffered) to stay clear of any lazy reader.
+    """
+
+    def __init__(self):
+        # [(cache_df, ckpt_df)] of recent rounds, oldest first (≤2 kept)
+        self._gens: List[Tuple[DataFrame, DataFrame]] = []
+
+    def advance(
+        self, df: DataFrame, probes: Sequence[Column] = ()
+    ) -> Tuple[DataFrame, Row]:
+        """Materialize the next generation; return (leaf frame, probe row).
+
+        ``probes``: aggregate columns evaluated in the same job that
+        materializes the cache (e.g. ``F.sum(F.when(F.col('_changed'), 1)
+        .otherwise(0)).alias('n')``) — the termination test rides the
+        materialization action for free.
+        """
+        df.persist(StorageLevel.MEMORY_AND_DISK)
+        aggs = list(probes) or [F.count(F.lit(1)).alias("n")]
+        row = df.agg(*aggs).collect()[0]
+        out = lazy_checkpoint(df)
+        self._gens.append((df, out))
+        if len(self._gens) > 2:
+            old_cache, old_ckpt = self._gens.pop(0)
+            old_cache.unpersist()  # lineage-safe cache release
+            free_df(old_ckpt)      # its blocks were superseded 2 rounds ago
+        return out, row
+
+    def release(self, keep: Optional[DataFrame] = None) -> None:
+        """Free retained caches and checkpoint blocks. Call only after the
+        loop's final result has been materialized elsewhere."""
+        for cache, ckpt in self._gens:
+            if cache is not keep:
+                cache.unpersist()
+            if ckpt is not keep:
+                free_df(ckpt)
+        self._gens = []

@@ -124,17 +124,26 @@ def semi_clustering(
     cluster_capacity: int = 15,
     score_factor: float = 0.5,
 ) -> DataFrame:
-    """Pregel-paper semi-clustering → (id, clusters array<struct>).
+    """Pregel-paper semi-clustering → (id, clusters array<array<id>>).
 
     Reference: SemiClustering.java:51-370. Per superstep each vertex
     unions the ≤max_clusters cluster sets of its neighbors, extends every
     non-full cluster that does not contain it with itself, scores
     ``(I − f_B·B) / (V·(V−1)/2)`` (I = weight inside, B = boundary
-    weight), and keeps the top ``max_clusters`` by (score, members) —
-    implemented as an Arrow-batched pandas pass per superstep over the
-    collected neighborhood cluster sets.
+    weight), and keeps the top ``max_clusters`` by (score, members).
+
+    Fully distributed re-expression (no driver-side adjacency — r01 ADVICE):
+    candidate member-sets are sorted id arrays; the set algebra (union /
+    extend / dedupe) is higher-order array functions, and the SCORER is
+    relational — explode each distinct candidate cluster into its members,
+    join the members' edges, and aggregate I (in-cluster weight, halved
+    because the symmetric edge frame counts each unordered pair twice) and
+    B (boundary weight) per cluster. Each superstep scores each distinct
+    cluster exactly once, JVM-side end to end.
     """
-    import pandas as pd  # noqa: F401 — applyInPandas dependency
+    from pyspark.sql.window import Window
+
+    from kafka_graphs_spark.library._loop import ChainLoop
 
     und = (
         graph.edges.select("src", "dst", F.col("value").cast("double").alias("w"))
@@ -148,57 +157,17 @@ def semi_clustering(
         .agg(F.max("w").alias("w"))
         .persist()
     )
-    adj = und.groupBy(F.col("src").alias("id")).agg(
-        F.map_from_entries(F.collect_list(F.struct("dst", "w"))).alias("nbrs")
-    ).persist()
-    adj.count()
 
-    def score(members: tuple, nbrs_of: dict) -> float:
-        ms = set(members)
-        v = len(ms)
-        if v <= 1:
-            return 0.0  # singleton score (SemiClustering.java addVertex :292)
-        inner = bound = 0.0
-        seen = set()
-        for m in ms:
-            for t, w in nbrs_of.get(m, {}).items():
-                if t in ms:
-                    if (t, m) not in seen:
-                        inner += w
-                        seen.add((m, t))
-                else:
-                    bound += w
-        return (inner - score_factor * bound) / (v * (v - 1) / 2.0)
-
-    nbr_maps = {r["id"]: dict(r["nbrs"]) for r in adj.collect()}  # small per reference scale
-    from kafka_graphs_spark.library._loop import LoopState
-
-    # state: value = clusters CONTAINING the vertex (SemiClustering.java
+    # state: value = top-k clusters CONTAINING the vertex (SemiClustering.java
     # newVertexValue), outbox = top-k union set sent to neighbors
-    state = adj.select(
-        "id", F.array(F.array("id")).alias("value"), F.array(F.array("id")).alias("outbox")
+    state = (
+        und.select(F.col("src").alias("id")).distinct()
+        .select(
+            "id", F.array(F.array("id")).alias("value"), F.array(F.array("id")).alias("outbox")
+        )
     )
-    loop = LoopState()
-    state = loop.checkpoint(state)
-
-    def refine(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            out_rows = []
-            for vid, cand in zip(pdf["id"], pdf["cand"]):
-                received = {tuple(sorted(set(c))) for c in cand}
-                new_clusters = set()
-                for c in received:
-                    if vid not in c and len(c) < cluster_capacity:
-                        new_clusters.add(tuple(sorted(set(c) | {vid})))
-                unioned = received | new_clusters
-                mine = {c for c in received if vid in c} | new_clusters
-                key = lambda c: (-score(c, nbr_maps), c)  # noqa: E731
-                value = [list(c) for c in sorted(mine, key=key)[:max_clusters]]
-                outbox = [list(c) for c in sorted(unioned, key=key)[:max_clusters]]
-                out_rows.append((int(vid), value, outbox))
-            yield pd.DataFrame(out_rows, columns=["id", "value", "outbox"])
+    loop = ChainLoop()
+    state, _ = loop.advance(state)
 
     for _ in range(iterations):
         msgs = (
@@ -206,17 +175,95 @@ def semi_clustering(
             .select(F.col("dst").alias("id"), "outbox")
         )
         gathered = msgs.groupBy("id").agg(
-            F.flatten(F.collect_list("outbox")).alias("cand")
+            F.array_distinct(F.flatten(F.collect_list("outbox"))).alias("cand")
         )
-        state = loop.checkpoint(
-            gathered.mapInPandas(
-                refine,
-                schema="id long, value array<array<long>>, outbox array<array<long>>",
+
+        # -- set algebra (SemiClustering.java:120-168): normalize received
+        # clusters, extend non-full ones not containing self with self
+        received = F.array_distinct(
+            F.transform(F.col("cand"), lambda c: F.array_sort(F.array_distinct(c)))
+        )
+        extended = F.transform(
+            F.filter(
+                received,
+                lambda c: (~F.array_contains(c, F.col("id")))
+                & (F.size(c) < cluster_capacity),
+            ),
+            lambda c: F.array_sort(F.concat(c, F.array(F.col("id")))),
+        )
+        pairs = gathered.select(
+            "id", F.explode(F.array_distinct(F.concat(received, extended))).alias("members")
+        )
+
+        # -- relational scorer: each distinct cluster scored once.
+        # I counts every unordered in-cluster pair once (the symmetric frame
+        # yields each twice ⇒ /2; a self-loop appears once ⇒ ×2 first);
+        # B = member→outside weight (counted once per direction, as the
+        # reference's per-member neighbor scan does).
+        member_edges = (
+            pairs.select("members").distinct()
+            .select("members", F.explode("members").alias("m"))
+            .join(und, F.col("m") == und["src"])
+        )
+        v_sz = F.size("members")
+        scored = (
+            member_edges.groupBy("members")
+            .agg(
+                (
+                    F.sum(
+                        F.when(
+                            F.array_contains("members", F.col("dst")),
+                            F.col("w")
+                            * F.when(F.col("src") == F.col("dst"), 2.0).otherwise(1.0),
+                        ).otherwise(0.0)
+                    )
+                    / 2.0
+                ).alias("I"),
+                F.sum(
+                    F.when(
+                        ~F.array_contains("members", F.col("dst")), F.col("w")
+                    ).otherwise(0.0)
+                ).alias("B"),
+            )
+            .select(
+                "members",
+                # singleton score = 0 (SemiClustering.java addVertex :292)
+                F.when(v_sz <= 1, F.lit(0.0))
+                .otherwise(
+                    (F.col("I") - F.lit(score_factor) * F.col("B"))
+                    / (v_sz.cast("double") * (v_sz - 1).cast("double") / 2.0)
+                )
+                .alias("score"),
             )
         )
+
+        # -- top-k by (score desc, members asc) — the reference's TreeSet
+        # comparator (SemiClustering.java:170-183). ONE window sort: the
+        # rank within "clusters containing me" is a running conditional
+        # count over the same ordering.
+        ranked = (
+            pairs.join(scored, on="members")
+            .withColumn("_mine", F.array_contains("members", F.col("id")))
+            .withColumn("_ns", -F.col("score"))
+        )
+        w_all = Window.partitionBy("id").orderBy(F.asc("_ns"), F.asc("members"))
+        w_run = w_all.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        topped = ranked.select(
+            "id", "members", "_mine", "_ns",
+            F.row_number().over(w_all).alias("_rn"),
+            F.sum(F.when(F.col("_mine"), 1).otherwise(0)).over(w_run).alias("_rn_mine"),
+        )
+        sorted_slice = lambda flag: F.transform(  # noqa: E731
+            F.sort_array(F.collect_list(F.when(flag, F.struct("_ns", "members")))),
+            lambda x: x["members"],
+        )
+        new_state = topped.groupBy("id").agg(
+            sorted_slice(F.col("_mine") & (F.col("_rn_mine") <= max_clusters)).alias("value"),
+            sorted_slice(F.col("_rn") <= max_clusters).alias("outbox"),
+        )
+        state, _ = loop.advance(new_state)
 
     out = state.select("id", F.col("value").alias("clusters")).localCheckpoint(eager=True)
     loop.release()
     und.unpersist()
-    adj.unpersist()
     return out

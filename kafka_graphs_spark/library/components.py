@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_graphs_spark.graph import Graph
-from kafka_graphs_spark.library._loop import LoopState
+from kafka_graphs_spark.library._loop import ChainLoop
 
 
 def connected_components(graph: Graph, max_iterations: int = 50) -> DataFrame:
@@ -38,8 +38,8 @@ def connected_components(graph: Graph, max_iterations: int = 50) -> DataFrame:
         .persist()
     )
     state = graph.vertices.select("id", F.col("id").alias("value"))
-    loop = LoopState()
-    state = loop.checkpoint(state)
+    loop = ChainLoop()
+    state, _ = loop.advance(state)
     it = 0
     while it < max_iterations:
         it += 1
@@ -81,8 +81,11 @@ def connected_components(graph: Graph, max_iterations: int = 50) -> DataFrame:
                 ).alias("_changed"),
             )
         )
-        state = loop.checkpoint(updated)
-        if state.filter(F.col("_changed")).isEmpty():
+        # ONE action: materialize the round + count lowered labels
+        state, row = loop.advance(
+            updated, probes=[F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("n")]
+        )
+        if not row["n"]:
             break
     result = state.select("id", "value").localCheckpoint(eager=True)
     loop.release()
@@ -105,8 +108,8 @@ def label_propagation(graph: Graph, max_iterations: int = 10) -> DataFrame:
     """
     edges = graph.edges.select("src", "dst").persist()
     state = graph.vertices.select("id", F.col("id").alias("value"))
-    loop = LoopState()
-    state = loop.checkpoint(state)
+    loop = ChainLoop()
+    state, _ = loop.advance(state)
     for _ in range(max_iterations):
         counts = (
             state.join(edges, state["id"] == edges["src"])
@@ -116,7 +119,9 @@ def label_propagation(graph: Graph, max_iterations: int = 10) -> DataFrame:
         best = counts.groupBy("id").agg(
             F.max_by("label", F.struct(F.col("cnt"), F.col("label"))).alias("best")
         )
-        state = loop.checkpoint(
+        # fixed iteration count (no vote-to-halt in the reference) — the
+        # advance action only materializes the round
+        state, _ = loop.advance(
             state.join(best, on="id", how="left").select(
                 "id",
                 F.when(F.col("best") > F.col("value"), F.col("best"))

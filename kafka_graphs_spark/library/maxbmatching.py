@@ -63,7 +63,9 @@ def max_b_matching(graph: Graph, max_iterations: int = 30) -> DataFrame:
         "src", "dst", F.col("value").cast("double").alias("w"), F.lit(DEFAULT).alias("state")
     )
     C = graph.vertices.select("id", F.col("value").cast("int").alias("cap"))
-    M = E.sparkSession.createDataFrame([], "to long, sender long, kind int")
+    # message frame keyed by the graph's own id type (not hardcoded long)
+    id_type = dict(graph.vertices.dtypes)["id"]
+    M = E.sparkSession.createDataFrame([], f"to {id_type}, sender {id_type}, kind int")
 
     loop = LoopState()
     E, C, M = loop.checkpoint(E, C, M)

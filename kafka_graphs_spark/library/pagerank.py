@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_graphs_spark.graph import Graph
-from kafka_graphs_spark.library._loop import INF, LoopState
+from kafka_graphs_spark.library._loop import INF, ChainLoop
 
 
 def pagerank(
@@ -66,12 +66,16 @@ def pagerank(
             else F.lit(0.0)
         ).alias("delta"),
     )
-    loop = LoopState()
-    state = loop.checkpoint(state)
+    loop = ChainLoop()
+    state, _ = loop.advance(state)
 
     # superstep 0 re-sends the initial message to self → at superstep 1
     # every vertex receives exactly init_msg (PageRank.java:72-75).
     msgs = state.select("id", F.lit(init_msg).alias("m"))
+
+    # sender predicate: only vertices that computed this superstep AND moved
+    # by more than tolerance send (PageRank.java:99-106)
+    is_sender = F.col("_recv") & (F.col("delta") > tolerance)
 
     it = 0
     while it < max_iterations:
@@ -95,15 +99,17 @@ def pagerank(
             .alias("delta"),
             F.col("msum").isNotNull().alias("_recv"),
         )
-        state = loop.checkpoint(new_state)
-        # only vertices that computed this superstep send (PageRank.java:99-106)
-        senders = state.filter(F.col("_recv") & (F.col("delta") > tolerance))
+        # ONE action: materialize the superstep + count senders (termination)
+        state, row = loop.advance(
+            new_state,
+            probes=[F.sum(F.when(is_sender, 1).otherwise(0)).alias("n_senders")],
+        )
+        if it < max_iterations and not row["n_senders"]:
+            break
+        senders = state.filter(is_sender)
         msgs = senders.join(edges_w, senders["id"] == edges_w["src"]).select(
             F.col("dst").alias("id"), (F.col("delta") * F.col("w")).alias("m")
         )
-        # one tiny action per superstep decides termination (no messages)
-        if it < max_iterations and senders.count() == 0:
-            break
     result = state.select("id", F.col("rank").alias("value"), "delta").localCheckpoint(eager=True)
     loop.release()
     edges_w.unpersist()

@@ -13,11 +13,10 @@ map-side before the shuffle.
 Scale mechanics shared by all three:
 - the edges projection is persisted once (otherwise every iteration
   re-reads the source and recomputes any derivation under it);
-- relaxations run in CHUNKS of lazy iterations between materializations —
-  one localCheckpoint + one emptiness probe per chunk instead of per
-  iteration, amortizing the driver round-trips that dominate when the
-  per-iteration data is small relative to job overhead. Monotonicity makes
-  overshooting into an empty frontier harmless (no-op joins).
+- iteration rides ``ChainLoop``: each round is ONE Spark action — the agg
+  that materializes the new generation's cache doubles as the termination
+  probe (count of relaxed vertices) — with periodic localCheckpoint
+  lineage truncation (see _loop.ChainLoop for the scale rationale).
 
 MSSP runs ALL landmarks in one loop by normalizing the reference's
 ``Map<landmark,double>`` vertex value into (id, landmark, dist) rows — one
@@ -32,9 +31,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_graphs_spark.graph import Graph
-from kafka_graphs_spark.library._loop import INF, MAX_LONG, LoopState
+from kafka_graphs_spark.library._loop import INF, MAX_LONG, ChainLoop
 
-CHUNK = 4  # lazy relaxations per materialization
+def _n_changed():
+    # built lazily: Column construction needs an active SparkContext
+    return F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("n_changed")
 
 
 def bfs(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
@@ -49,34 +50,32 @@ def bfs(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
         F.when(F.col("id") == src_vertex_id, F.lit(0).cast("long"))
         .otherwise(F.lit(MAX_LONG))
         .alias("value"),
+        (F.col("id") == src_vertex_id).alias("_changed"),
     )
-    loop = LoopState()
-    state = loop.checkpoint(state)
-    frontier = state.filter(F.col("value") == 0).select("id")
+    loop = ChainLoop()
+    state, _ = loop.advance(state)
     hop = 0
     while hop < max_iterations:
-        for _ in range(min(CHUNK, max_iterations - hop)):
-            hop += 1
-            reached = (
-                frontier.join(edges, frontier["id"] == edges["src"])
-                .select(F.col("dst").alias("id"))
-                .distinct()
-            )
-            state = (
-                state.join(reached.withColumn("_new", F.lit(True)), on="id", how="left")
-                .select(
-                    "id",
-                    F.when(F.col("_new") & (F.col("value") == MAX_LONG), F.lit(hop).cast("long"))
-                    .otherwise(F.col("value"))
-                    .alias("value"),
-                    (F.col("_new") & (F.col("value") == MAX_LONG)).alias("_changed"),
-                )
-            )
-            frontier = state.filter(F.col("_changed")).select("id")
-        # one checkpoint per chunk; the frontier is a lazy filter over it
-        state = loop.checkpoint(state)
+        hop += 1
         frontier = state.filter(F.col("_changed")).select("id")
-        if frontier.isEmpty():
+        reached = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        new_state = (
+            state.join(reached.withColumn("_new", F.lit(True)), on="id", how="left")
+            .select(
+                "id",
+                F.when(F.col("_new") & (F.col("value") == MAX_LONG), F.lit(hop).cast("long"))
+                .otherwise(F.col("value"))
+                .alias("value"),
+                (F.col("_new") & (F.col("value") == MAX_LONG)).alias("_changed"),
+            )
+        )
+        # ONE action: materialize the round + count newly-labeled vertices
+        state, row = loop.advance(new_state, probes=[_n_changed()])
+        if not row["n_changed"]:
             break
     result = state.select("id", "value").localCheckpoint(eager=True)
     loop.release()
@@ -95,32 +94,30 @@ def sssp(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
     state = graph.vertices.select(
         "id",
         F.when(F.col("id") == src_vertex_id, F.lit(0.0)).otherwise(F.lit(INF)).alias("value"),
+        (F.col("id") == src_vertex_id).alias("_changed"),
     )
-    loop = LoopState()
-    state = loop.checkpoint(state)
-    frontier = state.filter(F.col("value") < INF).select("id", "value")
+    loop = ChainLoop()
+    state, _ = loop.advance(state)
     it = 0
     while it < max_iterations:
-        for _ in range(min(CHUNK, max_iterations - it)):
-            it += 1
-            msgs = (
-                frontier.join(edges, frontier["id"] == edges["src"])
-                .select(F.col("dst").alias("id"), (F.col("value") + F.col("w")).alias("d"))
-                .groupBy("id")
-                .agg(F.min("d").alias("d"))  # min combiner — map-side partial agg
-            )
-            state = state.join(msgs, on="id", how="left").select(
-                "id",
-                F.when(F.col("d") < F.col("value"), F.col("d"))
-                .otherwise(F.col("value"))
-                .alias("value"),
-                (F.col("d") < F.col("value")).alias("_changed"),
-            )
-            frontier = state.filter(F.col("_changed")).select("id", "value")
-        # one checkpoint per chunk; the frontier is a lazy filter over it
-        state = loop.checkpoint(state)
+        it += 1
         frontier = state.filter(F.col("_changed")).select("id", "value")
-        if frontier.isEmpty():
+        msgs = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("id"), (F.col("value") + F.col("w")).alias("d"))
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))  # min combiner — map-side partial agg
+        )
+        new_state = state.join(msgs, on="id", how="left").select(
+            "id",
+            F.when(F.col("d") < F.col("value"), F.col("d"))
+            .otherwise(F.col("value"))
+            .alias("value"),
+            (F.col("d") < F.col("value")).alias("_changed"),
+        )
+        # ONE action: materialize the round + count relaxed vertices
+        state, row = loop.advance(new_state, probes=[_n_changed()])
+        if not row["n_changed"]:
             break
     result = state.select("id", "value").localCheckpoint(eager=True)
     loop.release()
@@ -142,20 +139,25 @@ def mssp(
     spark = graph.vertices.sparkSession
     edges = graph.edges.select("src", "dst", F.col("value").cast("double").alias("w")).persist()
 
-    lm_df = spark.createDataFrame([(l,) for l in landmarks], "landmark long")
+    # landmark column uses the graph's own id type (not hardcoded long)
+    id_type = dict(graph.vertices.dtypes)["id"]
+    lm_df = spark.createDataFrame([(l,) for l in landmarks], f"landmark {id_type}")
     # Sparse state: only (id, landmark) pairs actually reached carry a row —
     # at scale this is |V|·|reached landmarks|, not |V|·|landmarks|.
     state = (
         graph.vertices.select("id")
         .filter(F.col("id").isin(landmarks))
-        .select("id", F.col("id").alias("landmark"), F.lit(0.0).alias("dist"))
+        .select(
+            "id", F.col("id").alias("landmark"), F.lit(0.0).alias("dist"),
+            F.lit(True).alias("_changed"),
+        )
     )
-    loop = LoopState()
-    state = loop.checkpoint(state)
-    frontier = state
+    loop = ChainLoop()
+    state, _ = loop.advance(state)
     it = 0
     while it < max_iterations:
         it += 1
+        frontier = state.filter(F.col("_changed")).select("id", "landmark", "dist")
         msgs = (
             frontier.join(edges, frontier["id"] == edges["src"])
             .select(
@@ -164,8 +166,6 @@ def mssp(
             .groupBy("id", "landmark")
             .agg(F.min("d").alias("d"))
         )
-        # Single full-outer merge — state appears ONCE in the new plan, so
-        # lineage stays linear in the iteration count between checkpoints.
         merged = state.join(msgs, on=["id", "landmark"], how="full_outer").select(
             "id",
             "landmark",
@@ -174,11 +174,11 @@ def mssp(
             ).alias("dist"),
             (F.col("d") < F.coalesce(F.col("dist"), F.lit(INF))).alias("_changed"),
         )
-        merged = loop.checkpoint(merged)
-        state = merged.select("id", "landmark", "dist")
-        frontier = merged.filter(F.col("_changed")).select("id", "landmark", "dist")
-        if frontier.isEmpty():
+        # ONE action: materialize the round + count relaxed (id, landmark) pairs
+        state, row = loop.advance(merged, probes=[_n_changed()])
+        if not row["n_changed"]:
             break
+    state = state.select("id", "landmark", "dist")
     # reassemble the reference's map value, +inf for unreached landmarks
     full = (
         graph.vertices.select("id")

@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_graphs_spark.graph import Graph
-from kafka_graphs_spark.library._loop import LoopState
+from kafka_graphs_spark.library._loop import ChainLoop
 
 _NAN = float("nan")
 _INF = float("inf")
@@ -68,8 +68,8 @@ def sybil_rank(
         .join(tflag.withColumn("_t", F.lit(True)), on="id", how="left")
         .select("id", F.when(F.col("_t"), F.lit(init_rank)).otherwise(F.lit(0.0)).alias("u"))
     )
-    loop = LoopState()
-    u = loop.checkpoint(u)
+    loop = ChainLoop()
+    u, _ = loop.advance(u)
 
     for _ in range(power_iterations):
         msgs = (
@@ -79,7 +79,7 @@ def sybil_rank(
             .groupBy("id")
             .agg(F.sum("m").alias("m"))  # fan-in combines map-side
         )
-        u = loop.checkpoint(
+        u, _ = loop.advance(
             graph.vertices.select("id")
             .join(msgs, on="id", how="left")
             .select("id", F.coalesce(F.col("m"), F.lit(0.0)).alias("u"))

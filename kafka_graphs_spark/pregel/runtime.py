@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_graphs_spark.graph import Graph
+from kafka_graphs_spark.library._loop import eager_checkpoint, free_df
 from kafka_graphs_spark.pregel.aggregators import Aggregator
 
 
@@ -151,7 +152,8 @@ def pregel(
     master_compute: Optional[Callable[[int, Dict[str, float]], bool]] = None,
     configs: Optional[Dict[str, Any]] = None,
     num_partitions: Optional[int] = None,
-    checkpoint_interval: int = 1,
+    pre_superstep: Optional[Callable[[int, Dict[str, float]], None]] = None,
+    post_superstep: Optional[Callable[[int, Dict[str, float]], None]] = None,
 ) -> PregelResult:
     """Run a vertex-centric BSP computation to convergence.
 
@@ -168,6 +170,12 @@ def pregel(
         where the reference ships whole lists (SURVEY.md §4.2.3).
     master_compute(superstep, aggregates) -> bool: driver-side hook at the
         barrier; return True to halt (ComputeFunction.java:129-153).
+    pre_superstep / post_superstep(superstep, aggregates): partition-scoped
+        setup/teardown hooks, run on the EXECUTOR once per partition before
+        the first / after the last compute call of that superstep — the
+        reference's ComputeFunction.preSuperstep/postSuperstep
+        (ComputeFunction.java:72-73, invoked PregelComputation.java:743-747,
+        853-855). Must be picklable; side effects are per-worker-process.
     Termination: no vertex is active (all voted halt and no messages) or
         superstep limit (PregelComputation.java:564-578).
     """
@@ -221,7 +229,6 @@ def pregel(
         )
     else:
         messages = vertices.select("id", F.lit(None).cast(message_type).alias("message"))
-    has_real_messages = initial_message is not None
 
     superstep = 0
     state = "COMPLETED"
@@ -264,10 +271,17 @@ def pregel(
         active = joined.filter(is_active).join(adjacency, on="id", how="left")
         inactive = joined.filter(~is_active).select("id", "value", "halted")
 
+        pre_fn = pre_superstep
+        post_fn = post_superstep
+
         def run_compute(iterator):
+            # mapInPandas runs this once per PARTITION (iterator of Arrow
+            # batches) — the reference's per-partition hook scope.
             ctx = ComputeContext(agg_values, cfgs)
             import pandas as pd
 
+            if pre_fn is not None:
+                pre_fn(step, agg_values)
             for pdf in iterator:
                 out_rows = []
                 for row in pdf.itertuples(index=False):
@@ -296,6 +310,8 @@ def pregel(
                         "id", "value", "halted", "messages", "aggs", "edge_adds", "edge_dels",
                     ],
                 )
+            if post_fn is not None:
+                post_fn(step, agg_values)
 
         out = active.mapInPandas(run_compute, schema=out_schema).persist()
 
@@ -328,18 +344,43 @@ def pregel(
                     col = {"and": "min", "or": "max"}.get(agg.op, agg.op)
                     agg.merge(r[col])
 
-        # 4. next solution set = computed ∪ untouched.
-        new_vertices = (
+        # 4. next solution set = computed ∪ untouched — checkpointed while
+        # ``out`` is still persisted, so the (possibly non-deterministic)
+        # compute UDF executes exactly once per superstep.
+        new_vertices = eager_checkpoint(
             out.select("id", "value", "halted")
             .unionByName(inactive)
             .repartition(n_part, "id")
-            .localCheckpoint(eager=True)
         )
 
-        # 5. next work set.
-        new_messages = out.select(F.explode("messages").alias("m")).select(
-            F.col("m.target").alias("id"), F.col("m.message").alias("message")
+        superstep += 1
+
+        # ---- masterCompute at the barrier (ComputeFunction.java:129-153)
+        halted = bool(
+            master_compute is not None
+            and master_compute(superstep, {n: a.value for n, a in aggregators.items()})
         )
+        # no active vertex and no in-flight message ⇒ converged
+        # (PregelComputation.java:564-578)
+        halted = halted or (stats["n_msgs"] == 0 and stats["n_active"] == 0)
+        running = not halted and superstep < max_iterations
+
+        # 5. next work set — also materialized while ``out`` is persisted;
+        # deriving it lazily after out.unpersist() would re-run the whole
+        # compute pipeline a second time (and could diverge from the
+        # checkpointed vertex state if compute is non-deterministic).
+        if running and stats["n_msgs"] > 0:
+            new_messages = eager_checkpoint(
+                out.select(F.explode("messages").alias("m")).select(
+                    F.col("m.target").alias("id"), F.col("m.message").alias("message")
+                )
+            )
+        else:
+            # empty work set with the right schema; iteration (if any)
+            # proceeds on n_active alone.
+            new_messages = spark.createDataFrame(
+                [], f"id {id_type}, message {message_type}"
+            )
 
         # 6. apply edge mutations (rebuild the edges store only when mutated —
         # reference writes the local adjacency store, ComputeFunction.java:222-247).
@@ -348,39 +389,31 @@ def pregel(
                 "e.src", "e.dst", "e.value"
             ).dropDuplicates(["src", "dst"])
             dels = out.select(F.explode("edge_dels").alias("e")).select("e.src", "e.dst")
-            new_edges = (
+            new_edges = eager_checkpoint(
                 edges.join(adds.select("src", "dst"), on=["src", "dst"], how="left_anti")
                 .unionByName(adds)
                 .join(dels, on=["src", "dst"], how="left_anti")
-                .localCheckpoint(eager=True)
             )
-            edges = new_edges
-            adjacency.unpersist()
-            adjacency = build_adjacency(edges)
+            old_edges, edges = edges, new_edges
+            free_df(adjacency)
+            free_df(old_edges)
+            if running:
+                adjacency = build_adjacency(edges)
 
-        vertices.unpersist()
-        out.unpersist()
-        vertices = new_vertices
+        # everything derived from this superstep is materialized — drop the
+        # previous generation's blocks (plain unpersist is a no-op on
+        # checkpointed frames; free_df drops the RDD blocks explicitly).
+        free_df(out)
+        old_vertices, vertices = vertices, new_vertices
+        free_df(old_vertices)
+        old_messages, messages = messages, new_messages
+        free_df(old_messages)
 
-        superstep += 1
-        has_real_messages = True
-
-        # ---- masterCompute at the barrier (ComputeFunction.java:129-153)
-        if master_compute is not None:
-            if master_compute(superstep, {n: a.value for n, a in aggregators.items()}):
-                state = "HALTED"
-                break
-
-        if stats["n_msgs"] == 0 and stats["n_active"] == 0:
+        if halted:
             state = "HALTED"
             break
 
-        if stats["n_msgs"] > 0:
-            messages = new_messages.localCheckpoint(eager=True)
-        else:
-            messages = new_messages  # empty; loop relies on n_active
-
-    adjacency.unpersist()
+    free_df(adjacency)
     return PregelResult(
         vertices=vertices.select("id", "value"),
         edges=edges,

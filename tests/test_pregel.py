@@ -137,3 +137,40 @@ class TestPregelRuntime:
         )
         got = {r["id"]: r["value"] for r in res.vertices.collect()}
         assert got[99] == 5.0
+
+    def test_pre_post_superstep_hooks(self, chain, tmp_path):
+        """pre/postSuperstep run once per partition on the executor, before
+        the first / after the last compute call of the superstep.
+
+        Reference: ComputeFunction.java:72-73, invoked per partition at
+        PregelComputation.java:743-747 (pre) and :853-855 (post).
+        """
+        marker_dir = str(tmp_path)
+
+        def pre(step, aggs):
+            # partition-scoped setup: visible to compute in the same worker
+            import builtins
+            builtins._kgs_hook_bonus = 100.0
+
+        def post(step, aggs):
+            import os
+            # leave one marker per (superstep, worker pid): proves the hook
+            # ran executor-side after compute
+            open(os.path.join(marker_dir, f"post_{step}_{os.getpid()}"), "w").close()
+
+        def compute(step, vid, value, messages, out_edges, ctx):
+            import builtins
+            bonus = getattr(builtins, "_kgs_hook_bonus", 0.0)
+            ctx.set_new_vertex_value(bonus)
+            ctx.vote_to_halt()
+
+        res = pregel(
+            chain, compute, vertex_value_type="double", message_type="double",
+            max_iterations=1, pre_superstep=pre, post_superstep=post,
+        )
+        got = {r["id"]: r["value"] for r in res.vertices.collect()}
+        # without the pre hook every value would be 0.0
+        assert all(v == 100.0 for v in got.values())
+        import os
+        markers = [f for f in os.listdir(marker_dir) if f.startswith("post_0_")]
+        assert markers, "postSuperstep hook left no executor-side markers"
