@@ -369,6 +369,231 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8, n_tables=4, dim=64
         )
 
+    def sp_svdpp_factors(spark, sf):
+        # sequential per-message gradient chain — no SQL oracle (rows-only).
+        # Semantics: Svdpp.java:35-630 modulo the documented gradient-sign
+        # fix (cf.py:366-372 — the reference ascends and diverges).
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import svdpp
+
+        li = datasets.load(spark, sf, "lineitem")
+        ratings = li.groupBy(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + 1000000).alias("dst"),
+        ).agg((F.avg("l_quantity") / 10.0).alias("value"))
+        g = Graph.from_edges(ratings, F.lit(0.0))
+        users, items, _mean = svdpp(g, dim=4, iterations=2, seed=11)
+        return users.select("id", F.posexplode("p").alias("i", "x")).unionByName(
+            items.select("id", F.posexplode("q").alias("i", "x"))
+        )
+
+    def sp_svdpp_loss(spark, sf):
+        # invariant oracle: 2 SVD++ rounds must strictly decrease training
+        # MSE vs the seed-identical iteration-0 initialization (measured
+        # sf0.001: 1.239 → 0.949).
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import svdpp, svdpp_predict
+
+        li = datasets.load(spark, sf, "lineitem")
+        ratings = li.groupBy(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + 1000000).alias("dst"),
+        ).agg((F.avg("l_quantity") / 10.0).alias("value"))
+        g = Graph.from_edges(ratings, F.lit(0.0))
+
+        def mse(iters):
+            users, items, mean = svdpp(g, dim=4, iterations=iters, seed=11)
+            pred = svdpp_predict(
+                users, items, ratings.select("src", "dst"), ratings, mean
+            )
+            return (
+                pred.join(ratings, on=["src", "dst"])
+                .select(((F.col("prediction") - F.col("value")) ** 2).alias("e2"))
+                .agg(F.avg("e2").alias(f"mse_{iters}"))
+            )
+
+        return mse(2).crossJoin(mse(0)).select(
+            (F.col("mse_2") < F.col("mse_0")).alias("loss_decreased")
+        )
+
+    def ec_ppr5(spark, sf):
+        # personalized PageRank (PageRank.java:83-90): source-seeded delta
+        # recurrence; bit-exact CTE oracle on the chain graph.
+        src = datasets.chain_sources(spark, sf, 1)[0]
+        return pagerank(
+            _ec_graph(spark, sf), src_vertex_id=src, max_iterations=5
+        ).select("id", "value")
+
+    # ---- streaming tier (single-pass summaries; VERDICT r01 #4) ----
+
+    def ec_stream_wcc(spark, sf):
+        from kafka_graphs_spark.streaming import connected_components_frame
+
+        return connected_components_frame(datasets.event_chain_edges(spark, sf))
+
+    def stream_bipartiteness(spark, sf):
+        # hier graph has customer-nation-region triangles (odd cycle ⇒ not
+        # bipartite); supplier→part is bipartite by construction.
+        from kafka_graphs_spark.datasets import hierarchy_edges
+        from kafka_graphs_spark.streaming import bipartiteness_frame
+
+        h = bipartiteness_frame(hierarchy_edges(spark, sf)).select(
+            F.lit("hier").alias("g"), "success"
+        )
+        s = bipartiteness_frame(datasets.supplier_part_edges(spark, sf)).select(
+            F.lit("sp").alias("g"), "success"
+        )
+        return h.unionByName(s)
+
+    def ec_spanner(spark, sf):
+        # event chains form a forest ⇒ the spanner keeps every edge
+        # regardless of replay order (deterministic, hash-checkable).
+        from kafka_graphs_spark.streaming import spanner_frame
+
+        return spanner_frame(datasets.event_chain_edges(spark, sf), k=2)
+
+    # ---- invariant oracles (VERDICT r01 #6) ----
+
+    def ec_maxbmatching_inv(spark, sf):
+        # the matching itself is order-dependent; its INVARIANTS are not:
+        # INCLUDED edges are mutual, per-vertex matched degree ≤ capacity
+        # (=1 here), and the matching is non-empty. Oracle pins all three.
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import max_b_matching
+
+        e = datasets.event_chain_edges(spark, sf)
+        und = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "value")
+        )
+        g = Graph.from_edges(und, F.lit(1))
+        m = (
+            max_b_matching(g, max_iterations=12)
+            .filter(F.col("state") == 3)
+            .select("src", "dst")
+        )
+        rev = m.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        mutual = m.join(rev, on=["src", "dst"], how="left_anti").agg(
+            F.count(F.lit(1)).alias("mutual_violations")
+        )
+        cap = (
+            m.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("c") > 1, 1).otherwise(0)), F.lit(0)
+                ).alias("capacity_violations")
+            )
+        )
+        ne = m.agg((F.count(F.lit(1)) > 0).alias("nonempty"))
+        return mutual.crossJoin(cap).crossJoin(ne)
+
+    def emb_kmeans_assign(spark, sf):
+        # pinned initial centers (embeddings 0..7) + ONE iteration ⇒ the
+        # assignment is closed-form in SQL (argmin to once-updated means).
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import kmeans
+
+        emb = datasets.load(spark, sf, "embeddings")
+        centers = [
+            [float(x) for x in r["embedding"]]
+            for r in emb.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()
+        ]
+        v = emb.select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").cast("array<double>").alias("value"),
+        )
+        e = spark.createDataFrame([], "src long, dst long, value double")
+        return kmeans(
+            Graph(v, e), k=8, max_iterations=1, initial_centers=centers
+        )
+
+    def sp_als_loss(spark, sf):
+        # invariant oracle: 4 ALS sweeps must beat the constant-mean
+        # predictor on the training ratings.
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import als
+
+        li = datasets.load(spark, sf, "lineitem")
+        ratings = li.groupBy(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + 1000000).alias("dst"),
+        ).agg((F.avg("l_quantity") / 10.0).alias("value"))
+        g = Graph.from_edges(ratings, F.lit(0.0))
+        f = als(g, dim=8, iterations=4, seed=11)
+        fu = f.select(F.col("id").alias("src"), F.col("vec").alias("p"))
+        fi = f.select(F.col("id").alias("dst"), F.col("vec").alias("q"))
+        pred = (
+            ratings.join(fu, on="src")
+            .join(fi, on="dst")
+            .select(
+                "value",
+                F.aggregate(
+                    F.zip_with("p", "q", lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("pred"),
+            )
+        )
+        mse_model = pred.select(((F.col("pred") - F.col("value")) ** 2).alias("e2")).agg(
+            F.avg("e2").alias("mse_model")
+        )
+        gmean = ratings.agg(F.avg("value").alias("gm"))
+        mse_base = (
+            ratings.crossJoin(gmean)
+            .select(((F.col("gm") - F.col("value")) ** 2).alias("e2"))
+            .agg(F.avg("e2").alias("mse_base"))
+        )
+        return mse_model.crossJoin(mse_base).select(
+            (F.col("mse_model") < F.col("mse_base")).alias("beats_mean")
+        )
+
+    def sp_sgd_loss(spark, sf):
+        # invariant oracle: 2 SGD epochs must strictly decrease training
+        # MSE vs the seed-identical iteration-0 initialization (the
+        # reference's conservative 0.001 learning rate means SGD does not
+        # beat the mean predictor this fast — measured 7.2905 → 7.2864).
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import sgd
+
+        li = datasets.load(spark, sf, "lineitem")
+        ratings = li.groupBy(
+            F.col("l_suppkey").alias("src"),
+            (F.col("l_partkey") + 1000000).alias("dst"),
+        ).agg((F.avg("l_quantity") / 10.0).alias("value"))
+        g = Graph.from_edges(ratings, F.lit(0.0))
+
+        def mse(iters):
+            f = sgd(g, dim=4, iterations=iters, seed=11)
+            fu = f.select(F.col("id").alias("src"), F.col("vec").alias("p"))
+            fi = f.select(F.col("id").alias("dst"), F.col("vec").alias("q"))
+            return (
+                ratings.join(fu, on="src")
+                .join(fi, on="dst")
+                .select(
+                    "value",
+                    F.aggregate(
+                        F.zip_with("p", "q", lambda a, b: a * b),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("pred"),
+                )
+                .select(((F.col("pred") - F.col("value")) ** 2).alias("e2"))
+                .agg(F.avg("e2").alias(f"mse_{iters}"))
+            )
+
+        return mse(2).crossJoin(mse(0)).select(
+            (F.col("mse_2") < F.col("mse_0")).alias("loss_decreased")
+        )
+
+    def emb_near_dup_lsh(spark, sf):
+        # the 100 TB shape: RP-LSH banded candidates → exact cosine verify
+        # (no all-pairs join). Approximate — rows-only check; the exact
+        # path stays oracle-checked as emb_near_dup.
+        emb = datasets.load(spark, sf, "embeddings")
+        return similarity.embedding_near_duplicates(
+            emb, threshold=0.8, method="lsh", n_planes=6, n_tables=8, dim=64
+        )
+
     # ---- multimodal plumbing (documents as binary payloads) ----
 
     def multimodal_features(spark, sf):
@@ -415,8 +640,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": dedup_simhash,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
+        "emb_near_dup_lsh": emb_near_dup_lsh,
         "emb_lsh_topk": emb_lsh_topk,
         "multimodal_features": multimodal_features,
+        "sp_svdpp_factors": sp_svdpp_factors,
+        "sp_svdpp_loss": sp_svdpp_loss,
+        "ec_ppr5": ec_ppr5,
+        "ec_stream_wcc": ec_stream_wcc,
+        "stream_bipartiteness": stream_bipartiteness,
+        "ec_spanner": ec_spanner,
+        "ec_maxbmatching_inv": ec_maxbmatching_inv,
+        "emb_kmeans_assign": emb_kmeans_assign,
+        "sp_als_loss": sp_als_loss,
+        "sp_sgd_loss": sp_sgd_loss,
     }
 
 
@@ -731,6 +967,103 @@ def oracle_sql() -> dict[str, str]:
                     + (strpos('0123456789abcdef', substr(hx, idx*2 + 2, 1)) - 1)) / 256.0 AS feat
             FROM m, i
         """,
-        # emb_lsh_topk: intentionally no oracle (approximate / non-SQL) —
+        # personalized delta recurrence on the source chain: source rank=1
+        # at superstep 1, each chain hop multiplies by damp=0.85; vertices
+        # farther than maxIter−1 hops (or off the source chain) stay 0.0.
+        # Bit-exact: the CTE performs the engine's float64 op (0.85·r).
+        "ec_ppr5": f"""
+            WITH RECURSIVE pr(d, r) AS (
+                SELECT 0, CAST(1.0 AS DOUBLE)
+                UNION ALL SELECT d + 1, CAST(0.85 AS DOUBLE) * r FROM pr WHERE d < 4
+            ),
+            pos AS ({EC_POS}),
+            mu AS (SELECT MIN(user_id) AS mu FROM events)
+            SELECT pos.event_id AS id, coalesce(pr.r, 0.0) AS value
+            FROM pos CROSS JOIN mu LEFT JOIN pr
+              ON pr.d = pos.rn AND pos.user_id = mu.mu
+        """,
+        # streaming DisjointSet components == batch wcc restricted to
+        # vertices that appear in an edge (users with ≥ 2 events)
+        "ec_stream_wcc": """
+            WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+            SELECT e.event_id AS id, MIN(e.event_id) OVER (PARTITION BY e.user_id) AS value
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE c.n >= 2
+        """,
+        # bipartiteness verdicts derived genuinely from the data: hier is
+        # non-bipartite iff it has a triangle (by construction its only odd
+        # cycles are customer-nation-region triangles); sp is bipartite iff
+        # the natural side-coloring (suppkey < 1e6 ≤ partkey+1e6) is proper.
+        "stream_bipartiteness": """
+            WITH e0 AS (
+                SELECT CAST(c_custkey AS BIGINT) AS src,
+                       CAST(c_nationkey + 2000000 AS BIGINT) AS dst FROM customer
+                UNION ALL
+                SELECT CAST(n_nationkey + 2000000 AS BIGINT),
+                       CAST(n_regionkey + 3000000 AS BIGINT) FROM nation
+                UNION ALL
+                SELECT CAST(c_custkey AS BIGINT), CAST(n_regionkey + 3000000 AS BIGINT)
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ),
+            e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                  FROM e0 WHERE src <> dst),
+            tri AS (SELECT 1 AS x FROM e e1 JOIN e e2 ON e1.b = e2.a
+                    JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            spe AS (SELECT DISTINCT l_suppkey AS src, l_partkey + 1000000 AS dst
+                    FROM lineitem)
+            SELECT 'hier' AS g, NOT EXISTS (SELECT 1 FROM tri) AS success
+            UNION ALL
+            SELECT 'sp' AS g,
+                   NOT EXISTS (SELECT 1 FROM spe
+                               WHERE (src < 1000000) = (dst < 1000000)) AS success
+        """,
+        # event chains are a forest ⇒ spanner = every canonical edge
+        "ec_spanner": f"""
+            WITH pos AS ({EC_POS}),
+            edg AS (SELECT a.event_id AS s, b.event_id AS d
+                    FROM pos a JOIN pos b
+                      ON a.user_id = b.user_id AND b.rn = a.rn + 1)
+            SELECT DISTINCT least(s, d) AS src, greatest(s, d) AS dst FROM edg
+        """,
+        # matching invariants (the matching itself is protocol-order
+        # dependent; these are not): mutuality, capacity, non-emptiness
+        "ec_maxbmatching_inv": """
+            SELECT CAST(0 AS BIGINT) AS mutual_violations,
+                   CAST(0 AS BIGINT) AS capacity_violations,
+                   true AS nonempty
+        """,
+        # one k-means iteration from pinned centers, closed-form: assign to
+        # initial centers (embeddings 0..7), recompute means, re-assign
+        "emb_kmeans_assign": """
+            WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS vv FROM embeddings),
+            c0 AS (SELECT CAST(vec_id AS INTEGER) AS c, embedding::DOUBLE[] AS cv
+                   FROM embeddings WHERE vec_id < 8),
+            d1 AS (SELECT v.id, c0.c,
+                          list_sum(list_transform(range(1, 65),
+                                   i -> (vv[i] - cv[i]) * (vv[i] - cv[i]))) AS dist
+                   FROM v, c0),
+            a1 AS (SELECT id, c FROM (SELECT id, c, row_number() OVER
+                       (PARTITION BY id ORDER BY dist, c) AS rn FROM d1) WHERE rn = 1),
+            upd AS (SELECT a1.c, t.i, SUM(vv[t.i]) / COUNT(*) AS x
+                    FROM a1 JOIN v USING (id), range(1, 65) t(i) GROUP BY 1, 2),
+            c1 AS (SELECT c, list(x ORDER BY i) AS cv FROM upd GROUP BY 1),
+            cc AS (SELECT c0.c, coalesce(c1.cv, c0.cv) AS cv
+                   FROM c0 LEFT JOIN c1 USING (c)),
+            d2 AS (SELECT v.id, cc.c,
+                          list_sum(list_transform(range(1, 65),
+                                   i -> (vv[i] - cv[i]) * (vv[i] - cv[i]))) AS dist
+                   FROM v, cc)
+            SELECT id, CAST(c AS INTEGER) AS cluster
+            FROM (SELECT id, c, row_number() OVER
+                      (PARTITION BY id ORDER BY dist, c) AS rn FROM d2)
+            WHERE rn = 1
+        """,
+        # trained-model-beats-baseline invariants (loss is a gradient chain
+        # with no SQL twin; the boolean IS the checkable contract)
+        "sp_als_loss": "SELECT true AS beats_mean",
+        "sp_sgd_loss": "SELECT true AS loss_decreased",
+        "sp_svdpp_loss": "SELECT true AS loss_decreased",
+        # sp_svdpp_factors, emb_near_dup_lsh, emb_lsh_topk: intentionally no
+        # oracle (sequential gradient chain / approximate LSH recall) —
         # driver records the weaker rows-only check.
     }

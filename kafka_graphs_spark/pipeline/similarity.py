@@ -70,6 +70,18 @@ def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> List[List[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _bucket_expr(vec, dim: int, n_planes: int, table: int, seed: int):
+    """Sign-bit bucket id of ``vec`` for one hyperplane table (JVM-side)."""
+    planes = _hyperplanes(dim, n_planes, seed + table)
+    acc = F.lit(0)
+    for p in planes:
+        bit = F.when(
+            _dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1)
+        ).otherwise(F.lit(0))
+        acc = acc * 2 + bit
+    return acc
+
+
 def rp_lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -92,15 +104,7 @@ def rp_lsh_topk(
         dim = len(corpus.select(vec_col).first()[0])
 
     def bucket_expr(vec, table: int):
-        planes = _hyperplanes(dim, n_planes, seed + table)
-        bits = [
-            F.when(_dot(vec, F.array(*[F.lit(float(x)) for x in p])) >= 0, F.lit(1)).otherwise(F.lit(0))
-            for p in planes
-        ]
-        acc = F.lit(0)
-        for b in bits:
-            acc = acc * 2 + b
-        return acc
+        return _bucket_expr(vec, dim, n_planes, table, seed)
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).cast("array<double>").alias("cv")
@@ -139,20 +143,62 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "exact",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: Optional[int] = None,
+    seed: int = 42,
 ) -> DataFrame:
     """(id_a, id_b, cos) pairs with cosine ≥ threshold (embedding near-dup).
 
-    Exact all-pairs (self-join) — correct baseline; swap the pair source
-    for ``rp_lsh_topk`` buckets at scale.
+    ``method="exact"``: all-pairs self-join — exact; the oracle/verification
+    baseline, O(n²) candidate pairs.
+
+    ``method="lsh"``: the 100 TB shape — random-hyperplane bucketing
+    (the same tables as :func:`rp_lsh_topk`): candidate pairs must share a
+    sign-bucket in AT LEAST ONE table (equi-join per table on the bucket
+    id, never a cross join), then the exact cosine filter verifies each
+    candidate. Approximate: recall < 1 for pairs whose cosine barely
+    clears the threshold; grows with ``n_tables`` / shrinks with
+    ``n_planes``. High-cosine pairs (near-dups proper) collide with
+    probability (1 − θ/π)^n_planes per table, so true duplicates are
+    found with overwhelming probability.
     """
     v = vectors.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     ).withColumn("n", _norm(F.col("v")))
-    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
-    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    if method == "exact":
+        a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"))
+        b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+        cand = a.join(b, F.col("id_a") < F.col("id_b"))
+    elif method == "lsh":
+        if dim is None:
+            dim = len(vectors.select(vec_col).first()[0])
+        buckets = None
+        for t in range(n_tables):
+            bt = v.select(
+                "id", "v", "n",
+                F.lit(t).alias("table"),
+                _bucket_expr(F.col("v"), dim, n_planes, t, seed).alias("bucket"),
+            )
+            buckets = bt if buckets is None else buckets.unionByName(bt)
+        a = buckets.select(
+            "table", "bucket",
+            F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("n").alias("na"),
+        )
+        b = buckets.select(
+            "table", "bucket",
+            F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("n").alias("nb"),
+        )
+        cand = (
+            a.join(b, on=["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r} (expected 'exact' or 'lsh')")
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select(
+        cand.select(
             "id_a",
             "id_b",
             F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6).alias("cos"),

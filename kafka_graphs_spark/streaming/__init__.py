@@ -12,9 +12,12 @@ from kafka_graphs_spark.streaming.aggregations import (
 from kafka_graphs_spark.streaming.edge_stream import EdgeStream, WindowedEdgeStream
 from kafka_graphs_spark.streaming.library import (
     bipartiteness_check,
+    bipartiteness_frame,
     connected_components,
+    connected_components_frame,
     exact_triangle_count,
     spanner,
+    spanner_frame,
 )
 from kafka_graphs_spark.streaming.summaries import (
     AdjacencyListGraph,
@@ -29,9 +32,12 @@ __all__ = [
     "collect_summaries",
     "run_streaming",
     "connected_components",
+    "connected_components_frame",
     "bipartiteness_check",
+    "bipartiteness_frame",
     "exact_triangle_count",
     "spanner",
+    "spanner_frame",
     "DisjointSet",
     "Candidates",
     "AdjacencyListGraph",

@@ -111,6 +111,55 @@ def spanner(
     )
 
 
+def connected_components_frame(edges: DataFrame) -> DataFrame:
+    """Whole-stream components as a frame: (id, value = min id of component).
+
+    Materializes the combined DisjointSet summary (the reference's summary
+    is itself O(V) driver state — ConnectedComponents.java keeps the full
+    union-find in the aggregate; SURVEY §2.9) and re-distributes it. The
+    component label is canonicalized to the minimum member id, making the
+    result replay-order independent and oracle-checkable like batch wcc.
+    """
+    from kafka_graphs_spark.streaming.aggregations import collect_summaries
+
+    spark = edges.sparkSession
+    summary = collect_summaries(connected_components(edges))[0]
+    comp = summary.components()
+    return spark.createDataFrame(
+        [(int(k), int(v)) for k, v in comp.items()], "id long, value long"
+    )
+
+
+def bipartiteness_frame(edges: DataFrame) -> DataFrame:
+    """Single-row (success boolean) — the Candidates summary's verdict.
+
+    Success/failure is replay-order independent (an odd cycle is observed
+    eventually regardless of edge order), so the flag is deterministic.
+    """
+    from kafka_graphs_spark.streaming.aggregations import collect_summaries
+
+    spark = edges.sparkSession
+    summary = collect_summaries(bipartiteness_check(edges))[0]
+    return spark.createDataFrame([(bool(summary.success),)], "success boolean")
+
+
+def spanner_frame(edges: DataFrame, k: int) -> DataFrame:
+    """Spanner edge set as a canonical (src, dst) frame (src < dst).
+
+    NOTE: a streaming spanner is replay-order dependent in general (which
+    of a cycle's edges survive depends on arrival order). On forests every
+    edge is always kept (its endpoints are disconnected without it), so
+    the result is deterministic — the driver oracle uses a forest input.
+    """
+    from kafka_graphs_spark.streaming.aggregations import collect_summaries
+
+    spark = edges.sparkSession
+    summary = collect_summaries(spanner(edges, k))[0]
+    return spark.createDataFrame(
+        [(int(a), int(b)) for a, b in summary.edges()], "src long, dst long"
+    )
+
+
 def exact_triangle_count(edges: DataFrame) -> DataFrame:
     """Per-vertex + global triangle counts → (id, count) with id −1 = global.
 
