@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_graphs_spark.graph import Graph
-from kafka_graphs_spark.library._loop import ChainLoop
+from kafka_graphs_spark.library._loop import ChainLoop, sized_cache
 
 
 def connected_components(graph: Graph, max_iterations: int = 50) -> DataFrame:
@@ -30,12 +30,11 @@ def connected_components(graph: Graph, max_iterations: int = 50) -> DataFrame:
     over the undirected edge set reaches the same fixpoint with standard
     frontier semantics (HashMin, cf. GraphOperationsITCase/CC tests).
     """
-    und = (
+    und, release_und = sized_cache(
         graph.edges.select("src", "dst")
         .unionByName(graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .persist()
     )
     state = graph.vertices.select("id", F.col("id").alias("value"))
     loop = ChainLoop()
@@ -89,7 +88,7 @@ def connected_components(graph: Graph, max_iterations: int = 50) -> DataFrame:
             break
     result = state.select("id", "value").localCheckpoint(eager=True)
     loop.release()
-    und.unpersist()
+    release_und()
     return result
 
 
@@ -106,7 +105,7 @@ def label_propagation(graph: Graph, max_iterations: int = 10) -> DataFrame:
     a partial agg; argmax via max_by over struct(count, label) — the exact
     (count, then label) comparator of LabelPropagation.java:45-48.
     """
-    edges = graph.edges.select("src", "dst").persist()
+    edges, release_edges = sized_cache(graph.edges.select("src", "dst"))
     state = graph.vertices.select("id", F.col("id").alias("value"))
     loop = ChainLoop()
     state, _ = loop.advance(state)
@@ -131,5 +130,5 @@ def label_propagation(graph: Graph, max_iterations: int = 10) -> DataFrame:
         )
     result = state.localCheckpoint(eager=True)
     loop.release()
-    edges.unpersist()
+    release_edges()
     return result

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_graphs_spark.graph import Graph
-from kafka_graphs_spark.library._loop import INF, ChainLoop
+from kafka_graphs_spark.library._loop import INF, ChainLoop, sized_cache
 
 
 def pagerank(
@@ -50,11 +50,10 @@ def pagerank(
     # superstep 0: normalize out-edge weights to 1/outDegree
     # (PageRank.java:63-71 via cb.setNewEdgeValue)
     out_deg = graph.edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    edges_w = (
+    edges_w, release_edges = sized_cache(
         graph.edges.select("src", "dst")
         .join(out_deg, on="src")
         .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("w"))
-        .persist()
     )
 
     state = graph.vertices.select(
@@ -112,5 +111,5 @@ def pagerank(
         )
     result = state.select("id", F.col("rank").alias("value"), "delta").localCheckpoint(eager=True)
     loop.release()
-    edges_w.unpersist()
+    release_edges()
     return result

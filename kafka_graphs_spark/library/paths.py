@@ -31,11 +31,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_graphs_spark.graph import Graph
-from kafka_graphs_spark.library._loop import INF, MAX_LONG, ChainLoop
+from kafka_graphs_spark.library._loop import INF, MAX_LONG, ChainLoop, sized_cache
 
 def _n_changed():
     # built lazily: Column construction needs an active SparkContext
     return F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("n_changed")
+
+
+# Rounds per driver probe. Each chained round is a ChainLoop.chain leaf
+# (bounded plan); the probe action materializes the whole chunk in ONE
+# job, cutting driver round-trips ~CHUNK× on long-diameter graphs. Cost:
+# up to CHUNK−1 empty tail rounds after the frontier dies (no-op scans)
+# and a ≤2^CHUNK stats-estimate growth between measured probes — both
+# cheap at 8 (see ChainLoop.chain).
+_CHUNK = 8
+
+
+def _frontier_loop(loop: "ChainLoop", state, step, max_iterations: int):
+    """Drive a frontier-relaxation loop with chunked termination probes.
+
+    ``step(state, round_no)`` builds ONE lazy round from a leaf frame.
+    Rounds within a chunk are chained through ``loop.chain`` leaves; the
+    chunk-ending ``loop.advance`` materializes them all in one action and
+    reports whether the LAST round changed anything — if the frontier died
+    mid-chunk the remaining rounds are no-ops and the probe reads 0.
+    """
+    state, _ = loop.advance(state)
+    it = 0
+    while it < max_iterations:
+        n = min(_CHUNK, max_iterations - it)
+        for _ in range(n - 1):
+            it += 1
+            state = loop.chain(step(state, it))
+        it += 1
+        state, row = loop.advance(step(state, it), probes=[_n_changed()])
+        if not row["n_changed"]:
+            break
+    return state
 
 
 def bfs(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
@@ -44,7 +76,7 @@ def bfs(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
     Reference: BreadthFirstSearch.java:33-73 — superstep n labels the
     frontier with n; messages only carry activation. Returns (id, value).
     """
-    edges = graph.edges.select("src", "dst").persist()
+    edges, release_edges = sized_cache(graph.edges.select("src", "dst"))
     state = graph.vertices.select(
         "id",
         F.when(F.col("id") == src_vertex_id, F.lit(0).cast("long"))
@@ -52,18 +84,14 @@ def bfs(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
         .alias("value"),
         (F.col("id") == src_vertex_id).alias("_changed"),
     )
-    loop = ChainLoop()
-    state, _ = loop.advance(state)
-    hop = 0
-    while hop < max_iterations:
-        hop += 1
+    def step(state, hop):
         frontier = state.filter(F.col("_changed")).select("id")
         reached = (
             frontier.join(edges, frontier["id"] == edges["src"])
             .select(F.col("dst").alias("id"))
             .distinct()
         )
-        new_state = (
+        return (
             state.join(reached.withColumn("_new", F.lit(True)), on="id", how="left")
             .select(
                 "id",
@@ -73,13 +101,12 @@ def bfs(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
                 (F.col("_new") & (F.col("value") == MAX_LONG)).alias("_changed"),
             )
         )
-        # ONE action: materialize the round + count newly-labeled vertices
-        state, row = loop.advance(new_state, probes=[_n_changed()])
-        if not row["n_changed"]:
-            break
+
+    loop = ChainLoop()
+    state = _frontier_loop(loop, state, step, max_iterations)
     result = state.select("id", "value").localCheckpoint(eager=True)
     loop.release()
-    edges.unpersist()
+    release_edges()
     return result
 
 
@@ -90,17 +117,15 @@ def sssp(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
     min message < value, then send ``min + edge.value`` along out-edges.
     Returns (id, value double).
     """
-    edges = graph.edges.select("src", "dst", F.col("value").cast("double").alias("w")).persist()
+    edges, release_edges = sized_cache(
+        graph.edges.select("src", "dst", F.col("value").cast("double").alias("w"))
+    )
     state = graph.vertices.select(
         "id",
         F.when(F.col("id") == src_vertex_id, F.lit(0.0)).otherwise(F.lit(INF)).alias("value"),
         (F.col("id") == src_vertex_id).alias("_changed"),
     )
-    loop = ChainLoop()
-    state, _ = loop.advance(state)
-    it = 0
-    while it < max_iterations:
-        it += 1
+    def step(state, _it):
         frontier = state.filter(F.col("_changed")).select("id", "value")
         msgs = (
             frontier.join(edges, frontier["id"] == edges["src"])
@@ -108,20 +133,19 @@ def sssp(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
             .groupBy("id")
             .agg(F.min("d").alias("d"))  # min combiner — map-side partial agg
         )
-        new_state = state.join(msgs, on="id", how="left").select(
+        return state.join(msgs, on="id", how="left").select(
             "id",
             F.when(F.col("d") < F.col("value"), F.col("d"))
             .otherwise(F.col("value"))
             .alias("value"),
             (F.col("d") < F.col("value")).alias("_changed"),
         )
-        # ONE action: materialize the round + count relaxed vertices
-        state, row = loop.advance(new_state, probes=[_n_changed()])
-        if not row["n_changed"]:
-            break
+
+    loop = ChainLoop()
+    state = _frontier_loop(loop, state, step, max_iterations)
     result = state.select("id", "value").localCheckpoint(eager=True)
     loop.release()
-    edges.unpersist()
+    release_edges()
     return result
 
 
@@ -137,7 +161,9 @@ def mssp(
     """
     landmarks = list(landmark_vertex_ids)
     spark = graph.vertices.sparkSession
-    edges = graph.edges.select("src", "dst", F.col("value").cast("double").alias("w")).persist()
+    edges, release_edges = sized_cache(
+        graph.edges.select("src", "dst", F.col("value").cast("double").alias("w"))
+    )
 
     # landmark column uses the graph's own id type (not hardcoded long)
     id_type = dict(graph.vertices.dtypes)["id"]
@@ -152,11 +178,7 @@ def mssp(
             F.lit(True).alias("_changed"),
         )
     )
-    loop = ChainLoop()
-    state, _ = loop.advance(state)
-    it = 0
-    while it < max_iterations:
-        it += 1
+    def step(state, _it):
         frontier = state.filter(F.col("_changed")).select("id", "landmark", "dist")
         msgs = (
             frontier.join(edges, frontier["id"] == edges["src"])
@@ -166,7 +188,7 @@ def mssp(
             .groupBy("id", "landmark")
             .agg(F.min("d").alias("d"))
         )
-        merged = state.join(msgs, on=["id", "landmark"], how="full_outer").select(
+        return state.join(msgs, on=["id", "landmark"], how="full_outer").select(
             "id",
             "landmark",
             F.least(
@@ -174,10 +196,9 @@ def mssp(
             ).alias("dist"),
             (F.col("d") < F.coalesce(F.col("dist"), F.lit(INF))).alias("_changed"),
         )
-        # ONE action: materialize the round + count relaxed (id, landmark) pairs
-        state, row = loop.advance(merged, probes=[_n_changed()])
-        if not row["n_changed"]:
-            break
+
+    loop = ChainLoop()
+    state = _frontier_loop(loop, state, step, max_iterations)
     state = state.select("id", "landmark", "dist")
     # reassemble the reference's map value, +inf for unreached landmarks
     full = (
@@ -191,5 +212,5 @@ def mssp(
     )
     out = result.localCheckpoint(eager=True)
     loop.release()
-    edges.unpersist()
+    release_edges()
     return out

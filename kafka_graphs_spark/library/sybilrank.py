@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_graphs_spark.graph import Graph
-from kafka_graphs_spark.library._loop import ChainLoop
+from kafka_graphs_spark.library._loop import ChainLoop, sized_cache
 
 _NAN = float("nan")
 _INF = float("inf")
@@ -43,10 +43,12 @@ def sybil_rank(
     predicate over the vertex table. ``total_trust`` defaults to N
     (SybilRank.java:117-119 getTotalNumVertices).
     """
-    edges = graph.edges.select(
-        "src", "dst", F.col("value").cast("double").alias("w")
-    ).persist()
-    deg = edges.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("deg")).persist()
+    edges, release_edges = sized_cache(
+        graph.edges.select("src", "dst", F.col("value").cast("double").alias("w"))
+    )
+    deg, release_deg = sized_cache(
+        edges.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("deg"))
+    )
 
     if isinstance(trusted, DataFrame):
         tflag = graph.vertices.select("id").join(
@@ -90,8 +92,8 @@ def sybil_rank(
         # rank stays at the superstep-1 init value, unnormalized
         out = u.select("id", F.col("u").alias("value")).localCheckpoint(eager=True)
         loop.release()
-        edges.unpersist()
-        deg.unpersist()
+        release_edges()
+        release_deg()
         return out
 
     # final rank = u/deg; Java double semantics for deg==0 (0/0→NaN, x/0→Inf)
@@ -106,6 +108,6 @@ def sybil_rank(
     )
     out = result.localCheckpoint(eager=True)
     loop.release()
-    edges.unpersist()
-    deg.unpersist()
+    release_edges()
+    release_deg()
     return out
