@@ -202,3 +202,33 @@ class TestGenerators:
 
         g = star_graph(spark, 5)
         assert rows(g.edges.select("src", "dst")) == {(1, 0), (2, 0), (3, 0), (4, 0)}
+
+
+class TestImporterCli:
+    def test_import_vertices_and_edges(self, spark, tmp_path):
+        from kafka_graphs_spark.importer import run
+
+        vf = tmp_path / "v.txt"
+        ef = tmp_path / "e.txt"
+        vf.write_text("1 10\n2 20\n3 30\n")
+        ef.write_text("1 2 12\n2 3 23\n3 1 31\n")
+        out = tmp_path / "store"
+        rc = run(
+            [str(out), "-vf", str(vf), "-ef", str(ef), "-np", "4",
+             "--edge-value-type", "double"],
+            spark=spark,
+        )
+        assert rc == 0
+        v = spark.read.parquet(str(out / "vertices"))
+        e = spark.read.parquet(str(out / "edges"))
+        assert {tuple(r) for r in v.collect()} == {(1, 10), (2, 20), (3, 30)}
+        assert {tuple(r) for r in e.collect()} == {(1, 2, 12.0), (2, 3, 23.0), (3, 1, 31.0)}
+        assert dict(e.dtypes)["value"] == "double"
+
+    def test_import_requires_input(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from kafka_graphs_spark.importer import run
+
+        with _pytest.raises(SystemExit):
+            run([str(tmp_path / "store")], spark=spark)
