@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_graphs_spark.graph import Graph
-from kafka_graphs_spark.library._loop import LoopState
+from kafka_graphs_spark.library._loop import ChainLoop, sized_cache
 
 _FACTORS_SCHEMA = "id long, vec array<double>"
 
@@ -101,7 +101,9 @@ def als(
     convention). ``iterations`` counts half-steps (one side updated per
     step, items first), matching the reference's superstep alternation.
     """
-    edges = graph.edges.select("src", "dst", F.col("value").cast("double").alias("value")).persist()
+    edges, release_edges = sized_cache(
+        graph.edges.select("src", "dst", F.col("value").cast("double").alias("value"))
+    )
     rev = edges.select(
         F.col("dst").alias("src"), F.col("src").alias("dst"), "value"
     )  # Als.java InitItemsComputation cb.addEdge reverse
@@ -123,8 +125,8 @@ def als(
                 out.append(np.linalg.solve(A, V).tolist())
             yield pd.DataFrame({"id": pdf["id"], "vec": out})
 
-    loop = LoopState()
-    user_f = loop.checkpoint(_init_factors(users, dim, seed))
+    loop = ChainLoop()
+    user_f, _ = loop.advance(_init_factors(users, dim, seed))
     item_f = None
 
     dot = F.aggregate(
@@ -133,13 +135,13 @@ def als(
 
     for step in range(iterations):
         if step % 2 == 0:  # update items from user factors (original direction)
-            item_f = loop.checkpoint(
+            item_f, _ = loop.advance(
                 _gathered(edges, user_f, max_neighbors).mapInPandas(
                     solve_batch, schema=_FACTORS_SCHEMA
                 )
             )
         else:  # update users from item factors (reverse direction)
-            user_f = loop.checkpoint(
+            user_f, _ = loop.advance(
                 _gathered(rev, item_f, max_neighbors).mapInPandas(
                     solve_batch, schema=_FACTORS_SCHEMA
                 )
@@ -158,7 +160,7 @@ def als(
     result = user_f.unionByName(item_f if item_f is not None else user_f.limit(0))
     out = result.localCheckpoint(eager=True)
     loop.release()
-    edges.unpersist()
+    release_edges()
     return out
 
 
@@ -181,10 +183,14 @@ def sgd(
     the sequential in-place update chain (Sgd.java:222-237) is
     deterministic.
     """
-    edges = graph.edges.select("src", "dst", F.col("value").cast("double").alias("value")).persist()
-    und = edges.unionByName(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "value")
-    ).persist()
+    edges, release_edges = sized_cache(
+        graph.edges.select("src", "dst", F.col("value").cast("double").alias("value"))
+    )
+    und, release_und = sized_cache(
+        edges.unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "value")
+        )
+    )
     all_v = und.select(F.col("src").alias("id")).distinct()
     n_ratings = edges.count()
 
@@ -204,8 +210,8 @@ def sgd(
                 out.append(v.tolist())
             yield pd.DataFrame({"id": pdf["id"], "vec": out})
 
-    loop = LoopState()
-    factors = loop.checkpoint(_init_factors(all_v, dim, seed))
+    loop = ChainLoop()
+    factors, _ = loop.advance(_init_factors(all_v, dim, seed))
 
     dot = F.aggregate(
         F.zip_with(F.col("uv"), F.col("iv"), lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
@@ -215,7 +221,7 @@ def sgd(
         gathered = _gathered(und, factors, max_neighbors).join(
             factors.select("id", F.col("vec").alias("own")), on="id"
         )
-        factors = loop.checkpoint(
+        factors, _ = loop.advance(
             gathered.mapInPandas(update_batch, schema=_FACTORS_SCHEMA)
         )
         if rmse_target is not None:
@@ -236,8 +242,8 @@ def sgd(
 
     out = factors.localCheckpoint(eager=True)
     loop.release()
-    edges.unpersist()
-    und.unpersist()
+    release_edges()
+    release_und()
     return out
 
 
@@ -305,7 +311,9 @@ def svdpp(
     counterpart id. RMSE (aggregated on user supersteps) halts early when
     below ``rmse_target``.
     """
-    edges = graph.edges.select("src", "dst", F.col("value").cast("double").alias("value")).persist()
+    edges, release_edges = sized_cache(
+        graph.edges.select("src", "dst", F.col("value").cast("double").alias("value"))
+    )
     users = edges.select(F.col("src").alias("id")).distinct()
     items = edges.select(F.col("dst").alias("id")).distinct()
     n_ratings = edges.count()
@@ -335,9 +343,9 @@ def svdpp(
         )
         return vertices.mapInPandas(gen, schema=schema)
 
-    loop = LoopState()
-    user_f = loop.checkpoint(init_side(users, False))
-    item_f = loop.checkpoint(init_side(items, True))
+    loop = ChainLoop()
+    user_f, _ = loop.advance(init_side(users, False))
+    item_f, _ = loop.advance(init_side(items, True))
 
     msg_schema = (
         "id long, b double, vec array<double>, rmse double, "
@@ -416,7 +424,7 @@ def svdpp(
                 F.col("_bi").alias("bi"), F.col("_r").alias("r"))).alias("nbrs"))
             .join(user_f.select("id", "b", "vec"), on="id")
         )
-        ures = loop.checkpoint(gathered.mapInPandas(user_step, schema=msg_schema))
+        ures, _ = loop.advance(gathered.mapInPandas(user_step, schema=msg_schema))
         user_f = ures.select("id", "b", "vec")
 
         if rmse_target is not None:
@@ -432,7 +440,7 @@ def svdpp(
             .groupBy("id")
             .agg(F.collect_list("s").alias("steps"))
         )
-        item_f = loop.checkpoint(
+        item_f, _ = loop.advance(
             item_f.join(steps, on="id", how="left")
             .withColumn("steps", F.coalesce(F.col("steps"), F.array()))
             .mapInPandas(item_step, schema="id long, b double, vec array<double>, w array<double>")
@@ -442,7 +450,7 @@ def svdpp(
     items_out = item_f.select("id", "b", F.col("vec").alias("q"), F.col("w").alias("y")
                               ).localCheckpoint(eager=True)
     loop.release()
-    edges.unpersist()
+    release_edges()
     return users_out, items_out, mean
 
 
