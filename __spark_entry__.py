@@ -594,6 +594,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, threshold=0.8, method="lsh", n_planes=6, n_tables=8, dim=64
         )
 
+    def dedup_resolve(spark, sf):
+        # transitive duplicate-cluster resolution (keep-list): candidate
+        # pairs -> WCC -> min-id survivor per cluster; self when unique.
+        return dedup.resolve_duplicates(
+            datasets.load(spark, sf, "documents"), n=3, threshold=0.05
+        )
+
+    def emb_ivf_topk(spark, sf):
+        # IVF approximate ANN (k-means cells + n_probe) — rows-only check
+        emb = datasets.load(spark, sf, "embeddings")
+        return similarity.ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=4, dim=64
+        )
+
     # ---- multimodal plumbing (documents as binary payloads) ----
 
     def multimodal_features(spark, sf):
@@ -638,6 +652,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dedup_minhash,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "dedup_resolve": dedup_resolve,
+        "emb_ivf_topk": emb_ivf_topk,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
         "emb_near_dup_lsh": emb_near_dup_lsh,
@@ -1057,6 +1073,30 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT id, c, row_number() OVER
                       (PARTITION BY id ORDER BY dist, c) AS rn FROM d2)
             WHERE rn = 1
+        """,
+        # transitive closure of the candidate-pair graph by recursive
+        # reachability; component label = min reachable id (dup clusters
+        # are tiny, so the reach set is small even though it is quadratic
+        # per cluster)
+        "dedup_resolve": f"""
+            WITH RECURSIVE sh AS ({SHINGLES}),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            prs AS (SELECT doc_a, doc_b FROM inter
+                    JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05),
+            und AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                    UNION SELECT doc_b, doc_a FROM prs),
+            reach(id, r) AS (
+                SELECT s, s FROM und
+                UNION
+                SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.id
+            ),
+            keep AS (SELECT id, MIN(r) AS k FROM reach GROUP BY id)
+            SELECT d.doc_id, coalesce(keep.k, d.doc_id) AS keep_id
+            FROM documents d LEFT JOIN keep ON keep.id = d.doc_id
         """,
         # trained-model-beats-baseline invariants (loss is a gradient chain
         # with no SQL twin; the boolean IS the checkable contract)

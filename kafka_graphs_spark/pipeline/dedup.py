@@ -222,3 +222,44 @@ def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 2,
     return pairs.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def resolve_duplicates(
+    docs: DataFrame,
+    pairs: DataFrame = None,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(doc_id, keep_id) — canonical survivor per transitive duplicate group.
+
+    The KEEP LIST a training-data pipeline actually applies: duplicate
+    candidate ``pairs`` (default: :func:`ngram_jaccard_pairs` at
+    ``threshold``) form a graph whose connected components are the
+    duplicate clusters; every document maps to the MINIMUM doc_id of its
+    cluster (itself when unique). Filtering a corpus is then
+    ``WHERE doc_id = keep_id``.
+
+    Transitive closure runs on the distributed WCC from the algorithm
+    library (log-diameter pointer jumping) — pairs-at-scale come from the
+    LSH/banding generators, never an all-pairs join, and the component
+    step shuffles only the candidate-pair graph, which is tiny relative
+    to the corpus.
+    """
+    from kafka_graphs_spark.graph import Graph
+    from kafka_graphs_spark.library.components import connected_components
+
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(docs, n=n, threshold=threshold, text_col=text_col)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"), F.lit(1.0).alias("value")
+    )
+    comp = connected_components(
+        Graph.from_edges(edges, F.col("id")), max_iterations=max_iterations
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("id", "doc_id"), on="doc_id", how="left")
+        .select("doc_id", F.coalesce(F.col("value"), F.col("doc_id")).alias("keep_id"))
+    )
