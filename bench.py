@@ -53,6 +53,10 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
     docs.count()
     emb = datasets.load(spark, sf_dir, "embeddings").persist()
     emb.count()
+    # steady-state warm-up outside the timers: one short iteration JITs the
+    # loop machinery (codegen, Arrow workers) so the first timed query
+    # measures the engine, not JVM warm-up
+    pagerank(ec, max_iterations=1).count()
 
     def src():
         return datasets.chain_sources(spark, sf_dir, 1)[0]

@@ -126,41 +126,50 @@ def als(
             yield pd.DataFrame({"id": pdf["id"], "vec": out})
 
     loop = ChainLoop()
-    user_f, _ = loop.advance(_init_factors(users, dim, seed))
-    item_f = None
+    try:
+        user_f, _ = loop.advance(_init_factors(users, dim, seed))
+        item_f = None
 
-    dot = F.aggregate(
-        F.zip_with(F.col("uv"), F.col("iv"), lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
+        dot = F.aggregate(
+            F.zip_with(F.col("uv"), F.col("iv"), lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
 
-    for step in range(iterations):
-        if step % 2 == 0:  # update items from user factors (original direction)
-            item_f, _ = loop.advance(
-                _gathered(edges, user_f, max_neighbors).mapInPandas(
-                    solve_batch, schema=_FACTORS_SCHEMA
+        for step in range(iterations):
+            if step % 2 == 0:  # update items from user factors (original direction)
+                item_f, _ = loop.advance(
+                    _gathered(edges, user_f, max_neighbors).mapInPandas(
+                        solve_batch, schema=_FACTORS_SCHEMA
+                    )
                 )
-            )
-        else:  # update users from item factors (reverse direction)
-            user_f, _ = loop.advance(
-                _gathered(rev, item_f, max_neighbors).mapInPandas(
-                    solve_batch, schema=_FACTORS_SCHEMA
+            else:  # update users from item factors (reverse direction)
+                user_f, _ = loop.advance(
+                    _gathered(rev, item_f, max_neighbors).mapInPandas(
+                        solve_batch, schema=_FACTORS_SCHEMA
+                    )
                 )
-            )
-        if rmse_target is not None and item_f is not None:
-            sq = (
-                edges.join(user_f.select(F.col("id").alias("src"), F.col("vec").alias("uv")), on="src")
-                .join(item_f.select(F.col("id").alias("dst"), F.col("vec").alias("iv")), on="dst")
-                .select(((dot - F.col("value")) ** 2).alias("e2"))
-                .agg(F.sum("e2").alias("s"))
-                .collect()[0]["s"]
-            )
-            if math.sqrt(sq / n_ratings) < rmse_target:
-                break
+            if rmse_target is not None and item_f is not None:
+                sq = (
+                    edges.join(
+                        user_f.select(F.col("id").alias("src"), F.col("vec").alias("uv")),
+                        on="src",
+                    )
+                    .join(
+                        item_f.select(F.col("id").alias("dst"), F.col("vec").alias("iv")),
+                        on="dst",
+                    )
+                    .select(((dot - F.col("value")) ** 2).alias("e2"))
+                    .agg(F.sum("e2").alias("s"))
+                    .collect()[0]["s"]
+                )
+                if math.sqrt(sq / n_ratings) < rmse_target:
+                    break
 
-    result = user_f.unionByName(item_f if item_f is not None else user_f.limit(0))
-    out = result.localCheckpoint(eager=True)
-    loop.release()
-    release_edges()
+        result = user_f.unionByName(item_f if item_f is not None else user_f.limit(0))
+        out = result.localCheckpoint(eager=True)
+    finally:
+        loop.release()
+        release_edges()
     return out
 
 
@@ -211,39 +220,51 @@ def sgd(
             yield pd.DataFrame({"id": pdf["id"], "vec": out})
 
     loop = ChainLoop()
-    factors, _ = loop.advance(_init_factors(all_v, dim, seed))
+    try:
+        factors, _ = loop.advance(_init_factors(all_v, dim, seed))
 
-    dot = F.aggregate(
-        F.zip_with(F.col("uv"), F.col("iv"), lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
-    )
+        dot = F.aggregate(
+            F.zip_with(F.col("uv"), F.col("iv"), lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
 
-    for _ in range(iterations):
-        gathered = _gathered(und, factors, max_neighbors).join(
-            factors.select("id", F.col("vec").alias("own")), on="id"
-        )
-        factors, _ = loop.advance(
-            gathered.mapInPandas(update_batch, schema=_FACTORS_SCHEMA)
-        )
-        if rmse_target is not None:
-            sq = (
-                edges.join(factors.select(F.col("id").alias("src"), F.col("vec").alias("uv")), on="src")
-                .join(factors.select(F.col("id").alias("dst"), F.col("vec").alias("iv")), on="dst")
-                .select(
-                    (
-                        (F.least(F.greatest(dot, F.lit(min_rating)), F.lit(max_rating)) - F.col("value"))
-                        ** 2
-                    ).alias("e2")
-                )
-                .agg(F.sum("e2").alias("s"))
-                .collect()[0]["s"]
+        for _ in range(iterations):
+            gathered = _gathered(und, factors, max_neighbors).join(
+                factors.select("id", F.col("vec").alias("own")), on="id"
             )
-            if math.sqrt(sq / n_ratings) < rmse_target:
-                break
+            factors, _ = loop.advance(
+                gathered.mapInPandas(update_batch, schema=_FACTORS_SCHEMA)
+            )
+            if rmse_target is not None:
+                sq = (
+                    edges.join(
+                        factors.select(F.col("id").alias("src"), F.col("vec").alias("uv")),
+                        on="src",
+                    )
+                    .join(
+                        factors.select(F.col("id").alias("dst"), F.col("vec").alias("iv")),
+                        on="dst",
+                    )
+                    .select(
+                        (
+                            (
+                                F.least(F.greatest(dot, F.lit(min_rating)), F.lit(max_rating))
+                                - F.col("value")
+                            )
+                            ** 2
+                        ).alias("e2")
+                    )
+                    .agg(F.sum("e2").alias("s"))
+                    .collect()[0]["s"]
+                )
+                if math.sqrt(sq / n_ratings) < rmse_target:
+                    break
 
-    out = factors.localCheckpoint(eager=True)
-    loop.release()
-    release_edges()
-    release_und()
+        out = factors.localCheckpoint(eager=True)
+    finally:
+        loop.release()
+        release_edges()
+        release_und()
     return out
 
 
@@ -344,113 +365,115 @@ def svdpp(
         return vertices.mapInPandas(gen, schema=schema)
 
     loop = ChainLoop()
-    user_f, _ = loop.advance(init_side(users, False))
-    item_f, _ = loop.advance(init_side(items, True))
+    try:
+        user_f, _ = loop.advance(init_side(users, False))
+        item_f, _ = loop.advance(init_side(items, True))
 
-    msg_schema = (
-        "id long, b double, vec array<double>, rmse double, "
-        "msgs array<struct<item: long, fstep: array<double>, wstep: array<double>, bstep: double>>"
-    )
+        msg_schema = (
+            "id long, b double, vec array<double>, rmse double, "
+            "msgs array<struct<item: long, fstep: array<double>, wstep: array<double>, bstep: double>>"
+        )
 
-    def user_step(batches: Iterator) -> Iterator:
-        import numpy as np
-        import pandas as pd
+        def user_step(batches: Iterator) -> Iterator:
+            import numpy as np
+            import pandas as pd
 
-        for pdf in batches:
-            rows = []
-            for uid, bu, p, nbrs in zip(pdf["id"], pdf["b"], pdf["vec"], pdf["nbrs"]):
-                p = np.asarray(p, dtype="float64").copy()
-                bu = float(bu)
-                nbrs = sorted(nbrs, key=lambda t: t["i"])  # TreeMap order, Svdpp.java:428-431
-                n = len(nbrs)
-                sum_w = np.zeros(dim)
-                for t in nbrs:
-                    sum_w += np.asarray(t["w"], dtype="float64")
-                imp = sum_w / math.sqrt(n)
-                w_step = np.zeros(dim)
-                for t in nbrs:
-                    q = np.asarray(t["q"], dtype="float64")
-                    pred = min(max(mean + bu + t["bi"] + float(q @ (p + imp)), min_rating), max_rating)
-                    # NOTE: standard Koren'08 sign (err = observed − predicted).
-                    # The reference's UserComputation.updateValue (Svdpp.java
-                    # :388-393, :184-190) ADDS the (predicted − observed)
-                    # gradient — an ascent step that diverges; its own Sgd.java
-                    # :222-237 subtracts. We use descent and pin our goldens.
-                    err = t["r"] - pred
-                    bu = bu + bias_gamma * (err - bias_lambda * bu)
-                    p += -factor_lambda * factor_gamma * p + factor_gamma * err * q
-                    w_step += err * q
-                w_step *= factor_gamma / math.sqrt(n)
-                msgs, rmse = [], 0.0
-                for t in nbrs:
-                    q = np.asarray(t["q"], dtype="float64")
-                    pred = min(max(mean + bu + t["bi"] + float(q @ (p + imp)), min_rating), max_rating)
-                    err = t["r"] - pred
-                    f_step = (imp + p) * (factor_gamma * err)
-                    rmse += err * err
-                    msgs.append((int(t["i"]), f_step.tolist(), w_step.tolist(), bias_gamma * err))
-                rows.append((int(uid), bu, p.tolist(), rmse, msgs))
-            yield pd.DataFrame(rows, columns=["id", "b", "vec", "rmse", "msgs"])
+            for pdf in batches:
+                rows = []
+                for uid, bu, p, nbrs in zip(pdf["id"], pdf["b"], pdf["vec"], pdf["nbrs"]):
+                    p = np.asarray(p, dtype="float64").copy()
+                    bu = float(bu)
+                    nbrs = sorted(nbrs, key=lambda t: t["i"])  # TreeMap order, Svdpp.java:428-431
+                    n = len(nbrs)
+                    sum_w = np.zeros(dim)
+                    for t in nbrs:
+                        sum_w += np.asarray(t["w"], dtype="float64")
+                    imp = sum_w / math.sqrt(n)
+                    w_step = np.zeros(dim)
+                    for t in nbrs:
+                        q = np.asarray(t["q"], dtype="float64")
+                        pred = min(max(mean + bu + t["bi"] + float(q @ (p + imp)), min_rating), max_rating)
+                        # NOTE: standard Koren'08 sign (err = observed − predicted).
+                        # The reference's UserComputation.updateValue (Svdpp.java
+                        # :388-393, :184-190) ADDS the (predicted − observed)
+                        # gradient — an ascent step that diverges; its own Sgd.java
+                        # :222-237 subtracts. We use descent and pin our goldens.
+                        err = t["r"] - pred
+                        bu = bu + bias_gamma * (err - bias_lambda * bu)
+                        p += -factor_lambda * factor_gamma * p + factor_gamma * err * q
+                        w_step += err * q
+                    w_step *= factor_gamma / math.sqrt(n)
+                    msgs, rmse = [], 0.0
+                    for t in nbrs:
+                        q = np.asarray(t["q"], dtype="float64")
+                        pred = min(max(mean + bu + t["bi"] + float(q @ (p + imp)), min_rating), max_rating)
+                        err = t["r"] - pred
+                        f_step = (imp + p) * (factor_gamma * err)
+                        rmse += err * err
+                        msgs.append((int(t["i"]), f_step.tolist(), w_step.tolist(), bias_gamma * err))
+                    rows.append((int(uid), bu, p.tolist(), rmse, msgs))
+                yield pd.DataFrame(rows, columns=["id", "b", "vec", "rmse", "msgs"])
 
-    def item_step(batches: Iterator) -> Iterator:
-        import numpy as np
-        import pandas as pd
+        def item_step(batches: Iterator) -> Iterator:
+            import numpy as np
+            import pandas as pd
 
-        for pdf in batches:
-            rows = []
-            for iid, bi, q, y, steps in zip(pdf["id"], pdf["b"], pdf["vec"], pdf["w"], pdf["steps"]):
-                q = np.asarray(q, dtype="float64").copy()
-                y = np.asarray(y, dtype="float64").copy()
-                bi = float(bi)
-                for s in sorted(steps, key=lambda t: t["u"]):
-                    bi = bi + s["bstep"] - bias_gamma * bias_lambda * bi
-                    q += np.asarray(s["fstep"], dtype="float64") - factor_gamma * factor_lambda * q
-                    y += np.asarray(s["wstep"], dtype="float64") - factor_gamma * factor_lambda * y
-                rows.append((int(iid), bi, q.tolist(), y.tolist()))
-            yield pd.DataFrame(rows, columns=["id", "b", "vec", "w"])
+            for pdf in batches:
+                rows = []
+                for iid, bi, q, y, steps in zip(pdf["id"], pdf["b"], pdf["vec"], pdf["w"], pdf["steps"]):
+                    q = np.asarray(q, dtype="float64").copy()
+                    y = np.asarray(y, dtype="float64").copy()
+                    bi = float(bi)
+                    for s in sorted(steps, key=lambda t: t["u"]):
+                        bi = bi + s["bstep"] - bias_gamma * bias_lambda * bi
+                        q += np.asarray(s["fstep"], dtype="float64") - factor_gamma * factor_lambda * q
+                        y += np.asarray(s["wstep"], dtype="float64") - factor_gamma * factor_lambda * y
+                    rows.append((int(iid), bi, q.tolist(), y.tolist()))
+                yield pd.DataFrame(rows, columns=["id", "b", "vec", "w"])
 
-    for _ in range(iterations):
-        gathered = (
-            edges.select(F.col("src").alias("id"), F.col("dst").alias("_i"),
-                         F.col("value").alias("_r"))
-            .join(
-                item_f.select(F.col("id").alias("_i"), F.col("b").alias("_bi"),
-                              F.col("vec").alias("_q"), F.col("w").alias("_w")),
-                on="_i",
+        for _ in range(iterations):
+            gathered = (
+                edges.select(F.col("src").alias("id"), F.col("dst").alias("_i"),
+                             F.col("value").alias("_r"))
+                .join(
+                    item_f.select(F.col("id").alias("_i"), F.col("b").alias("_bi"),
+                                  F.col("vec").alias("_q"), F.col("w").alias("_w")),
+                    on="_i",
+                )
+                .groupBy("id")
+                .agg(F.collect_list(F.struct(
+                    F.col("_i").alias("i"), F.col("_q").alias("q"), F.col("_w").alias("w"),
+                    F.col("_bi").alias("bi"), F.col("_r").alias("r"))).alias("nbrs"))
+                .join(user_f.select("id", "b", "vec"), on="id")
             )
-            .groupBy("id")
-            .agg(F.collect_list(F.struct(
-                F.col("_i").alias("i"), F.col("_q").alias("q"), F.col("_w").alias("w"),
-                F.col("_bi").alias("bi"), F.col("_r").alias("r"))).alias("nbrs"))
-            .join(user_f.select("id", "b", "vec"), on="id")
-        )
-        ures, _ = loop.advance(gathered.mapInPandas(user_step, schema=msg_schema))
-        user_f = ures.select("id", "b", "vec")
+            ures, _ = loop.advance(gathered.mapInPandas(user_step, schema=msg_schema))
+            user_f = ures.select("id", "b", "vec")
 
-        if rmse_target is not None:
-            sq = ures.agg(F.sum("rmse")).collect()[0][0] or 0.0
-            if math.sqrt(sq / n_ratings) < rmse_target:
-                break
+            if rmse_target is not None:
+                sq = ures.agg(F.sum("rmse")).collect()[0][0] or 0.0
+                if math.sqrt(sq / n_ratings) < rmse_target:
+                    break
 
-        steps = (
-            ures.select(F.col("id").alias("u"), F.explode("msgs").alias("m"))
-            .select(F.col("m.item").alias("id"), F.struct(
-                F.col("u").alias("u"), F.col("m.fstep").alias("fstep"),
-                F.col("m.wstep").alias("wstep"), F.col("m.bstep").alias("bstep")).alias("s"))
-            .groupBy("id")
-            .agg(F.collect_list("s").alias("steps"))
-        )
-        item_f, _ = loop.advance(
-            item_f.join(steps, on="id", how="left")
-            .withColumn("steps", F.coalesce(F.col("steps"), F.array()))
-            .mapInPandas(item_step, schema="id long, b double, vec array<double>, w array<double>")
-        )
+            steps = (
+                ures.select(F.col("id").alias("u"), F.explode("msgs").alias("m"))
+                .select(F.col("m.item").alias("id"), F.struct(
+                    F.col("u").alias("u"), F.col("m.fstep").alias("fstep"),
+                    F.col("m.wstep").alias("wstep"), F.col("m.bstep").alias("bstep")).alias("s"))
+                .groupBy("id")
+                .agg(F.collect_list("s").alias("steps"))
+            )
+            item_f, _ = loop.advance(
+                item_f.join(steps, on="id", how="left")
+                .withColumn("steps", F.coalesce(F.col("steps"), F.array()))
+                .mapInPandas(item_step, schema="id long, b double, vec array<double>, w array<double>")
+            )
 
-    users_out = user_f.select("id", "b", F.col("vec").alias("p")).localCheckpoint(eager=True)
-    items_out = item_f.select("id", "b", F.col("vec").alias("q"), F.col("w").alias("y")
-                              ).localCheckpoint(eager=True)
-    loop.release()
-    release_edges()
+        users_out = user_f.select("id", "b", F.col("vec").alias("p")).localCheckpoint(eager=True)
+        items_out = item_f.select("id", "b", F.col("vec").alias("q"), F.col("w").alias("y")
+                                  ).localCheckpoint(eager=True)
+    finally:
+        loop.release()
+        release_edges()
     return users_out, items_out, mean
 
 

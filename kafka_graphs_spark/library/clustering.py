@@ -143,9 +143,9 @@ def semi_clustering(
     """
     from pyspark.sql.window import Window
 
-    from kafka_graphs_spark.library._loop import ChainLoop
+    from kafka_graphs_spark.library._loop import ChainLoop, sized_cache
 
-    und = (
+    und, release_und = sized_cache(
         graph.edges.select("src", "dst", F.col("value").cast("double").alias("w"))
         .unionByName(
             graph.edges.select(
@@ -155,7 +155,6 @@ def semi_clustering(
         )
         .groupBy("src", "dst")
         .agg(F.max("w").alias("w"))
-        .persist()
     )
 
     # state: value = top-k clusters CONTAINING the vertex (SemiClustering.java
@@ -167,6 +166,22 @@ def semi_clustering(
         )
     )
     loop = ChainLoop()
+    try:
+        out = _semi_clustering_loop(
+            loop, state, und, iterations, max_clusters, cluster_capacity, score_factor
+        )
+    finally:
+        loop.release()
+        release_und()
+    return out
+
+
+def _semi_clustering_loop(
+    loop, state, und, iterations, max_clusters, cluster_capacity, score_factor
+):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
     state, _ = loop.advance(state)
 
     for _ in range(iterations):
@@ -263,7 +278,6 @@ def semi_clustering(
         )
         state, _ = loop.advance(new_state)
 
-    out = state.select("id", F.col("value").alias("clusters")).localCheckpoint(eager=True)
-    loop.release()
-    und.unpersist()
-    return out
+    return state.select("id", F.col("value").alias("clusters")).localCheckpoint(
+        eager=True
+    )

@@ -38,6 +38,15 @@ def connected_components(graph: Graph, max_iterations: int = 50) -> DataFrame:
     )
     state = graph.vertices.select("id", F.col("id").alias("value"))
     loop = ChainLoop()
+    try:
+        result = _wcc_loop(loop, state, und, max_iterations)
+    finally:
+        loop.release()
+        release_und()
+    return result
+
+
+def _wcc_loop(loop, state, und, max_iterations):
     state, _ = loop.advance(state)
     it = 0
     while it < max_iterations:
@@ -86,10 +95,7 @@ def connected_components(graph: Graph, max_iterations: int = 50) -> DataFrame:
         )
         if not row["n"]:
             break
-    result = state.select("id", "value").localCheckpoint(eager=True)
-    loop.release()
-    release_und()
-    return result
+    return state.select("id", "value").localCheckpoint(eager=True)
 
 
 def label_propagation(graph: Graph, max_iterations: int = 10) -> DataFrame:
@@ -108,27 +114,29 @@ def label_propagation(graph: Graph, max_iterations: int = 10) -> DataFrame:
     edges, release_edges = sized_cache(graph.edges.select("src", "dst"))
     state = graph.vertices.select("id", F.col("id").alias("value"))
     loop = ChainLoop()
-    state, _ = loop.advance(state)
-    for _ in range(max_iterations):
-        counts = (
-            state.join(edges, state["id"] == edges["src"])
-            .groupBy(F.col("dst").alias("id"), F.col("value").alias("label"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        best = counts.groupBy("id").agg(
-            F.max_by("label", F.struct(F.col("cnt"), F.col("label"))).alias("best")
-        )
-        # fixed iteration count (no vote-to-halt in the reference) — the
-        # advance action only materializes the round
-        state, _ = loop.advance(
-            state.join(best, on="id", how="left").select(
-                "id",
-                F.when(F.col("best") > F.col("value"), F.col("best"))
-                .otherwise(F.col("value"))
-                .alias("value"),
+    try:
+        state, _ = loop.advance(state)
+        for _ in range(max_iterations):
+            counts = (
+                state.join(edges, state["id"] == edges["src"])
+                .groupBy(F.col("dst").alias("id"), F.col("value").alias("label"))
+                .agg(F.count(F.lit(1)).alias("cnt"))
             )
-        )
-    result = state.localCheckpoint(eager=True)
-    loop.release()
-    release_edges()
+            best = counts.groupBy("id").agg(
+                F.max_by("label", F.struct(F.col("cnt"), F.col("label"))).alias("best")
+            )
+            # fixed iteration count (no vote-to-halt in the reference) — the
+            # advance action only materializes the round
+            state, _ = loop.advance(
+                state.join(best, on="id", how="left").select(
+                    "id",
+                    F.when(F.col("best") > F.col("value"), F.col("best"))
+                    .otherwise(F.col("value"))
+                    .alias("value"),
+                )
+            )
+        result = state.localCheckpoint(eager=True)
+    finally:
+        loop.release()
+        release_edges()
     return result

@@ -66,6 +66,17 @@ def pagerank(
         ).alias("delta"),
     )
     loop = ChainLoop()
+    try:
+        result = _pagerank_loop(
+            loop, state, edges_w, init_msg, damp, tolerance, max_iterations
+        )
+    finally:
+        loop.release()
+        release_edges()
+    return result
+
+
+def _pagerank_loop(loop, state, edges_w, init_msg, damp, tolerance, max_iterations):
     state, _ = loop.advance(state)
 
     # superstep 0 re-sends the initial message to self → at superstep 1
@@ -109,7 +120,6 @@ def pagerank(
         msgs = senders.join(edges_w, senders["id"] == edges_w["src"]).select(
             F.col("dst").alias("id"), (F.col("delta") * F.col("w")).alias("m")
         )
-    result = state.select("id", F.col("rank").alias("value"), "delta").localCheckpoint(eager=True)
-    loop.release()
-    release_edges()
-    return result
+    return state.select("id", F.col("rank").alias("value"), "delta").localCheckpoint(
+        eager=True
+    )

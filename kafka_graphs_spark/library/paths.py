@@ -103,10 +103,12 @@ def bfs(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
         )
 
     loop = ChainLoop()
-    state = _frontier_loop(loop, state, step, max_iterations)
-    result = state.select("id", "value").localCheckpoint(eager=True)
-    loop.release()
-    release_edges()
+    try:
+        state = _frontier_loop(loop, state, step, max_iterations)
+        result = state.select("id", "value").localCheckpoint(eager=True)
+    finally:
+        loop.release()
+        release_edges()
     return result
 
 
@@ -142,10 +144,12 @@ def sssp(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
         )
 
     loop = ChainLoop()
-    state = _frontier_loop(loop, state, step, max_iterations)
-    result = state.select("id", "value").localCheckpoint(eager=True)
-    loop.release()
-    release_edges()
+    try:
+        state = _frontier_loop(loop, state, step, max_iterations)
+        result = state.select("id", "value").localCheckpoint(eager=True)
+    finally:
+        loop.release()
+        release_edges()
     return result
 
 
@@ -198,19 +202,23 @@ def mssp(
         )
 
     loop = ChainLoop()
-    state = _frontier_loop(loop, state, step, max_iterations)
-    state = state.select("id", "landmark", "dist")
-    # reassemble the reference's map value, +inf for unreached landmarks
-    full = (
-        graph.vertices.select("id")
-        .crossJoin(F.broadcast(lm_df))
-        .join(state, on=["id", "landmark"], how="left")
-        .select("id", "landmark", F.coalesce(F.col("dist"), F.lit(INF)).alias("dist"))
-    )
-    result = full.groupBy("id").agg(
-        F.map_from_entries(F.sort_array(F.collect_list(F.struct("landmark", "dist")))).alias("value")
-    )
-    out = result.localCheckpoint(eager=True)
-    loop.release()
-    release_edges()
+    try:
+        state = _frontier_loop(loop, state, step, max_iterations)
+        state = state.select("id", "landmark", "dist")
+        # reassemble the reference's map value, +inf for unreached landmarks
+        full = (
+            graph.vertices.select("id")
+            .crossJoin(F.broadcast(lm_df))
+            .join(state, on=["id", "landmark"], how="left")
+            .select("id", "landmark", F.coalesce(F.col("dist"), F.lit(INF)).alias("dist"))
+        )
+        result = full.groupBy("id").agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("landmark", "dist")))
+            ).alias("value")
+        )
+        out = result.localCheckpoint(eager=True)
+    finally:
+        loop.release()
+        release_edges()
     return out

@@ -71,43 +71,50 @@ def sybil_rank(
         .select("id", F.when(F.col("_t"), F.lit(init_rank)).otherwise(F.lit(0.0)).alias("u"))
     )
     loop = ChainLoop()
-    u, _ = loop.advance(u)
+    try:
+        u, _ = loop.advance(u)
 
-    for _ in range(power_iterations):
-        msgs = (
-            u.join(edges, u["id"] == edges["src"])
-            .join(deg, edges["src"] == deg["id"])
-            .select(F.col("dst").alias("id"), (F.col("u") * F.col("w") / F.col("deg")).alias("m"))
-            .groupBy("id")
-            .agg(F.sum("m").alias("m"))  # fan-in combines map-side
-        )
-        u, _ = loop.advance(
-            graph.vertices.select("id")
-            .join(msgs, on="id", how="left")
-            .select("id", F.coalesce(F.col("m"), F.lit(0.0)).alias("u"))
-        )
+        for _ in range(power_iterations):
+            msgs = (
+                u.join(edges, u["id"] == edges["src"])
+                .join(deg, edges["src"] == deg["id"])
+                .select(
+                    F.col("dst").alias("id"),
+                    (F.col("u") * F.col("w") / F.col("deg")).alias("m"),
+                )
+                .groupBy("id")
+                .agg(F.sum("m").alias("m"))  # fan-in combines map-side
+            )
+            u, _ = loop.advance(
+                graph.vertices.select("id")
+                .join(msgs, on="id", how="left")
+                .select("id", F.coalesce(F.col("m"), F.lit(0.0)).alias("u"))
+            )
 
-    if power_iterations == 0:
-        # no power superstep ever runs (masterCompute halts at 2+0) — the
-        # rank stays at the superstep-1 init value, unnormalized
-        out = u.select("id", F.col("u").alias("value")).localCheckpoint(eager=True)
+        if power_iterations == 0:
+            # no power superstep ever runs (masterCompute halts at 2+0) — the
+            # rank stays at the superstep-1 init value, unnormalized
+            out = u.select("id", F.col("u").alias("value")).localCheckpoint(eager=True)
+        else:
+            # final rank = u/deg; Java double semantics for deg==0
+            # (0/0→NaN, x/0→Inf)
+            result = (
+                u.join(deg.withColumnRenamed("id", "_did"), u["id"] == F.col("_did"), "left")
+                .select(
+                    "id",
+                    F.when(
+                        F.coalesce(F.col("deg"), F.lit(0.0)) != 0.0,
+                        F.col("u") / F.col("deg"),
+                    )
+                    .otherwise(
+                        F.when(F.col("u") == 0.0, F.lit(_NAN)).otherwise(F.lit(_INF))
+                    )
+                    .alias("value"),
+                )
+            )
+            out = result.localCheckpoint(eager=True)
+    finally:
         loop.release()
         release_edges()
         release_deg()
-        return out
-
-    # final rank = u/deg; Java double semantics for deg==0 (0/0→NaN, x/0→Inf)
-    result = (
-        u.join(deg.withColumnRenamed("id", "_did"), u["id"] == F.col("_did"), "left")
-        .select(
-            "id",
-            F.when(F.coalesce(F.col("deg"), F.lit(0.0)) != 0.0, F.col("u") / F.col("deg"))
-            .otherwise(F.when(F.col("u") == 0.0, F.lit(_NAN)).otherwise(F.lit(_INF)))
-            .alias("value"),
-        )
-    )
-    out = result.localCheckpoint(eager=True)
-    loop.release()
-    release_edges()
-    release_deg()
     return out
