@@ -168,6 +168,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             EdgeDirection.OUT,
         )
 
+    def sp_map_vertices(spark, sf):
+        return _sp_graph(spark, sf).map_vertices(
+            lambda _id, v: v * 2 + 1
+        ).vertices
+
+    def sp_map_edges(spark, sf):
+        g = _sp_graph(spark, sf).map_edges(
+            lambda s, _d, v: v / 2.0 + (s % 10)
+        )
+        return g.edges.select("src", "dst", F.round("value", 6).alias("value"))
+
+    def sp_join_edges_src(spark, sf):
+        g = _sp_graph(spark, sf)
+        out = g.join_with_edges_on_source(g.out_degrees(), lambda old, new: old + new)
+        return out.edges.select("src", "dst", "value")
+
+    def sp_join_edges_tgt(spark, sf):
+        g = _sp_graph(spark, sf)
+        out = g.join_with_edges_on_target(g.in_degrees(), lambda old, new: old + new)
+        return out.edges.select("src", "dst", "value")
+
+    def sp_join_edges(spark, sf):
+        g = _sp_graph(spark, sf)
+        t = g.edges.select("src", "dst", (F.col("src") + F.col("dst")).alias("value"))
+        out = g.join_with_edges(t, lambda old, new: old - new)
+        return out.edges.select("src", "dst", "value")
+
+    def sp_group_reduce_nbrs(spark, sf):
+        # groupReduceOnNeighbors: arbitrary fn over (value, [(edge, nvalue)])
+        return _sp_graph(spark, sf).group_reduce_on_neighbors(
+            lambda v, nbrs: F.when(
+                nbrs.isNotNull(),
+                v + F.aggregate(nbrs, F.lit(0).cast("long"), lambda a, x: a + x["nvalue"]),
+            ).otherwise(v),
+            EdgeDirection.OUT,
+        )
+
+    # ---- graph generators (closed-form SQL twins) ----
+
+    def gen_complete_edges(spark, sf):
+        from kafka_graphs_spark.sources import complete_graph
+
+        return complete_graph(spark, 50).edges.select("src", "dst", "value")
+
+    def gen_grid_edges(spark, sf):
+        from kafka_graphs_spark.sources import grid_graph
+
+        return grid_graph(spark, 20, 30).edges.select("src", "dst", "value")
+
+    def gen_star_edges(spark, sf):
+        from kafka_graphs_spark.sources import star_graph
+
+        return star_graph(spark, 100).edges.select("src", "dst", "value")
+
     # ---- graph algorithms (event-chain graph + hierarchy graph) ----
 
     def ec_wcc(spark, sf):
@@ -284,6 +338,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return EdgeStream(
             datasets.event_chain_edges(spark, sf).withColumn("event_time", F.lit(None).cast("timestamp"))
         ).degrees()
+
+    def ec_stream_reverse(spark, sf):
+        from kafka_graphs_spark.streaming import EdgeStream
+
+        return EdgeStream(datasets.event_chain_edges(spark, sf)).reverse().edges.select(
+            "src", "dst", F.round("value", 6).alias("value")
+        )
+
+    def ec_stream_undirected(spark, sf):
+        from kafka_graphs_spark.streaming import EdgeStream
+
+        return EdgeStream(
+            datasets.event_chain_edges(spark, sf)
+        ).undirected().edges.select("src", "dst", F.round("value", 6).alias("value"))
 
     def ec_maxbmatching(spark, sf):
         # greedy message protocol — no SQL oracle (rows-only check)
@@ -594,6 +662,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, threshold=0.8, method="lsh", n_planes=6, n_tables=8, dim=64
         )
 
+    def dedup_simhash_pairs(spark, sf):
+        # Hamming-blocked near pairs; blocking is COMPLETE for
+        # hamming <= max_hamming (pigeonhole over max_hamming+1 blocks),
+        # so the unblocked SQL filter is an exact oracle.
+        return dedup.simhash_near_pairs(
+            datasets.load(spark, sf, "documents"), bits=16, max_hamming=2
+        )
+
     def dedup_resolve(spark, sf):
         # transitive duplicate-cluster resolution (keep-list): candidate
         # pairs -> WCC -> min-id survivor per cluster; self when unique.
@@ -626,6 +702,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_reduce_edges_min_in": sp_reduce_edges_min_in,
         "sp_reduce_neighbors_sum_out": sp_reduce_neighbors_sum_out,
         "sp_group_reduce_max_out": sp_group_reduce_max_out,
+        "sp_map_vertices": sp_map_vertices,
+        "sp_map_edges": sp_map_edges,
+        "sp_join_edges_src": sp_join_edges_src,
+        "sp_join_edges_tgt": sp_join_edges_tgt,
+        "sp_join_edges": sp_join_edges,
+        "sp_group_reduce_nbrs": sp_group_reduce_nbrs,
+        "gen_complete_edges": gen_complete_edges,
+        "gen_grid_edges": gen_grid_edges,
+        "gen_star_edges": gen_star_edges,
+        "ec_stream_reverse": ec_stream_reverse,
+        "ec_stream_undirected": ec_stream_undirected,
+        "dedup_simhash_pairs": dedup_simhash_pairs,
         "ec_wcc": ec_wcc,
         "ec_bfs": ec_bfs,
         "ec_sssp": ec_sssp,
@@ -715,6 +803,81 @@ def oracle_sql() -> dict[str, str]:
         "sp_reduce_neighbors_sum_out": f"""
             WITH e AS ({SP_EDGES})
             SELECT src AS id, CAST(SUM(dst) AS BIGINT) AS value FROM e GROUP BY 1
+        """,
+        "sp_map_vertices": f"""
+            WITH e AS ({SP_EDGES}), v AS ({SP_VERTICES})
+            SELECT id, id * 2 + 1 AS value FROM v
+        """,
+        "sp_map_edges": f"""
+            WITH e AS ({SP_EDGES})
+            SELECT src, dst, round(value / 2.0 + (src % 10), 6) AS value FROM e
+        """,
+        "sp_join_edges_src": f"""
+            WITH e AS ({SP_EDGES})
+            SELECT e.src, e.dst, e.value + c.cnt AS value
+            FROM e JOIN (SELECT src, count(*) AS cnt FROM e GROUP BY 1) c USING (src)
+        """,
+        "sp_join_edges_tgt": f"""
+            WITH e AS ({SP_EDGES})
+            SELECT e.src, e.dst, e.value + c.cnt AS value
+            FROM e JOIN (SELECT dst, count(*) AS cnt FROM e GROUP BY 1) c USING (dst)
+        """,
+        "sp_join_edges": f"""
+            WITH e AS ({SP_EDGES})
+            SELECT src, dst, value - (src + dst) AS value FROM e
+        """,
+        "sp_group_reduce_nbrs": f"""
+            WITH e AS ({SP_EDGES}), v AS ({SP_VERTICES})
+            SELECT v.id, v.id + coalesce(s.sd, 0) AS value
+            FROM v LEFT JOIN (SELECT src, SUM(dst) AS sd FROM e GROUP BY 1) s
+              ON v.id = s.src
+        """,
+        "gen_complete_edges": """
+            SELECT a.range AS src, b.range AS dst, CAST(1 AS BIGINT) AS value
+            FROM range(0, 50) a, range(0, 50) b WHERE a.range <> b.range
+        """,
+        "gen_grid_edges": """
+            WITH cells AS (SELECT range AS id, range // 30 AS r, range % 30 AS c
+                           FROM range(0, 600))
+            SELECT id AS src, id + 1 AS dst, CAST(1 AS BIGINT) AS value
+            FROM cells WHERE c < 29
+            UNION ALL
+            SELECT id, id + 30, CAST(1 AS BIGINT) FROM cells WHERE r < 19
+        """,
+        "gen_star_edges": """
+            SELECT range AS src, CAST(0 AS BIGINT) AS dst, CAST(1 AS BIGINT) AS value
+            FROM range(1, 100)
+        """,
+        "ec_stream_reverse": f"""
+            WITH pos AS ({EC_POS})
+            SELECT b.event_id AS src, a.event_id AS dst, round(b.w, 6) AS value
+            FROM pos a JOIN pos b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+        """,
+        "ec_stream_undirected": f"""
+            WITH pos AS ({EC_POS}),
+            fwd AS (SELECT a.event_id AS src, b.event_id AS dst, b.w
+                    FROM pos a JOIN pos b ON a.user_id = b.user_id AND b.rn = a.rn + 1)
+            SELECT src, dst, round(w, 6) AS value FROM fwd
+            UNION ALL
+            SELECT dst, src, round(w, 6) FROM fwd
+        """,
+        # blocking over max_hamming+1 signature blocks is COMPLETE for
+        # hamming <= max_hamming, so the unblocked pair filter is exact
+        "dedup_simhash_pairs": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tk FROM t),
+            h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+            bits AS (SELECT doc_id, b,
+                            SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                     FROM h, (SELECT unnest(range(0, 16)) AS b) GROUP BY 1, 2),
+            sig AS (SELECT doc_id,
+                           CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                                AS BIGINT) AS simhash
+                    FROM bits GROUP BY 1)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         """,
         "ec_wcc": """
             SELECT event_id AS id, MIN(event_id) OVER (PARTITION BY user_id) AS value

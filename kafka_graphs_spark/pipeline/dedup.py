@@ -198,18 +198,19 @@ def simhash_near_pairs(docs: DataFrame, bits: int = 16, max_hamming: int = 2,
     sig = simhash(docs, bits=bits, text_col=text_col)
     blocks = max_hamming + 1
     block_bits = bits // blocks
-    banded = sig.select(
-        "doc_id",
-        "simhash",
-        F.explode(F.sequence(F.lit(0), F.lit(blocks - 1))).alias("blk"),
-    ).select(
-        "doc_id",
-        "simhash",
-        "blk",
-        F.shiftright(F.col("simhash"), F.col("blk") * block_bits)
-        .bitwiseAND(F.lit((1 << block_bits) - 1))
-        .alias("key"),
-    )
+    # per-block banded view; the shift distance is a per-block literal
+    # (shiftright requires a literal count), so the bands stack by union
+    banded = None
+    for blk in range(blocks):
+        part = sig.select(
+            "doc_id",
+            "simhash",
+            F.lit(blk).alias("blk"),
+            F.shiftright(F.col("simhash"), blk * block_bits)
+            .bitwiseAND(F.lit((1 << block_bits) - 1))
+            .alias("key"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
     a = banded.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sig_a"), "blk", "key")
     b = banded.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sig_b"), "blk", "key")
     pairs = (
