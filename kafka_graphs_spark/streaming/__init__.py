@@ -19,6 +19,10 @@ from kafka_graphs_spark.streaming.library import (
     spanner,
     spanner_frame,
 )
+from kafka_graphs_spark.streaming.stateful import (
+    stateful_degrees,
+    stateful_distinct_degrees,
+)
 from kafka_graphs_spark.streaming.summaries import (
     AdjacencyListGraph,
     Candidates,
@@ -41,4 +45,6 @@ __all__ = [
     "DisjointSet",
     "Candidates",
     "AdjacencyListGraph",
+    "stateful_degrees",
+    "stateful_distinct_degrees",
 ]

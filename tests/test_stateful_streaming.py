@@ -1,0 +1,93 @@
+"""applyInPandasWithState operators: cross-batch AND cross-restart state.
+
+Drives a real file-source stream in two availableNow runs sharing one
+checkpoint — the second run proves the keyed state survives a query
+restart (the durability the reference's in-memory mapper state lacks).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SCHEMA = "src long, dst long, value double"
+
+
+def run_stream(spark, op, src_dir, ckpt, _table):
+    # foreachBatch sink: supports update output AND checkpoint recovery
+    # (the memory sink cannot restart from a checkpoint)
+    rows = []
+
+    def sink(batch_df, _batch_id):
+        rows.extend(batch_df.collect())
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src_dir)
+    q = (
+        op(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return rows
+
+
+def write_batch(spark, rows, path):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode("append").parquet(path)
+
+
+class TestStatefulDegrees:
+    def test_state_survives_batches_and_restart(self, spark, tmp_path):
+        from kafka_graphs_spark.streaming.stateful import stateful_degrees
+
+        src = str(tmp_path / "edges")
+        ckpt = str(tmp_path / "ckpt")
+        write_batch(spark, [(1, 2, 1.0), (2, 3, 1.0)], src)
+
+        out1 = run_stream(spark, stateful_degrees, src, ckpt, "deg1")
+        got1 = {r["id"]: r["degree"] for r in out1}
+        assert got1 == {1: 1, 2: 2, 3: 1}
+
+        # second run, SAME checkpoint: the new batch's counts accumulate
+        # onto restored state (2 gains another edge; 4 appears fresh)
+        write_batch(spark, [(2, 4, 1.0)], src)
+        out2 = run_stream(spark, stateful_degrees, src, ckpt, "deg2")
+        got2 = {r["id"]: r["degree"] for r in out2}
+        assert got2 == {2: 3, 4: 1}
+
+    def test_matches_batch_twin(self, spark, tmp_path):
+        from kafka_graphs_spark.streaming import EdgeStream
+        from kafka_graphs_spark.streaming.stateful import stateful_degrees
+
+        rows = [(1, 2, 1.0), (1, 3, 1.0), (3, 2, 1.0), (2, 1, 1.0)]
+        src = str(tmp_path / "edges_b")
+        write_batch(spark, rows, src)
+        out = run_stream(
+            spark, stateful_degrees, src, str(tmp_path / "ckpt_b"), "deg_twin"
+        )
+        got = {r["id"]: r["degree"] for r in out}
+        batch = {
+            r["id"]: r["degree"]
+            for r in EdgeStream(spark.createDataFrame(rows, SCHEMA)).degrees().collect()
+        }
+        assert got == batch
+
+
+class TestStatefulDistinctDegrees:
+    def test_duplicate_edges_counted_once(self, spark, tmp_path):
+        from kafka_graphs_spark.streaming.stateful import stateful_distinct_degrees
+
+        src = str(tmp_path / "edges_d")
+        ckpt = str(tmp_path / "ckpt_d")
+        write_batch(spark, [(1, 2, 1.0), (1, 2, 2.0), (1, 3, 1.0)], src)
+        out1 = run_stream(spark, stateful_distinct_degrees, src, ckpt, "dd1")
+        got1 = {r["id"]: r["degree"] for r in out1}
+        assert got1 == {1: 2, 2: 1, 3: 1}
+
+        # re-sent edge across a restart still deduplicates via state
+        write_batch(spark, [(2, 1, 3.0), (1, 4, 1.0)], src)
+        out2 = run_stream(spark, stateful_distinct_degrees, src, ckpt, "dd2")
+        got2 = {r["id"]: r["degree"] for r in out2}
+        # (2,1) mirrors the already-seen (1,2): both endpoint sets unchanged
+        # by it; (1,4) adds 4 to vertex 1 and creates vertex 4
+        assert got2 == {1: 3, 2: 1, 4: 1}
