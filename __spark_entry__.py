@@ -386,6 +386,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         docs = datasets.load(spark, sf, "documents")
         return text.token_count(docs)
 
+    def doc_subword_count(spark, sf):
+        return text.subword_count(datasets.load(spark, sf, "documents"))
+
     def doc_language_id(spark, sf):
         return text.language_id(datasets.load(spark, sf, "documents"))
 
@@ -732,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_jaccard": hier_jaccard,
         "hier_adamic_adar": hier_adamic_adar,
         "doc_token_count": doc_token_count,
+        "doc_subword_count": doc_subword_count,
         "doc_language_id": doc_language_id,
         "doc_quality": doc_quality,
         "doc_fingerprint": doc_fingerprint,
@@ -1035,6 +1039,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_count": f"""
             SELECT doc_id, CAST(len({TOKS}) AS INTEGER) AS n_tokens FROM documents
+        """,
+        "doc_subword_count": r"""
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(lower(text),
+                            '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS n_subwords
+            FROM documents
         """,
         "doc_language_id": f"""
             WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),

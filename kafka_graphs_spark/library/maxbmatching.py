@@ -32,23 +32,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from kafka_graphs_spark.graph import Graph
-from kafka_graphs_spark.library._loop import LoopState
+from kafka_graphs_spark.library._loop import ChainLoop
 
 DEFAULT, PROPOSED, REMOVED, INCLUDED = 0, 1, 2, 3  # MBMEdgeValue.State bytes
 
 
-def _digest(df: DataFrame):
-    """Order-insensitive frame digest: (count, sum of row hashes).
-
-    A full exceptAll per fixpoint probe is a shuffle; this is a single
-    partial-aggregated scan over a frame that is already materialized by
-    localCheckpoint. Collision odds are negligible for a convergence test.
-    """
-    row = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
-    ).collect()[0]
-    return (row["n"], row["h"])
+def _advance_digested(loop: ChainLoop, df: DataFrame):
+    """Advance a generation with an order-insensitive digest riding the
+    materialization action: (row count, sum of row hashes). The digest is
+    the fixpoint probe — a full exceptAll per round would be a shuffle;
+    this is one partial-aggregated scan in the SAME job that materializes
+    the cache. Collision odds are negligible for a convergence test."""
+    out, row = loop.advance(
+        df,
+        probes=[F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h")],
+    )
+    # _kgs_rows: the count ChainLoop.advance always aggregates for tuning
+    return out, (row["_kgs_rows"], row["h"])
 
 
 def max_b_matching(graph: Graph, max_iterations: int = 30) -> DataFrame:
@@ -67,8 +67,25 @@ def max_b_matching(graph: Graph, max_iterations: int = 30) -> DataFrame:
     id_type = dict(graph.vertices.dtypes)["id"]
     M = E.sparkSession.createDataFrame([], f"to {id_type}, sender {id_type}, kind int")
 
-    loop = LoopState()
-    E, C, M = loop.checkpoint(E, C, M)
+    # one ChainLoop per live frame (each retains its own last 2
+    # generations; a shared loop would free E's blocks when C and M
+    # advance). Only the edge loop tunes the session — E dominates.
+    loop_e = ChainLoop()
+    loop_c = ChainLoop(adaptive=False)
+    loop_m = ChainLoop(adaptive=False)
+    try:
+        out = _mbm_loop(loop_e, loop_c, loop_m, E, C, M, max_iterations)
+    finally:
+        loop_e.release()
+        loop_c.release()
+        loop_m.release()
+    return out
+
+
+def _mbm_loop(loop_e, loop_c, loop_m, E, C, M, max_iterations):
+    E, _ = loop_e.advance(E)
+    C, _ = loop_c.advance(C)
+    M, _ = loop_m.advance(M)
     prev_digests = None
 
     for _ in range(max_iterations):
@@ -141,13 +158,14 @@ def max_b_matching(graph: Graph, max_iterations: int = 30) -> DataFrame:
         )
         m2 = m_prop.unionByName(m_rm)
 
-        nE, nC, nM = loop.checkpoint(e2, c1, m2)
-        digests = (_digest(nE), _digest(nC), _digest(nM))
-        E, C, M = nE, nC, nM
+        E, d_e = _advance_digested(loop_e, e2)
+        C, d_c = _advance_digested(loop_c, c1)
+        M, d_m = _advance_digested(loop_m, m2)
+        digests = (d_e, d_c, d_m)
         if digests == prev_digests:
             break
         prev_digests = digests
 
-    out = E.select("src", "dst", F.col("w").alias("weight"), "state").localCheckpoint(eager=True)
-    loop.release()
-    return out
+    return E.select("src", "dst", F.col("w").alias("weight"), "state").localCheckpoint(
+        eager=True
+    )

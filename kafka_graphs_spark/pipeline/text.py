@@ -41,6 +41,26 @@ def token_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select("doc_id", F.size(tokens(F.col(text_col))).alias("n_tokens"))
 
 
+# BPE-ish subword pattern: letter runs, digit runs, single other glyphs —
+# a simplified GPT-2-style pre-tokenization (no lookaheads, so the Java
+# and RE2 regex dialects agree and the DuckDB oracle is exact).
+SUBWORD_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def subword_count(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_subwords) — BPE-style pre-token count.
+
+    Counts the units a byte-pair tokenizer starts from (letter runs,
+    digit runs, individual punctuation glyphs) — the standard cheap proxy
+    for LLM token cost when the real tokenizer is unavailable. Pure JVM
+    regexp count; no Python.
+    """
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.lower(F.col(text_col)), F.lit(SUBWORD_RE)).alias("n_subwords"),
+    )
+
+
 def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, lang_pred) — stopword-hit argmax heuristic.
 
