@@ -251,6 +251,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select("id", "landmark", F.round("dist", 4).alias("dist"))
         )
 
+    def ec_pregel_sssp(spark, sf):
+        # the GENERIC Pregel runtime (compute fn, combiner, vote-to-halt)
+        # driving reference SSSP semantics — oracle-checked against the
+        # same chain-distance SQL as the DataFrame-native ec_sssp.
+        from kafka_graphs_spark.pregel import pregel
+
+        src = datasets.chain_sources(spark, sf, 1)[0]
+
+        def compute(step, vid, value, messages, out_edges, ctx):
+            # SingleSourceShortestPaths.java:30-68
+            min_dist = (
+                0.0
+                if vid == ctx.configs["src"] and step == 0
+                else (min(messages) if messages else INF)
+            )
+            if min_dist < (value if value is not None else INF):
+                ctx.set_new_vertex_value(min_dist)
+                for e in out_edges:
+                    ctx.send_message_to(e["dst"], min_dist + e["value"])
+            ctx.vote_to_halt()
+
+        g = _ec_graph(spark, sf).map_vertices(lambda _id, _v: F.lit(INF))
+        res = pregel(
+            g, compute, vertex_value_type="double", message_type="double",
+            combiner="min", max_iterations=500, configs={"src": src},
+        )
+        return res.vertices.filter(F.col("value") < INF).select(
+            "id", F.round("value", 4).alias("value")
+        )
+
+    def sp_io_roundtrip(spark, sf):
+        # text sink + source roundtrip (verticesToFile / vertex parser):
+        # degrees written as `id value` lines, read back, oracle-checked
+        # against the same SQL as sp_out_degrees.
+        import hashlib
+        import tempfile
+
+        from kafka_graphs_spark.sources import read_vertices_text, write_vertices_text
+
+        out = _sp_graph(spark, sf).out_degrees()
+        path = (
+            f"{tempfile.gettempdir()}/kgs_roundtrip_"
+            f"{hashlib.md5(sf.encode()).hexdigest()[:8]}"
+        )
+        write_vertices_text(out, path)
+        return read_vertices_text(spark, path, value_type="long")
+
     def ec_sybilrank(spark, sf):
         from pyspark.sql.window import Window
 
@@ -724,6 +771,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_lp10": ec_lp10,
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
+        "ec_pregel_sssp": ec_pregel_sssp,
+        "sp_io_roundtrip": sp_io_roundtrip,
         "hier_lcc": hier_lcc,
         "sp_als_factors": sp_als_factors,
         "sp_sgd_factors": sp_sgd_factors,
@@ -1000,6 +1049,20 @@ def oracle_sql() -> dict[str, str]:
                     THEN 1 ELSE 0 END) AS BIGINT) AS degree
             FROM e
             WHERE rn > 0 OR rn < (SELECT MAX(rn) FROM pos p3 WHERE p3.user_id = e.user_id)
+        """,
+        "ec_pregel_sssp": f"""
+            WITH pos AS ({EC_POS}),
+            u AS (SELECT * FROM pos WHERE user_id = (SELECT MIN(user_id) FROM events))
+            SELECT event_id AS id,
+                   round(coalesce(SUM(CASE WHEN rn > 0 THEN w END)
+                         OVER (ORDER BY rn ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0), 4)
+                   AS value
+            FROM u
+        """,
+        "sp_io_roundtrip": f"""
+            WITH e AS ({SP_EDGES}), v AS ({SP_VERTICES})
+            SELECT v.id, coalesce(c.cnt, 0) AS value
+            FROM v LEFT JOIN (SELECT src, count(*) AS cnt FROM e GROUP BY 1) c ON v.id = c.src
         """,
         "ec_sybilrank": f"""
             WITH pos AS ({EC_POS}),
