@@ -727,6 +727,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             datasets.load(spark, sf, "documents"), n=3, threshold=0.05
         )
 
+    def pipeline_curate(spark, sf):
+        # end-to-end curation: quality gate -> transitive dup resolution
+        # -> keep list; the full composition under one oracle.
+        from kafka_graphs_spark.pipeline.curate import curate
+
+        return curate(
+            datasets.load(spark, sf, "documents"),
+            min_score=0.6, n=3, jaccard_threshold=0.05,
+        )
+
+    def doc_language_stats(spark, sf):
+        docs = datasets.load(spark, sf, "documents")
+        lang = text.language_id(docs)
+        qual = text.quality_score(docs).select("doc_id", "score")
+        return (
+            lang.join(qual, on="doc_id")
+            .groupBy("lang_pred")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.round(F.avg("score"), 6).alias("avg_score"),
+            )
+        )
+
     def emb_ivf_topk(spark, sf):
         # IVF approximate ANN (k-means cells + n_probe) — rows-only check
         emb = datasets.load(spark, sf, "embeddings")
@@ -794,6 +817,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
         "dedup_resolve": dedup_resolve,
+        "pipeline_curate": pipeline_curate,
+        "doc_language_stats": doc_language_stats,
         "emb_ivf_topk": emb_ivf_topk,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
@@ -1309,6 +1334,81 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT id, c, row_number() OVER
                       (PARTITION BY id ORDER BY dist, c) AS rn FROM d2)
             WHERE rn = 1
+        """,
+        # full curation composition: quality gate (same banded score as
+        # doc_quality) -> shingle-Jaccard pairs on SURVIVORS -> recursive
+        # component resolution -> canonical keep set
+        "pipeline_curate": f"""
+            WITH RECURSIVE t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS n_stop,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS mtl
+                FROM t),
+            q AS (SELECT doc_id FROM s WHERE
+                (CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE)/n_tokens >= 0.01
+                           AND CAST(n_stop AS DOUBLE)/n_tokens <= 0.5 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.3 ELSE 0.0 END)
+                >= 0.6),
+            kt AS (SELECT t.doc_id, t.toks FROM t JOIN q USING (doc_id)),
+            sh AS (SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) >= 3
+                              THEN list_transform(range(0, len(toks) - 2),
+                                                  i -> array_to_string(toks[i+1:i+3], ' '))
+                              ELSE CAST([] AS VARCHAR[]) END) AS shingle
+                   FROM kt),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            prs AS (SELECT doc_a, doc_b FROM inter
+                    JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05),
+            und AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                    UNION SELECT doc_b, doc_a FROM prs),
+            reach(id, r) AS (
+                SELECT s, s FROM und
+                UNION
+                SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.id
+            ),
+            keep AS (SELECT id, MIN(r) AS k FROM reach GROUP BY id)
+            SELECT q.doc_id FROM q LEFT JOIN keep ON keep.id = q.doc_id
+            WHERE coalesce(keep.k, q.doc_id) = q.doc_id
+        """,
+        # per-language corpus stats over the lang-ID + quality operators
+        "doc_language_stats": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            st AS (SELECT doc_id,
+                len(list_filter(toks, x -> list_contains({STOP_DE}, x))) AS s_de,
+                len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS s_en,
+                len(list_filter(toks, x -> list_contains({STOP_ES}, x))) AS s_es,
+                len(list_filter(toks, x -> list_contains({STOP_FR}, x))) AS s_fr
+                FROM t),
+            lng AS (SELECT doc_id,
+                CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+                     WHEN s_fr >= s_es AND s_fr >= s_en AND s_fr >= s_de THEN 'fr'
+                     WHEN s_es >= s_en AND s_es >= s_de THEN 'es'
+                     WHEN s_en >= s_de THEN 'en'
+                     ELSE 'de' END AS lang_pred
+                FROM st),
+            s AS (SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS n_stop,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS mtl
+                FROM t),
+            sc AS (SELECT doc_id,
+                (CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE)/n_tokens >= 0.01
+                           AND CAST(n_stop AS DOUBLE)/n_tokens <= 0.5 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.3 ELSE 0.0 END)
+                AS score FROM s)
+            SELECT lng.lang_pred, count(*) AS n_docs, round(AVG(sc.score), 6) AS avg_score
+            FROM lng JOIN sc USING (doc_id) GROUP BY 1
         """,
         # transitive closure of the candidate-pair graph by recursive
         # reachability; component label = min reachable id (dup clusters

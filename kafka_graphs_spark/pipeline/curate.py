@@ -1,0 +1,42 @@
+"""End-to-end corpus curation: quality gate → duplicate resolution → keep set.
+
+The composition a training-data pipeline actually ships: heuristic
+quality filtering (C4/Gopher-style bands), then transitive near-duplicate
+resolution over the SURVIVING documents, then the final keep list. Every
+stage is the already-oracle-checked operator — the composition itself is
+oracle-checked end to end (``pipeline_curate``).
+
+Scale shape: the quality gate is a codegen'd filter (no shuffle); pair
+generation runs only on the filtered corpus; resolution shuffles only the
+candidate-pair graph. Nothing materializes on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_graphs_spark.pipeline.dedup import resolve_duplicates
+from kafka_graphs_spark.pipeline.text import quality_score
+
+
+def curate(
+    docs: DataFrame,
+    min_score: float = 0.6,
+    n: int = 3,
+    jaccard_threshold: float = 0.3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id) — documents that pass the quality gate AND survive
+    duplicate resolution (the canonical member of each near-dup cluster).
+
+    Filtering a corpus is ``docs.join(curate(docs), "doc_id", "left_semi")``.
+    """
+    passed = quality_score(docs, text_col=text_col).filter(
+        F.col("score") >= min_score
+    ).select("doc_id")
+    kept = docs.join(passed, on="doc_id", how="left_semi")
+    resolved = resolve_duplicates(
+        kept, n=n, threshold=jaccard_threshold, text_col=text_col
+    )
+    return resolved.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id")
