@@ -159,6 +159,46 @@ class LoopState:
         self._cur = []
 
 
+class AdaptiveLoopConf:
+    """Loop-scoped session tuning from MEASURED per-round sizes.
+
+    Small regime (≤ SMALL_GEN_ROWS measured rows): shuffle partitions ∝
+    rows (min 1), AQE off — the partition count is already right-sized
+    from measurement, so AQE's per-stage re-planning is pure driver
+    latency (measured: sssp sf0.1 local[32] 49.7 s with AQE → 30.1 s
+    without, same plans). Large regime: the session's own configuration
+    is restored untouched (AQE skew/coalesce handling is the right tool
+    once rounds are scan-bound — the 100 TB regime). Call ``restore``
+    when the loop ends (idempotent; safe in finally blocks).
+    """
+
+    SMALL_GEN_ROWS = 50_000_000
+    ROWS_PER_PARTITION = 250_000
+
+    def __init__(self):
+        self._saved: Optional[dict] = None
+
+    def tune(self, spark, n_rows: int) -> None:
+        conf = spark.conf
+        if self._saved is None:
+            self._saved = {
+                "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
+                "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
+            }
+        if n_rows <= self.SMALL_GEN_ROWS:
+            saved = int(self._saved["spark.sql.shuffle.partitions"])
+            parts = min(max(1, -(-n_rows // self.ROWS_PER_PARTITION)), max(saved, 1))
+            conf.set("spark.sql.shuffle.partitions", str(parts))
+            conf.set("spark.sql.adaptive.enabled", "false")
+        else:
+            self.restore(spark)
+
+    def restore(self, spark) -> None:
+        if self._saved is not None:
+            for k, v in self._saved.items():
+                spark.conf.set(k, v)
+
+
 class ChainLoop:
     """Loop-state tracker with ONE Spark action per iteration.
 
@@ -187,50 +227,19 @@ class ChainLoop:
     (double-buffered) to stay clear of any lazy reader.
     """
 
-    # Below this measured generation size the loop is DRIVER-LATENCY-bound:
-    # each round is sub-second, so AQE's per-stage re-plan round-trips and
-    # a session-wide shuffle fan-out cost more than they buy. Above it the
-    # loop is scan-bound and the session's own config (AQE, partitions) is
-    # restored — at 100 TB frontiers that is the regime that matters.
-    SMALL_GEN_ROWS = 50_000_000
-    ROWS_PER_PARTITION = 250_000
-
     def __init__(self, adaptive: bool = True):
         # [(cache_df, ckpt_df)] of recent rounds, oldest first (≤2 kept)
         self._gens: List[Tuple[DataFrame, DataFrame]] = []
-        self._adaptive = adaptive
-        self._saved_conf: Optional[dict] = None
+        self._conf = AdaptiveLoopConf() if adaptive else None
         self._spark = None
 
     def _tune(self, n_rows: int) -> None:
-        """Right-size loop execution to the MEASURED generation size.
-
-        Small regime: shuffle partitions ∝ rows (min 1), AQE off — the
-        partition count is already right-sized from measurement, so AQE's
-        per-stage re-planning is pure driver latency. Large regime: restore
-        the session's configuration untouched (AQE skew/coalesce handling
-        is the right tool once rounds are scan-bound).
-        """
-        if not self._adaptive or self._spark is None:
-            return
-        conf = self._spark.conf
-        if self._saved_conf is None:
-            self._saved_conf = {
-                "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
-                "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
-            }
-        if n_rows <= self.SMALL_GEN_ROWS:
-            saved = int(self._saved_conf["spark.sql.shuffle.partitions"])
-            parts = min(max(1, -(-n_rows // self.ROWS_PER_PARTITION)), max(saved, 1))
-            conf.set("spark.sql.shuffle.partitions", str(parts))
-            conf.set("spark.sql.adaptive.enabled", "false")
-        else:
-            self._restore_conf()
+        if self._conf is not None and self._spark is not None:
+            self._conf.tune(self._spark, n_rows)
 
     def _restore_conf(self) -> None:
-        if self._saved_conf is not None:
-            for k, v in self._saved_conf.items():
-                self._spark.conf.set(k, v)
+        if self._conf is not None and self._spark is not None:
+            self._conf.restore(self._spark)
 
     def chain(self, df: DataFrame) -> DataFrame:
         """Lazy-checkpoint a round WITHOUT a Spark action (chunked loops).

@@ -41,7 +41,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_graphs_spark.graph import Graph
-from kafka_graphs_spark.library._loop import eager_checkpoint, free_df
+from kafka_graphs_spark.library._loop import (
+    AdaptiveLoopConf,
+    eager_checkpoint,
+    free_df,
+    lazy_checkpoint,
+)
 from kafka_graphs_spark.pregel.aggregators import Aggregator
 
 
@@ -194,8 +199,20 @@ def pregel(
         f"edge_dels array<struct<src:{id_type}, dst:{id_type}>>"
     )
 
-    n_part = num_partitions or spark.conf.get("spark.sql.shuffle.partitions")
-    n_part = int(n_part)
+    # partition count for the co-located vertex/adjacency stores: sized
+    # ONCE from the measured vertex count (constant across supersteps so
+    # the per-superstep joins stay co-partitioned), capped at the session
+    # setting — at 100 TB this is thousands of partitions, at test scale
+    # it stops every superstep from fanning 32 near-empty tasks per stage
+    if num_partitions is not None:
+        n_part = int(num_partitions)
+    else:
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        n_v = graph.vertices.count()
+        n_part = min(
+            max(1, -(-n_v // AdaptiveLoopConf.ROWS_PER_PARTITION)),
+            max(session_parts, 1),
+        )
 
     # solution set: (id, value, halted) — hash-partitioned on id, persisted.
     vertices = (
@@ -232,187 +249,207 @@ def pregel(
 
     superstep = 0
     state = "COMPLETED"
-    to_unpersist: List[DataFrame] = []
+    # frames from the previous generation, freed only after the next
+    # superstep's stats action has materialized the current one
+    pending_free: List[DataFrame] = []
+    # loop-scoped session tuning from the per-superstep stats (see
+    # AdaptiveLoopConf): small supersteps are driver-latency-bound
+    loop_conf = AdaptiveLoopConf()
 
-    while superstep < max_iterations:
-        # ---- barrier work: merge aggregators from previous superstep is done
-        # below at collection time; expose current values to compute via closure.
-        agg_values = {name: a.value for name, a in aggregators.items()}
-        step = superstep
-        compute_fn = compute
-        cfgs = configs
+    try:
+        while superstep < max_iterations:
+            # ---- barrier work: merge aggregators from previous superstep is done
+            # below at collection time; expose current values to compute via closure.
+            agg_values = {name: a.value for name, a in aggregators.items()}
+            step = superstep
+            compute_fn = compute
+            cfgs = configs
 
-        # 1. aggregate the work set per target (combiner ⇒ partial agg).
-        if combiner is not None:
-            agg_col = getattr(F, combiner)("message").alias("_combined")
-            msgs_by_target = (
-                messages.groupBy("id")
-                .agg(agg_col, F.count("message").alias("_nmsgs"))
-                .select("id", F.array("_combined").alias("msgs"), "_nmsgs")
+            # 1. aggregate the work set per target (combiner ⇒ partial agg).
+            if combiner is not None:
+                agg_col = getattr(F, combiner)("message").alias("_combined")
+                msgs_by_target = (
+                    messages.groupBy("id")
+                    .agg(agg_col, F.count("message").alias("_nmsgs"))
+                    .select("id", F.array("_combined").alias("msgs"), "_nmsgs")
+                )
+            else:
+                msgs_by_target = messages.groupBy("id").agg(
+                    F.collect_list("message").alias("msgs"),
+                    F.count("message").alias("_nmsgs"),
+                )
+
+            # 2. join solution set + work set + edges store. full_outer: messages
+            # may target ids with no vertex state yet (compute sees value=None and
+            # may create the vertex — reference VertexComputeUdf null handling).
+            joined = (
+                vertices.join(msgs_by_target, on="id", how="full_outer")
+                .withColumn("_nmsgs", F.coalesce(F.col("_nmsgs"), F.lit(0)))
+                .withColumn("halted", F.coalesce(F.col("halted"), F.lit(False)))
             )
-        else:
-            msgs_by_target = messages.groupBy("id").agg(
-                F.collect_list("message").alias("msgs"),
-                F.count("message").alias("_nmsgs"),
-            )
 
-        # 2. join solution set + work set + edges store. full_outer: messages
-        # may target ids with no vertex state yet (compute sees value=None and
-        # may create the vertex — reference VertexComputeUdf null handling).
-        joined = (
-            vertices.join(msgs_by_target, on="id", how="full_outer")
-            .withColumn("_nmsgs", F.coalesce(F.col("_nmsgs"), F.lit(0)))
-            .withColumn("halted", F.coalesce(F.col("halted"), F.lit(False)))
-        )
+            # Active = received a message, or did not vote to halt. Superstep 0
+            # activates everyone (work-set init, PregelComputation.java:259-273).
+            is_active = (F.col("_nmsgs") > 0) | (~F.col("halted"))
+            active = joined.filter(is_active).join(adjacency, on="id", how="left")
+            inactive = joined.filter(~is_active).select("id", "value", "halted")
 
-        # Active = received a message, or did not vote to halt. Superstep 0
-        # activates everyone (work-set init, PregelComputation.java:259-273).
-        is_active = (F.col("_nmsgs") > 0) | (~F.col("halted"))
-        active = joined.filter(is_active).join(adjacency, on="id", how="left")
-        inactive = joined.filter(~is_active).select("id", "value", "halted")
+            pre_fn = pre_superstep
+            post_fn = post_superstep
 
-        pre_fn = pre_superstep
-        post_fn = post_superstep
+            def run_compute(iterator):
+                # mapInPandas runs this once per PARTITION (iterator of Arrow
+                # batches) — the reference's per-partition hook scope.
+                ctx = ComputeContext(agg_values, cfgs)
+                import pandas as pd
 
-        def run_compute(iterator):
-            # mapInPandas runs this once per PARTITION (iterator of Arrow
-            # batches) — the reference's per-partition hook scope.
-            ctx = ComputeContext(agg_values, cfgs)
-            import pandas as pd
-
-            if pre_fn is not None:
-                pre_fn(step, agg_values)
-            for pdf in iterator:
-                out_rows = []
-                for row in pdf.itertuples(index=False):
-                    d = row._asdict()
-                    vid = _to_py(d["id"])
-                    value = _to_py(d.get("value"))
-                    msgs = _to_py(d.get("msgs")) or []
-                    msgs = [m for m in msgs if m is not None]
-                    out_edges = _to_py(d.get("edges")) or []
-                    ctx._reset()
-                    compute_fn(step, vid, value, msgs, out_edges, ctx)
-                    out_rows.append(
-                        {
-                            "id": vid,
-                            "value": ctx._new_value if ctx._value_set else value,
-                            "halted": ctx._halted,
-                            "messages": ctx._messages_out,
-                            "aggs": ctx._aggs,
-                            "edge_adds": ctx._edge_adds,
-                            "edge_dels": ctx._edge_dels,
-                        }
+                if pre_fn is not None:
+                    pre_fn(step, agg_values)
+                for pdf in iterator:
+                    out_rows = []
+                    for row in pdf.itertuples(index=False):
+                        d = row._asdict()
+                        vid = _to_py(d["id"])
+                        value = _to_py(d.get("value"))
+                        msgs = _to_py(d.get("msgs")) or []
+                        msgs = [m for m in msgs if m is not None]
+                        out_edges = _to_py(d.get("edges")) or []
+                        ctx._reset()
+                        compute_fn(step, vid, value, msgs, out_edges, ctx)
+                        out_rows.append(
+                            {
+                                "id": vid,
+                                "value": ctx._new_value if ctx._value_set else value,
+                                "halted": ctx._halted,
+                                "messages": ctx._messages_out,
+                                "aggs": ctx._aggs,
+                                "edge_adds": ctx._edge_adds,
+                                "edge_dels": ctx._edge_dels,
+                            }
+                        )
+                    yield pd.DataFrame(
+                        out_rows,
+                        columns=[
+                            "id", "value", "halted", "messages", "aggs", "edge_adds", "edge_dels",
+                        ],
                     )
-                yield pd.DataFrame(
-                    out_rows,
-                    columns=[
-                        "id", "value", "halted", "messages", "aggs", "edge_adds", "edge_dels",
-                    ],
+                if post_fn is not None:
+                    post_fn(step, agg_values)
+
+            out = active.mapInPandas(run_compute, schema=out_schema).persist()
+
+            # 3. one small stats job: message volume, activity, mutations, aggregators.
+            stats_cols = [
+                F.coalesce(F.sum(F.size("messages")), F.lit(0)).alias("n_msgs"),
+                F.coalesce(F.sum(F.when(~F.col("halted"), 1).otherwise(0)), F.lit(0)).alias("n_active"),
+                F.coalesce(F.sum(F.size("edge_adds")), F.lit(0)).alias("n_adds"),
+                F.coalesce(F.sum(F.size("edge_dels")), F.lit(0)).alias("n_dels"),
+            ]
+            stats = out.agg(*stats_cols).collect()[0]
+            loop_conf.tune(spark, stats["n_msgs"] + stats["n_active"])
+            # the stats action computed through (and thereby materialized)
+            # the previous generation's lazy checkpoints — its frames are
+            # now dead
+            for df in pending_free:
+                free_df(df)
+            pending_free = []
+
+            if aggregators:
+                contrib = (
+                    out.select(F.explode("aggs").alias("name", "v"))
+                    .groupBy("name")
+                    .agg(
+                        F.sum("v").alias("sum"),
+                        F.min("v").alias("min"),
+                        F.max("v").alias("max"),
+                        F.product("v").alias("product"),
+                    )
+                    .collect()
                 )
-            if post_fn is not None:
-                post_fn(step, agg_values)
+                by_name = {r["name"]: r for r in contrib}
+                for name, agg in aggregators.items():
+                    agg.reset()
+                    r = by_name.get(name)
+                    if r is not None:
+                        col = {"and": "min", "or": "max"}.get(agg.op, agg.op)
+                        agg.merge(r[col])
 
-        out = active.mapInPandas(run_compute, schema=out_schema).persist()
+            # 4. next solution set = computed ∪ untouched — a LAZY checkpoint
+            # leaf: its blocks materialize during the NEXT superstep's stats
+            # action (while ``out`` is still persisted — the previous
+            # generation is freed only after that materialization, so the
+            # possibly non-deterministic compute UDF still executes exactly
+            # once per superstep). ChainLoop discipline: 2 fewer driver
+            # jobs per superstep than eager checkpoints.
+            new_vertices = lazy_checkpoint(
+                out.select("id", "value", "halted")
+                .unionByName(inactive)
+                .repartition(n_part, "id")
+            )
 
-        # 3. one small stats job: message volume, activity, mutations, aggregators.
-        stats_cols = [
-            F.coalesce(F.sum(F.size("messages")), F.lit(0)).alias("n_msgs"),
-            F.coalesce(F.sum(F.when(~F.col("halted"), 1).otherwise(0)), F.lit(0)).alias("n_active"),
-            F.coalesce(F.sum(F.size("edge_adds")), F.lit(0)).alias("n_adds"),
-            F.coalesce(F.sum(F.size("edge_dels")), F.lit(0)).alias("n_dels"),
-        ]
-        stats = out.agg(*stats_cols).collect()[0]
+            superstep += 1
 
-        if aggregators:
-            contrib = (
-                out.select(F.explode("aggs").alias("name", "v"))
-                .groupBy("name")
-                .agg(
-                    F.sum("v").alias("sum"),
-                    F.min("v").alias("min"),
-                    F.max("v").alias("max"),
-                    F.product("v").alias("product"),
+            # ---- masterCompute at the barrier (ComputeFunction.java:129-153)
+            halted = bool(
+                master_compute is not None
+                and master_compute(superstep, {n: a.value for n, a in aggregators.items()})
+            )
+            # no active vertex and no in-flight message ⇒ converged
+            # (PregelComputation.java:564-578)
+            halted = halted or (stats["n_msgs"] == 0 and stats["n_active"] == 0)
+            running = not halted and superstep < max_iterations
+
+            # 5. next work set — same lazy-leaf discipline as the solution set
+            if running and stats["n_msgs"] > 0:
+                new_messages = lazy_checkpoint(
+                    out.select(F.explode("messages").alias("m")).select(
+                        F.col("m.target").alias("id"), F.col("m.message").alias("message")
+                    )
                 )
-                .collect()
-            )
-            by_name = {r["name"]: r for r in contrib}
-            for name, agg in aggregators.items():
-                agg.reset()
-                r = by_name.get(name)
-                if r is not None:
-                    col = {"and": "min", "or": "max"}.get(agg.op, agg.op)
-                    agg.merge(r[col])
-
-        # 4. next solution set = computed ∪ untouched — checkpointed while
-        # ``out`` is still persisted, so the (possibly non-deterministic)
-        # compute UDF executes exactly once per superstep.
-        new_vertices = eager_checkpoint(
-            out.select("id", "value", "halted")
-            .unionByName(inactive)
-            .repartition(n_part, "id")
-        )
-
-        superstep += 1
-
-        # ---- masterCompute at the barrier (ComputeFunction.java:129-153)
-        halted = bool(
-            master_compute is not None
-            and master_compute(superstep, {n: a.value for n, a in aggregators.items()})
-        )
-        # no active vertex and no in-flight message ⇒ converged
-        # (PregelComputation.java:564-578)
-        halted = halted or (stats["n_msgs"] == 0 and stats["n_active"] == 0)
-        running = not halted and superstep < max_iterations
-
-        # 5. next work set — also materialized while ``out`` is persisted;
-        # deriving it lazily after out.unpersist() would re-run the whole
-        # compute pipeline a second time (and could diverge from the
-        # checkpointed vertex state if compute is non-deterministic).
-        if running and stats["n_msgs"] > 0:
-            new_messages = eager_checkpoint(
-                out.select(F.explode("messages").alias("m")).select(
-                    F.col("m.target").alias("id"), F.col("m.message").alias("message")
+            else:
+                # empty work set with the right schema; iteration (if any)
+                # proceeds on n_active alone.
+                new_messages = spark.createDataFrame(
+                    [], f"id {id_type}, message {message_type}"
                 )
-            )
-        else:
-            # empty work set with the right schema; iteration (if any)
-            # proceeds on n_active alone.
-            new_messages = spark.createDataFrame(
-                [], f"id {id_type}, message {message_type}"
-            )
 
-        # 6. apply edge mutations (rebuild the edges store only when mutated —
-        # reference writes the local adjacency store, ComputeFunction.java:222-247).
-        if stats["n_adds"] or stats["n_dels"]:
-            adds = out.select(F.explode("edge_adds").alias("e")).select(
-                "e.src", "e.dst", "e.value"
-            ).dropDuplicates(["src", "dst"])
-            dels = out.select(F.explode("edge_dels").alias("e")).select("e.src", "e.dst")
-            new_edges = eager_checkpoint(
-                edges.join(adds.select("src", "dst"), on=["src", "dst"], how="left_anti")
-                .unionByName(adds)
-                .join(dels, on=["src", "dst"], how="left_anti")
-            )
-            old_edges, edges = edges, new_edges
-            free_df(adjacency)
-            free_df(old_edges)
-            if running:
-                adjacency = build_adjacency(edges)
+            # 6. apply edge mutations (rebuild the edges store only when mutated —
+            # reference writes the local adjacency store, ComputeFunction.java:222-247).
+            if stats["n_adds"] or stats["n_dels"]:
+                adds = out.select(F.explode("edge_adds").alias("e")).select(
+                    "e.src", "e.dst", "e.value"
+                ).dropDuplicates(["src", "dst"])
+                dels = out.select(F.explode("edge_dels").alias("e")).select("e.src", "e.dst")
+                new_edges = eager_checkpoint(
+                    edges.join(adds.select("src", "dst"), on=["src", "dst"], how="left_anti")
+                    .unionByName(adds)
+                    .join(dels, on=["src", "dst"], how="left_anti")
+                )
+                old_edges, edges = edges, new_edges
+                free_df(adjacency)
+                free_df(old_edges)
+                if running:
+                    adjacency = build_adjacency(edges)
 
-        # everything derived from this superstep is materialized — drop the
-        # previous generation's blocks (plain unpersist is a no-op on
-        # checkpointed frames; free_df drops the RDD blocks explicitly).
-        free_df(out)
-        old_vertices, vertices = vertices, new_vertices
-        free_df(old_vertices)
-        old_messages, messages = messages, new_messages
-        free_df(old_messages)
+            # defer freeing: the new lazy checkpoints read ``out``'s cache
+            # when the NEXT superstep's stats action materializes them —
+            # this generation's frames are freed after that action.
+            pending_free.extend([out, vertices, messages])
+            vertices, messages = new_vertices, new_messages
 
-        if halted:
-            state = "HALTED"
-            break
+            if halted:
+                state = "HALTED"
+                break
 
+    finally:
+        loop_conf.restore(spark)
+
+    # materialize the final solution set through the last generation's
+    # still-persisted cache, then drop the leftovers
+    vertices.count()
+    for df in pending_free:
+        free_df(df)
+    free_df(messages)
     free_df(adjacency)
     return PregelResult(
         vertices=vertices.select("id", "value"),
