@@ -386,6 +386,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             datasets.event_chain_edges(spark, sf).withColumn("event_time", F.lit(None).cast("timestamp"))
         ).degrees()
 
+    def ec_window_sum(spark, sf):
+        # tumbling-window per-vertex edge-weight sum (slice +
+        # reduceOnEdges) — the KGraphWindowedStream tier under an oracle.
+        from pyspark.sql.window import Window
+
+        from kafka_graphs_spark.streaming import EdgeStream
+
+        ev = datasets.load(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        edges = (
+            ev.select(
+                "user_id", "event_id", "ts",
+                F.lag("event_id").over(w).alias("prev_id"),
+                F.abs(F.col("value")).alias("w"),
+            )
+            .filter(F.col("prev_id").isNotNull())
+            .select(
+                F.col("prev_id").alias("src"),
+                F.col("event_id").alias("dst"),
+                F.col("w").alias("value"),
+                # ts is int64 nanoseconds (nanosAsLong); integer DIV keeps
+                # full precision where a double divide would not
+                F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
+            )
+        )
+        out = EdgeStream(edges).slice("1 hour").reduce_on_edges("sum")
+        return out.select(
+            F.col("window.start").cast("long").alias("window_start"),
+            "id",
+            F.round("value", 6).alias("value"),
+        )
+
     def ec_stream_reverse(spark, sf):
         from kafka_graphs_spark.streaming import EdgeStream
 
@@ -784,6 +816,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_complete_edges": gen_complete_edges,
         "gen_grid_edges": gen_grid_edges,
         "gen_star_edges": gen_star_edges,
+        "ec_window_sum": ec_window_sum,
         "ec_stream_reverse": ec_stream_reverse,
         "ec_stream_undirected": ec_stream_undirected,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -925,6 +958,16 @@ def oracle_sql() -> dict[str, str]:
         "gen_star_edges": """
             SELECT range AS src, CAST(0 AS BIGINT) AS dst, CAST(1 AS BIGINT) AS value
             FROM range(1, 100)
+        """,
+        "ec_window_sum": """
+            WITH p AS (SELECT event_id, user_id, ts, abs(value) AS w,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+                       FROM events),
+            e AS (SELECT a.event_id AS src, b.event_id AS dst, b.w, b.ts
+                  FROM p a JOIN p b ON a.user_id = b.user_id AND b.rn = a.rn + 1)
+            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
+                   src AS id, round(SUM(w), 6) AS value
+            FROM e GROUP BY 1, 2
         """,
         "ec_stream_reverse": f"""
             WITH pos AS ({EC_POS})

@@ -55,8 +55,11 @@ def kmeans(
     aggregator, KMeansClustering.java:175-210). Convergence: max center
     movement < ``epsilon`` (reference ε = 0.001) or ``max_iterations``.
     """
-    pts = graph.vertices.select("id", F.col("value").cast("array<double>").alias("vec")).persist()
-    n = pts.count()
+    from kafka_graphs_spark.library._loop import sized_cache
+
+    pts, release_pts = sized_cache(
+        graph.vertices.select("id", F.col("value").cast("array<double>").alias("vec"))
+    )
     if initial_centers is not None:
         centers = [list(map(float, c)) for c in initial_centers]
     else:
@@ -101,7 +104,7 @@ def kmeans(
     out = pts.select(
         "id", (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("cluster")
     ).localCheckpoint(eager=True)
-    pts.unpersist()
+    release_pts()
     return out
 
 
