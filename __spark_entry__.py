@@ -406,14 +406,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.col("prev_id").alias("src"),
                 F.col("event_id").alias("dst"),
                 F.col("w").alias("value"),
-                # ts is int64 nanoseconds (nanosAsLong); integer DIV keeps
-                # full precision where a double divide would not
-                F.timestamp_micros(F.expr("ts DIV 1000")).alias("event_time"),
+                # ts is TIMESTAMP_NTZ; tumbling windows over NTZ are
+                # epoch-aligned and timezone-free
+                F.col("ts").alias("event_time"),
             )
         )
         out = EdgeStream(edges).slice("1 hour").reduce_on_edges("sum")
+        # NTZ cannot cast to BIGINT; hour windows are epoch-aligned, so
+        # days-since-epoch*86400 + hour*3600 is the exact tz-free epoch
+        start = F.col("window.start")
+        epoch_start = (
+            F.datediff(start.cast("date"), F.lit("1970-01-01").cast("date")).cast("long") * 86400
+            + F.hour(start).cast("long") * 3600
+        )
         return out.select(
-            F.col("window.start").cast("long").alias("window_start"),
+            epoch_start.alias("window_start"),
             "id",
             F.round("value", 6).alias("value"),
         )
@@ -477,6 +484,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_fingerprint(spark, sf):
         return text.fingerprint(datasets.load(spark, sf, "documents"))
 
+    def doc_normalize(spark, sf):
+        return text.normalize_text(datasets.load(spark, sf, "documents"))
+
+    def doc_vocabulary(spark, sf):
+        return text.vocabulary(datasets.load(spark, sf, "documents"), min_count=2)
+
+    def doc_tfidf_keywords(spark, sf):
+        out = text.tfidf_keywords(datasets.load(spark, sf, "documents"), k=3)
+        return out.select("doc_id", "token", F.round("score", 6).alias("score"), "rank")
+
+    def doc_bigrams(spark, sf):
+        return text.bigram_counts(datasets.load(spark, sf, "documents"), min_count=3)
+
     # ---- dedup (documents) ----
 
     def dedup_exact(spark, sf):
@@ -513,10 +533,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.embedding_near_duplicates(emb, threshold=0.8)
 
     def emb_lsh_topk(spark, sf):
-        # approximate scale path — no SQL oracle (rows-only check)
+        # approximate scale path — no SQL oracle (rows-only check).
+        # 4 planes × 8 tables: the recall-measured configuration (see
+        # emb_lsh_recall) for this corpus's weak-similarity neighbors.
         emb = datasets.load(spark, sf, "embeddings")
         return similarity.rp_lsh_topk(
-            emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=8, n_tables=4, dim=64
+            emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4, n_tables=8, dim=64
         )
 
     def sp_svdpp_factors(spark, sf):
@@ -789,6 +811,93 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=4, dim=64
         )
 
+    def _ann_recall(spark, sf, approx_fn, floor):
+        # recall@k of an approximate ANN result vs the exact top-k,
+        # thresholded well below the measured value (constant-true oracle)
+        emb = datasets.load(spark, sf, "embeddings")
+        q = emb.filter(F.col("vec_id") < 10)
+        exact = similarity.cosine_topk(emb, q, k=5).select("query_id", "neighbor_id")
+        approx = approx_fn(emb, q).select("query_id", "neighbor_id")
+        hits = exact.join(approx, on=["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).alias("h")
+        )
+        tot = exact.agg(F.count(F.lit(1)).alias("t"))
+        return hits.crossJoin(tot).select(
+            ((F.col("h").cast("double") / F.col("t")) >= floor).alias("recall_ok")
+        )
+
+    def emb_lsh_recall(spark, sf):
+        # invariant oracle for the rows-only emb_lsh_topk path. 4 planes ×
+        # 8 tables measured recall@5 = 0.68/0.70 at sf0.001/0.01 (8×4
+        # measures 0.04 — too many planes for this corpus's weak
+        # neighbors); floor 0.5 with deterministic seeded planes.
+        return _ann_recall(
+            spark, sf,
+            lambda emb, q: similarity.rp_lsh_topk(
+                emb, q, k=5, n_planes=4, n_tables=8, dim=64
+            ),
+            0.5,
+        )
+
+    def emb_ivf_recall(spark, sf):
+        # invariant oracle for the rows-only emb_ivf_topk path; measured
+        # recall@5 = 0.66/0.60 at sf0.001/0.01 (deterministic seeded
+        # quantizer), floor 0.5
+        return _ann_recall(
+            spark, sf,
+            lambda emb, q: similarity.ivf_topk(
+                emb, q, k=5, n_cells=16, n_probe=4, dim=64
+            ),
+            0.5,
+        )
+
+    def emb_near_dup_lsh_inv(spark, sf):
+        # invariant oracle for the rows-only emb_near_dup_lsh path: the
+        # exact-cosine verify stage makes precision 1.0 by construction
+        # (every emitted pair IS an exact near-dup pair), and at this
+        # threshold the candidate generator must find at least one pair.
+        emb = datasets.load(spark, sf, "embeddings")
+        exact = similarity.embedding_near_duplicates(emb, threshold=0.3).select(
+            "id_a", "id_b"
+        )
+        approx = similarity.embedding_near_duplicates(
+            emb, threshold=0.3, method="lsh", n_planes=6, n_tables=8, dim=64
+        ).select("id_a", "id_b")
+        fp = approx.join(exact, on=["id_a", "id_b"], how="left_anti").agg(
+            F.count(F.lit(1)).alias("false_pairs")
+        )
+        ne = approx.agg((F.count(F.lit(1)) > 0).alias("found_pairs"))
+        return fp.crossJoin(ne)
+
+    def hier_semiclusters_inv(spark, sf):
+        # invariant oracle for the rows-only hier_semiclusters path:
+        # every kept cluster contains its vertex (SemiClustering keeps
+        # clusters CONTAINING self), sizes respect cluster_capacity, and
+        # each vertex keeps 1..max_clusters clusters.
+        from kafka_graphs_spark.datasets import hierarchy_graph
+        from kafka_graphs_spark.library import semi_clustering
+
+        out = semi_clustering(
+            hierarchy_graph(spark, sf), iterations=2, max_clusters=2,
+            cluster_capacity=4,
+        )
+        per_vertex = out.select(
+            "id",
+            F.size("clusters").alias("nc"),
+            F.size(
+                F.filter("clusters", lambda c: ~F.array_contains(c, F.col("id")))
+            ).alias("not_containing_self"),
+            F.size(
+                F.filter("clusters", lambda c: F.size(c) > 4)
+            ).alias("over_capacity"),
+        )
+        return per_vertex.agg(
+            F.sum(F.when((F.col("nc") < 1) | (F.col("nc") > 2), 1).otherwise(0))
+            .cast("long").alias("count_violations"),
+            F.sum("not_containing_self").cast("long").alias("self_violations"),
+            F.sum("over_capacity").cast("long").alias("capacity_violations"),
+        )
+
     # ---- multimodal plumbing (documents as binary payloads) ----
 
     def multimodal_features(spark, sf):
@@ -844,6 +953,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_language_id": doc_language_id,
         "doc_quality": doc_quality,
         "doc_fingerprint": doc_fingerprint,
+        "doc_normalize": doc_normalize,
+        "doc_vocabulary": doc_vocabulary,
+        "doc_tfidf_keywords": doc_tfidf_keywords,
+        "doc_bigrams": doc_bigrams,
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash": dedup_minhash,
@@ -853,6 +966,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate": pipeline_curate,
         "doc_language_stats": doc_language_stats,
         "emb_ivf_topk": emb_ivf_topk,
+        "emb_lsh_recall": emb_lsh_recall,
+        "emb_ivf_recall": emb_ivf_recall,
+        "emb_near_dup_lsh_inv": emb_near_dup_lsh_inv,
+        "hier_semiclusters_inv": hier_semiclusters_inv,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
         "emb_near_dup_lsh": emb_near_dup_lsh,
@@ -1214,6 +1331,41 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": f"""
             SELECT doc_id, md5(array_to_string({TOKS}, ' ')) AS fp FROM documents
         """,
+        "doc_normalize": f"""
+            SELECT doc_id, array_to_string({TOKS}, ' ') AS norm_text FROM documents
+        """,
+        "doc_vocabulary": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+            agg AS (SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS doc_freq
+                    FROM tok GROUP BY 1)
+            SELECT token, freq, doc_freq,
+                   row_number() OVER (ORDER BY freq DESC, token) AS token_id
+            FROM agg WHERE freq >= 2
+        """,
+        "doc_tfidf_keywords": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS token FROM t),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+            df AS (SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            s AS (SELECT tf.doc_id, tf.token,
+                         CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE) / CAST(df.df AS DOUBLE)) AS raw
+                  FROM tf JOIN df ON tf.token = df.token CROSS JOIN n),
+            r AS (SELECT doc_id, token, raw,
+                         row_number() OVER (PARTITION BY doc_id ORDER BY raw DESC, token) AS rnk
+                  FROM s)
+            SELECT doc_id, token, round(raw, 6) AS score, rnk AS rank
+            FROM r WHERE rnk <= 3
+        """,
+        "doc_bigrams": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            tok AS (SELECT doc_id, unnest(toks) AS tk,
+                           generate_subscripts(toks, 1) AS i FROM t),
+            bg AS (SELECT a.tk || ' ' || b.tk AS bigram
+                   FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
+            SELECT bigram, count(*) AS freq FROM bg GROUP BY 1 HAVING count(*) >= 3
+        """,
         "dedup_exact": """
             SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, count(*) AS n_dups
             FROM documents GROUP BY 1
@@ -1351,6 +1503,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0 AS BIGINT) AS mutual_violations,
                    CAST(0 AS BIGINT) AS capacity_violations,
                    true AS nonempty
+        """,
+        # ANN recall invariants: measured recall@5 is well above the 0.5
+        # floor pinned in the Spark query (the result itself is
+        # hash-order-dependent on bucket randomness, the floor is not)
+        "emb_lsh_recall": "SELECT true AS recall_ok",
+        "emb_ivf_recall": "SELECT true AS recall_ok",
+        # LSH near-dup invariants: exact-cosine verify ⇒ zero false pairs;
+        # candidate generator must surface at least one true pair
+        "emb_near_dup_lsh_inv": """
+            SELECT CAST(0 AS BIGINT) AS false_pairs, true AS found_pairs
+        """,
+        # semi-clustering invariants: clusters contain their vertex,
+        # respect capacity, and each vertex keeps 1..max_clusters of them
+        "hier_semiclusters_inv": """
+            SELECT CAST(0 AS BIGINT) AS count_violations,
+                   CAST(0 AS BIGINT) AS self_violations,
+                   CAST(0 AS BIGINT) AS capacity_violations
         """,
         # one k-means iteration from pinned centers, closed-form: assign to
         # initial centers (embeddings 0..7), recompute means, re-assign

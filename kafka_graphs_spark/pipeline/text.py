@@ -118,6 +118,100 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, norm_text) — canonical text form.
+
+    Lowercase, punctuation/whitespace runs collapsed to single spaces,
+    edges trimmed — the normalization every downstream op (dedup,
+    fingerprint, vocab) implicitly keys on, exposed as its own transform.
+    """
+    return docs.select(
+        "doc_id", F.array_join(tokens(F.col(text_col)), " ").alias("norm_text")
+    )
+
+
+def vocabulary(docs: DataFrame, min_count: int = 1, text_col: str = "text") -> DataFrame:
+    """(token, freq, doc_freq, token_id) — corpus vocabulary with ranked ids.
+
+    token_id ranks by (freq desc, token asc) — the standard frequency-
+    ordered vocab a tokenizer trainer starts from. The explode/groupBy is
+    map-side combined; the final ranking window runs over the AGGREGATED
+    vocab (distinct tokens — sublinear in corpus size), so the unpartitioned
+    window is bounded, not corpus-scale.
+    """
+    from pyspark.sql.window import Window
+
+    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
+    agg = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        agg.filter(F.col("freq") >= min_count)
+        .withColumn("token_id", F.row_number().over(w).cast("long"))
+    )
+
+
+def tfidf_keywords(docs: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """(doc_id, token, score, rank) — top-k keywords per document.
+
+    score = tf · (N/df): term frequency weighted by inverse document
+    frequency in RATIONAL form (no log), so both engines evaluate the
+    identical sequence of exactly-rounded IEEE ops and the oracle is
+    bit-exact. Ranking ties break by token asc. All shuffles key on
+    doc_id/token with map-side partial aggregation.
+    """
+    from pyspark.sql.window import Window
+
+    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n").cast("double") / F.col("df").cast("double"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bigram_counts(docs: DataFrame, min_count: int = 2, text_col: str = "text") -> DataFrame:
+    """(bigram, freq) — corpus-wide adjacent-token pair counts.
+
+    Phrase mining / tokenizer-merge statistics. Bigrams are built
+    JVM-side by zipping the token array with its own tail — no Python,
+    no self-join; the groupBy partial-aggregates map-side.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_count)
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fp) — md5 of the normalized token stream.
 

@@ -121,3 +121,58 @@ class TestNearDupLsh:
 
         with pytest.raises(ValueError):
             similarity.embedding_near_duplicates(vectors, method="nope").collect()
+
+
+class TestTextCorpusOps:
+    def test_normalize_text(self, spark):
+        from kafka_graphs_spark.pipeline import text
+
+        docs = spark.createDataFrame(
+            [(1, "  Hello,   WORLD!! 42 "), (2, ""), (3, "---")],
+            "doc_id long, text string",
+        )
+        out = {r.doc_id: r.norm_text for r in text.normalize_text(docs).collect()}
+        assert out == {1: "hello world 42", 2: "", 3: ""}
+
+    def test_vocabulary_ranks_by_freq_then_token(self, spark):
+        from kafka_graphs_spark.pipeline import text
+
+        docs = spark.createDataFrame(
+            [(1, "b a a"), (2, "a b c")], "doc_id long, text string"
+        )
+        rows = {r.token: r for r in text.vocabulary(docs, min_count=1).collect()}
+        assert rows["a"].freq == 3 and rows["a"].token_id == 1
+        assert rows["a"].doc_freq == 2
+        # freq tie between b(2)... b=2, c=1: order a(3), b(2), c(1)
+        assert rows["b"].token_id == 2 and rows["c"].token_id == 3
+        # min_count filters the tail
+        assert text.vocabulary(docs, min_count=2).count() == 2
+
+    def test_tfidf_keywords_prefers_rare_terms(self, spark):
+        from kafka_graphs_spark.pipeline import text
+
+        docs = spark.createDataFrame(
+            [(1, "common rare common"), (2, "common other"), (3, "common third")],
+            "doc_id long, text string",
+        )
+        top1 = {
+            r.doc_id: r.token
+            for r in text.tfidf_keywords(docs, k=1).collect()
+        }
+        # 'common' appears in every doc (idf=1); doc-unique terms win
+        assert top1 == {1: "rare", 2: "other", 3: "third"}
+
+    def test_bigram_counts(self, spark):
+        from kafka_graphs_spark.pipeline import text
+
+        docs = spark.createDataFrame(
+            [(1, "new york city"), (2, "new york state"), (3, "one")],
+            "doc_id long, text string",
+        )
+        out = {r.bigram: r.freq for r in text.bigram_counts(docs, min_count=2).collect()}
+        assert out == {"new york": 2}
+        all_bg = {
+            r.bigram: r.freq for r in text.bigram_counts(docs, min_count=1).collect()
+        }
+        # single-token and empty docs contribute no bigrams
+        assert all_bg == {"new york": 2, "york city": 1, "york state": 1}
