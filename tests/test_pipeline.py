@@ -176,3 +176,78 @@ class TestTextCorpusOps:
         }
         # single-token and empty docs contribute no bigrams
         assert all_bg == {"new york": 2, "york city": 1, "york state": 1}
+
+
+class TestTextOpsVsPythonModel:
+    """Randomized-corpus cross-check vs an independent pure-Python model."""
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        import random
+
+        rng = random.Random(1234)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(0, 40))))
+            for i in range(60)
+        ]
+        return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_vocabulary_matches_model(self, corpus):
+        from collections import Counter
+
+        from kafka_graphs_spark.pipeline import text
+
+        rows, docs = corpus
+        freq, dfreq = Counter(), Counter()
+        for _, t in rows:
+            toks = t.split()
+            freq.update(toks)
+            dfreq.update(set(toks))
+        got = {r.token: (r.freq, r.doc_freq) for r in text.vocabulary(docs).collect()}
+        assert got == {w: (freq[w], dfreq[w]) for w in freq}
+        # ids are a permutation of 1..|vocab| honoring (freq desc, token asc)
+        ids = sorted(
+            (r.token_id, -r.freq, r.token)
+            for r in text.vocabulary(docs).collect()
+        )
+        assert [i for i, _, _ in ids] == list(range(1, len(freq) + 1))
+        assert ids == sorted(ids, key=lambda x: (x[1], x[2]))
+
+    def test_bigrams_match_model(self, corpus):
+        from collections import Counter
+
+        from kafka_graphs_spark.pipeline import text
+
+        rows, docs = corpus
+        model = Counter()
+        for _, t in rows:
+            toks = t.split()
+            model.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+        got = {r.bigram: r.freq for r in text.bigram_counts(docs, min_count=1).collect()}
+        assert got == dict(model)
+
+    def test_tfidf_topk_matches_model(self, corpus):
+        from collections import Counter
+
+        from kafka_graphs_spark.pipeline import text
+
+        rows, docs = corpus
+        n = len(rows)
+        dfreq = Counter()
+        for _, t in rows:
+            dfreq.update(set(t.split()))
+        expect = {}
+        for doc_id, t in rows:
+            tf = Counter(t.split())
+            scored = sorted(
+                ((c * (n / dfreq[w]), w) for w, c in tf.items()),
+                key=lambda x: (-x[0], x[1]),
+            )
+            for rank, (s, w) in enumerate(scored[:3], 1):
+                expect[(doc_id, w)] = (s, rank)
+        got = {
+            (r.doc_id, r.token): (r.score, r.rank)
+            for r in text.tfidf_keywords(docs, k=3).collect()
+        }
+        assert got == expect
