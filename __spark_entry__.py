@@ -425,6 +425,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("value", 6).alias("value"),
         )
 
+    def ec_window_sum_sliding(spark, sf):
+        # hopping-window variant (Spark-native extension; the reference is
+        # tumbling-only) — every edge lands in exactly duration/slide
+        # windows, so the SQL twin enumerates the two 30-min-aligned starts.
+        from pyspark.sql.window import Window
+
+        from kafka_graphs_spark.streaming import EdgeStream
+
+        ev = datasets.load(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        edges = (
+            ev.select(
+                "user_id", "event_id", "ts",
+                F.lag("event_id").over(w).alias("prev_id"),
+                F.abs(F.col("value")).alias("w"),
+            )
+            .filter(F.col("prev_id").isNotNull())
+            .select(
+                F.col("prev_id").alias("src"),
+                F.col("event_id").alias("dst"),
+                F.col("w").alias("value"),
+                F.col("ts").alias("event_time"),
+            )
+        )
+        out = (
+            EdgeStream(edges)
+            .slice("1 hour", slide="30 minutes")
+            .reduce_on_edges("sum")
+        )
+        start = F.col("window.start")
+        epoch_start = (
+            F.datediff(start.cast("date"), F.lit("1970-01-01").cast("date")).cast("long") * 86400
+            + F.hour(start).cast("long") * 3600
+            + F.minute(start).cast("long") * 60
+        )
+        return out.select(
+            epoch_start.alias("window_start"),
+            "id",
+            F.round("value", 6).alias("value"),
+        )
+
     def ec_stream_reverse(spark, sf):
         from kafka_graphs_spark.streaming import EdgeStream
 
@@ -926,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_grid_edges": gen_grid_edges,
         "gen_star_edges": gen_star_edges,
         "ec_window_sum": ec_window_sum,
+        "ec_window_sum_sliding": ec_window_sum_sliding,
         "ec_stream_reverse": ec_stream_reverse,
         "ec_stream_undirected": ec_stream_undirected,
         "dedup_simhash_pairs": dedup_simhash_pairs,
@@ -1085,6 +1127,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
                    src AS id, round(SUM(w), 6) AS value
             FROM e GROUP BY 1, 2
+        """,
+        # hopping 1h/30min: every event is in exactly the two windows
+        # starting at its 30-min-aligned floor and 30 min before it
+        "ec_window_sum_sliding": """
+            WITH p AS (SELECT event_id, user_id, ts, abs(value) AS w,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+                       FROM events),
+            e AS (SELECT a.event_id AS src, b.event_id AS dst, b.w, b.ts,
+                         (CAST(floor(epoch(b.ts)) AS BIGINT) // 1800) * 1800 AS b0
+                  FROM p a JOIN p b ON a.user_id = b.user_id AND b.rn = a.rn + 1),
+            x AS (SELECT src, w, unnest([b0, b0 - 1800]) AS ws FROM e)
+            SELECT ws AS window_start, src AS id, round(SUM(w), 6) AS value
+            FROM x GROUP BY 1, 2
         """,
         "ec_stream_reverse": f"""
             WITH pos AS ({EC_POS})

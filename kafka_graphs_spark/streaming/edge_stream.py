@@ -157,13 +157,24 @@ class EdgeStream:
     # ---- windowing (slice → KGraphWindowedStream) ----
 
     def slice(
-        self, window_duration: str, direction: EdgeDirection = EdgeDirection.OUT
+        self,
+        window_duration: str,
+        direction: EdgeDirection = EdgeDirection.OUT,
+        slide: Optional[str] = None,
+        session_gap: Optional[str] = None,
     ) -> "WindowedEdgeStream":
-        """Key edges by vertex into tumbling windows.
+        """Key edges by vertex into time windows.
 
         Reference: EdgeStream.java:453-494 — IN keys by target, OUT by
-        source, BOTH emits both keyings (via undirected()).
+        source, BOTH emits both keyings (via undirected()). The reference
+        supports tumbling windows only; ``slide`` (hopping windows — each
+        event lands in duration/slide windows) and ``session_gap``
+        (per-vertex session windows, closing after a gap of inactivity)
+        are the Spark-native extensions — the same groupBy plan shape,
+        so they cost nothing extra at scale.
         """
+        if slide is not None and session_gap is not None:
+            raise ValueError("slide and session_gap are mutually exclusive")
         if direction == EdgeDirection.IN:
             keyed = self.edges.select(F.col(DST).alias("id"), SRC, DST, VALUE, self.event_time)
         elif direction == EdgeDirection.OUT:
@@ -172,22 +183,36 @@ class EdgeStream:
             keyed = self.undirected().edges.select(
                 F.col(SRC).alias("id"), SRC, DST, VALUE, self.event_time
             )
-        return WindowedEdgeStream(keyed, window_duration, self.event_time)
+        return WindowedEdgeStream(keyed, window_duration, self.event_time, slide, session_gap)
 
 
 class WindowedEdgeStream:
     """Per-vertex, per-window neighborhood view (KGraphWindowedStream.java:41-47)."""
 
-    def __init__(self, keyed: DataFrame, window_duration: str, event_time: str):
+    def __init__(
+        self,
+        keyed: DataFrame,
+        window_duration: str,
+        event_time: str,
+        slide: Optional[str] = None,
+        session_gap: Optional[str] = None,
+    ):
         self.keyed = keyed
         self.window_duration = window_duration
         self.event_time = event_time
+        self.slide = slide
+        self.session_gap = session_gap
+
+    def _window(self):
+        ts = F.col(self.event_time)
+        if self.session_gap is not None:
+            return F.session_window(ts, self.session_gap).alias("window")
+        if self.slide is not None:
+            return F.window(ts, self.window_duration, self.slide).alias("window")
+        return F.window(ts, self.window_duration).alias("window")
 
     def _grouped(self):
-        return self.keyed.groupBy(
-            F.window(F.col(self.event_time), self.window_duration).alias("window"),
-            F.col("id"),
-        )
+        return self.keyed.groupBy(self._window(), F.col("id"))
 
     def reduce_on_edges(self, reducer: str) -> DataFrame:
         """Windowed per-vertex reduce of edge values

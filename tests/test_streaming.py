@@ -166,6 +166,34 @@ class TestEdgeStream:
         # window 0: 1→(12+13), 2→23; window 60s: 3→(34+35)
         assert got[(0, 1)] == 25.0 and got[(0, 2)] == 23.0 and got[(0, 3)] == 69.0
 
+    def test_sliding_window_reduce(self, stream):
+        w = stream.slice("1 minute", EdgeDirection.OUT, slide="30 seconds")
+        res = w.reduce_on_edges("sum").collect()
+        got = {}
+        for r in res:
+            s = r["window"]["start"]
+            got.setdefault(r["id"], {})[(s.minute, s.second)] = r["value"]
+        # each event lands in exactly 2 hopping windows
+        assert got[1] == {(59, 30): 25.0, (0, 0): 25.0}
+        assert got[3] == {(0, 30): 69.0, (1, 0): 69.0}
+
+    def test_session_window_reduce(self, stream):
+        w = stream.slice("1 minute", EdgeDirection.OUT, session_gap="30 seconds")
+        res = w.reduce_on_edges("sum").collect()
+        got = {r["id"]: r for r in res}
+        assert len(res) == 3  # one session per source vertex
+        # vertex 3's events are 10s apart — one merged session 01:10→01:50
+        s3 = got[3]["window"]
+        assert got[3]["value"] == 69.0
+        assert (s3["start"].minute, s3["start"].second) == (1, 10)
+        assert (s3["end"].minute, s3["end"].second) == (1, 50)
+
+    def test_slide_and_session_exclusive(self, stream):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            stream.slice("1 minute", slide="30 seconds", session_gap="30 seconds")
+
     def test_fold_neighbors(self, stream):
         w = stream.slice("1 minute", EdgeDirection.OUT)
         res = w.fold_neighbors(
