@@ -130,3 +130,57 @@ class TestNoAllPairsJoins:
         plan = executed_plan(exact_triangle_count(datasets.hierarchy_edges(spark, SF)))
         assert "CartesianProduct" not in plan
         assert "LeftSemi" in plan
+
+
+class TestCorpusTextOpPlans:
+    def test_corpus_ops_stay_jvm_side(self, docs):
+        from kafka_graphs_spark.pipeline import text
+
+        for df in (
+            text.normalize_text(docs),
+            text.vocabulary(docs),
+            text.tfidf_keywords(docs, k=3),
+            text.bigram_counts(docs),
+        ):
+            assert "BatchEvalPython" not in executed_plan(df)
+
+    def test_vocab_and_bigrams_combine_map_side(self, docs):
+        from kafka_graphs_spark.pipeline import text
+
+        # explode → groupBy count must partial-aggregate before the
+        # exchange: the shuffle carries (token, count), not raw tokens
+        assert executed_plan(text.vocabulary(docs)).count("HashAggregate") >= 2
+        assert executed_plan(text.bigram_counts(docs)).count("HashAggregate") >= 2
+
+    def test_corpus_ops_prune_document_columns(self, docs):
+        from kafka_graphs_spark.pipeline import text
+
+        plan = executed_plan(text.vocabulary(docs))
+        read = plan.split("ReadSchema:")[1].splitlines()[0]
+        # only doc_id + text reach the scan; lang/source/n_chars pruned
+        assert "text" in read
+        assert "lang" not in read and "source" not in read and "n_chars" not in read
+
+    def test_tfidf_broadcasts_the_small_sides(self, docs):
+        from kafka_graphs_spark.pipeline import text
+
+        # df (vocab-sized) and N (1 row) are broadcast — the tf side
+        # (corpus-sized) never shuffles for the join
+        plan = executed_plan(text.tfidf_keywords(docs, k=3))
+        assert plan.count("BroadcastExchange") >= 2
+        assert "CartesianProduct" not in plan
+
+
+class TestWindowedStreamPlans:
+    def test_windowed_reduce_partial_aggregates(self, spark):
+        from kafka_graphs_spark.streaming import EdgeStream
+
+        df = spark.createDataFrame(
+            [(1, 2, 1.0, "2026-01-01 00:00:05")],
+            "src long, dst long, value double, event_time string",
+        ).withColumn("event_time", F.to_timestamp("event_time"))
+        for kw in ({}, {"slide": "30 minutes"}):
+            out = EdgeStream(df).slice("1 hour", **kw).reduce_on_edges("sum")
+            plan = executed_plan(out)
+            assert "BatchEvalPython" not in plan
+            assert plan.count("HashAggregate") >= 2
