@@ -68,6 +68,19 @@ class EdgeStream:
             self.event_time,
         )
 
+    def with_watermark(self, delay: str) -> "EdgeStream":
+        """Bound event-time lateness (Spark-native extension).
+
+        The reference has no event-time or late-data handling anywhere
+        (processing-time only — SURVEY §2.9); Structured Streaming's
+        watermark gives the streaming tier bounded state and append-mode
+        windowed aggregations: events older than max(event_time) − delay
+        are dropped and their window state evicted.
+        """
+        return EdgeStream(
+            self.edges.withWatermark(self.event_time, delay), self.event_time
+        )
+
     def reverse(self) -> "EdgeStream":
         """Reference: EdgeStream.java:252-261."""
         others = [c for c in self.edges.columns if c not in (SRC, DST)]

@@ -91,3 +91,70 @@ class TestStatefulDistinctDegrees:
         # (2,1) mirrors the already-seen (1,2): both endpoint sets unchanged
         # by it; (1,4) adds 4 to vertex 1 and creates vertex 4
         assert got2 == {1: 3, 2: 1, 4: 1}
+
+
+class TestWatermarkedWindows:
+    """Event-time watermark: append-mode windowed aggregation with
+    late-data drop — beyond the reference (processing-time only)."""
+
+    SCHEMA_T = "src long, dst long, value double, event_time timestamp"
+
+    def _write(self, spark, rows, path):
+        df = spark.createDataFrame(
+            [(s, d, v, t) for s, d, v, t in rows],
+            "src long, dst long, value double, event_time string",
+        ).withColumn("event_time", F.to_timestamp("event_time"))
+        df.coalesce(1).write.mode("append").parquet(path)
+
+    def _run(self, spark, src, ckpt):
+        from kafka_graphs_spark.streaming import EdgeStream
+
+        rows = []
+
+        def sink(batch_df, _batch_id):
+            rows.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(self.SCHEMA_T).parquet(src)
+        out = (
+            EdgeStream(stream)
+            .with_watermark("10 minutes")
+            .slice("1 hour")
+            .reduce_on_edges("sum")
+        )
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    def test_append_mode_emits_closed_windows_and_drops_late(self, spark, tmp_path):
+        src, ckpt = str(tmp_path / "edges"), str(tmp_path / "ckpt")
+        # window A [00:00,01:00): two edges; window B advances the watermark
+        self._write(
+            spark,
+            [
+                (1, 2, 5.0, "2026-01-01 00:10:00"),
+                (1, 3, 7.0, "2026-01-01 00:20:00"),
+                (9, 9, 1.0, "2026-01-01 03:00:00"),
+            ],
+            src,
+        )
+        out1 = self._run(spark, src, ckpt)
+        got1 = {
+            (r["window"]["start"].hour, r["id"]): r["value"] for r in out1
+        }
+        # availableNow flushes a trailing batch after the watermark
+        # advances to 02:50 — window A closes and is emitted; window B
+        # ([03:00,04:00), at the watermark frontier) stays open
+        assert got1 == {(0, 1): 12.0}
+
+        # a LATE edge for window A (watermark 02:50 ≫ window end) must be
+        # dropped — its evicted window NEVER re-emits
+        self._write(spark, [(1, 4, 100.0, "2026-01-01 00:30:00")], src)
+        out2 = self._run(spark, src, ckpt)
+        hours = {r["window"]["start"].hour for r in out2}
+        assert 0 not in hours
