@@ -910,6 +910,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ne = approx.agg((F.count(F.lit(1)) > 0).alias("found_pairs"))
         return fp.crossJoin(ne)
 
+    def hier_kcore_inv(spark, sf):
+        # k-core (beyond-reference operator) self-consistency invariants:
+        # members are graph vertices, reported degrees are ≥ k AND equal
+        # the recomputed degree of the induced undirected subgraph, and
+        # the hierarchy graph's 2-core is non-empty (it has triangles).
+        from kafka_graphs_spark.datasets import hierarchy_graph
+        from kafka_graphs_spark.library import k_core
+
+        g = hierarchy_graph(spark, sf)
+        core = k_core(g, 2)
+        ids = core.select("id")
+        subset = ids.join(g.vertices.select("id"), on="id", how="left_anti").agg(
+            F.count(F.lit(1)).alias("subset_violations")
+        )
+        und = (
+            g.edges.select("src", "dst")
+            .unionByName(
+                g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        induced = und.join(
+            ids, und["src"] == ids["id"], "left_semi"
+        ).join(ids, und["dst"] == ids["id"], "left_semi")
+        recomputed = induced.groupBy("src").agg(F.count(F.lit(1)).alias("rdeg"))
+        mism = (
+            core.join(recomputed, core["id"] == recomputed["src"], "left")
+            .select(
+                F.when(
+                    (F.col("degree") < 2)
+                    | (F.coalesce(F.col("rdeg"), F.lit(0)) != F.col("degree")),
+                    1,
+                ).otherwise(0).alias("bad")
+            )
+            .agg(F.sum("bad").cast("long").alias("degree_violations"))
+        )
+        ne = core.agg((F.count(F.lit(1)) > 0).alias("nonempty"))
+        return subset.crossJoin(mism).crossJoin(ne)
+
     def hier_semiclusters_inv(spark, sf):
         # invariant oracle for the rows-only hier_semiclusters path:
         # every kept cluster contains its vertex (SemiClustering keeps
@@ -1012,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivf_recall": emb_ivf_recall,
         "emb_near_dup_lsh_inv": emb_near_dup_lsh_inv,
         "hier_semiclusters_inv": hier_semiclusters_inv,
+        "hier_kcore_inv": hier_kcore_inv,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
         "emb_near_dup_lsh": emb_near_dup_lsh,
@@ -1568,6 +1609,13 @@ def oracle_sql() -> dict[str, str]:
         # candidate generator must surface at least one true pair
         "emb_near_dup_lsh_inv": """
             SELECT CAST(0 AS BIGINT) AS false_pairs, true AS found_pairs
+        """,
+        # k-core self-consistency: membership ⊆ vertices, degrees ≥ k and
+        # equal to the induced-subgraph recount, 2-core non-empty
+        "hier_kcore_inv": """
+            SELECT CAST(0 AS BIGINT) AS subset_violations,
+                   CAST(0 AS BIGINT) AS degree_violations,
+                   true AS nonempty
         """,
         # semi-clustering invariants: clusters contain their vertex,
         # respect capacity, and each vertex keeps 1..max_clusters of them

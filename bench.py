@@ -88,6 +88,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
             emb, emb.filter(F.col("vec_id") < 10), k=5
         ).count(),
         "quality": lambda: text.quality_score(docs).count(),
+        "tfidf": lambda: text.tfidf_keywords(docs, k=3).count(),
     }
 
 

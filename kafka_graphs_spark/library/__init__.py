@@ -11,7 +11,12 @@ user-defined algorithms.
 
 from kafka_graphs_spark.library.basic import edge_count, reverse_edges, vertex_count
 from kafka_graphs_spark.library.clustering_coefficient import local_clustering_coefficient
-from kafka_graphs_spark.library.components import connected_components, label_propagation
+from kafka_graphs_spark.library.components import (
+    connected_components,
+    core_decomposition,
+    k_core,
+    label_propagation,
+)
 from kafka_graphs_spark.library.pagerank import pagerank
 from kafka_graphs_spark.library.paths import bfs, mssp, sssp
 from kafka_graphs_spark.library.registry import ALGORITHMS, get_algorithm
@@ -26,6 +31,8 @@ __all__ = [
     "sssp",
     "mssp",
     "connected_components",
+    "core_decomposition",
+    "k_core",
     "label_propagation",
     "pagerank",
     "local_clustering_coefficient",

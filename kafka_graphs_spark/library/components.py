@@ -140,3 +140,84 @@ def label_propagation(graph: Graph, max_iterations: int = 10) -> DataFrame:
         loop.release()
         release_edges()
     return result
+
+
+def k_core(graph: Graph, k: int, max_iterations: int = 100) -> DataFrame:
+    """Vertices of the k-core: (id, degree) with degree ≥ k in the core.
+
+    Beyond-reference operator (the reference library has no core
+    decomposition): iteratively peel vertices whose undirected degree is
+    < k until fixpoint. Each round is one map-side-combined degree count
+    plus two semi-joins on the peeled vertex set — all equi-joins keyed on
+    vertex id, no collects; rounds are ChainLoop generations (one action
+    per round, bounded plans), and the number of rounds is the peeling
+    depth (≤ graph degeneracy ≪ |V|).
+    """
+    if k <= 0:
+        return graph.vertices.select("id").join(
+            graph.edges.select(F.col("src").alias("id"))
+            .unionByName(graph.edges.select(F.col("dst").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("degree")),
+            on="id",
+            how="left",
+        ).select("id", F.coalesce("degree", F.lit(0)).alias("degree"))
+
+    und = (
+        graph.edges.select("src", "dst")
+        .unionByName(
+            graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    loop = ChainLoop()
+    try:
+        state, row = loop.advance(und)
+        n_edges = row["_kgs_rows"]
+        for _ in range(max_iterations):
+            deg = state.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+            keep = deg.filter(F.col("degree") >= k).select(F.col("src").alias("id"))
+            nxt = state.join(
+                keep, state["src"] == keep["id"], "left_semi"
+            ).join(keep, state["dst"] == keep["id"], "left_semi")
+            state, row = loop.advance(nxt)
+            if row["_kgs_rows"] == n_edges:
+                break
+            n_edges = row["_kgs_rows"]
+        out = (
+            state.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("degree"))
+            .select(F.col("src").alias("id"), "degree")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        loop.release()
+    return out
+
+
+def core_decomposition(graph: Graph, max_k: int = 64) -> DataFrame:
+    """(id, coreness) — the largest k for which the vertex is in the k-core.
+
+    Runs the peeling ladder k = 1..max_k, reusing each k-core's edge set
+    as the next level's input (each level only shrinks). Stops early once
+    the core empties. O(degeneracy) levels of the k_core loop.
+    """
+    result = None
+    sub = graph
+    for k in range(1, max_k + 1):
+        core = k_core(sub, k)
+        if not core.take(1):
+            break
+        level = core.select("id", F.lit(k).alias("coreness"))
+        result = level if result is None else result.unionByName(level)
+        keep = core.select("id")
+        edges = (
+            sub.edges.join(keep, sub.edges["src"] == keep["id"], "left_semi")
+            .join(keep, sub.edges["dst"] == keep["id"], "left_semi")
+        )
+        sub = Graph(core.select("id", F.lit(0).alias("value")), edges)
+    if result is None:
+        return graph.vertices.select("id", F.lit(0).alias("coreness")).limit(0)
+    # a vertex's coreness = max level it survived
+    return result.groupBy("id").agg(F.max("coreness").alias("coreness"))

@@ -686,3 +686,85 @@ class TestPathsParityRandom:
             for v in members:
                 want[v] = label
         assert got == want
+
+
+class TestKCore:
+    """k-core / coreness vs an independent Python peeling model."""
+
+    @staticmethod
+    def _model_coreness(pairs):
+        from collections import defaultdict
+
+        adj = defaultdict(set)
+        for a, b in pairs:
+            if a != b:
+                adj[a].add(b)
+                adj[b].add(a)
+        deg = {v: len(ns) for v, ns in adj.items()}
+        coreness = {}
+        remaining = dict(deg)
+        live = dict(adj)
+        k = 0
+        while remaining:
+            k = max(k, min(remaining.values()))
+            peel = [v for v, d in remaining.items() if d <= k]
+            while peel:
+                v = peel.pop()
+                if v not in remaining:
+                    continue
+                coreness[v] = k
+                del remaining[v]
+                for n in live[v]:
+                    if n in remaining:
+                        remaining[n] -= 1
+                        if remaining[n] <= k:
+                            peel.append(n)
+                    live[n].discard(v)
+                live[v] = set()
+        return coreness
+
+    @pytest.fixture(scope="class")
+    def rand_graph(self, spark):
+        import random
+
+        rng = random.Random(77)
+        pairs = sorted({
+            tuple(sorted((rng.randint(0, 49), rng.randint(0, 49))))
+            for _ in range(220)
+        })
+        pairs = [p for p in pairs if p[0] != p[1]]
+        edges = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in pairs], "src long, dst long, value double"
+        )
+        return pairs, Graph.from_edges(edges, F.lit(0))
+
+    def test_triangle_with_tail(self, spark):
+        from kafka_graphs_spark.library import k_core
+
+        edges = spark.createDataFrame(
+            [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0), (3, 4, 1.0)],
+            "src long, dst long, value double",
+        )
+        g = Graph.from_edges(edges, F.lit(0))
+        core2 = {r.id: r.degree for r in k_core(g, 2).collect()}
+        assert core2 == {1: 2, 2: 2, 3: 2}  # tail vertex 4 peeled
+        assert k_core(g, 3).count() == 0
+
+    def test_k_core_matches_model(self, rand_graph):
+        from kafka_graphs_spark.library import k_core
+
+        pairs, g = rand_graph
+        model = self._model_coreness(pairs)
+        for k in (2, 3, 4):
+            expect = {v for v, c in model.items() if c >= k}
+            got = {r.id for r in k_core(g, k).collect()}
+            assert got == expect, f"k={k}"
+
+    def test_core_decomposition_matches_model(self, rand_graph):
+        from kafka_graphs_spark.library import core_decomposition
+
+        pairs, g = rand_graph
+        model = self._model_coreness(pairs)
+        got = {r.id: r.coreness for r in core_decomposition(g).collect()}
+        # model assigns coreness to every non-isolated vertex
+        assert got == {v: c for v, c in model.items() if c >= 1}
