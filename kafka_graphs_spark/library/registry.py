@@ -17,7 +17,12 @@ from pyspark.sql import functions as F
 
 from kafka_graphs_spark.library.basic import edge_count, reverse_edges, vertex_count
 from kafka_graphs_spark.library.clustering_coefficient import local_clustering_coefficient
-from kafka_graphs_spark.library.components import connected_components, label_propagation
+from kafka_graphs_spark.library.components import (
+    connected_components,
+    core_decomposition,
+    k_core,
+    label_propagation,
+)
 from kafka_graphs_spark.library.pagerank import pagerank as _pagerank
 from kafka_graphs_spark.library.paths import bfs, mssp, sssp
 from kafka_graphs_spark.library.cf import als, sgd, svdpp
@@ -115,6 +120,13 @@ ALGORITHMS: Dict[str, AlgorithmSpec] = {
         "semiclustering", semi_clustering, lambda id_col: F.array(F.array(id_col)),
         "array<array<bigint>>",
         {"iterations": 10, "max_clusters": 5, "cluster_capacity": 15, "score_factor": 0.5},
+    ),
+    # beyond-reference additions (no GraphAlgorithmType counterpart)
+    "kcore": AlgorithmSpec(
+        "kcore", k_core, lambda id_col: F.lit(0), "long", {"k": 2}
+    ),
+    "coreness": AlgorithmSpec(
+        "coreness", core_decomposition, lambda id_col: F.lit(0), "long", {}
     ),
 }
 

@@ -768,3 +768,16 @@ class TestKCore:
         got = {r.id: r.coreness for r in core_decomposition(g).collect()}
         # model assigns coreness to every non-isolated vertex
         assert got == {v: c for v, c in model.items() if c >= 1}
+
+    def test_registry_entries(self, spark):
+        from kafka_graphs_spark.library import get_algorithm
+
+        edges = spark.createDataFrame(
+            [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0), (3, 4, 1.0)],
+            "src long, dst long, value double",
+        )
+        g = Graph.from_edges(edges, F.lit(0))
+        core = get_algorithm("kcore").run(g, k=2)
+        assert {r.id for r in core.collect()} == {1, 2, 3}
+        cn = {r.id: r.coreness for r in get_algorithm("coreness").run(g).collect()}
+        assert cn == {1: 2, 2: 2, 3: 2, 4: 1}
