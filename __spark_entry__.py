@@ -563,6 +563,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_simhash(spark, sf):
         return dedup.simhash(datasets.load(spark, sf, "documents"), bits=16)
 
+    def doc_contamination(spark, sf):
+        # eval-decontamination: 3-gram overlap of the training split
+        # (doc_id >= 50) against the benchmark split (doc_id < 50)
+        docs = datasets.load(spark, sf, "documents")
+        return dedup.ngram_contamination(
+            docs.filter(F.col("doc_id") >= 50),
+            docs.filter(F.col("doc_id") < 50),
+            n=3,
+        )
+
     # ---- similarity search (embeddings) ----
 
     def emb_cosine_topk(spark, sf):
@@ -1044,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": dedup_minhash,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        "doc_contamination": doc_contamination,
         "dedup_resolve": dedup_resolve,
         "pipeline_curate": pipeline_curate,
         "doc_language_stats": doc_language_stats,
@@ -1476,6 +1487,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS jaccard
             FROM inter JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05
+        """,
+        "doc_contamination": f"""
+            WITH sh AS ({SHINGLES}),
+            tr AS (SELECT * FROM sh WHERE doc_id >= 50),
+            bm AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50),
+            tot AS (SELECT doc_id, count(*) AS total FROM tr GROUP BY 1),
+            hit AS (SELECT doc_id, count(*) AS contaminated FROM tr
+                    WHERE shingle IN (SELECT shingle FROM bm) GROUP BY 1)
+            SELECT t.doc_id, COALESCE(h.contaminated, 0) AS contaminated, t.total,
+                   CAST(COALESCE(h.contaminated, 0) AS DOUBLE) / t.total AS rate
+            FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
         """,
         "dedup_minhash": f"""
             WITH sh AS ({SHINGLES}),

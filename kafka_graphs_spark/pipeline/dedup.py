@@ -264,3 +264,42 @@ def resolve_duplicates(
         .join(comp.withColumnRenamed("id", "doc_id"), on="doc_id", how="left")
         .select("doc_id", F.coalesce(F.col("value"), F.col("doc_id")).alias("keep_id"))
     )
+
+
+def ngram_contamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, contaminated, total, rate) — benchmark-overlap decontamination.
+
+    The standard eval-decontamination check for training corpora: for each
+    training document, the fraction of its distinct word n-grams that also
+    occur in ANY benchmark document. Inverted-index equi-join on the
+    shingle (the benchmark's distinct-shingle side is typically small
+    enough to broadcast); never an all-pairs document join. Filter
+    ``rate >= cutoff`` downstream to drop contaminated documents.
+    """
+    tr = shingles(train, n=n, text_col=text_col)
+    bench = (
+        shingles(benchmark, n=n, text_col=text_col)
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        tr.join(F.broadcast(bench), on="shingle", how="left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("contaminated"))
+    )
+    totals = tr.groupBy("doc_id").agg(F.count(F.lit(1)).alias("total"))
+    return (
+        totals.join(hits, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("contaminated", F.lit(0)).alias("contaminated"),
+            "total",
+            # int/int division: bit-identical across engines, no rounding
+            (F.coalesce("contaminated", F.lit(0)).cast("double") / F.col("total")).alias("rate"),
+        )
+    )

@@ -251,3 +251,29 @@ class TestTextOpsVsPythonModel:
             for r in text.tfidf_keywords(docs, k=3).collect()
         }
         assert got == expect
+
+
+class TestContamination:
+    def test_rate_bounds_and_exact_overlap(self, spark):
+        from kafka_graphs_spark.pipeline import dedup
+
+        bench = spark.createDataFrame(
+            [(100, "alpha beta gamma delta")], "doc_id long, text string"
+        )
+        train = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),        # fully contaminated
+                (2, "alpha beta gamma epsilon zeta"), # 1 of 3 shingles hit
+                (3, "one two three four"),            # clean
+                (4, "xy"),                            # too short: no shingles
+            ],
+            "doc_id long, text string",
+        )
+        out = {
+            r.doc_id: (r.contaminated, r.total, r.rate)
+            for r in dedup.ngram_contamination(train, bench, n=3).collect()
+        }
+        assert out[1] == (2, 2, 1.0)
+        assert out[2] == (1, 3, 1.0 / 3.0)
+        assert out[3] == (0, 2, 0.0)
+        assert 4 not in out  # no shingles → no row (nothing to measure)
