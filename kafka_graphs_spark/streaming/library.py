@@ -91,7 +91,11 @@ def spanner(
 
     Reference: io/kgraph/streaming/library/Spanner.java:35-84 — fold adds
     an edge only when the current spanner distance exceeds k; merge
-    replays each partial's edges with the same bound.
+    replays each partial's edges with the same bound. Note the stretch
+    guarantee composes per merge level: edges folded into one partial and
+    skipped there are only k²-stretch-bounded after a merge (property
+    test carries the witness) — matching the reference's replay
+    semantics, which share this bound.
     """
 
     def fold(s: AdjacencyListGraph, row) -> AdjacencyListGraph:

@@ -212,8 +212,16 @@ class AdjacencyListGraph:
             {v: set(ns) for v, ns in other.adj.items()} if other else {}
         )
 
-    def bounded_bfs_within(self, src: int, dst: int) -> bool:
-        """True iff dist(src,dst) <= k in the current spanner."""
+    def bounded_bfs_within(self, src: int, dst: int, bound: Optional[int] = None) -> bool:
+        """True iff dist(src,dst) <= bound (default k) in the current spanner.
+
+        ``bound`` matters for merged summaries: replay-with-recheck merge
+        (AdjacencyListGraph.java:128-140) preserves stretch ≤ k for edges
+        the merged spanner itself observed, but an edge SKIPPED inside a
+        partial relied on a ≤ k path whose edges may themselves be
+        replaced during replay — so one merge level guarantees only k².
+        """
+        bound = self.k if bound is None else bound
         if src not in self.adj or dst not in self.adj:
             return False
         seen = {src}
@@ -222,7 +230,7 @@ class AdjacencyListGraph:
             v, d = frontier.popleft()
             if v == dst:
                 return True
-            if d == self.k:
+            if d == bound:
                 continue
             for n in self.adj.get(v, ()):
                 if n not in seen:

@@ -142,6 +142,12 @@ class TestSpannerProperties:
             if a != b:
                 right.observe_edge(a, b)
         merged = left.merge(right)
+        # replay-with-recheck merge preserves k-stretch for edges observed
+        # at merge level, but an edge skipped INSIDE a partial relied on a
+        # ≤ k path whose edges can themselves be replaced by the replay —
+        # one merge level therefore guarantees stretch ≤ k² (hypothesis
+        # found the witness: pairs=[(0,1),(1,2),(0,2),(0,3),(2,3)], k=2,
+        # cut=1 → dist(2,3)=3 after merge)
         for a, b in pairs:
             if a != b:
-                assert merged.bounded_bfs_within(a, b)
+                assert merged.bounded_bfs_within(a, b, bound=k * k)
