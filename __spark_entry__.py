@@ -842,6 +842,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             min_score=0.6, n=3, jaccard_threshold=0.05,
         )
 
+    def pipeline_curate_decontam(spark, sf):
+        # curation with the benchmark-decontamination gate between the
+        # quality filter and dup resolution: train = doc_id >= 50,
+        # benchmark = doc_id < 50, drop rate > 0.5
+        from kafka_graphs_spark.pipeline.curate import curate
+
+        docs = datasets.load(spark, sf, "documents")
+        return curate(
+            docs.filter(F.col("doc_id") >= 50),
+            min_score=0.6, n=3, jaccard_threshold=0.05,
+            benchmark=docs.filter(F.col("doc_id") < 50),
+            max_contamination=0.5,
+        )
+
     def doc_language_stats(spark, sf):
         docs = datasets.load(spark, sf, "documents")
         lang = text.language_id(docs)
@@ -1057,6 +1071,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_contamination": doc_contamination,
         "dedup_resolve": dedup_resolve,
         "pipeline_curate": pipeline_curate,
+        "pipeline_curate_decontam": pipeline_curate_decontam,
         "doc_language_stats": doc_language_stats,
         "emb_ivf_topk": emb_ivf_topk,
         "emb_lsh_recall": emb_lsh_recall,
@@ -1714,6 +1729,64 @@ def oracle_sql() -> dict[str, str]:
             keep AS (SELECT id, MIN(r) AS k FROM reach GROUP BY id)
             SELECT q.doc_id FROM q LEFT JOIN keep ON keep.id = q.doc_id
             WHERE coalesce(keep.k, q.doc_id) = q.doc_id
+        """,
+        # curation with the decontamination gate: quality (train split) →
+        # drop docs with > 0.5 of their shingles in the benchmark split →
+        # transitive dup resolution over the survivors
+        "pipeline_curate_decontam": f"""
+            WITH RECURSIVE t AS (SELECT doc_id, {TOKS} AS toks FROM documents
+                                 WHERE doc_id >= 50),
+            s AS (SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS n_stop,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS mtl
+                FROM t),
+            q AS (SELECT doc_id FROM s WHERE
+                (CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE)/n_tokens >= 0.01
+                           AND CAST(n_stop AS DOUBLE)/n_tokens <= 0.5 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.3 ELSE 0.0 END)
+                >= 0.6),
+            kt AS (SELECT t.doc_id, t.toks FROM t JOIN q USING (doc_id)),
+            sh AS (SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) >= 3
+                              THEN list_transform(range(0, len(toks) - 2),
+                                                  i -> array_to_string(toks[i+1:i+3], ' '))
+                              ELSE CAST([] AS VARCHAR[]) END) AS shingle
+                   FROM kt),
+            bt AS (SELECT doc_id, {TOKS} AS toks FROM documents WHERE doc_id < 50),
+            bm AS (SELECT DISTINCT
+                       unnest(CASE WHEN len(toks) >= 3
+                              THEN list_transform(range(0, len(toks) - 2),
+                                                  i -> array_to_string(toks[i+1:i+3], ' '))
+                              ELSE CAST([] AS VARCHAR[]) END) AS shingle
+                   FROM bt),
+            dirty AS (SELECT doc_id FROM sh
+                      GROUP BY doc_id
+                      HAVING CAST(count(*) FILTER (shingle IN (SELECT shingle FROM bm))
+                                  AS DOUBLE) / count(*) > 0.5),
+            clean AS (SELECT doc_id FROM q
+                      WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+            sh2 AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN clean USING (doc_id)),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh2 GROUP BY 1),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM sh2 a JOIN sh2 b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            prs AS (SELECT doc_a, doc_b FROM inter
+                    JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05),
+            und AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                    UNION SELECT doc_b, doc_a FROM prs),
+            reach(id, r) AS (
+                SELECT s, s FROM und
+                UNION
+                SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.id
+            ),
+            keep AS (SELECT id, MIN(r) AS k FROM reach GROUP BY id)
+            SELECT clean.doc_id FROM clean LEFT JOIN keep ON keep.id = clean.doc_id
+            WHERE coalesce(keep.k, clean.doc_id) = clean.doc_id
         """,
         # per-language corpus stats over the lang-ID + quality operators
         "doc_language_stats": f"""

@@ -16,7 +16,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kafka_graphs_spark.pipeline.dedup import resolve_duplicates
+from typing import Optional
+
+from kafka_graphs_spark.pipeline.dedup import ngram_contamination, resolve_duplicates
 from kafka_graphs_spark.pipeline.text import quality_score
 
 
@@ -26,8 +28,11 @@ def curate(
     n: int = 3,
     jaccard_threshold: float = 0.3,
     text_col: str = "text",
+    benchmark: Optional[DataFrame] = None,
+    max_contamination: float = 0.5,
 ) -> DataFrame:
-    """(doc_id) — documents that pass the quality gate AND survive
+    """(doc_id) — documents that pass the quality gate, are not
+    benchmark-contaminated (when ``benchmark`` is given), AND survive
     duplicate resolution (the canonical member of each near-dup cluster).
 
     Filtering a corpus is ``docs.join(curate(docs), "doc_id", "left_semi")``.
@@ -36,6 +41,11 @@ def curate(
         F.col("score") >= min_score
     ).select("doc_id")
     kept = docs.join(passed, on="doc_id", how="left_semi")
+    if benchmark is not None:
+        dirty = ngram_contamination(
+            kept, benchmark, n=n, text_col=text_col
+        ).filter(F.col("rate") > max_contamination).select("doc_id")
+        kept = kept.join(dirty, on="doc_id", how="left_anti")
     resolved = resolve_duplicates(
         kept, n=n, threshold=jaccard_threshold, text_col=text_col
     )

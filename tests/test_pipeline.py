@@ -277,3 +277,28 @@ class TestContamination:
         assert out[2] == (1, 3, 1.0 / 3.0)
         assert out[3] == (0, 2, 0.0)
         assert 4 not in out  # no shingles → no row (nothing to measure)
+
+    def test_curate_with_benchmark_gate(self, spark):
+        from kafka_graphs_spark.pipeline.curate import curate
+
+        base = "the quick brown fox jumps over the lazy dog and cat daily"
+        docs = spark.createDataFrame(
+            [
+                (1, base),                                   # = benchmark: dropped
+                (2, "completely original text about engines and pipelines here today"),
+                (3, "completely original text about engines and pipelines here today"),
+            ],
+            "doc_id long, text string",
+        )
+        bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+        kept = {r.doc_id for r in curate(
+            docs, min_score=0.0, jaccard_threshold=0.5,
+            benchmark=bench, max_contamination=0.5,
+        ).collect()}
+        # 1 is contamination-dropped; 2/3 are exact dups → canonical 2 kept
+        assert kept == {2, 3} - {3}
+        # without the gate, 1 survives
+        no_gate = {r.doc_id for r in curate(
+            docs, min_score=0.0, jaccard_threshold=0.5
+        ).collect()}
+        assert no_gate == {1, 2}
