@@ -1166,7 +1166,8 @@ def oracle_sql() -> dict[str, str]:
         "sp_group_reduce_nbrs": f"""
             WITH e AS ({SP_EDGES}), v AS ({SP_VERTICES})
             SELECT v.id, v.id + coalesce(s.sd, 0) AS value
-            FROM v LEFT JOIN (SELECT src, SUM(dst) AS sd FROM e GROUP BY 1) s
+            FROM v LEFT JOIN
+              (SELECT src, CAST(SUM(dst) AS BIGINT) AS sd FROM e GROUP BY 1) s
               ON v.id = s.src
         """,
         "gen_complete_edges": """

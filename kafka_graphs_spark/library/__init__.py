@@ -10,7 +10,10 @@ user-defined algorithms.
 """
 
 from kafka_graphs_spark.library.basic import edge_count, reverse_edges, vertex_count
-from kafka_graphs_spark.library.clustering_coefficient import local_clustering_coefficient
+from kafka_graphs_spark.library.clustering_coefficient import (
+    local_clustering_coefficient,
+    local_clustering_coefficient_pregel,
+)
 from kafka_graphs_spark.library.components import (
     connected_components,
     core_decomposition,
@@ -36,6 +39,7 @@ __all__ = [
     "label_propagation",
     "pagerank",
     "local_clustering_coefficient",
+    "local_clustering_coefficient_pregel",
     "edge_count",
     "vertex_count",
     "reverse_edges",

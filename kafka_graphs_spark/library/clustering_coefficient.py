@@ -72,3 +72,67 @@ def local_clustering_coefficient(graph: Graph) -> DataFrame:
     out = result.localCheckpoint(eager=True)
     nbrs.unpersist()
     return out
+
+
+def local_clustering_coefficient_pregel(graph: Graph) -> DataFrame:
+    """The reference's 4-superstep inquiry/reply protocol, verbatim, on the
+    generic ``pregel()`` runtime — the parity twin of the relational form
+    above (LocalClusteringCoefficient.java:34-135):
+
+      0: send own id to out-neighbors;
+      1: N(v) = out-targets ∪ (in-sources ≠ v); value = |N(v)|; inquiry
+         (v, N(v)) to every neighbor when |N(v)| ≥ 2;
+      2: reply |edge_list ∩ out(u)| to each inquirer;
+      3: lcc = Σ match_count / (d·(d−1)), 0 when d < 2; vote to halt.
+
+    Exercises multi-phase behavior switching and the union-typed
+    LCCMessage (source | edge_list | match_count) as a nullable struct
+    message. This is the protocol-parity path — step 1 ships whole
+    neighbor lists as messages (O(Σd²) volume), exactly like the
+    reference; ``local_clustering_coefficient`` above is the 100 TB shape.
+    """
+    from kafka_graphs_spark.pregel import pregel
+
+    def compute(step, vid, value, messages, out_edges, ctx):
+        if step == 0:
+            msg = {"source": vid, "edge_list": None, "match_count": None}
+            for e in out_edges:
+                ctx.send_message_to(e["dst"], msg)
+        elif step == 1:
+            nbrs = {e["dst"] for e in out_edges}
+            nbrs.update(m["source"] for m in messages if m["source"] != vid)
+            if len(nbrs) > 1:
+                inquiry = {
+                    "source": vid,
+                    "edge_list": sorted(nbrs),
+                    "match_count": None,
+                }
+                for u in nbrs:
+                    ctx.send_message_to(u, inquiry)
+            ctx.set_new_vertex_value(float(len(nbrs)))
+        elif step == 2:
+            out_set = {e["dst"] for e in out_edges}
+            for m in messages:
+                match = sum(1 for x in (m["edge_list"] or []) if x in out_set)
+                ctx.send_message_to(
+                    m["source"],
+                    {"source": None, "edge_list": None, "match_count": match},
+                )
+        elif step == 3:
+            d = value if value is not None else 0.0
+            if d < 2:
+                ctx.set_new_vertex_value(0.0)
+            else:
+                total = sum(m["match_count"] or 0 for m in messages)
+                ctx.set_new_vertex_value(total / d / (d - 1))
+            ctx.vote_to_halt()
+
+    g = graph.map_vertices(lambda _id, _v: F.lit(0.0))
+    res = pregel(
+        g,
+        compute,
+        vertex_value_type="double",
+        message_type="struct<source:bigint,edge_list:array<bigint>,match_count:int>",
+        max_iterations=5,
+    )
+    return res.vertices

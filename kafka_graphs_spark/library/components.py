@@ -142,7 +142,18 @@ def label_propagation(graph: Graph, max_iterations: int = 10) -> DataFrame:
     return result
 
 
-def k_core(graph: Graph, k: int, max_iterations: int = 100) -> DataFrame:
+def _undirected_simple_edges(edges: DataFrame) -> DataFrame:
+    """Distinct undirected edge set, self-loops dropped — the single
+    degree semantics used by every k_core path (including k <= 0)."""
+    return (
+        edges.select("src", "dst")
+        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def k_core(graph: Graph, k: int, max_iterations: int | None = None) -> DataFrame:
     """Vertices of the k-core: (id, degree) with degree ≥ k in the core.
 
     Beyond-reference operator (the reference library has no core
@@ -150,32 +161,33 @@ def k_core(graph: Graph, k: int, max_iterations: int = 100) -> DataFrame:
     < k until fixpoint. Each round is one map-side-combined degree count
     plus two semi-joins on the peeled vertex set — all equi-joins keyed on
     vertex id, no collects; rounds are ChainLoop generations (one action
-    per round, bounded plans), and the number of rounds is the peeling
-    depth (≤ graph degeneracy ≪ |V|).
+    per round, bounded plans). The number of peel rounds is NOT bounded by
+    the degeneracy — a path graph peels from both ends and needs O(|V|)
+    rounds for k=2 — so by default this iterates to the fixpoint
+    (``max_iterations=None``). Passing a bound raises RuntimeError on
+    exhaustion rather than silently returning a non-k-core.
+
+    Degree semantics are uniform across all k (including k <= 0):
+    undirected, distinct, self-loops excluded.
     """
+    und = _undirected_simple_edges(graph.edges)
     if k <= 0:
         return graph.vertices.select("id").join(
-            graph.edges.select(F.col("src").alias("id"))
-            .unionByName(graph.edges.select(F.col("dst").alias("id")))
-            .groupBy("id")
-            .agg(F.count(F.lit(1)).alias("degree")),
+            und.groupBy(F.col("src").alias("id")).agg(
+                F.count(F.lit(1)).alias("degree")
+            ),
             on="id",
             how="left",
         ).select("id", F.coalesce("degree", F.lit(0)).alias("degree"))
 
-    und = (
-        graph.edges.select("src", "dst")
-        .unionByName(
-            graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
     loop = ChainLoop()
     try:
         state, row = loop.advance(und)
         n_edges = row["_kgs_rows"]
-        for _ in range(max_iterations):
+        rounds = 0
+        converged = n_edges == 0
+        while not converged and (max_iterations is None or rounds < max_iterations):
+            rounds += 1
             deg = state.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
             keep = deg.filter(F.col("degree") >= k).select(F.col("src").alias("id"))
             nxt = state.join(
@@ -183,8 +195,12 @@ def k_core(graph: Graph, k: int, max_iterations: int = 100) -> DataFrame:
             ).join(keep, state["dst"] == keep["id"], "left_semi")
             state, row = loop.advance(nxt)
             if row["_kgs_rows"] == n_edges:
-                break
+                converged = True
             n_edges = row["_kgs_rows"]
+        if not converged:
+            raise RuntimeError(
+                f"k_core(k={k}) did not converge in {max_iterations} peel rounds"
+            )
         out = (
             state.groupBy("src")
             .agg(F.count(F.lit(1)).alias("degree"))
@@ -196,16 +212,27 @@ def k_core(graph: Graph, k: int, max_iterations: int = 100) -> DataFrame:
     return out
 
 
-def core_decomposition(graph: Graph, max_k: int = 64) -> DataFrame:
+def core_decomposition(graph: Graph, max_k: int | None = None) -> DataFrame:
     """(id, coreness) — the largest k for which the vertex is in the k-core.
 
-    Runs the peeling ladder k = 1..max_k, reusing each k-core's edge set
-    as the next level's input (each level only shrinks). Stops early once
-    the core empties. O(degeneracy) levels of the k_core loop.
+    Runs the peeling ladder k = 1, 2, ... until the core empties (the
+    degeneracy is finite, so the ladder always terminates), reusing each
+    k-core's edge set as the next level's input (each level only shrinks).
+    O(degeneracy) levels of the k_core loop. ``max_k`` is an optional
+    safety bound; if the ladder is cut off while the core is still
+    non-empty a RuntimeError is raised instead of silently clamping
+    coreness.
     """
     result = None
     sub = graph
-    for k in range(1, max_k + 1):
+    k = 0
+    while True:
+        k += 1
+        if max_k is not None and k > max_k:
+            raise RuntimeError(
+                f"core_decomposition: {max_k}-core still non-empty; "
+                "raise max_k (or leave it None) for graphs of higher degeneracy"
+            )
         core = k_core(sub, k)
         if not core.take(1):
             break
