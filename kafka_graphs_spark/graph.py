@@ -193,6 +193,25 @@ class Graph:
     # re-keyed / grouped edge views (reference: KGraph.java:91-127)
     # ------------------------------------------------------------------
 
+    def edges_by_source(self) -> DataFrame:
+        """Edges re-keyed by source id: ``(id=src, src, dst, value, ...)``.
+
+        Reference: io/kgraph/KGraph.java:91-97 (edgesBySource — one keyed
+        record per edge; the KTable re-key becomes a plain projection).
+        """
+        return self.edges.select(
+            F.col(SRC).alias(ID), *[F.col(c) for c in self.edges.columns]
+        )
+
+    def edges_by_target(self) -> DataFrame:
+        """Edges re-keyed by target id: ``(id=dst, src, dst, value, ...)``.
+
+        Reference: io/kgraph/KGraph.java:99-103 (edgesByTarget).
+        """
+        return self.edges.select(
+            F.col(DST).alias(ID), *[F.col(c) for c in self.edges.columns]
+        )
+
     def edges_grouped_by_source(self) -> DataFrame:
         """``(id, edges: array<struct<dst,value,...>>)`` out-adjacency.
 

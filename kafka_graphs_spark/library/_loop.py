@@ -159,35 +159,60 @@ class LoopState:
         self._cur = []
 
 
+def measured_size_bytes(df: DataFrame) -> int:
+    """Optimized-plan sizeInBytes of a frame — for a materialized cached
+    frame this is the MEASURED InMemoryRelation accumulator, not an
+    estimate. Returns -1 when unavailable (e.g. no JVM plan access)."""
+    try:
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j maps java.math.BigInteger to a Python int already; keep a
+        # toString fallback for any boxed representation
+        return int(size) if isinstance(size, int) else int(size.toString())
+    except Exception:
+        return -1
+
+
 class AdaptiveLoopConf:
     """Loop-scoped session tuning from MEASURED per-round sizes.
 
-    Small regime (≤ SMALL_GEN_ROWS measured rows): shuffle partitions ∝
-    rows (min 1), AQE off — the partition count is already right-sized
-    from measurement, so AQE's per-stage re-planning is pure driver
-    latency (measured: sssp sf0.1 local[32] 49.7 s with AQE → 30.1 s
-    without, same plans). Large regime: the session's own configuration
-    is restored untouched (AQE skew/coalesce handling is the right tool
+    Small regime (≤ SMALL_GEN_ROWS measured rows AND ≤ SMALL_GEN_BYTES
+    measured bytes): shuffle partitions sized from measurement (min 1),
+    AQE off — the partition count is already right-sized, so AQE's
+    per-stage re-planning is pure driver latency (measured: sssp sf0.1
+    local[32] 49.7 s with AQE → 30.1 s without, same plans). The
+    partition count is the MAX of the row-based and byte-based targets,
+    so wide-value loops (MSSP distance maps, SemiClustering arrays) are
+    partitioned by their real byte weight, not an optimistic row count
+    (bytes unmeasurable → row-based sizing alone, the pre-byte behavior).
+    Large regime (either measure over threshold): the session's own
+    configuration is restored untouched (AQE skew/coalesce handling is the right tool
     once rounds are scan-bound — the 100 TB regime). Call ``restore``
     when the loop ends (idempotent; safe in finally blocks).
     """
 
     SMALL_GEN_ROWS = 50_000_000
+    SMALL_GEN_BYTES = 8 << 30  # ≈ rows threshold × a ~170 B/row state row
     ROWS_PER_PARTITION = 250_000
+    BYTES_PER_PARTITION = 64 << 20
 
     def __init__(self):
         self._saved: Optional[dict] = None
 
-    def tune(self, spark, n_rows: int) -> None:
+    def tune(self, spark, n_rows: int, n_bytes: int = -1) -> None:
         conf = spark.conf
         if self._saved is None:
             self._saved = {
                 "spark.sql.shuffle.partitions": conf.get("spark.sql.shuffle.partitions"),
                 "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled"),
             }
-        if n_rows <= self.SMALL_GEN_ROWS:
+        small = n_rows <= self.SMALL_GEN_ROWS and (
+            n_bytes < 0 or n_bytes <= self.SMALL_GEN_BYTES
+        )
+        if small:
             saved = int(self._saved["spark.sql.shuffle.partitions"])
-            parts = min(max(1, -(-n_rows // self.ROWS_PER_PARTITION)), max(saved, 1))
+            by_rows = -(-n_rows // self.ROWS_PER_PARTITION)
+            by_bytes = -(-n_bytes // self.BYTES_PER_PARTITION) if n_bytes >= 0 else 1
+            parts = min(max(1, by_rows, by_bytes), max(saved, 1))
             conf.set("spark.sql.shuffle.partitions", str(parts))
             conf.set("spark.sql.adaptive.enabled", "false")
         else:
@@ -233,9 +258,9 @@ class ChainLoop:
         self._conf = AdaptiveLoopConf() if adaptive else None
         self._spark = None
 
-    def _tune(self, n_rows: int) -> None:
+    def _tune(self, n_rows: int, n_bytes: int = -1) -> None:
         if self._conf is not None and self._spark is not None:
-            self._conf.tune(self._spark, n_rows)
+            self._conf.tune(self._spark, n_rows, n_bytes)
 
     def _restore_conf(self) -> None:
         if self._conf is not None and self._spark is not None:
@@ -275,7 +300,10 @@ class ChainLoop:
         df.persist(StorageLevel.MEMORY_AND_DISK)
         aggs = list(probes) + [F.count(F.lit(1)).alias("_kgs_rows")]
         row = df.agg(*aggs).collect()[0]
-        self._tune(row["_kgs_rows"])
+        # the probe materialized the cache, so the optimized plan now
+        # carries the MEASURED InMemoryRelation byte size — size shuffle
+        # partitions by real bytes, not just rows (wide-value states)
+        self._tune(row["_kgs_rows"], measured_size_bytes(df))
         out = lazy_checkpoint(df)
         self._gens.append((df, out))
         # Everything older than the previous probed generation was

@@ -68,17 +68,33 @@ def _init_factors(vertices: DataFrame, dim: int, seed: int) -> DataFrame:
 
 
 def _gathered(edges: DataFrame, factors: DataFrame, max_neighbors: Optional[int]) -> DataFrame:
-    """(id=dst, vecs array<array<double>>, ratings array<double>) sorted by sender."""
+    """(id=dst, vecs array<array<double>>, ratings array<double>) sorted by sender.
+
+    ``max_neighbors`` caps hub vertices BEFORE the collect_list: a
+    row_number window partitioned on the SAME key as the groupBy (the
+    exchange is reused — no extra shuffle) keeps a deterministic
+    pseudo-uniform sample (ordered by xxhash64 of the pair) of at most
+    ``max_neighbors`` ratings per vertex, so both the aggregation buffer
+    and the solver row are bounded on hubs. Vertices at or under the cap
+    are untouched (the final per-vertex order is always sender-id sort).
+    """
+    from pyspark.sql.window import Window
+
     j = (
         edges.select(F.col("src").alias("_s"), F.col("dst").alias("id"),
                      F.col("value").cast("double").alias("_r"))
         .join(factors.select(F.col("id").alias("_s"), "vec"), on="_s")
     )
+    if max_neighbors:
+        w = Window.partitionBy("id").orderBy(F.xxhash64("_s", "id"), "_s")
+        j = (
+            j.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_neighbors)
+            .drop("_rn")
+        )
     pairs = F.array_sort(
         F.collect_list(F.struct(F.col("_s").alias("s"), F.col("vec").alias("v"), F.col("_r").alias("r")))
     )
-    if max_neighbors:
-        pairs = F.slice(pairs, 1, max_neighbors)
     return j.groupBy("id").agg(
         F.transform(pairs, lambda p: p["v"]).alias("vecs"),
         F.transform(pairs, lambda p: p["r"]).alias("ratings"),
@@ -92,7 +108,7 @@ def als(
     iterations: int = 10,
     rmse_target: Optional[float] = None,
     seed: int = 42,
-    max_neighbors: Optional[int] = None,
+    max_neighbors: Optional[int] = 1000,
 ) -> DataFrame:
     """Alternating least squares → (id, vec array<double>) for users ∪ items.
 
@@ -183,7 +199,7 @@ def sgd(
     min_rating: float = 0.0,
     max_rating: float = 5.0,
     seed: int = 42,
-    max_neighbors: Optional[int] = None,
+    max_neighbors: Optional[int] = 1000,
 ) -> DataFrame:
     """Stochastic gradient descent MF → (id, vec array<double>).
 

@@ -135,4 +135,10 @@ def local_clustering_coefficient_pregel(graph: Graph) -> DataFrame:
         message_type="struct<source:bigint,edge_list:array<bigint>,match_count:int>",
         max_iterations=5,
     )
-    return res.vertices
+    # Step-0 messages to dangling edge targets create phantom work-set
+    # vertices in the runtime's full-outer join; the relational form
+    # inner-joins on graph.vertices, so restrict to the declared vertex
+    # set for exact parity. (Phantom vertices still REPLY at step 2 —
+    # their out-edges exist in the edge table — so other vertices'
+    # coefficients are unaffected by this filter.)
+    return res.vertices.join(graph.vertices.select("id"), on="id", how="left_semi")

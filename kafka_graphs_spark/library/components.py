@@ -194,7 +194,10 @@ def k_core(graph: Graph, k: int, max_iterations: int | None = None) -> DataFrame
                 keep, state["src"] == keep["id"], "left_semi"
             ).join(keep, state["dst"] == keep["id"], "left_semi")
             state, row = loop.advance(nxt)
-            if row["_kgs_rows"] == n_edges:
+            # fixpoint, or the core peeled to empty (also a final answer —
+            # without this a max_iterations run whose LAST allowed round
+            # empties the edge set would spuriously raise)
+            if row["_kgs_rows"] in (n_edges, 0):
                 converged = True
             n_edges = row["_kgs_rows"]
         if not converged:

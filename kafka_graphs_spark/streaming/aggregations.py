@@ -81,8 +81,25 @@ def summary_bulk_aggregation(
     ).withColumnRenamed("_w", "window_start")
 
 
-def collect_summaries(result: DataFrame) -> dict:
-    """{window_start (epoch sec or 0): summary object} from the result frame."""
+def collect_summaries(result: DataFrame, max_bytes: Optional[int] = 1 << 30) -> dict:
+    """{window_start (epoch sec or 0): summary object} from the result frame.
+
+    Summaries are window-bounded SKETCHES by design, but the collect is
+    still a driver ingestion point, so it is size-guarded: the pickled
+    byte length of the largest summary is measured EXECUTOR-side first
+    (one scalar agg; only the number crosses to the driver) and a summary
+    beyond ``max_bytes`` raises with a pointer to the windowed path
+    instead of OOMing the driver. Pass ``max_bytes=None`` to skip the
+    guard (e.g. per-micro-batch use where the extra action matters).
+    """
+    if max_bytes is not None:
+        biggest = result.agg(F.max(F.length("summary")).alias("b")).collect()[0]["b"]
+        if biggest is not None and biggest > max_bytes:
+            raise RuntimeError(
+                f"summary of {biggest} bytes exceeds collect_summaries cap "
+                f"{max_bytes}; narrow the window (summary size is window-"
+                "bounded) or raise max_bytes explicitly"
+            )
     return {
         r["window_start"]: pickle.loads(bytes(r["summary"])) for r in result.collect()
     }

@@ -148,22 +148,40 @@ def bipartiteness_frame(edges: DataFrame) -> DataFrame:
     Matches the reference Candidates verdict (BipartitenessCheck.java:
     35-120) and is replay-order independent. The mergeable Candidates
     summary path (bipartiteness_check above) remains for windowed use.
+
+    Id domain: the doubled encoding requires |id| < 2^62 (id*2+1 must not
+    overflow long) — asserted in-plan, so hashed 64-bit vertex ids fail
+    loudly instead of silently mis-mapping. The copy-back uses exact
+    integer division (``div``), never float division, so no precision loss
+    above 2^53.
     """
     from kafka_graphs_spark.graph import Graph
     from kafka_graphs_spark.library import connected_components as batch_wcc
 
+    lim = F.lit(1 << 62)
+    in_domain = (F.abs(F.col("src")) < lim) & (F.abs(F.col("dst")) < lim)
+    domain_ok = F.assert_true(
+        in_domain,
+        F.lit("bipartiteness_frame: |vertex id| must be < 2^62 for the doubled-vertex encoding"),
+    )
     e = edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
     doubled = e.select(
-        (F.col("src") * 2).alias("src"), (F.col("dst") * 2 + 1).alias("dst")
+        # assert_true yields NULL when the predicate holds; the `when`
+        # keeps the check inside the plan (column pruning can't drop it)
+        F.when(domain_ok.isNull(), F.col("src") * 2).alias("src"),
+        (F.col("dst") * 2 + 1).alias("dst"),
     ).unionByName(
-        e.select((F.col("src") * 2 + 1).alias("src"), (F.col("dst") * 2).alias("dst"))
+        e.select(
+            F.when(domain_ok.isNull(), F.col("src") * 2 + 1).alias("src"),
+            (F.col("dst") * 2).alias("dst"),
+        )
     )
     comp = batch_wcc(Graph.from_edges(doubled, F.lit(0)))
     even = comp.filter(F.pmod("id", F.lit(2)) == 0).select(
-        (F.col("id") / 2).cast("long").alias("v"), F.col("value").alias("c_even")
+        F.expr("id div 2").alias("v"), F.col("value").alias("c_even")
     )
     odd = comp.filter(F.pmod("id", F.lit(2)) == 1).select(
-        ((F.col("id") - 1) / 2).cast("long").alias("v"), F.col("value").alias("c_odd")
+        F.expr("(id - 1) div 2").alias("v"), F.col("value").alias("c_odd")
     )
     # self-loops are odd cycles of length 1
     loops = edges.filter(F.col("src") == F.col("dst")).limit(1)
@@ -175,17 +193,25 @@ def bipartiteness_frame(edges: DataFrame) -> DataFrame:
     )
 
 
-def spanner_frame(edges: DataFrame, k: int, max_summary_edges: int = 10_000_000) -> DataFrame:
+def spanner_frame(
+    edges: DataFrame,
+    k: int,
+    max_summary_edges: int = 10_000_000,
+    max_summary_bytes: int = 256 << 20,
+) -> DataFrame:
     """Spanner edge set as a canonical (src, dst) frame (src < dst).
 
     The greedy spanner is inherently sequential (whether an edge enters
     depends on the spanner-so-far), so the whole-stream frame materializes
-    the merged AdjacencyListGraph summary — but bounded: the spanner holds
-    O(V^(1+1/k)) edges by construction, and ``max_summary_edges`` asserts
-    that bound before anything reaches the driver (a summary larger than
-    the cap raises instead of silently OOMing the driver). Windowed use
-    (``spanner`` above) keeps the mergeable per-window summaries whose
-    size is bounded by the window.
+    the merged AdjacencyListGraph summary on the driver — bounded in
+    principle by the spanner's O(V^(1+1/k)) edge count. Two guards keep
+    that honest: ``max_summary_bytes`` is checked EXECUTOR-side (byte
+    length of the pickled summary, only the scalar crosses to the driver)
+    BEFORE the summary is collected, and ``max_summary_edges`` re-checks
+    the exact edge count after unpickling, bounding the createDataFrame
+    amplification. A summary beyond either cap raises instead of silently
+    OOMing the driver; windowed use (``spanner`` above) keeps the
+    mergeable per-window summaries whose size is bounded by the window.
 
     NOTE: a streaming spanner is replay-order dependent in general (which
     of a cycle's edges survive depends on arrival order). On forests every
@@ -195,7 +221,8 @@ def spanner_frame(edges: DataFrame, k: int, max_summary_edges: int = 10_000_000)
     from kafka_graphs_spark.streaming.aggregations import collect_summaries
 
     spark = edges.sparkSession
-    summary = collect_summaries(spanner(edges, k))[0]
+    result = spanner(edges, k)
+    summary = collect_summaries(result, max_bytes=max_summary_bytes)[0]
     pairs = list(summary.edges())
     if len(pairs) > max_summary_edges:
         raise RuntimeError(

@@ -232,3 +232,19 @@ class TestImporterCli:
 
         with _pytest.raises(SystemExit):
             run([str(tmp_path / "store")], spark=spark)
+
+
+class TestEdgesByKey:
+    def test_edges_by_source(self, long_long_graph):
+        # KGraph.java:91-97 — one record per edge keyed by source id
+        got = rows(long_long_graph.edges_by_source())
+        assert got == {(s, s, d, v) for s, d, v in
+                       [(1, 2, 12), (1, 3, 13), (2, 3, 23), (3, 4, 34),
+                        (3, 5, 35), (4, 5, 45), (5, 1, 51)]}
+
+    def test_edges_by_target(self, long_long_graph):
+        # KGraph.java:99-103
+        got = rows(long_long_graph.edges_by_target())
+        assert got == {(d, s, d, v) for s, d, v in
+                       [(1, 2, 12), (1, 3, 13), (2, 3, 23), (3, 4, 34),
+                        (3, 5, 35), (4, 5, 45), (5, 1, 51)]}

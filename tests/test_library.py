@@ -781,3 +781,80 @@ class TestKCore:
         assert {r.id for r in core.collect()} == {1, 2, 3}
         cn = {r.id: r.coreness for r in get_algorithm("coreness").run(g).collect()}
         assert cn == {1: 2, 2: 2, 3: 2, 4: 1}
+
+
+class TestLCCPregelParity:
+    """The Pregel inquiry/reply twin must equal the relational LCC
+    (reference protocol: LocalClusteringCoefficient.java:34-135)."""
+
+    def test_reference_graph_parity(self, spark):
+        from kafka_graphs_spark.library import local_clustering_coefficient_pregel
+
+        edges = [(0, 1, 1.0), (0, 2, 1.0), (2, 1, 1.0), (2, 3, 1.0), (3, 1, 1.0),
+                 (3, 4, 1.0), (5, 3, 1.0)]
+        g = make_graph(spark, edges, vertex_value=F.lit(1.0))
+        rel = vmap(local_clustering_coefficient(g))
+        prg = vmap(local_clustering_coefficient_pregel(g))
+        assert set(prg) == set(rel)
+        for k in rel:
+            assert prg[k] == pytest.approx(rel[k], abs=1e-12), f"vertex {k}"
+
+    def test_dangling_edge_target_excluded(self, spark):
+        # an edge to id 99 absent from the vertex set must NOT produce a
+        # phantom result row (the relational form inner-joins on
+        # graph.vertices), but 99's out-edges still count in replies
+        from kafka_graphs_spark.library import local_clustering_coefficient_pregel
+
+        e = spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (0, 99, 1.0)],
+            "src long, dst long, value double",
+        )
+        v = spark.createDataFrame([(i, 1.0) for i in range(3)], "id long, value double")
+        g = Graph(v, e)
+        rel = vmap(local_clustering_coefficient(g))
+        prg = vmap(local_clustering_coefficient_pregel(g))
+        assert set(prg) == set(rel) == {0, 1, 2}
+        for k in rel:
+            assert prg[k] == pytest.approx(rel[k], abs=1e-12), f"vertex {k}"
+
+
+class TestKCoreBoundedRuns:
+    def test_empty_core_on_last_allowed_round(self, spark):
+        # a triangle has no 3-core: the single allowed peel round empties
+        # the edge set — that IS convergence, not exhaustion (ADVICE r03)
+        from kafka_graphs_spark.library import k_core
+
+        g = make_graph(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)])
+        assert k_core(g, 3, max_iterations=1).count() == 0
+
+    def test_exhaustion_still_raises(self, spark):
+        # 6-path needs 3 peel rounds for k=2; 1 round must raise
+        from kafka_graphs_spark.library import k_core
+
+        g = make_graph(spark, [(i, i + 1, 1.0) for i in range(6)])
+        with pytest.raises(RuntimeError, match="did not converge"):
+            k_core(g, 2, max_iterations=1)
+
+
+class TestCFNeighborCap:
+    def test_gathered_caps_hub_rows(self, spark):
+        from kafka_graphs_spark.library.cf import _gathered, _init_factors
+
+        edges = spark.createDataFrame(
+            [(u, 1000, float(u % 5)) for u in range(50)],
+            "src long, dst long, value double",
+        )
+        users = edges.select(F.col("src").alias("id")).distinct()
+        f = _init_factors(users, 2, seed=1)
+        row = _gathered(edges, f, max_neighbors=10).collect()[0]
+        assert len(row["vecs"]) == 10 and len(row["ratings"]) == 10
+        # under the cap nothing is dropped and sender-sort order holds
+        full = _gathered(edges, f, max_neighbors=100).collect()[0]
+        assert len(full["vecs"]) == 50
+
+    def test_als_hub_completes_with_default_cap(self, spark):
+        from kafka_graphs_spark.library import als
+
+        g = make_graph(spark, [(u, 1000, float(1 + u % 3)) for u in range(30)])
+        out = als(g, dim=2, iterations=2, seed=3)
+        assert out.count() == 31  # 30 users + 1 hub item

@@ -308,3 +308,65 @@ class TestBuildNeighborhood:
         by_edge = {(r["src"], r["dst"]): sorted(r["neighborhood"]) for r in out}
         assert by_edge[(1, 2)] == [2, 3]
         assert by_edge[(3, 4)] == [4, 5]
+
+
+# ---------------------------------------------------------------------------
+# whole-stream frame tier (distributed, no driver state)
+# ---------------------------------------------------------------------------
+
+class TestFrameTier:
+    def test_bipartiteness_frame_basic(self, spark):
+        from kafka_graphs_spark.streaming import bipartiteness_frame
+
+        tri = spark.createDataFrame([(1, 2), (2, 3), (3, 1)], "src long, dst long")
+        assert bipartiteness_frame(tri).collect()[0]["success"] is False
+        path = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+        assert bipartiteness_frame(path).collect()[0]["success"] is True
+
+    def test_bipartiteness_frame_exact_above_2_53(self, spark):
+        # ids past float53 precision: the doubled-id copy-back must use
+        # exact integer division (ADVICE r03 — float div mis-mapped here)
+        from kafka_graphs_spark.streaming import bipartiteness_frame
+
+        b = (1 << 60) + 1
+        odd = spark.createDataFrame(
+            [(b, b + 1), (b + 1, b + 2), (b + 2, b)], "src long, dst long"
+        )
+        assert bipartiteness_frame(odd).collect()[0]["success"] is False
+        even = spark.createDataFrame(
+            [(b, b + 1), (b + 1, b + 2), (b + 2, b + 3), (b + 3, b)],
+            "src long, dst long",
+        )
+        assert bipartiteness_frame(even).collect()[0]["success"] is True
+
+    def test_bipartiteness_frame_domain_guard(self, spark):
+        # |id| >= 2^62 would overflow the doubled encoding: assert, don't
+        # silently mis-map
+        from kafka_graphs_spark.streaming import bipartiteness_frame
+
+        e = spark.createDataFrame([(1 << 62, 1)], "src long, dst long")
+        with pytest.raises(Exception, match="2\\^62"):
+            bipartiteness_frame(e).collect()
+
+    def test_collect_summaries_size_guard(self, spark):
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "src long, dst long"
+        )
+        res = connected_components(edges)
+        with pytest.raises(RuntimeError, match="exceeds collect_summaries cap"):
+            collect_summaries(res, max_bytes=10)
+        # the default cap admits a window-bounded summary
+        assert 0 in collect_summaries(res)
+
+    def test_spanner_frame_guard(self, spark):
+        from kafka_graphs_spark.streaming import spanner_frame
+
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(50)], "src long, dst long"
+        )
+        # forest: every edge kept
+        assert spanner_frame(edges, k=2).count() == 50
+        with pytest.raises(RuntimeError):
+            spanner_frame(edges, k=2, max_summary_bytes=10)
+        with pytest.raises(RuntimeError, match="use the windowed"):
+            spanner_frame(edges, k=2, max_summary_edges=5)
