@@ -604,6 +604,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_bigrams(spark, sf):
         return text.bigram_counts(datasets.load(spark, sf, "documents"), min_count=3)
 
+    def doc_repetition(spark, sf):
+        # Gopher-style within-doc repetition signals (duplicate n-gram
+        # mass + top-bigram fraction); exact-int ratios ⇒ bit-exact twin
+        return text.repetition_stats(datasets.load(spark, sf, "documents"))
+
     # ---- dedup (documents) ----
 
     def dedup_exact(spark, sf):
@@ -1103,6 +1108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate_decontam": pipeline_curate_decontam,
         "doc_language_stats": doc_language_stats,
         "doc_bigrams": doc_bigrams,
+        "doc_repetition": doc_repetition,
         "emb_cosine_topk": emb_cosine_topk,
         "emb_near_dup": emb_near_dup,
         "emb_lsh_recall": emb_lsh_recall,
@@ -1142,8 +1148,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_group_reduce_nbrs": sp_group_reduce_nbrs,
         "sp_join_vertices": sp_join_vertices,
         "dedup_simhash_pairs": dedup_simhash_pairs,
-        "gen_complete_edges": gen_complete_edges,
         # -- beyond slot 50: oracle-backed, hash-green in CORRECTNESS_r03 --
+        "gen_complete_edges": gen_complete_edges,
         "sp_out_degrees": sp_out_degrees,
         "sp_in_degrees": sp_in_degrees,
         "sp_subgraph_edges": sp_subgraph_edges,
@@ -1569,6 +1575,46 @@ def oracle_sql() -> dict[str, str]:
             bg AS (SELECT a.tk || ' ' || b.tk AS bigram
                    FROM tok a JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1)
             SELECT bigram, count(*) AS freq FROM bg GROUP BY 1 HAVING count(*) >= 3
+        """,
+        # duplicate-n-gram mass + top-bigram fraction; every ratio is a
+        # division of exact ints, so both engines produce bit-identical
+        # doubles (same FP discipline as doc_quality)
+        "doc_repetition": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            arr AS (SELECT doc_id, toks,
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(range(0, len(toks) - 1),
+                                         i -> toks[i+1] || ' ' || toks[i+2])
+                     ELSE CAST([] AS VARCHAR[]) END AS bg,
+                CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(0, len(toks) - 2),
+                                         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                     ELSE CAST([] AS VARCHAR[]) END AS tg
+                FROM t),
+            base AS (SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                CASE WHEN len(toks) > 0
+                     THEN 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS dup_unigram_frac,
+                CASE WHEN len(bg) > 0
+                     THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                     ELSE 0.0 END AS dup_bigram_frac,
+                CASE WHEN len(tg) > 0
+                     THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+                     ELSE 0.0 END AS dup_trigram_frac,
+                len(bg) AS nbg
+                FROM arr),
+            topb AS (SELECT doc_id, MAX(c) AS m FROM
+                       (SELECT doc_id, b, count(*) AS c FROM
+                          (SELECT doc_id, unnest(bg) AS b FROM arr)
+                        GROUP BY 1, 2)
+                     GROUP BY 1)
+            SELECT base.doc_id, n_tokens, dup_unigram_frac, dup_bigram_frac,
+                   dup_trigram_frac,
+                   CASE WHEN nbg > 0
+                        THEN CAST(coalesce(m, 0) AS DOUBLE) / nbg
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM base LEFT JOIN topb ON base.doc_id = topb.doc_id
         """,
         "dedup_exact": """
             SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, count(*) AS n_dups

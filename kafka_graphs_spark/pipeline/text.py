@@ -212,6 +212,73 @@ def bigram_counts(docs: DataFrame, min_count: int = 2, text_col: str = "text") -
     )
 
 
+def repetition_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, dup_unigram_frac, dup_bigram_frac,
+    dup_trigram_frac, top_bigram_frac) — within-document repetition
+    signals in the spirit of the Gopher repetition rules (machine-
+    generated and boilerplate text shows high duplicate-n-gram mass).
+
+    dup_k_frac = 1 − distinct(k-grams)/total(k-grams) (0 when none);
+    top_bigram_frac = occurrences of the most frequent bigram / total
+    bigrams. The n-gram arrays and distinct counts are per-row JVM
+    expressions (linear per document); the bigram mode is an explode +
+    doc-keyed groupBy — map-side combined, shuffles ids and counts only.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+
+    def ngrams(k: int) -> Column:
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(arr: Column) -> Column:
+        sz = F.size(arr)
+        return F.when(
+            sz > 0,
+            F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / sz,
+        ).otherwise(F.lit(0.0))
+
+    bg = ngrams(2)
+    base = docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        dup_frac(toks).alias("dup_unigram_frac"),
+        dup_frac(bg).alias("dup_bigram_frac"),
+        dup_frac(ngrams(3)).alias("dup_trigram_frac"),
+        F.size(bg).alias("_n_bigrams"),
+    )
+    top = (
+        docs.select("doc_id", F.explode(bg).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("_m"))
+    )
+    return (
+        base.join(top, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dup_unigram_frac",
+            "dup_bigram_frac",
+            "dup_trigram_frac",
+            F.when(
+                F.col("_n_bigrams") > 0,
+                F.coalesce(F.col("_m"), F.lit(0)).cast("double") / F.col("_n_bigrams"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(doc_id, fp) — md5 of the normalized token stream.
 

@@ -11,9 +11,15 @@ Spark mapping: graph "topics" are parquet datasets under a store root
 registry algorithm (library/registry.py — GraphAlgorithmType parity)
 over the named datasets; ``run`` executes asynchronously on a thread
 (the reference's Kafka Streams job) and ``GET /pregel/{id}`` polls the
-state. Results are served as JSON ``{"key": id, "value": ...}`` rows —
-the JSON twin of the reference's SSE KeyValue stream. Pure stdlib
-(http.server): no web framework required in the engine container.
+state. Results are served as JSON ``{"key": id, "value": ...}`` rows
+three ways: full collect (small results), ``?offset=&limit=`` pages
+(bounded collects against the checkpointed result's stable
+partitioning), and ``?stream=true`` / ``Accept: text/event-stream``
+Server-Sent Events driven by ``toLocalIterator`` — true streaming parity
+with the reference's SSE KeyValue proxy
+(GraphAlgorithmHandler.java:457-489) with driver memory bounded by one
+partition. Pure stdlib (http.server): no web framework required in the
+engine container.
 
 Usage::
 
@@ -132,18 +138,52 @@ class GraphService:
     def configs(self, algo_id: str) -> dict:
         return dict(self._get(algo_id)["configs"])
 
-    def result(self, algo_id: str, key: Optional[str] = None) -> list:
+    def _result_frame(self, algo_id: str, key: Optional[str] = None):
         ex = self._get(algo_id)
         if ex["state"] != "HALTED":
             raise ValueError(f"algorithm not complete: {ex['state']}")
         df = ex["result"]
         if key is not None and "id" in df.columns:
             df = df.filter(F.col("id") == int(key))
-        cols = df.columns
-        rows = df.collect()
-        if set(cols) >= {"id", "value"}:
-            return [{"key": r["id"], "value": r["value"]} for r in rows]
-        return [r.asDict(recursive=True) for r in rows]
+        return df
+
+    @staticmethod
+    def _row_to_json(row, kv: bool) -> dict:
+        if kv:
+            return {"key": row["id"], "value": row["value"]}
+        return row.asDict(recursive=True)
+
+    def result(
+        self,
+        algo_id: str,
+        key: Optional[str] = None,
+        offset: Optional[int] = None,
+        limit: Optional[int] = None,
+    ) -> list:
+        """One JSON page of the result. ``offset``/``limit`` page through
+        big results without collecting the whole frame to the driver (the
+        checkpointed result has stable partitioning, so pages are
+        consistent across calls); omit both for the full collect.
+        """
+        df = self._result_frame(algo_id, key)
+        if offset:
+            df = df.offset(int(offset))
+        if limit is not None:
+            df = df.limit(int(limit))
+        kv = set(df.columns) >= {"id", "value"}
+        return [self._row_to_json(r, kv) for r in df.collect()]
+
+    def result_rows(self, algo_id: str, key: Optional[str] = None):
+        """Row iterator over the FULL result with bounded driver memory:
+        ``toLocalIterator`` pulls one partition at a time, so serving a
+        100 TB-scale result streams instead of materializing. This is the
+        Spark twin of the reference's SSE KeyValue stream
+        (rest/server/graph/GraphAlgorithmHandler.java:457-489).
+        """
+        df = self._result_frame(algo_id, key)
+        kv = set(df.columns) >= {"id", "value"}
+        for r in df.toLocalIterator(prefetchPartitions=True):
+            yield self._row_to_json(r, kv)
 
     def delete(self, algo_id: str) -> dict:
         with self.lock:
@@ -180,6 +220,26 @@ def make_handler(service: GraphService):
             self.end_headers()
             self.wfile.write(data)
 
+        def _send_sse(self, rows):
+            # Server-Sent Events twin of the reference's SSE result proxy
+            # (GraphAlgorithmHandler.java:457-489): one `data:` event per
+            # row, written as rows arrive from toLocalIterator — driver
+            # and server memory stay bounded by one partition/one row.
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            for row in rows:
+                self.wfile.write(b"data: " + json.dumps(row).encode() + b"\n\n")
+            self.wfile.write(b"event: end\ndata: {}\n\n")
+
+        def _query(self) -> dict:
+            from urllib.parse import parse_qsl
+
+            q = self.path.split("?", 1)
+            return dict(parse_qsl(q[1])) if len(q) == 2 else {}
+
         def _route(self, method):
             parts = [p for p in self.path.split("?")[0].split("/") if p]
             try:
@@ -200,7 +260,22 @@ def make_handler(service: GraphService):
                     if parts[2] == "configs" and method == "GET":
                         return self._send(service.configs(parts[1]))
                     if parts[2] == "result" and method == "GET":
-                        return self._send(service.result(parts[1]))
+                        q = self._query()
+                        wants_sse = q.get("stream") == "true" or "text/event-stream" in (
+                            self.headers.get("Accept") or ""
+                        )
+                        if wants_sse:
+                            return self._send_sse(
+                                service.result_rows(parts[1], q.get("key"))
+                            )
+                        return self._send(
+                            service.result(
+                                parts[1],
+                                q.get("key"),
+                                offset=int(q["offset"]) if "offset" in q else None,
+                                limit=int(q["limit"]) if "limit" in q else None,
+                            )
+                        )
                     if parts[2] == "result" and method == "POST":
                         return self._send(
                             service.result(parts[1], self._body().get("key"))

@@ -302,3 +302,50 @@ class TestContamination:
             docs, min_score=0.0, jaccard_threshold=0.5
         ).collect()}
         assert no_gate == {1, 2}
+
+
+class TestRepetitionStats:
+    def test_known_fractions(self, spark):
+        from kafka_graphs_spark.pipeline import text
+
+        rows = [
+            # "a b a b a": unigrams 5 (2 distinct), bigrams 4 ("a b" x2,
+            # "b a" x2 -> 2 distinct), trigrams 3 ("a b a" x2, "b a b" -> 2
+            # distinct), top bigram 2/4
+            (1, "a b a b a"),
+            # all distinct tokens: zero duplicate mass everywhere
+            (2, "one two three four"),
+            # single token: no bigrams/trigrams -> 0.0, not null
+            (3, "solo"),
+            (4, ""),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+        r1 = got[1]
+        assert r1["n_tokens"] == 5
+        assert r1["dup_unigram_frac"] == pytest.approx(1 - 2 / 5)
+        assert r1["dup_bigram_frac"] == pytest.approx(1 - 2 / 4)
+        assert r1["dup_trigram_frac"] == pytest.approx(1 - 2 / 3)
+        assert r1["top_bigram_frac"] == pytest.approx(2 / 4)
+        r2 = got[2]
+        assert (
+            r2["dup_unigram_frac"] == 0.0
+            and r2["dup_bigram_frac"] == 0.0
+            and r2["top_bigram_frac"] == pytest.approx(1 / 3)
+        )
+        r3 = got[3]
+        assert r3["n_tokens"] == 1 and r3["dup_bigram_frac"] == 0.0
+        assert r3["top_bigram_frac"] == 0.0 and r3["dup_trigram_frac"] == 0.0
+        r4 = got[4]
+        assert r4["n_tokens"] == 0 and r4["dup_unigram_frac"] == 0.0
+
+    def test_repeated_boilerplate_scores_high(self, spark):
+        from kafka_graphs_spark.pipeline import text
+
+        docs = spark.createDataFrame(
+            [(1, "click here to subscribe " * 20), (2, "diverse natural prose with many distinct words written once")],
+            "doc_id long, text string",
+        )
+        got = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
+        assert got[1]["dup_trigram_frac"] > 0.9 > got[2]["dup_trigram_frac"]
+        assert got[1]["top_bigram_frac"] > 0.2

@@ -73,6 +73,32 @@ def test_full_lifecycle(server, tmp_path):
     code, rows = call(server, "POST", f"/pregel/{algo_id}/result", {"key": "11"})
     assert code == 200 and rows == [{"key": 11, "value": 10}]
 
+    # offset/limit pages partition the same row set, no overlap, no gaps
+    pages = []
+    for off in range(0, 5, 2):
+        code, page = call(
+            server, "GET", f"/pregel/{algo_id}/result?offset={off}&limit=2"
+        )
+        assert code == 200 and len(page) <= 2
+        pages.extend(page)
+    assert {r["key"]: r["value"] for r in pages} == got
+
+    # SSE stream: one data: event per row, terminated by an end event
+    req = urllib.request.Request(
+        server + f"/pregel/{algo_id}/result?stream=true",
+        headers={"Accept": "text/event-stream"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        assert resp.headers["Content-Type"] == "text/event-stream"
+        body = resp.read().decode()
+    events = [
+        json.loads(line[len("data: "):])
+        for line in body.splitlines()
+        if line.startswith("data: ")
+    ]
+    assert {r["key"]: r["value"] for r in events[:-1]} == got
+    assert body.rstrip().endswith("event: end\ndata: {}") or events[-1] == {}
+
     code, out = call(server, "DELETE", f"/pregel/{algo_id}")
     assert code == 200
     code, _ = call(server, "GET", f"/pregel/{algo_id}")
