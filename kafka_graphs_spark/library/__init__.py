@@ -18,6 +18,7 @@ from kafka_graphs_spark.library.components import (
     connected_components,
     core_decomposition,
     k_core,
+    k_truss,
     label_propagation,
 )
 from kafka_graphs_spark.library.pagerank import pagerank
@@ -28,6 +29,7 @@ from kafka_graphs_spark.library.cf import als, als_ml, predict, sgd, svdpp, svdp
 from kafka_graphs_spark.library.clustering import kmeans, kmeans_ml, semi_clustering
 from kafka_graphs_spark.library.maxbmatching import max_b_matching
 from kafka_graphs_spark.library.sybilrank import sybil_rank
+from kafka_graphs_spark.library.hits import hits
 
 __all__ = [
     "bfs",
@@ -36,6 +38,7 @@ __all__ = [
     "connected_components",
     "core_decomposition",
     "k_core",
+    "k_truss",
     "label_propagation",
     "pagerank",
     "local_clustering_coefficient",
@@ -46,6 +49,7 @@ __all__ = [
     "jaccard",
     "adamic_adar",
     "sybil_rank",
+    "hits",
     "max_b_matching",
     "als",
     "sgd",

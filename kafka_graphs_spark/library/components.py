@@ -251,3 +251,98 @@ def core_decomposition(graph: Graph, max_k: int | None = None) -> DataFrame:
         return graph.vertices.select("id", F.lit(0).alias("coreness")).limit(0)
     # a vertex's coreness = max level it survived
     return result.groupBy("id").agg(F.max("coreness").alias("coreness"))
+
+
+def _oriented_simple_edges(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set oriented ascending: (a < b), distinct,
+    self-loops dropped — the input shape for triangle-based operators."""
+    return (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _edge_support(e: DataFrame) -> DataFrame:
+    """(a, b, support) — triangles through each oriented edge of ``e``.
+
+    Same E ⋈ E ⋈ E wedge-close as exact_triangle_count (streaming/
+    library.py): wedges x<y<z from two ascending edges sharing y, closed
+    by a left-semi probe on (x, z); every triangle lands exactly once and
+    contributes to its three edges. All equi-joins on vertex ids; the
+    per-edge count is a map-side-combinable groupBy.
+    """
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, on="y")
+        .join(
+            e.select(F.col("a").alias("x"), F.col("b").alias("z")),
+            on=["x", "z"],
+            how="left_semi",
+        )
+        .select("x", "y", "z")
+    )
+    sides = (
+        tri.select(F.col("x").alias("a"), F.col("y").alias("b"))
+        .unionByName(tri.select(F.col("y").alias("a"), F.col("z").alias("b")))
+        .unionByName(tri.select(F.col("x").alias("a"), F.col("z").alias("b")))
+    )
+    return sides.groupBy("a", "b").agg(F.count(F.lit(1)).alias("support"))
+
+
+def k_truss(graph: Graph, k: int, max_iterations: int | None = None) -> DataFrame:
+    """Edges of the k-truss: (src, dst, support), src < dst, every edge in
+    ≥ k−2 triangles of the kept subgraph.
+
+    Beyond-reference operator (companion to :func:`k_core`): iteratively
+    drop edges whose triangle support is < k−2 until fixpoint, then
+    report each surviving edge with its support inside the truss. Each
+    peel round is one triangle enumeration (three equi-joins) plus one
+    left join — no collects; rounds are ChainLoop generations. k = 3 is
+    provably single-pass (an edge in no triangle is in no triangle some
+    other edge needs), so its result has a closed-form SQL twin; cascades
+    only arise for k ≥ 4 (pytest covers the triangle-strip cascade).
+    Like k_core, a ``max_iterations`` bound raises on exhaustion rather
+    than returning a non-truss; peeling to empty is a converged answer.
+    """
+    if k < 2:
+        raise ValueError("k_truss requires k >= 2")
+    thresh = k - 2
+    loop = ChainLoop()
+    try:
+        state, row = loop.advance(_oriented_simple_edges(graph.edges))
+        n_edges = row["_kgs_rows"]
+        rounds = 0
+        converged = n_edges == 0
+        while not converged and (max_iterations is None or rounds < max_iterations):
+            rounds += 1
+            supp = _edge_support(state)
+            nxt = (
+                state.join(supp, on=["a", "b"], how="left")
+                .filter(F.coalesce("support", F.lit(0)) >= thresh)
+                .select("a", "b")
+            )
+            state, row = loop.advance(nxt)
+            if row["_kgs_rows"] in (n_edges, 0):
+                converged = True
+            n_edges = row["_kgs_rows"]
+        if not converged:
+            raise RuntimeError(
+                f"k_truss(k={k}) did not converge in {max_iterations} peel rounds"
+            )
+        # report support measured inside the final truss
+        out = (
+            state.join(_edge_support(state), on=["a", "b"], how="left")
+            .select(
+                F.col("a").alias("src"),
+                F.col("b").alias("dst"),
+                F.coalesce("support", F.lit(0)).cast("long").alias("support"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        loop.release()
+    return out

@@ -1,0 +1,89 @@
+"""HITS (hubs & authorities) — beyond-reference link-analysis algorithm.
+
+Kleinberg's iteration on the directed graph: per round, authority(v) =
+Σ hub(u) over in-neighbors u, then hub(u) = Σ authority(v) over
+out-neighbors v. With unit initial hubs and unweighted edges every
+intermediate value is an exact INTEGER (the number of alternating
+out/in paths of the corresponding length), so the un-normalized scores
+are bit-exactly reproducible on any engine — that integer form is what
+this returns, with an optional final max-normalization for ranking use.
+
+Scale design: each half-round is one equi-join (messages ride the edge
+list) into one map-side-combinable ``groupBy().sum`` — the same shuffle
+shape as PageRank. The iteration count is a small constant, so the plan
+is a fixed-depth chain; scores grow like Δ^k (Δ = max degree), so for
+large k callers should use ``normalize=True`` (float path, rounded) —
+the exact-integer contract is for the oracle-checkable small-k profile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_graphs_spark.graph import Graph
+from kafka_graphs_spark.library._loop import sized_cache
+
+
+def _hits_frame(vertices: DataFrame, edges: DataFrame, iterations: int) -> DataFrame:
+    """Un-materialized HITS plan — fixed-depth chain of equi-join +
+    map-side-combined sums (audited by tests/test_plans.py)."""
+    hub = vertices.select("id", F.lit(1).cast("long").alias("h"))
+    auth = None
+    for _ in range(iterations):
+        # authority step: gather hub mass along in-edges
+        auth = (
+            edges.join(hub, edges["src"] == hub["id"])
+            .groupBy("dst")
+            .agg(F.sum("h").alias("a"))
+            .select(F.col("dst").alias("id"), "a")
+        )
+        # hub step: gather authority mass along out-edges
+        hub = (
+            edges.join(auth, edges["dst"] == auth["id"])
+            .groupBy("src")
+            .agg(F.sum("a").alias("h"))
+            .select(F.col("src").alias("id"), "h")
+        )
+        # the joins above are the only lineage and iterations is a small
+        # constant, so the plan stays bounded without per-round checkpoints
+    return (
+        vertices.select("id")
+        .join(hub, on="id", how="left")
+        .join(auth, on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("h", F.lit(0)).alias("hub"),
+            F.coalesce("a", F.lit(0)).alias("authority"),
+        )
+    )
+
+
+def hits(graph: Graph, iterations: int = 3, normalize: bool = False) -> DataFrame:
+    """(id, hub, authority) after ``iterations`` full HITS rounds.
+
+    ``normalize=False`` (default): exact long path-counts.
+    ``normalize=True``: both scores divided by their global max (one tiny
+    scalar agg each) and rounded to 9 dp — the cross-engine-safe float
+    form.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    edges, release = sized_cache(graph.edges.select("src", "dst"))
+    try:
+        out = _hits_frame(graph.vertices, edges, iterations)
+        if normalize:
+            m = out.agg(
+                F.max("hub").alias("mh"), F.max("authority").alias("ma")
+            ).collect()[0]
+            mh = float(m["mh"]) or 1.0
+            ma = float(m["ma"]) or 1.0
+            out = out.select(
+                "id",
+                F.round(F.col("hub") / F.lit(mh), 9).alias("hub"),
+                F.round(F.col("authority") / F.lit(ma), 9).alias("authority"),
+            )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        release()
+    return out

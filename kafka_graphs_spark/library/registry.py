@@ -22,10 +22,12 @@ from kafka_graphs_spark.library.components import (
     core_decomposition,
     k_core,
     label_propagation,
+    k_truss,
 )
 from kafka_graphs_spark.library.pagerank import pagerank as _pagerank
 from kafka_graphs_spark.library.paths import bfs, mssp, sssp
 from kafka_graphs_spark.library.cf import als, sgd, svdpp
+from kafka_graphs_spark.library.hits import hits
 from kafka_graphs_spark.library.clustering import kmeans, semi_clustering
 from kafka_graphs_spark.library.maxbmatching import max_b_matching
 from kafka_graphs_spark.library.similarity import adamic_adar, jaccard
@@ -127,6 +129,12 @@ ALGORITHMS: Dict[str, AlgorithmSpec] = {
     ),
     "coreness": AlgorithmSpec(
         "coreness", core_decomposition, lambda id_col: F.lit(0), "long", {}
+    ),
+    "hits": AlgorithmSpec(
+        "hits", hits, lambda id_col: F.lit(0), "long", {"iterations": 3}
+    ),
+    "ktruss": AlgorithmSpec(
+        "ktruss", k_truss, lambda id_col: F.lit(0), "long", {"k": 3}
     ),
 }
 

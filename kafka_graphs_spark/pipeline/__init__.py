@@ -15,6 +15,13 @@ DuckDB oracle in ``__spark_entry__.py``; hashing primitives are md5-based
 because md5 is the one hash both engines compute identically.
 """
 
-from kafka_graphs_spark.pipeline import curate, dedup, multimodal, similarity, text
+from kafka_graphs_spark.pipeline import (
+    curate,
+    dedup,
+    multimodal,
+    sample,
+    similarity,
+    text,
+)
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "curate"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "curate", "sample"]

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from typing import Optional
 
 from kafka_graphs_spark.pipeline.dedup import ngram_contamination, resolve_duplicates
-from kafka_graphs_spark.pipeline.text import quality_score
+from kafka_graphs_spark.pipeline.text import pii_stats, quality_score, repetition_stats
 
 
 def curate(
@@ -30,10 +30,19 @@ def curate(
     text_col: str = "text",
     benchmark: Optional[DataFrame] = None,
     max_contamination: float = 0.5,
+    max_pii: Optional[int] = None,
+    max_dup_trigram_frac: Optional[float] = None,
 ) -> DataFrame:
     """(doc_id) — documents that pass the quality gate, are not
-    benchmark-contaminated (when ``benchmark`` is given), AND survive
-    duplicate resolution (the canonical member of each near-dup cluster).
+    benchmark-contaminated (when ``benchmark`` is given), pass the
+    optional PII and repetition gates, AND survive duplicate resolution
+    (the canonical member of each near-dup cluster).
+
+    ``max_pii``: drop documents with more than this many pattern-PII hits
+    (None = gate off). ``max_dup_trigram_frac``: drop documents whose
+    Gopher-style duplicate-trigram mass exceeds the bound (None = off).
+    Both gates are pre-dedup: they shrink the pair-generation input, so
+    adding them makes the expensive stage cheaper, never slower.
 
     Filtering a corpus is ``docs.join(curate(docs), "doc_id", "left_semi")``.
     """
@@ -41,6 +50,16 @@ def curate(
         F.col("score") >= min_score
     ).select("doc_id")
     kept = docs.join(passed, on="doc_id", how="left_semi")
+    if max_pii is not None:
+        noisy = pii_stats(kept, text_col=text_col).filter(
+            F.col("n_pii") > max_pii
+        ).select("doc_id")
+        kept = kept.join(noisy, on="doc_id", how="left_anti")
+    if max_dup_trigram_frac is not None:
+        repetitive = repetition_stats(kept, text_col=text_col).filter(
+            F.col("dup_trigram_frac") > max_dup_trigram_frac
+        ).select("doc_id")
+        kept = kept.join(repetitive, on="doc_id", how="left_anti")
     if benchmark is not None:
         dirty = ngram_contamination(
             kept, benchmark, n=n, text_col=text_col

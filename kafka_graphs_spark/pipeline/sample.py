@@ -1,0 +1,186 @@
+"""Deterministic sampling & dataset mixing for training-data pipelines.
+
+Beyond-reference operators (the reference has no curation tier): seeded,
+reproducible document sampling and source-weighted mixture construction —
+the step between "deduplicated corpus" and "training mix".
+
+Design for 100 TB:
+
+- Sampling is a pure per-row filter on an md5-derived uniform fraction —
+  no shuffle, no sort, no driver state; it pushes down next to the scan
+  and composes with column pruning. md5 is used because it is the one
+  hash Spark and DuckDB compute identically, which makes every operator
+  here bit-exactly oracle-checkable (and, more importantly, makes the
+  sample itself portable: re-running on any engine keeps the same rows).
+- Mixture rates derive from one tiny per-stratum count aggregate (rows =
+  number of strata, collected to the driver — bounded) and are applied as
+  the same per-row filter via a broadcast-joined rates table.
+- Sequence packing is a per-group prefix-sum window: one shuffle on the
+  group key, no global sort. Groups (source, language, shard …) bound
+  window state; the explicit contract is that order is only defined
+  WITHIN a group, which is exactly what a sharded 100 TB corpus gives.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping, Optional
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 16^8 — the md5-prefix fraction denominator shared with the oracles.
+_HEX8 = float(1 << 32)
+
+
+def hash_fraction(key: Column, salt: str = "") -> Column:
+    """Uniform [0, 1) fraction from md5 of the row key (+ optional salt).
+
+    The first 8 hex chars of ``md5(key || salt)`` parsed as an integer,
+    divided by 16^8. Deterministic, engine-portable (DuckDB twin:
+    ``('0x' || substr(md5(key || salt), 1, 8))::BIGINT / 4294967296.0``),
+    and independent draws per salt — use distinct salts for independent
+    sampling stages so a row's fate in one stage doesn't correlate with
+    the next.
+    """
+    s = F.concat(key.cast("string"), F.lit(salt))
+    return (
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") / F.lit(_HEX8)
+    )
+
+
+def hash_fraction_sql(key: str, salt: str = "") -> str:
+    """DuckDB twin of :func:`hash_fraction` (oracle)."""
+    k = f"({key})::VARCHAR || '{salt}'" if salt else f"({key})::VARCHAR"
+    return f"(('0x' || substr(md5({k}), 1, 8))::BIGINT / 4294967296.0)"
+
+
+def hash_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Keep each row iff its :func:`hash_fraction` < ``rate``.
+
+    A seeded Bernoulli sample that is reproducible across runs, engines,
+    partitionings, and cluster sizes (unlike ``df.sample``, whose draw
+    depends on partition layout). Pure narrow filter — scales linearly.
+    """
+    if rate >= 1.0:
+        return df
+    if rate <= 0.0:
+        return df.limit(0)
+    return df.filter(hash_fraction(F.col(key_col), salt) < F.lit(float(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: Mapping[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum seeded Bernoulli sample.
+
+    ``rates`` maps stratum value -> keep probability; strata absent from
+    the map use ``default_rate``. The rates table is broadcast-joined
+    (|rates| rows — tiny), then the same narrow md5 filter applies; no
+    extra shuffle of the data side.
+    """
+    spark = df.sparkSession
+    rate_rows = [(str(k), float(v)) for k, v in sorted(rates.items())]
+    rdf = spark.createDataFrame(rate_rows, f"{strata_col} string, _kgs_rate double")
+    joined = df.join(F.broadcast(rdf), on=strata_col, how="left")
+    eff = F.coalesce(F.col("_kgs_rate"), F.lit(float(default_rate)))
+    return (
+        joined.filter(hash_fraction(F.col(key_col), salt) < eff)
+        .drop("_kgs_rate")
+        .select(*df.columns)
+    )
+
+
+def mixture_rates(
+    df: DataFrame,
+    strata_col: str,
+    weights: Mapping[str, float],
+) -> dict:
+    """Per-stratum sampling rates realizing target mixture ``weights``.
+
+    Given observed per-stratum counts c_s and target weights w_s
+    (normalized internally), picks the largest total T such that every
+    stratum can meet its share without oversampling: rate_s =
+    w_s * T / c_s with T = min_s(c_s / w_s). Strata with weight 0 (or
+    absent from ``weights``) get rate 0. One COUNT aggregate collected to
+    the driver — rows bounded by the number of strata.
+    """
+    counts = {
+        r[strata_col]: r["_kgs_n"]
+        for r in df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_kgs_n")).collect()
+    }
+    w_total = sum(w for w in weights.values() if w > 0)
+    if w_total <= 0:
+        return {s: 0.0 for s in counts}
+    norm = {s: w / w_total for s, w in weights.items() if w > 0}
+    # the binding stratum fixes the achievable total
+    t = min(counts[s] / w for s, w in norm.items() if s in counts and counts[s] > 0)
+    return {
+        s: (min(1.0, norm[s] * t / counts[s]) if s in norm and counts[s] > 0 else 0.0)
+        for s in counts
+    }
+
+
+def pack_sequences(
+    docs: DataFrame,
+    budget: int,
+    length_col: str,
+    group_col: str,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk packing: assign documents to fixed-budget sequences.
+
+    GPT-style training packing: within each ``group_col`` partition,
+    documents are laid end-to-end in ``order_col`` order and cut into
+    sequences of ``budget`` length units; each document is reported with
+    the sequence its FIRST unit lands in and its offset inside that
+    sequence (documents may straddle a boundary — that is the
+    concat-and-chunk contract, not an error).
+
+    Returns (order_col, group_col, length_col, seq_id, begin_offset).
+    One shuffle on the group key; the window is a plain running sum, so
+    state per task is O(1). Order is only defined within a group — the
+    global corpus order of a sharded 100 TB dataset is a fiction anyway;
+    pick ``group_col`` = shard/source.
+    """
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(length_col).over(w), F.lit(0))
+    return docs.select(
+        order_col,
+        group_col,
+        length_col,
+        F.floor(prefix / F.lit(int(budget))).cast("long").alias("seq_id"),
+        (prefix % F.lit(int(budget))).cast("long").alias("begin_offset"),
+    )
+
+
+def split_train_eval(
+    df: DataFrame,
+    key_col: str,
+    eval_fraction: float,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/eval split: adds a ``split`` column.
+
+    The complement property is exact: every row lands in exactly one
+    split, and the assignment is stable under reruns, repartitioning, and
+    engine changes — the property that matters for decontamination
+    bookkeeping (an eval doc must never drift into train between runs).
+    """
+    frac = hash_fraction(F.col(key_col), salt)
+    return df.withColumn(
+        "split",
+        F.when(frac < F.lit(float(eval_fraction)), F.lit("eval")).otherwise(
+            F.lit("train")
+        ),
+    )

@@ -287,3 +287,102 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """
     normalized = F.array_join(tokens(F.col(text_col)), " ")
     return docs.select("doc_id", F.md5(normalized).alias("fp"))
+
+
+# PII patterns — lookaround-free so the Java (Spark) and RE2 (DuckDB
+# oracle) dialects agree character-for-character. Conservative by design:
+# pattern-based PII detection is a coverage floor, not a guarantee.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d() -]{7,14}\d",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def pii_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_email, n_ipv4, n_phone, n_ssn, n_pii) — per-doc PII hits.
+
+    Pure JVM ``regexp_count`` per pattern — codegen'd, no Python, narrow
+    (no shuffle); the counts feed curation policy (drop or redact docs
+    above a PII threshold).
+    """
+    cols = [
+        F.regexp_count(F.col(text_col), F.lit(p)).alias(f"n_{name}")
+        for name, p in PII_PATTERNS.items()
+    ]
+    out = docs.select("doc_id", *cols)
+    total = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}")
+        total = c if total is None else total + c
+    return out.withColumn("n_pii", total)
+
+
+def pii_redact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, redacted) — text with each PII class replaced by a tag.
+
+    Chained ``regexp_replace`` (one pass per class, all JVM-side).
+    Email runs FIRST so the phone pattern cannot eat digit runs inside
+    addresses; order is part of the contract and mirrored in the oracle.
+    """
+    col = F.col(text_col)
+    for name, p in PII_PATTERNS.items():
+        col = F.regexp_replace(col, F.lit(p), F.lit(f"<{name.upper()}>"))
+    return docs.select("doc_id", col.alias("redacted"))
+
+
+def source_profile(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-source corpus profile: doc count, token sum/mean, exact median.
+
+    One map-side-combinable aggregate for the counts/sums plus Spark's
+    exact interpolated ``median`` for the token-length distribution
+    (matches DuckDB ``median`` bit-for-bit on integer inputs). Output is
+    |sources| rows — the dataset-card table for a training mix.
+    """
+    n = F.size(tokens(F.col(text_col)))
+    return (
+        docs.select("source", n.alias("_n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("total_tokens"),
+            F.round(F.avg("_n"), 6).alias("mean_tokens"),
+            F.median("_n").alias("median_tokens"),
+        )
+    )
+
+
+def sketch_profile(docs: DataFrame, text_col: str = "text", rsd: float = 0.05) -> DataFrame:
+    """Per-source sketch profile: approximate distinct vocabulary +
+    approximate token-length quantiles.
+
+    The 100 TB counterpart of :func:`source_profile`: exact
+    ``count(DISTINCT token)`` needs a full shuffle of every token, and
+    exact medians need a sort — at corpus scale both are replaced by
+    one-pass mergeable sketches (HyperLogLog++ via
+    ``approx_count_distinct``, KLL via ``percentile_approx``), which
+    partial-aggregate map-side and merge in O(sketch size). Accuracy is
+    pinned by the driver invariant query (``doc_sketch_inv``): approx
+    within the advertised rsd band of exact on the test corpus.
+
+    Returns (source, n_docs, approx_vocab, approx_median_tokens,
+    approx_p90_tokens).
+    """
+    vocab = (
+        docs.select("source", F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("source")
+        .agg(F.approx_count_distinct("token", rsd).alias("approx_vocab"))
+    )
+    lengths = (
+        docs.select("source", F.size(tokens(F.col(text_col))).alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.percentile_approx("n", 0.5, 10000).alias("approx_median_tokens"),
+            F.percentile_approx("n", 0.9, 10000).alias("approx_p90_tokens"),
+        )
+    )
+    return lengths.join(vocab, on="source").select(
+        "source", "n_docs", "approx_vocab", "approx_median_tokens", "approx_p90_tokens"
+    )

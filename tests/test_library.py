@@ -858,3 +858,112 @@ class TestCFNeighborCap:
         g = make_graph(spark, [(u, 1000, float(1 + u % 3)) for u in range(30)])
         out = als(g, dim=2, iterations=2, seed=3)
         assert out.count() == 31  # 30 users + 1 hub item
+
+
+class TestHits:
+    """hits() — beyond-reference hubs/authorities with exact integer scores."""
+
+    @pytest.fixture(scope="class")
+    def tri_graph(self, spark):
+        from kafka_graphs_spark import Graph
+
+        edges = spark.createDataFrame(
+            [(1, 2), (1, 3), (2, 3), (3, 1)], "src long, dst long"
+        ).withColumn("value", F.lit(1))
+        return Graph.from_edges(edges, F.lit(0))
+
+    def test_one_iteration_hand_computed(self, tri_graph):
+        from kafka_graphs_spark.library import hits
+
+        got = {r.id: (r.hub, r.authority) for r in hits(tri_graph, iterations=1).collect()}
+        # h0 = 1 everywhere; a1 = in-sums (1:1, 2:1, 3:2); h1 = out-sums of a1
+        assert got == {1: (3, 1), 2: (2, 1), 3: (1, 2)}
+
+    def test_two_iterations_exact_path_counts(self, tri_graph):
+        from kafka_graphs_spark.library import hits
+
+        got = {r.id: (r.hub, r.authority) for r in hits(tri_graph, iterations=2).collect()}
+        # a2 = in-sums of h1: a2(1)=h1(3)=1, a2(2)=h1(1)=3, a2(3)=h1(1)+h1(2)=5
+        # h2 = out-sums of a2: h2(1)=a2(2)+a2(3)=8, h2(2)=a2(3)=5, h2(3)=a2(1)=1
+        assert got == {1: (8, 1), 2: (5, 3), 3: (1, 5)}
+
+    def test_normalized(self, tri_graph):
+        from kafka_graphs_spark.library import hits
+
+        got = {r.id: (r.hub, r.authority) for r in hits(tri_graph, 1, normalize=True).collect()}
+        assert got[1] == (1.0, 0.5)
+        assert got[2] == (round(2 / 3, 9), 0.5)
+        assert got[3] == (round(1 / 3, 9), 1.0)
+
+    def test_sink_and_source_get_zero(self, spark):
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import hits
+
+        # 1 -> 2: vertex 1 is never an authority, vertex 2 never a hub
+        edges = spark.createDataFrame([(1, 2)], "src long, dst long").withColumn(
+            "value", F.lit(1)
+        )
+        g = Graph.from_edges(edges, F.lit(0))
+        got = {r.id: (r.hub, r.authority) for r in hits(g, iterations=3).collect()}
+        assert got[1][1] == 0 and got[2][0] == 0
+
+    def test_registered(self):
+        from kafka_graphs_spark.library import get_algorithm
+
+        assert get_algorithm("hits").run.__name__ == "hits"
+
+
+class TestKTruss:
+    """k_truss — triangle-support peeling (beyond-reference, like k_core)."""
+
+    def _graph(self, spark, pairs):
+        from kafka_graphs_spark import Graph
+
+        edges = spark.createDataFrame(pairs, "src long, dst long").withColumn(
+            "value", F.lit(1)
+        )
+        return Graph.from_edges(edges, F.lit(0))
+
+    def test_k4_with_glued_triangle(self, spark):
+        from kafka_graphs_spark.library import k_truss
+
+        # K4 on 1-4, plus triangle (1,2,9): edges (1,9),(2,9) have support 1
+        k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+        g = self._graph(spark, k4 + [(1, 9), (2, 9)])
+        out = {(r.src, r.dst): r.support for r in k_truss(g, k=4).collect()}
+        # 4-truss = exactly K4; (1,2) loses the support-3 it had via vertex 9
+        assert set(out) == set(k4)
+        assert all(s == 2 for s in out.values())
+
+    def test_triangle_strip_cascades_to_empty(self, spark):
+        from kafka_graphs_spark.library import k_truss
+
+        # strip v1..v6: triangles (i, i+1, i+2) — boundary edges have
+        # support 1, so k=4 peels them, which strips the next layer, etc.
+        strip = [(i, i + 1) for i in range(1, 6)] + [(i, i + 2) for i in range(1, 5)]
+        g = self._graph(spark, strip)
+        assert k_truss(g, k=4).count() == 0
+        # ...but the whole strip is a valid 3-truss (every edge in a triangle)
+        assert k_truss(g, k=3).count() == len(strip)
+
+    def test_k3_keeps_only_triangle_edges(self, spark):
+        from kafka_graphs_spark.library import k_truss
+
+        g = self._graph(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])  # pendant (3,4)
+        out = {(r.src, r.dst): r.support for r in k_truss(g, k=3).collect()}
+        assert out == {(1, 2): 1, (2, 3): 1, (1, 3): 1}
+
+    def test_k2_keeps_everything_with_support(self, spark):
+        from kafka_graphs_spark.library import k_truss
+
+        g = self._graph(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+        out = {(r.src, r.dst): r.support for r in k_truss(g, k=2).collect()}
+        assert out[(3, 4)] == 0 and len(out) == 4
+
+    def test_max_iterations_raises_on_exhaustion(self, spark):
+        from kafka_graphs_spark.library import k_truss
+
+        strip = [(i, i + 1) for i in range(1, 8)] + [(i, i + 2) for i in range(1, 7)]
+        g = self._graph(spark, strip)
+        with pytest.raises(RuntimeError, match="did not converge"):
+            k_truss(g, k=4, max_iterations=1)

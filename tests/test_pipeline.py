@@ -349,3 +349,204 @@ class TestRepetitionStats:
         got = {r["doc_id"]: r for r in text.repetition_stats(docs).collect()}
         assert got[1]["dup_trigram_frac"] > 0.9 > got[2]["dup_trigram_frac"]
         assert got[1]["top_bigram_frac"] > 0.2
+
+
+class TestHashSampling:
+    @pytest.fixture(scope="class")
+    def corpus_docs(self, spark):
+        rows = [
+            (i, f"document number {i} with some text", ["web", "books", "code"][i % 3])
+            for i in range(300)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_rate_and_determinism(self, corpus_docs):
+        from kafka_graphs_spark.pipeline import sample
+
+        a = sorted(r.doc_id for r in sample.hash_sample(corpus_docs, "doc_id", 0.5).collect())
+        b = sorted(
+            r.doc_id
+            for r in sample.hash_sample(
+                corpus_docs.repartition(7), "doc_id", 0.5
+            ).collect()
+        )
+        assert a == b  # stable under repartitioning (unlike df.sample)
+        assert 0.35 * 300 < len(a) < 0.65 * 300
+        # monotone in rate: the 0.5 sample contains the 0.2 sample
+        c = {r.doc_id for r in sample.hash_sample(corpus_docs, "doc_id", 0.2).collect()}
+        assert c <= set(a)
+
+    def test_edge_rates(self, corpus_docs):
+        from kafka_graphs_spark.pipeline import sample
+
+        assert sample.hash_sample(corpus_docs, "doc_id", 1.0).count() == 300
+        assert sample.hash_sample(corpus_docs, "doc_id", 0.0).count() == 0
+
+    def test_salt_gives_independent_draw(self, corpus_docs):
+        from kafka_graphs_spark.pipeline import sample
+
+        a = {r.doc_id for r in sample.hash_sample(corpus_docs, "doc_id", 0.5, salt="x").collect()}
+        b = {r.doc_id for r in sample.hash_sample(corpus_docs, "doc_id", 0.5, salt="y").collect()}
+        assert a != b
+
+    def test_stratified_rates(self, corpus_docs):
+        from kafka_graphs_spark.pipeline import sample
+
+        out = sample.stratified_sample(
+            corpus_docs, "doc_id", "source", {"web": 1.0, "books": 0.0}, default_rate=0.5
+        )
+        per = {r["source"]: r["n"] for r in out.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert per.get("web") == 100
+        assert "books" not in per
+        assert 25 < per.get("code", 0) < 75
+        assert out.columns == corpus_docs.columns
+
+    def test_mixture_rates_realize_weights(self, corpus_docs):
+        from kafka_graphs_spark.pipeline import sample
+
+        # equal thirds in the data; ask for 2:1:1 -> web binds at rate 1.0,
+        # books/code each at 50 docs expected
+        rates = sample.mixture_rates(corpus_docs, "source", {"web": 2, "books": 1, "code": 1})
+        assert rates["web"] == 1.0
+        assert abs(rates["books"] - 0.5) < 1e-12 and abs(rates["code"] - 0.5) < 1e-12
+        # zero/absent weight -> rate 0
+        rates2 = sample.mixture_rates(corpus_docs, "source", {"web": 1})
+        assert rates2["books"] == 0.0 and rates2["code"] == 0.0
+
+    def test_split_is_exact_partition(self, corpus_docs):
+        from kafka_graphs_spark.pipeline import sample
+
+        out = sample.split_train_eval(corpus_docs, "doc_id", 0.25)
+        n = out.count()
+        assert n == 300
+        per = {r["split"]: r["n"] for r in out.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n")).collect()}
+        assert per["eval"] + per["train"] == 300
+        assert 0.1 * 300 < per["eval"] < 0.4 * 300
+
+
+class TestPackSequences:
+    def test_known_layout(self, spark):
+        from kafka_graphs_spark.pipeline import sample
+
+        rows = [(1, "s", 5), (2, "s", 7), (3, "s", 2), (4, "s", 9), (5, "t", 11)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+        out = {
+            r.doc_id: (r.seq_id, r.begin_offset)
+            for r in sample.pack_sequences(df, budget=10, length_col="n", group_col="source").collect()
+        }
+        # prefix sums within 's': 0, 5, 12, 14 -> seqs 0,0,1,1
+        assert out[1] == (0, 0)
+        assert out[2] == (0, 5)
+        assert out[3] == (1, 2)
+        assert out[4] == (1, 4)
+        assert out[5] == (0, 0)  # independent group
+
+    def test_conservation(self, spark):
+        """Total packed length is conserved: last doc's prefix+len == sum."""
+        from kafka_graphs_spark.pipeline import sample
+
+        rows = [(i, "g", (i * 37) % 13 + 1) for i in range(200)]
+        df = spark.createDataFrame(rows, "doc_id long, source string, n long")
+        out = sample.pack_sequences(df, budget=64, length_col="n", group_col="source")
+        last = out.orderBy(F.desc("doc_id")).first()
+        total = df.agg(F.sum("n")).first()[0]
+        assert last.seq_id * 64 + last.begin_offset + last.n == total
+
+
+class TestPii:
+    @pytest.fixture(scope="class")
+    def pii_docs(self, spark):
+        rows = [
+            (1, "contact alice@example.com or bob.smith@corp.co.uk today"),
+            (2, "server at 192.168.0.1 and 10.0.0.255 responded"),
+            (3, "call +1 (555) 123-4567 now"),
+            (4, "ssn 123-45-6789 leaked"),
+            (5, "nothing sensitive here"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_counts(self, pii_docs):
+        from kafka_graphs_spark.pipeline import text as t
+
+        got = {r.doc_id: r for r in t.pii_stats(pii_docs).collect()}
+        assert got[1].n_email == 2 and got[1].n_pii == 2
+        assert got[2].n_ipv4 == 2
+        assert got[3].n_phone == 1
+        assert got[4].n_ssn == 1
+        assert got[5].n_pii == 0
+
+    def test_redact(self, pii_docs):
+        from kafka_graphs_spark.pipeline import text as t
+
+        got = {r.doc_id: r.redacted for r in t.pii_redact(pii_docs).collect()}
+        assert got[1] == "contact <EMAIL> or <EMAIL> today"
+        assert got[2] == "server at <IPV4> and <IPV4> responded"
+        assert "<PHONE>" in got[3]
+        assert got[4] == "ssn <SSN> leaked"
+        assert got[5] == "nothing sensitive here"
+
+
+class TestSourceProfile:
+    def test_profile(self, spark):
+        from kafka_graphs_spark.pipeline import text as t
+
+        rows = [
+            (1, "one two three", "a"),
+            (2, "one two three four five", "a"),
+            (3, "one", "b"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {r.source: r for r in t.source_profile(df).collect()}
+        assert got["a"].n_docs == 2 and got["a"].total_tokens == 8
+        assert got["a"].median_tokens == 4.0 and got["a"].mean_tokens == 4.0
+        assert got["b"].median_tokens == 1.0
+
+
+class TestSketchProfile:
+    def test_sketch_tracks_exact_on_small_corpus(self, spark):
+        from kafka_graphs_spark.pipeline import text as t
+
+        rows = [(i, " ".join(f"w{j}" for j in range(i % 7 + 3)), "a" if i < 40 else "b")
+                for i in range(80)]
+        df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+        got = {r.source: r for r in t.sketch_profile(df).collect()}
+        assert got["a"].n_docs == 40 and got["b"].n_docs == 40
+        # exact vocab is 9 (w0..w8); HLL at rsd=0.05 is exact at this scale
+        assert abs(got["a"].approx_vocab - 9) <= 1
+        for r in got.values():
+            assert 3 <= r.approx_median_tokens <= 9
+            assert r.approx_p90_tokens >= r.approx_median_tokens
+
+
+class TestCurateGates:
+    def test_pii_gate_drops_heavy_docs(self, spark):
+        from kafka_graphs_spark.pipeline.curate import curate
+
+        base = "the quick brown fox jumps over the lazy dog and runs far away today"
+        rows = [
+            (1, base),
+            (2, base + " contact a@b.com and c@d.org and e@f.net"),  # 3 PII hits
+            (3, base.replace("fox", "cat")),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        kept_open = {r.doc_id for r in curate(docs, min_score=0.0, jaccard_threshold=0.9).collect()}
+        kept_gated = {r.doc_id for r in curate(
+            docs, min_score=0.0, jaccard_threshold=0.9, max_pii=2
+        ).collect()}
+        assert 2 in kept_open
+        assert kept_gated == kept_open - {2}
+
+    def test_repetition_gate_drops_boilerplate(self, spark):
+        from kafka_graphs_spark.pipeline.curate import curate
+
+        rows = [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "spam ham eggs " * 30),  # massive duplicate-trigram mass
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        kept = {r.doc_id for r in curate(
+            docs, min_score=0.0, jaccard_threshold=0.9, max_dup_trigram_frac=0.5
+        ).collect()}
+        assert kept == {1}

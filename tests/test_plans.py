@@ -184,3 +184,80 @@ class TestWindowedStreamPlans:
             plan = executed_plan(out)
             assert "BatchEvalPython" not in plan
             assert plan.count("HashAggregate") >= 2
+
+
+class TestSamplingTierPlans:
+    def test_hash_sample_is_narrow_and_pruned(self, docs):
+        from kafka_graphs_spark.pipeline import sample
+
+        q = sample.hash_sample(docs, "doc_id", 0.5).select("doc_id")
+        plan = executed_plan(q)
+        assert "BatchEvalPython" not in plan
+        assert "Exchange" not in plan  # pure filter: no shuffle at all
+        read = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "text" not in read  # only doc_id scanned
+
+    def test_stratified_sample_broadcasts_rates(self, docs):
+        from kafka_graphs_spark.pipeline import sample
+
+        q = sample.stratified_sample(
+            docs, "doc_id", "source", {"src0": 0.5, "src1": 0.2}
+        )
+        plan = executed_plan(q)
+        assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+        assert "SortMergeJoin" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_pack_sequences_single_shuffle_on_group_key(self, docs):
+        from kafka_graphs_spark.pipeline import sample
+
+        q = sample.pack_sequences(
+            docs, budget=2048, length_col="n_chars", group_col="source"
+        )
+        plan = executed_plan(q)
+        assert "BatchEvalPython" not in plan
+        # one hash-partitioning exchange for the window, nothing else
+        assert plan.count("Exchange hashpartitioning") == 1
+        read = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "text" not in read
+
+    def test_pii_ops_stay_jvm_side(self, docs):
+        from kafka_graphs_spark.pipeline import text
+
+        for op in (text.pii_stats, text.pii_redact):
+            plan = executed_plan(op(docs))
+            assert "BatchEvalPython" not in plan
+            assert "Exchange" not in plan  # narrow per-row regexp work
+
+    def test_source_profile_combines_map_side(self, docs):
+        from kafka_graphs_spark.pipeline import text
+
+        plan = executed_plan(text.source_profile(docs))
+        assert "BatchEvalPython" not in plan
+        # partial (map-side) aggregation before the exchange
+        assert plan.count("HashAggregate") >= 2 or "ObjectHashAggregate" in plan
+
+
+class TestHitsPlan:
+    def test_hits_joins_are_equi_and_sums_combine(self, spark):
+        from kafka_graphs_spark import datasets
+        from kafka_graphs_spark.library.hits import _hits_frame
+
+        g = datasets.supplier_part_graph(spark, SF)
+        # audit the pre-checkpoint plan (hits() materializes its result)
+        plan = executed_plan(
+            _hits_frame(g.vertices, g.edges.select("src", "dst"), iterations=2)
+        )
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        # every gather is a partial (map-side) sum before its exchange
+        assert plan.count("HashAggregate") >= 8  # 2 per gather × 4 gathers
+
+    def test_sketch_profile_partial_aggregates_no_python(self, docs):
+        from kafka_graphs_spark.pipeline import text
+
+        plan = executed_plan(text.sketch_profile(docs))
+        assert "BatchEvalPython" not in plan
+        # HLL + KLL are ObjectHashAggregate sketches with a partial phase
+        assert "ObjectHashAggregate" in plan
+        assert "partial_approx_count_distinct" in plan or "partial" in plan.lower()
