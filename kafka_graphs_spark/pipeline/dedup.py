@@ -18,6 +18,8 @@ All JVM-side expressions (explode / groupBy / join); no Python UDFs.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -303,3 +305,37 @@ def ngram_contamination(
             (F.coalesce("contaminated", F.lit(0)).cast("double") / F.col("total")).alias("rate"),
         )
     )
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    time_col: Optional[str] = None,
+    watermark: Optional[str] = None,
+) -> DataFrame:
+    """First-seen-wins exact dedup that works on BATCH and STREAMING frames.
+
+    Adds ``fp`` = md5 of the normalized token stream (same canonical form
+    as :func:`kafka_graphs_spark.pipeline.text.fingerprint`, so trivial
+    whitespace/case variants collapse too) and keeps the first document
+    per fingerprint. On a streaming frame this is Structured Streaming's
+    stateful ``dropDuplicates``: the seen-fingerprint set lives in the
+    checkpointed state store, sharded by fp across executors.
+
+    State at 100 TB: an UNBOUNDED seen-set is the semantics of global
+    ingestion dedup and grows with the corpus (fp + overhead per doc);
+    pass ``time_col`` + ``watermark`` (e.g. "24 hours") to switch to
+    ``dropDuplicatesWithinWatermark``, which bounds state to the
+    watermark horizon — the right contract when re-crawls arrive within a
+    known window. Batch frames ignore the watermark (plain first-wins
+    per fp via dropDuplicates on the time-ordered input contract).
+    """
+    fp = F.md5(F.array_join(tokens(F.col(text_col)), " "))
+    with_fp = docs.withColumn("fp", fp)
+    if docs.isStreaming and watermark is not None:
+        if time_col is None:
+            raise ValueError("watermark-bounded dedup needs time_col")
+        return with_fp.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
+            ["fp"]
+        )
+    return with_fp.dropDuplicates(["fp"])

@@ -550,3 +550,24 @@ class TestCurateGates:
             docs, min_score=0.0, jaccard_threshold=0.9, max_dup_trigram_frac=0.5
         ).collect()}
         assert kept == {1}
+
+
+class TestHashFractionModel:
+    def test_matches_hashlib_reference(self, spark):
+        """Pin hash_fraction to the spec: first 8 hex chars of
+        md5(str(key)+salt) / 16^8 — guards the conv/substring plumbing."""
+        import hashlib
+
+        from kafka_graphs_spark.pipeline import sample
+
+        keys = list(range(0, 2000, 7)) + [0, 1, 2**31, 2**62]
+        df = spark.createDataFrame([(k,) for k in keys], "k long")
+        got = {
+            r.k: r.f
+            for r in df.select(
+                "k", sample.hash_fraction(F.col("k"), salt="s").alias("f")
+            ).collect()
+        }
+        for k in keys:
+            expect = int(hashlib.md5(f"{k}s".encode()).hexdigest()[:8], 16) / 2**32
+            assert got[k] == expect, k

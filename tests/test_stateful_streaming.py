@@ -158,3 +158,84 @@ class TestWatermarkedWindows:
         out2 = self._run(spark, src, ckpt)
         hours = {r["window"]["start"].hour for r in out2}
         assert 0 not in hours
+
+
+class TestStreamingExactDedup:
+    DOC_SCHEMA = "doc_id long, text string, ts timestamp"
+
+    def _write(self, spark, rows, path):
+        spark.createDataFrame(rows, self.DOC_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    def _run(self, spark, src, ckpt, **kw):
+        from kafka_graphs_spark.pipeline.dedup import streaming_exact_dedup
+
+        rows = []
+
+        def sink(batch_df, _bid):
+            rows.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(self.DOC_SCHEMA).parquet(src)
+        q = (
+            streaming_exact_dedup(stream, **kw)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    def test_seen_set_survives_restart(self, spark, tmp_path):
+        import datetime
+
+        t = datetime.datetime(2026, 1, 1)
+        src, ckpt = str(tmp_path / "docs"), str(tmp_path / "ckpt")
+        self._write(spark, [(1, "alpha beta", t), (2, "Alpha  BETA!", t)], src)
+        out1 = self._run(spark, src, ckpt)
+        # normalization collapses case/punct variants to one fingerprint
+        assert sorted(r.doc_id for r in out1) in ([1], [2])
+
+        # second run, same checkpoint: the duplicate arriving later is
+        # dropped against RESTORED state; only the new text passes
+        self._write(spark, [(3, "ALPHA beta?", t), (4, "gamma delta", t)], src)
+        out2 = self._run(spark, src, ckpt)
+        assert sorted(r.doc_id for r in out2) == [4]
+
+    def test_batch_frame_first_wins(self, spark):
+        import datetime
+
+        from kafka_graphs_spark.pipeline.dedup import streaming_exact_dedup
+
+        t = datetime.datetime(2026, 1, 1)
+        df = spark.createDataFrame(
+            [(1, "x y z", t), (2, "x  y z", t), (3, "unique here", t)],
+            self.DOC_SCHEMA,
+        )
+        out = streaming_exact_dedup(df)
+        assert out.count() == 2
+
+    def test_watermark_requires_time_col(self, spark, tmp_path):
+        import datetime
+
+        t = datetime.datetime(2026, 1, 1)
+        src, ckpt = str(tmp_path / "docs_w"), str(tmp_path / "ckpt_w")
+        self._write(spark, [(1, "a b c", t)], src)
+        with pytest.raises(ValueError, match="time_col"):
+            self._run(spark, src, ckpt, watermark="1 hour")
+
+    def test_watermark_bounded_dedup_runs(self, spark, tmp_path):
+        import datetime
+
+        t = datetime.datetime(2026, 1, 1)
+        src, ckpt = str(tmp_path / "docs_wb"), str(tmp_path / "ckpt_wb")
+        self._write(
+            spark,
+            [(1, "p q r", t), (2, "p  q R.", t), (3, "s t u", t)],
+            src,
+        )
+        out = self._run(spark, src, ckpt, time_col="ts", watermark="1 hour")
+        assert sorted({r.doc_id for r in out} & {3}) == [3]
+        assert len({r.text for r in out}) == 2  # one of the p-q-r pair + s t u
