@@ -260,6 +260,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return hits(_sp_graph(spark, sf), iterations=3)
 
+    def gen_betweenness_star(spark, sf):
+        # exact Brandes from all sources on the 50-star: hub carries
+        # every leaf pair, C(49,2) = 1176; closed-form twin
+        from kafka_graphs_spark.library import betweenness_centrality
+        from kafka_graphs_spark.sources import star_graph
+
+        return betweenness_centrality(star_graph(spark, 50))
+
+    def gen_betweenness_path(spark, sf):
+        # P12 (grid 1×12): bc(i) = i·(11−i) — exercises the multi-level
+        # backward accumulation (11 dependency levels)
+        from kafka_graphs_spark.library import betweenness_centrality
+        from kafka_graphs_spark.sources import grid_graph
+
+        return betweenness_centrality(grid_graph(spark, 1, 12))
+
+    def gen_closeness_star(spark, sf):
+        # hub: 49 others at distance 1 → 1.0; leaf: 49/(1 + 2·48)
+        from kafka_graphs_spark.library import closeness_centrality
+        from kafka_graphs_spark.sources import star_graph
+
+        return closeness_centrality(star_graph(spark, 50))
+
     # ---- graph generators (closed-form SQL twins) ----
 
     def gen_complete_edges(spark, sf):
@@ -716,6 +739,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def doc_source_profile(spark, sf):
         return text.source_profile(datasets.load(spark, sf, "documents"))
+
+    def emb_decontamination(spark, sf):
+        # embedding-space eval decontamination: train split (vec_id >= 50)
+        # vs benchmark split (vec_id < 50), best match per leaked vector
+        emb = datasets.load(spark, sf, "embeddings")
+        return similarity.embedding_decontamination(
+            emb.filter(F.col("vec_id") >= 50),
+            emb.filter(F.col("vec_id") < 50),
+            threshold=0.4,
+        )
 
     def doc_sketch_inv(spark, sf):
         # sketch-profile accuracy invariants: per-source HLL vocabulary
@@ -1309,14 +1342,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_ktruss_complete": gen_ktruss_complete,
         "doc_sketch_inv": doc_sketch_inv,
         "pipeline_curate_gated": pipeline_curate_gated,
+        "gen_betweenness_star": gen_betweenness_star,
+        "gen_betweenness_path": gen_betweenness_path,
+        "gen_closeness_star": gen_closeness_star,
+        "emb_decontamination": emb_decontamination,
         # -- remaining window: flagship core, re-scored every round --
         "ec_wcc": ec_wcc,
-        "ec_bfs": ec_bfs,
-        "ec_sssp": ec_sssp,
-        "ec_pregel_sssp": ec_pregel_sssp,
         "ec_pagerank5": ec_pagerank5,
-        "ec_lp10": ec_lp10,
         # -- beyond slot 50: oracle-backed, hash-green in CORRECTNESS_r03 --
+        "ec_sssp": ec_sssp,
+        "ec_bfs": ec_bfs,
+        "ec_pregel_sssp": ec_pregel_sssp,
+        "ec_lp10": ec_lp10,
         "hier_lcc": hier_lcc,
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
@@ -1461,6 +1498,22 @@ def oracle_sql() -> dict[str, str]:
             FROM v LEFT JOIN
               (SELECT src, CAST(SUM(dst) AS BIGINT) AS sd FROM e GROUP BY 1) s
               ON v.id = s.src
+        """,
+        "gen_betweenness_star": """
+            SELECT range AS id,
+                   CASE WHEN range = 0 THEN 1176.0 ELSE 0.0 END AS betweenness
+            FROM range(0, 50)
+        """,
+        "gen_betweenness_path": """
+            SELECT range AS id,
+                   CAST(range * (11 - range) AS DOUBLE) AS betweenness
+            FROM range(0, 12)
+        """,
+        "gen_closeness_star": """
+            SELECT range AS id,
+                   CASE WHEN range = 0 THEN 1.0
+                        ELSE CAST(49 AS DOUBLE) / 97 END AS closeness
+            FROM range(0, 50)
         """,
         "gen_complete_edges": """
             SELECT a.range AS src, b.range AS dst, CAST(1 AS BIGINT) AS value
@@ -1979,6 +2032,22 @@ def oracle_sql() -> dict[str, str]:
                                                ORDER BY cos DESC, neighbor_id) AS rank FROM s)
             SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
             FROM r WHERE rank <= 5
+        """,
+        "emb_decontamination": """
+            WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+            t AS (SELECT * FROM v WHERE id >= 50),
+            b AS (SELECT * FROM v WHERE id < 50),
+            s AS (SELECT t.id, b.id AS bench_id,
+                         round(list_dot_product(t.v, b.v)
+                               / (sqrt(list_dot_product(t.v, t.v))
+                                  * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+                  FROM t, b),
+            hits AS (SELECT * FROM s WHERE cos >= 0.4),
+            best AS (SELECT id, bench_id, cos,
+                            row_number() OVER (PARTITION BY id
+                                               ORDER BY cos DESC, bench_id DESC) AS rn
+                     FROM hits)
+            SELECT id, bench_id, cos FROM best WHERE rn = 1
         """,
         "emb_near_dup": """
             WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),

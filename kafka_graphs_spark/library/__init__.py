@@ -30,6 +30,7 @@ from kafka_graphs_spark.library.clustering import kmeans, kmeans_ml, semi_cluste
 from kafka_graphs_spark.library.maxbmatching import max_b_matching
 from kafka_graphs_spark.library.sybilrank import sybil_rank
 from kafka_graphs_spark.library.hits import hits
+from kafka_graphs_spark.library.centrality import betweenness_centrality, closeness_centrality
 
 __all__ = [
     "bfs",
@@ -50,6 +51,8 @@ __all__ = [
     "adamic_adar",
     "sybil_rank",
     "hits",
+    "closeness_centrality",
+    "betweenness_centrality",
     "max_b_matching",
     "als",
     "sgd",

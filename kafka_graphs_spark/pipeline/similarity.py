@@ -314,3 +314,72 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def embedding_decontamination(
+    train: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: Optional[int] = None,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, bench_id, cos) — training vectors within ``threshold`` cosine
+    of ANY benchmark vector, with their single best match (max cosine,
+    ties broken by max bench_id).
+
+    The embedding-space analogue of ``dedup.ngram_contamination``:
+    paraphrased eval leakage that shares no n-grams still lands next to
+    the benchmark in embedding space. Dropping the result from the corpus
+    is ``train.join(result, on=id, how="left_anti")``.
+
+    ``method="exact"``: the benchmark side is BROADCAST (eval sets are
+    small by construction) and compared against every training vector —
+    a per-row JVM loop over the broadcast side, the same shape as
+    ``cosine_topk``'s verification baseline; the training side never
+    shuffles. ``method="lsh"``: both sides hash into the shared
+    random-hyperplane tables (same family as :func:`rp_lsh_topk`) and
+    candidates are the bucket equi-join — the 100 TB shape, approximate
+    for pairs barely over the threshold.
+    """
+    t = train.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("vt")
+    ).withColumn("nt", _norm(F.col("vt")))
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    ).withColumn("nb", _norm(F.col("vb")))
+    if method == "exact":
+        cand = t.crossJoin(F.broadcast(b))
+    elif method == "lsh":
+        if dim is None:
+            dim = len(train.select(vec_col).first()[0])
+        tb = bb = None
+        for tab in range(n_tables):
+            ht = t.select(
+                "id", "vt", "nt", F.lit(tab).alias("table"),
+                _bucket_expr(F.col("vt"), dim, n_planes, tab, seed).alias("bucket"),
+            )
+            hb = b.select(
+                "bench_id", "vb", "nb", F.lit(tab).alias("table"),
+                _bucket_expr(F.col("vb"), dim, n_planes, tab, seed).alias("bucket"),
+            )
+            tb = ht if tb is None else tb.unionByName(ht)
+            bb = hb if bb is None else bb.unionByName(hb)
+        cand = tb.join(F.broadcast(bb), on=["table", "bucket"]).dropDuplicates(
+            ["id", "bench_id"]
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r} (expected 'exact' or 'lsh')")
+    scored = cand.select(
+        "id", "bench_id",
+        F.round(
+            _dot(F.col("vt"), F.col("vb")) / (F.col("nt") * F.col("nb")), 6
+        ).alias("cos"),
+    ).filter(F.col("cos") >= threshold)
+    best = scored.groupBy("id").agg(F.max(F.struct("cos", "bench_id")).alias("m"))
+    return best.select("id", F.col("m.bench_id").alias("bench_id"), F.col("m.cos").alias("cos"))

@@ -967,3 +967,77 @@ class TestKTruss:
         g = self._graph(spark, strip)
         with pytest.raises(RuntimeError, match="did not converge"):
             k_truss(g, k=4, max_iterations=1)
+
+
+class TestCentrality:
+    """closeness/betweenness — closed-form goldens on path, star, cycle."""
+
+    def _graph(self, spark, pairs):
+        edges = spark.createDataFrame(pairs, "src long, dst long").withColumn(
+            "value", F.lit(1.0)
+        )
+        return Graph.from_edges(edges, F.lit(0))
+
+    def test_path_betweenness(self, spark):
+        from kafka_graphs_spark.library import betweenness_centrality
+
+        g = self._graph(spark, [(i, i + 1) for i in range(5)])  # P6
+        got = {r.id: r.betweenness for r in betweenness_centrality(g).collect()}
+        assert got == {i: float(i * (5 - i)) for i in range(6)}
+
+    def test_star_betweenness_and_closeness(self, spark):
+        from kafka_graphs_spark.library import (
+            betweenness_centrality,
+            closeness_centrality,
+        )
+
+        g = self._graph(spark, [(i, 0) for i in range(1, 6)])  # hub 0, 5 leaves
+        bc = {r.id: r.betweenness for r in betweenness_centrality(g).collect()}
+        assert bc[0] == 10.0  # C(5,2)
+        assert all(bc[i] == 0.0 for i in range(1, 6))
+        cc = {r.id: r.closeness for r in closeness_centrality(g).collect()}
+        assert cc[0] == 1.0
+        assert cc[1] == pytest.approx(5 / 9)  # 5 others, dists 1+2*4
+
+    def test_cycle_symmetry(self, spark):
+        from kafka_graphs_spark.library import betweenness_centrality
+
+        # C6: every vertex equivalent; bc = (pairs at distance >=2 passing
+        # through v): known value (n-2)*... just assert all equal + positive
+        g = self._graph(spark, [(i, (i + 1) % 6) for i in range(6)])
+        got = [r.betweenness for r in betweenness_centrality(g).collect()]
+        assert len(set(got)) == 1 and got[0] > 0
+
+    def test_even_split_counts_fractionally(self, spark):
+        from kafka_graphs_spark.library import betweenness_centrality
+
+        # diamond 0-1-3, 0-2-3: pair (0,3) splits across 1 and 2, pair
+        # (1,2) splits across 0 and 3 — every vertex carries exactly 0.5
+        g = self._graph(spark, [(0, 1), (0, 2), (1, 3), (2, 3)])
+        got = {r.id: r.betweenness for r in betweenness_centrality(g).collect()}
+        assert got == {0: 0.5, 1: 0.5, 2: 0.5, 3: 0.5}
+
+    def test_sampled_sources_scale(self, spark):
+        from kafka_graphs_spark.library import betweenness_centrality
+
+        # P5 sampled from both endpoints: dependency of 0 and 4 on middle
+        # vertices times scale 5/2
+        g = self._graph(spark, [(i, i + 1) for i in range(4)])
+        got = {r.id: r.betweenness for r in betweenness_centrality(g, sources=[0, 4]).collect()}
+        # from 0: deltas (1,2,3)=(3,2,1); from 4: (1,2,3)=(1,2,3); /2, *5/2
+        assert got[2] == pytest.approx((2 + 2) / 2 * 2.5)
+        assert got[1] == pytest.approx((3 + 1) / 2 * 2.5)
+
+    def test_directed_closeness(self, spark):
+        from kafka_graphs_spark.library import closeness_centrality
+
+        g = self._graph(spark, [(0, 1), (1, 2)])
+        cc = {r.id: r.closeness for r in closeness_centrality(g, directed=True).collect()}
+        assert cc[0] == 0.0  # nothing reaches 0
+        assert cc[2] == pytest.approx(2 / 3)  # d(0,2)=2, d(1,2)=1
+
+    def test_registered(self):
+        from kafka_graphs_spark.library import get_algorithm
+
+        assert get_algorithm("closeness").run.__name__ == "closeness_centrality"
+        assert get_algorithm("betweenness").run.__name__ == "betweenness_centrality"

@@ -571,3 +571,32 @@ class TestHashFractionModel:
         for k in keys:
             expect = int(hashlib.md5(f"{k}s".encode()).hexdigest()[:8], 16) / 2**32
             assert got[k] == expect, k
+
+
+class TestEmbeddingDecontamination:
+    def test_exact_finds_planted_leak_and_lsh_agrees(self, spark, vectors):
+        from kafka_graphs_spark.pipeline import similarity
+
+        # vec 20 is a planted near-duplicate of vec 0: treat 0,1 as the
+        # benchmark and the rest as train — 20 must be flagged against 0
+        train = vectors.filter(F.col("vec_id") >= 2)
+        bench = vectors.filter(F.col("vec_id") < 2)
+        out = {r.id: (r.bench_id, r.cos) for r in similarity.embedding_decontamination(
+            train, bench, threshold=0.9
+        ).collect()}
+        assert 20 in out and out[20][0] == 0 and out[20][1] > 0.99
+        assert 21 in out and out[21][0] == 1
+        # the LSH path finds the same true near-dups (high-cos pairs
+        # collide in some table with overwhelming probability)
+        lsh = {r.id for r in similarity.embedding_decontamination(
+            train, bench, threshold=0.9, method="lsh", n_planes=4, n_tables=4, dim=16
+        ).collect()}
+        assert {20, 21} <= lsh
+
+    def test_clean_train_passes(self, spark, vectors):
+        from kafka_graphs_spark.pipeline import similarity
+
+        train = vectors.filter((F.col("vec_id") >= 2) & (F.col("vec_id") < 20))
+        bench = vectors.filter(F.col("vec_id") < 2)
+        out = similarity.embedding_decontamination(train, bench, threshold=0.95)
+        assert out.count() == 0
