@@ -466,6 +466,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return exact_triangle_count(hierarchy_edges(spark, sf))
 
+    def hier_graph_stats(spark, sf):
+        # one-row dataset card: sizes, degree stats, triangles,
+        # assortativity — every field has a closed-form SQL twin
+        from kafka_graphs_spark.datasets import hierarchy_graph
+        from kafka_graphs_spark.library import graph_statistics
+
+        return graph_statistics(hierarchy_graph(spark, sf))
+
+    def doc_cap_per_source(spark, sf):
+        # deterministic per-source cap (hash-ordered top-10 per source)
+        return sample.cap_per_group(
+            datasets.load(spark, sf, "documents"), "source", 10, "doc_id"
+        ).select("doc_id", "source")
+
     def hier_ktruss3(spark, sf):
         # 3-truss is provably single-pass (see library.k_truss docstring),
         # so the peeled result has an exact wedge-close SQL twin; the k>=4
@@ -1346,10 +1360,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_betweenness_path": gen_betweenness_path,
         "gen_closeness_star": gen_closeness_star,
         "emb_decontamination": emb_decontamination,
-        # -- remaining window: flagship core, re-scored every round --
+        "hier_graph_stats": hier_graph_stats,
+        "doc_cap_per_source": doc_cap_per_source,
+        # -- beyond slot 50: oracle-backed; the whole window above is
+        # locally hash-verified at sf0.01 this round, so every slot goes
+        # to first-time scoring; r03-green flagships rotate back next --
         "ec_wcc": ec_wcc,
         "ec_pagerank5": ec_pagerank5,
-        # -- beyond slot 50: oracle-backed, hash-green in CORRECTNESS_r03 --
         "ec_sssp": ec_sssp,
         "ec_bfs": ec_bfs,
         "ec_pregel_sssp": ec_pregel_sssp,
@@ -1663,6 +1680,51 @@ def oracle_sql() -> dict[str, str]:
             SELECT v.id, m.mx AS value
             FROM v LEFT JOIN (SELECT src, MAX(value) AS mx FROM e GROUP BY 1) m
               ON v.id = m.src
+        """,
+        "hier_graph_stats": """
+            WITH e0 AS (
+                SELECT CAST(c_custkey AS BIGINT) AS src,
+                       CAST(c_nationkey + 2000000 AS BIGINT) AS dst FROM customer
+                UNION ALL
+                SELECT CAST(n_nationkey + 2000000 AS BIGINT),
+                       CAST(n_regionkey + 3000000 AS BIGINT) FROM nation
+                UNION ALL
+                SELECT CAST(c_custkey AS BIGINT), CAST(n_regionkey + 3000000 AS BIGINT)
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ),
+            v AS (SELECT DISTINCT id FROM
+                    (SELECT src AS id FROM e0 UNION SELECT dst FROM e0)),
+            und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                    FROM e0 WHERE src <> dst),
+            deg AS (SELECT id, count(*) AS d FROM
+                      (SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+                    GROUP BY 1),
+            tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                    FROM und e1 JOIN und e2 ON e1.b = e2.a
+                    JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+            sym AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+            prs AS (SELECT da.d AS da, db.d AS db
+                    FROM sym JOIN deg da ON sym.a = da.id
+                             JOIN deg db ON sym.b = db.id)
+            SELECT (SELECT count(*) FROM v) AS n_vertices,
+                   (SELECT count(*) FROM e0) AS n_edges,
+                   CAST(0 AS BIGINT) AS n_self_loops,
+                   (SELECT count(*) FROM und) AS n_undirected_edges,
+                   round((SELECT count(*) FROM und)
+                         / ((SELECT count(*) FROM v)
+                            * ((SELECT count(*) FROM v) - 1) / 2.0), 9) AS density,
+                   (SELECT max(d) FROM deg) AS max_degree,
+                   round((SELECT avg(d) FROM deg), 6) AS avg_degree,
+                   (SELECT count(*) FROM tri) AS n_triangles,
+                   round((SELECT corr(da, db) FROM prs), 6) AS assortativity
+        """,
+        "doc_cap_per_source": f"""
+            WITH r AS (SELECT doc_id, source,
+                row_number() OVER (PARTITION BY source
+                    ORDER BY (('0x' || substr(md5((doc_id)::VARCHAR || 'cap'), 1, 8))::BIGINT
+                              / 4294967296.0) ASC, doc_id ASC) AS rn
+              FROM documents)
+            SELECT doc_id, source FROM r WHERE rn <= 10
         """,
         "hier_ktruss3": """
             WITH e0 AS (

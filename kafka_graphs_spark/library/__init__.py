@@ -9,7 +9,7 @@ generic Python compute surface lives in kafka_graphs_spark.pregel for
 user-defined algorithms.
 """
 
-from kafka_graphs_spark.library.basic import edge_count, reverse_edges, vertex_count
+from kafka_graphs_spark.library.basic import edge_count, graph_statistics, reverse_edges, vertex_count
 from kafka_graphs_spark.library.clustering_coefficient import (
     local_clustering_coefficient,
     local_clustering_coefficient_pregel,
@@ -45,6 +45,7 @@ __all__ = [
     "local_clustering_coefficient",
     "local_clustering_coefficient_pregel",
     "edge_count",
+    "graph_statistics",
     "vertex_count",
     "reverse_edges",
     "jaccard",

@@ -41,3 +41,73 @@ def reverse_edges(graph: Graph) -> Graph:
     )
     missing = reversed_e.join(e.select("src", "dst"), on=["src", "dst"], how="left_anti")
     return Graph(graph.vertices, e.unionByName(missing))
+
+
+def graph_statistics(graph) -> "DataFrame":
+    """One-row dataset card for a graph: sizes, degree stats, triangles,
+    degree assortativity.
+
+    Beyond-reference convenience (the reference exposes only
+    vertex/edge counts): everything a user profiles before choosing an
+    algorithm, computed in a handful of aggregates —
+
+    - n_vertices, n_edges (directed rows), n_self_loops
+    - n_undirected_edges (canonical a<b pairs), density = that over C(n,2)
+    - max_degree / avg_degree of the simple undirected graph
+    - n_triangles (wedge-close count, same machinery as k_truss)
+    - assortativity: Pearson correlation of endpoint degrees over the
+      symmetrized edge list — positive means hubs link to hubs.
+
+    All map-side-combinable aggregates + the triangle equi-joins; no
+    driver loops, one small result row.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_graphs_spark.library.components import (
+        _edge_support,
+        _oriented_simple_edges,
+    )
+
+    e = graph.edges
+    n_v = graph.vertices.count()
+    n_e = e.count()
+    n_loops = e.filter(F.col("src") == F.col("dst")).count()
+    und = _oriented_simple_edges(e)  # a < b, distinct
+    n_und = und.count()
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    deg_row = deg.agg(
+        F.max("d").alias("max_d"), F.avg("d").alias("avg_d")
+    ).collect()[0]
+    n_tri_row = _edge_support(und).agg(
+        (F.sum("support") / 3).cast("long").alias("t")
+    ).collect()[0]
+    # assortativity over ordered symmetric pairs (each und edge twice)
+    sym = und.unionByName(
+        und.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    pairs = (
+        sym.join(deg.select(F.col("id").alias("a"), F.col("d").alias("da")), on="a")
+        .join(deg.select(F.col("id").alias("b"), F.col("d").alias("db")), on="b")
+    )
+    r = pairs.agg(F.corr("da", "db").alias("r")).collect()[0]["r"]
+    spark = e.sparkSession
+    density = (
+        float(n_und) / (n_v * (n_v - 1) / 2.0) if n_v > 1 else 0.0
+    )
+    return spark.createDataFrame(
+        [(
+            n_v, n_e, n_loops, n_und,
+            round(density, 9),
+            deg_row["max_d"], round(float(deg_row["avg_d"] or 0.0), 6),
+            n_tri_row["t"] or 0,
+            round(float(r), 6) if r is not None else None,
+        )],
+        "n_vertices long, n_edges long, n_self_loops long, n_undirected_edges long, "
+        "density double, max_degree long, avg_degree double, n_triangles long, "
+        "assortativity double",
+    )

@@ -184,3 +184,28 @@ def split_train_eval(
             F.lit("train")
         ),
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    key_col: str,
+    salt: str = "cap",
+) -> DataFrame:
+    """At most ``n`` rows per group, chosen by deterministic hash order.
+
+    The per-source cap of a mixture recipe ("no more than n docs from any
+    one domain"), reproducible across runs and engines: rows rank by
+    :func:`hash_fraction` (ties broken by key) within their group, and
+    ranks > n drop. One shuffle on the group key; the window carries a
+    rank only, so state per task is O(1).
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        hash_fraction(F.col(key_col), salt).asc(), F.col(key_col).asc()
+    )
+    return (
+        df.withColumn("_kgs_rank", F.row_number().over(w))
+        .filter(F.col("_kgs_rank") <= n)
+        .drop("_kgs_rank")
+    )

@@ -1041,3 +1041,22 @@ class TestCentrality:
 
         assert get_algorithm("closeness").run.__name__ == "closeness_centrality"
         assert get_algorithm("betweenness").run.__name__ == "betweenness_centrality"
+
+
+class TestGraphStatistics:
+    def test_known_card(self, spark):
+        from kafka_graphs_spark.library import graph_statistics
+
+        # triangle 1-2-3 plus pendant 3-4 and a self-loop at 1
+        edges = spark.createDataFrame(
+            [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0), (3, 4, 1.0), (1, 1, 1.0)],
+            "src long, dst long, value double",
+        )
+        g = Graph.from_edges(edges, F.lit(0))
+        r = graph_statistics(g).collect()[0]
+        assert r.n_vertices == 4 and r.n_edges == 5 and r.n_self_loops == 1
+        assert r.n_undirected_edges == 4 and r.n_triangles == 1
+        assert r.max_degree == 3 and r.avg_degree == 2.0
+        assert r.density == round(4 / 6, 9)
+        # star-like pendant pulls assortativity negative
+        assert r.assortativity < 0

@@ -600,3 +600,21 @@ class TestEmbeddingDecontamination:
         bench = vectors.filter(F.col("vec_id") < 2)
         out = similarity.embedding_decontamination(train, bench, threshold=0.95)
         assert out.count() == 0
+
+
+class TestCapPerGroup:
+    def test_cap_and_determinism(self, spark):
+        from kafka_graphs_spark.pipeline import sample
+
+        rows = [(i, ["a", "b"][i % 2]) for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, source string")
+        out = sample.cap_per_group(df, "source", 7, "doc_id")
+        per = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+        assert per == {"a": 7, "b": 7}
+        again = sample.cap_per_group(df.repartition(13), "source", 7, "doc_id")
+        assert sorted(r.doc_id for r in out.collect()) == sorted(
+            r.doc_id for r in again.collect()
+        )
+        # groups under the cap pass through whole
+        small = sample.cap_per_group(df.filter(F.col("doc_id") < 5), "source", 7, "doc_id")
+        assert small.count() == 5
