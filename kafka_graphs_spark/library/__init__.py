@@ -20,9 +20,10 @@ from kafka_graphs_spark.library.components import (
     k_core,
     k_truss,
     label_propagation,
+    modularity,
 )
 from kafka_graphs_spark.library.pagerank import pagerank
-from kafka_graphs_spark.library.paths import bfs, mssp, sssp
+from kafka_graphs_spark.library.paths import bfs, mssp, random_walks, sssp
 from kafka_graphs_spark.library.registry import ALGORITHMS, get_algorithm
 from kafka_graphs_spark.library.similarity import adamic_adar, jaccard
 from kafka_graphs_spark.library.cf import als, als_ml, predict, sgd, svdpp, svdpp_predict
@@ -36,10 +37,12 @@ __all__ = [
     "bfs",
     "sssp",
     "mssp",
+    "random_walks",
     "connected_components",
     "core_decomposition",
     "k_core",
     "k_truss",
+    "modularity",
     "label_propagation",
     "pagerank",
     "local_clustering_coefficient",

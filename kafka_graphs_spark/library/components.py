@@ -346,3 +346,54 @@ def k_truss(graph: Graph, k: int, max_iterations: int | None = None) -> DataFram
     finally:
         loop.release()
     return out
+
+
+def modularity(graph: Graph, assignment: DataFrame, label_col: str = "value") -> DataFrame:
+    """One row (m, n_communities, modularity) — Newman modularity Q of a
+    community assignment over the undirected simple graph.
+
+    Beyond-reference operator: the quality score for label_propagation /
+    WCC / semi-clustering output. Q = Σ_c [L_c/m − (d_c/2m)²] with L_c =
+    intra-community edges, d_c = degree mass of c, m = undirected edge
+    count. Two equi-joins of the canonical edge set against the (id,
+    label) frame plus map-side-combined sums; communities never
+    materialize on the driver. Rounded to 6 dp (the cross-community sum
+    is the one order-dependent accumulation).
+    """
+    spark = graph.vertices.sparkSession
+    und = _oriented_simple_edges(graph.edges)
+    m = und.count()
+    if m == 0:
+        return spark.createDataFrame(
+            [(0, 0, 0.0)], "m long, n_communities long, modularity double"
+        )
+    lab = assignment.select("id", F.col(label_col).alias("_c"))
+    labeled = (
+        und.join(lab.select(F.col("id").alias("a"), F.col("_c").alias("_ca")), on="a")
+        .join(lab.select(F.col("id").alias("b"), F.col("_c").alias("_cb")), on="b")
+    )
+    intra = (
+        labeled.filter(F.col("_ca") == F.col("_cb"))
+        .groupBy(F.col("_ca").alias("_c"))
+        .agg(F.count(F.lit(1)).alias("_l"))
+    )
+    deg_mass = (
+        labeled.select(F.col("_ca").alias("_c"))
+        .unionByName(labeled.select(F.col("_cb").alias("_c")))
+        .groupBy("_c")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    per_c = deg_mass.join(intra, on="_c", how="left").select(
+        "_c",
+        (
+            F.coalesce("_l", F.lit(0)).cast("double") / F.lit(float(m))
+            - (F.col("_d").cast("double") / F.lit(2.0 * m)) ** 2
+        ).alias("_q"),
+    )
+    row = per_c.agg(
+        F.count(F.lit(1)).alias("k"), F.sum("_q").alias("q")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(m, row["k"], round(float(row["q"]), 6))],
+        "m long, n_communities long, modularity double",
+    )

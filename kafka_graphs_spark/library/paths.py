@@ -222,3 +222,108 @@ def mssp(
         loop.release()
         release_edges()
     return out
+
+
+def random_walks(
+    graph: Graph,
+    walk_length: int,
+    walks_per_vertex: int = 1,
+    seed: str = "walk",
+) -> DataFrame:
+    """(walk_id, start, step, vertex) — deterministic hash-seeded random
+    walks, the corpus generator for DeepWalk/node2vec-style embeddings.
+
+    Beyond-reference operator. Each step chooses the next out-neighbor by
+    an md5 draw over (walk key, step, current vertex) modulo out-degree —
+    deterministic, so walks are reproducible across runs, partitionings,
+    and engines (the draw has a closed-form SQL twin), yet well-mixed
+    across walks and steps. Walks stop early at sinks (no out-edges).
+
+    Scale shape: the adjacency is ranked once (row_number per source —
+    one shuffle), then each step is two broadcast-free equi-joins: the
+    frontier joins degrees to draw an index, then joins the ranked
+    adjacency on (vertex, index). State is |walks| rows; path history
+    accumulates as output rows, not in the frontier. ``walk_length``
+    steps = that many fixed-size jobs — same bound as BFS.
+    """
+    from pyspark.sql.window import Window
+
+    if walk_length < 0 or walks_per_vertex < 1:
+        raise ValueError("walk_length >= 0 and walks_per_vertex >= 1 required")
+    e = graph.edges.select("src", "dst").distinct()
+    ranked = e.withColumn(
+        "_idx",
+        F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1,
+    )
+    degs = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    adj, release_adj = sized_cache(ranked)
+    deg, release_deg = sized_cache(degs)
+
+    walks = (
+        graph.vertices.select(F.col("id").alias("start"))
+        .crossJoin(
+            graph.vertices.sparkSession.range(walks_per_vertex).select(
+                F.col("id").alias("_w")
+            )
+        )
+        .select(
+            F.concat(F.col("start").cast("string"), F.lit("#"), F.col("_w")).alias(
+                "walk_id"
+            ),
+            "start",
+        )
+    )
+    frontier = walks.select("walk_id", "start", F.col("start").alias("vertex"))
+    out = frontier.select(
+        "walk_id", "start", F.lit(0).cast("long").alias("step"), "vertex"
+    )
+    # two loops: the frontier and the accumulated output each need their
+    # plans cut to a leaf every step — the output unions every step's
+    # frontier, and ChainLoop frees blocks older than two generations, so
+    # an un-cut union would reference freed checkpoint blocks
+    loop = ChainLoop()
+    out_loop = ChainLoop(adaptive=False)
+    try:
+        frontier, _ = loop.advance(frontier)
+        out, _ = out_loop.advance(out)
+        for step in range(1, walk_length + 1):
+            # md5 draw over (walk key, step, current vertex) mod out-degree
+            draw = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("walk_id"), F.lit(f":{seed}:{step}:"),
+                            F.col("vertex").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long")
+            nxt = (
+                frontier.join(deg, frontier["vertex"] == deg["src"])
+                .select("walk_id", "start", "vertex", (draw % F.col("_deg")).alias("_i"))
+                .join(
+                    adj,
+                    on=[F.col("vertex") == adj["src"], F.col("_i") == adj["_idx"]],
+                )
+                .select("walk_id", "start", F.col("dst").alias("vertex"))
+            )
+            frontier, row = loop.advance(nxt)
+            if row["_kgs_rows"] == 0:
+                break
+            out, _ = out_loop.advance(
+                out.unionByName(
+                    frontier.select(
+                        "walk_id", "start",
+                        F.lit(step).cast("long").alias("step"), "vertex",
+                    )
+                )
+            )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        loop.release()
+        out_loop.release()
+        release_adj()
+        release_deg()
+    return out

@@ -1060,3 +1060,94 @@ class TestGraphStatistics:
         assert r.density == round(4 / 6, 9)
         # star-like pendant pulls assortativity negative
         assert r.assortativity < 0
+
+
+class TestRandomWalks:
+    def test_forced_laps_on_cycle(self, spark):
+        from kafka_graphs_spark.library import random_walks
+
+        g = make_graph(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)])
+        rows = sorted((r.walk_id, r.step, r.vertex) for r in random_walks(g, 4).collect())
+        assert len(rows) == 15  # 3 walks × 5 positions
+        for wid, step, v in rows:
+            assert v == (int(wid.split("#")[0]) + step) % 3
+
+    def test_sink_stops_early(self, spark):
+        from kafka_graphs_spark.library import random_walks
+
+        g = make_graph(spark, [(0, 1, 1.0)])
+        per = {r[0]: r[1] for r in random_walks(g, 3).groupBy("walk_id").count().collect()}
+        assert per == {"0#0": 2, "1#0": 1}
+
+    def test_deterministic_across_partitionings(self, spark):
+        from kafka_graphs_spark.library import random_walks
+
+        g = make_graph(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0), (0, 2, 1.0)])
+        a = sorted(map(tuple, random_walks(g, 3).collect()))
+        b = sorted(map(tuple, random_walks(
+            Graph(g.vertices.repartition(5), g.edges.repartition(7)), 3
+        ).collect()))
+        assert a == b
+
+    def test_multiple_walks_per_vertex_diverge(self, spark):
+        from kafka_graphs_spark.library import random_walks
+
+        # complete graph: draws differ per walk id, so two walks from the
+        # same start should not all follow identical trajectories
+        n = 6
+        g = make_graph(
+            spark, [(i, j, 1.0) for i in range(n) for j in range(n) if i != j]
+        )
+        w = random_walks(g, walk_length=4, walks_per_vertex=3)
+        assert w.count() == n * 3 * 5
+        paths = (
+            w.groupBy("walk_id", "start")
+            .agg(F.sort_array(F.collect_list(F.struct("step", "vertex"))).alias("p"))
+            .groupBy("start")
+            .agg(F.count_distinct("p").alias("k"))
+        )
+        assert paths.agg(F.max("k")).first()[0] > 1
+
+
+class TestModularity:
+    def test_two_cliques_known_value(self, spark):
+        from kafka_graphs_spark.library import modularity
+
+        # two disjoint triangles, communities = the triangles:
+        # m=6, per community L=3, d=6 -> Q = 2*(3/6 - (6/12)^2) = 0.5
+        edges = [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0),
+                 (4, 5, 1.0), (5, 6, 1.0), (4, 6, 1.0)]
+        g = make_graph(spark, edges)
+        lab = spark.createDataFrame(
+            [(i, 1 if i <= 3 else 2) for i in range(1, 7)], "id long, value long"
+        )
+        r = modularity(g, lab).collect()[0]
+        assert (r.m, r.n_communities, r.modularity) == (6, 2, 0.5)
+
+    def test_single_community_is_zero(self, spark):
+        from kafka_graphs_spark.library import modularity
+
+        g = make_graph(spark, [(1, 2, 1.0), (2, 3, 1.0), (1, 3, 1.0)])
+        lab = spark.createDataFrame([(i, 0) for i in (1, 2, 3)], "id long, value long")
+        r = modularity(g, lab).collect()[0]
+        # all mass in one community: L/m = 1, (d/2m)^2 = 1 -> Q = 0
+        assert r.modularity == 0.0
+
+    def test_bad_split_goes_negative(self, spark):
+        from kafka_graphs_spark.library import modularity
+
+        # bipartite-ish split that cuts every edge
+        g = make_graph(spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)])
+        lab = spark.createDataFrame(
+            [(1, 0), (3, 0), (2, 1), (4, 1)], "id long, value long"
+        )
+        r = modularity(g, lab).collect()[0]
+        assert r.modularity < 0
+
+    def test_empty_graph(self, spark):
+        from kafka_graphs_spark.library import modularity
+
+        g = make_graph(spark, [(1, 1, 1.0)])  # only a self-loop -> no und edges
+        lab = spark.createDataFrame([(1, 0)], "id long, value long")
+        r = modularity(g, lab).collect()[0]
+        assert (r.m, r.modularity) == (0, 0.0)
