@@ -1326,7 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # emb_kmeans_assign, hier_semiclusters_inv, ec_maxbmatching_inv).
     # ------------------------------------------------------------------
     return {
-        # -- slots 1-31: oracle-backed, first scored window appearance --
+        # -- slots 1-32: oracle-backed, first scored window appearance --
         "dedup_exact": dedup_exact,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash": dedup_minhash,

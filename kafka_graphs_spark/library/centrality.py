@@ -63,16 +63,21 @@ def closeness_centrality(
     """
     if landmarks is None:
         landmarks = _all_vertex_ids(graph)
+    landmarks = sorted(set(landmarks))  # dups would collide in the mssp map
     g = graph
     if not directed:
         e = graph.edges.select("src", "dst", "value")
+        # deterministic symmetrization: min weight per ordered pair
+        # (dropDuplicates would keep a partition-order-dependent value)
         g = Graph(
             graph.vertices,
             e.unionByName(
                 e.select(
                     F.col("dst").alias("src"), F.col("src").alias("dst"), "value"
                 )
-            ).dropDuplicates(["src", "dst"]),
+            )
+            .groupBy("src", "dst")
+            .agg(F.min("value").alias("value")),
         )
     dists = mssp(g, landmarks, max_iterations=max_iterations)
     per = (

@@ -76,8 +76,9 @@ def hits(graph: Graph, iterations: int = 3, normalize: bool = False) -> DataFram
             m = out.agg(
                 F.max("hub").alias("mh"), F.max("authority").alias("ma")
             ).collect()[0]
-            mh = float(m["mh"]) or 1.0
-            ma = float(m["ma"]) or 1.0
+            # `or 1.0` also covers the empty graph (max over no rows = None)
+            mh = float(m["mh"] or 1.0)
+            ma = float(m["ma"] or 1.0)
             out = out.select(
                 "id",
                 F.round(F.col("hub") / F.lit(mh), 9).alias("hub"),

@@ -327,15 +327,32 @@ def streaming_exact_dedup(
     pass ``time_col`` + ``watermark`` (e.g. "24 hours") to switch to
     ``dropDuplicatesWithinWatermark``, which bounds state to the
     watermark horizon — the right contract when re-crawls arrive within a
-    known window. Batch frames ignore the watermark (plain first-wins
-    per fp via dropDuplicates on the time-ordered input contract).
+    known window.
+
+    On BATCH frames "first" is defined by ``time_col`` when given (min
+    time per fingerprint, ties broken by the full row — deterministic
+    across partitionings); without a time column a batch frame has no
+    arrival order, so ONE representative per fingerprint is kept but
+    which one is partition-dependent.
     """
     fp = F.md5(F.array_join(tokens(F.col(text_col)), " "))
     with_fp = docs.withColumn("fp", fp)
-    if docs.isStreaming and watermark is not None:
-        if time_col is None:
-            raise ValueError("watermark-bounded dedup needs time_col")
-        return with_fp.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(
-            ["fp"]
+    if docs.isStreaming:
+        if watermark is not None:
+            if time_col is None:
+                raise ValueError("watermark-bounded dedup needs time_col")
+            return with_fp.withWatermark(
+                time_col, watermark
+            ).dropDuplicatesWithinWatermark(["fp"])
+        return with_fp.dropDuplicates(["fp"])
+    if time_col is not None:
+        # deterministic batch first-wins: min (time, row) per fingerprint
+        cols = with_fp.columns
+        ordered = F.struct(F.col(time_col).alias("_t"), *[F.col(c) for c in cols])
+        return (
+            with_fp.groupBy("fp")
+            .agg(F.min(ordered).alias("_m"))
+            .select("fp", *[F.col(f"_m.{c}").alias(c) for c in cols if c != "fp"])
+            .select(*cols)
         )
     return with_fp.dropDuplicates(["fp"])

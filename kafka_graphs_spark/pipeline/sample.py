@@ -119,6 +119,9 @@ def mixture_rates(
     if w_total <= 0:
         return {s: 0.0 for s in counts}
     norm = {s: w / w_total for s, w in weights.items() if w > 0}
+    if not any(s in counts and counts[s] > 0 for s in norm):
+        # no positively-weighted stratum present in the data
+        return {s: 0.0 for s in counts}
     # the binding stratum fixes the achievable total
     t = min(counts[s] / w for s, w in norm.items() if s in counts and counts[s] > 0)
     return {

@@ -180,10 +180,17 @@ class GraphService:
         Spark twin of the reference's SSE KeyValue stream
         (rest/server/graph/GraphAlgorithmHandler.java:457-489).
         """
+        # resolve the frame EAGERLY (not inside the generator): unknown-id /
+        # not-complete errors must raise before the handler commits a 200
+        # SSE response head — a late raise would corrupt the open stream
         df = self._result_frame(algo_id, key)
         kv = set(df.columns) >= {"id", "value"}
-        for r in df.toLocalIterator(prefetchPartitions=True):
-            yield self._row_to_json(r, kv)
+
+        def rows():
+            for r in df.toLocalIterator(prefetchPartitions=True):
+                yield self._row_to_json(r, kv)
+
+        return rows()
 
     def delete(self, algo_id: str) -> dict:
         with self.lock:

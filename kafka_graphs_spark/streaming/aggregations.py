@@ -93,13 +93,23 @@ def collect_summaries(result: DataFrame, max_bytes: Optional[int] = 1 << 30) -> 
     guard (e.g. per-micro-batch use where the extra action matters).
     """
     if max_bytes is not None:
-        biggest = result.agg(F.max(F.length("summary")).alias("b")).collect()[0]["b"]
-        if biggest is not None and biggest > max_bytes:
-            raise RuntimeError(
-                f"summary of {biggest} bytes exceeds collect_summaries cap "
-                f"{max_bytes}; narrow the window (summary size is window-"
-                "bounded) or raise max_bytes explicitly"
-            )
+        # cache so the guard agg and the collect run the (expensive)
+        # fold/combine pipeline once, not twice
+        result.persist()
+        try:
+            biggest = result.agg(F.max(F.length("summary")).alias("b")).collect()[0]["b"]
+            if biggest is not None and biggest > max_bytes:
+                raise RuntimeError(
+                    f"summary of {biggest} bytes exceeds collect_summaries cap "
+                    f"{max_bytes}; narrow the window (summary size is window-"
+                    "bounded) or raise max_bytes explicitly"
+                )
+            return {
+                r["window_start"]: pickle.loads(bytes(r["summary"]))
+                for r in result.collect()
+            }
+        finally:
+            result.unpersist()
     return {
         r["window_start"]: pickle.loads(bytes(r["summary"])) for r in result.collect()
     }
@@ -131,7 +141,9 @@ def run_streaming(
         res = summary_bulk_aggregation(
             batch_df, initial, fold, combine, window_duration, event_time
         )
-        for w, s in collect_summaries(res).items():
+        # per-micro-batch path skips the size guard (window-bounded by
+        # construction; the guard's extra action per batch isn't worth it)
+        for w, s in collect_summaries(res, max_bytes=None).items():
             state[w] = combine(state[w], s) if w in state else s
         on_update(dict(state))
 

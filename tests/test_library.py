@@ -1151,3 +1151,35 @@ class TestModularity:
         lab = spark.createDataFrame([(1, 0)], "id long, value long")
         r = modularity(g, lab).collect()[0]
         assert (r.m, r.modularity) == (0, 0.0)
+
+
+class TestReviewRegressions:
+    """Fixes from the round-4 code review, pinned."""
+
+    def test_hits_normalize_empty_graph(self, spark):
+        from kafka_graphs_spark.library import hits
+
+        e = spark.createDataFrame([], "src long, dst long, value long")
+        g = Graph.from_edges(e, F.lit(0))
+        assert hits(g, iterations=1, normalize=True).count() == 0
+
+    def test_closeness_symmetrization_uses_min_weight(self, spark):
+        from kafka_graphs_spark.library import closeness_centrality
+
+        # asymmetric weights: undirected distance must use min(1, 5)
+        # deterministically, regardless of partitioning
+        e = spark.createDataFrame(
+            [(1, 2, 5.0), (2, 1, 1.0)], "src long, dst long, value double"
+        )
+        g = Graph.from_edges(e, F.lit(0))
+        for gg in (g, Graph(g.vertices.repartition(3), g.edges.repartition(4))):
+            cc = {r.id: r.closeness for r in closeness_centrality(gg).collect()}
+            assert cc == {1: 1.0, 2: 1.0}  # 1 landmark at distance 1 each
+
+    def test_closeness_duplicate_landmarks(self, spark):
+        from kafka_graphs_spark.library import closeness_centrality
+
+        e = spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, value double")
+        g = Graph.from_edges(e, F.lit(0))
+        cc = {r.id: r.closeness for r in closeness_centrality(g, landmarks=[1, 1, 2]).collect()}
+        assert cc == {1: 1.0, 2: 1.0}

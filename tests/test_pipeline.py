@@ -618,3 +618,27 @@ class TestCapPerGroup:
         # groups under the cap pass through whole
         small = sample.cap_per_group(df.filter(F.col("doc_id") < 5), "source", 7, "doc_id")
         assert small.count() == 5
+
+
+class TestReviewRegressions:
+    def test_mixture_rates_absent_weighted_stratum(self, spark):
+        from kafka_graphs_spark.pipeline import sample
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, source string")
+        rates = sample.mixture_rates(df, "source", {"zzz": 1.0})
+        assert rates == {"a": 0.0, "b": 0.0}
+
+    def test_batch_dedup_first_wins_with_time_col(self, spark):
+        import datetime
+
+        from kafka_graphs_spark.pipeline.dedup import streaming_exact_dedup
+
+        t0, t1 = datetime.datetime(2026, 1, 1), datetime.datetime(2026, 1, 2)
+        df = spark.createDataFrame(
+            [(7, "x y z", t1), (3, "x  Y z!", t0), (9, "other", t1)],
+            "doc_id long, text string, ts timestamp",
+        )
+        for d in (df, df.repartition(5)):
+            out = streaming_exact_dedup(d, time_col="ts")
+            kept = sorted(r.doc_id for r in out.collect())
+            assert kept == [3, 9]  # earliest wins deterministically

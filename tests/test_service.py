@@ -118,3 +118,21 @@ def test_result_before_completion_conflicts(server, tmp_path):
 def test_unknown_algorithm_404(server):
     code, out = call(server, "POST", "/pregel", {"algorithm": "nope"})
     assert code == 404
+
+
+def test_sse_error_before_completion_is_clean_409(server, tmp_path):
+    """The SSE route must resolve the result frame BEFORE committing a
+    200/event-stream head — an unfinished algorithm yields a plain 409
+    JSON error, never a corrupted open stream."""
+    ef = tmp_path / "e3.txt"
+    ef.write_text("1 2 1\n")
+    call(server, "POST", "/import", {"edgesFile": str(ef), "edgesTopic": "e3"})
+    code, out = call(server, "POST", "/pregel", {"algorithm": "wcc", "edgesTopic": "e3"})
+    algo_id = out["id"]
+    code, out = call(
+        server, "GET", f"/pregel/{algo_id}/result?stream=true"
+    )
+    assert code == 409 and "error" in out
+
+    code, out = call(server, "GET", "/pregel/doesnotexist/result?stream=true")
+    assert code == 404 and "error" in out
