@@ -703,6 +703,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_bigrams(spark, sf):
         return text.bigram_counts(datasets.load(spark, sf, "documents"), min_count=3)
 
+    def doc_chunks(spark, sf):
+        # RAG-style fixed-size character windows with overlap
+        return text.chunk_text(
+            datasets.load(spark, sf, "documents"), size=256, overlap=32
+        )
+
     def doc_repetition(spark, sf):
         # Gopher-style within-doc repetition signals (duplicate n-gram
         # mass + top-bigram fraction); exact-int ratios ⇒ bit-exact twin
@@ -1381,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- beyond slot 50: oracle-backed; the whole window above is
         # locally hash-verified at sf0.01 this round, so every slot goes
         # to first-time scoring; r03-green flagships rotate back next --
+        "doc_chunks": doc_chunks,
         "doc_split": doc_split,
         "gen_ktruss_complete": gen_ktruss_complete,
         "ec_wcc": ec_wcc,
@@ -2026,6 +2033,16 @@ def oracle_sql() -> dict[str, str]:
                         THEN CAST(coalesce(m, 0) AS DOUBLE) / nbg
                         ELSE 0.0 END AS top_bigram_frac
             FROM base LEFT JOIN topb ON base.doc_id = topb.doc_id
+        """,
+        "doc_chunks": """
+            WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+                       WHERE length(text) > 0),
+            s AS (SELECT doc_id, text,
+                         unnest(generate_series(1, greatest(n - 256 + 224, 1), 224)) AS st
+                  FROM d)
+            SELECT doc_id, CAST((st - 1) // 224 AS BIGINT) AS chunk_id,
+                   substr(text, st, 256) AS chunk
+            FROM s
         """,
         "doc_hash_sample": f"""
             SELECT doc_id, source FROM documents

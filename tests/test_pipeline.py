@@ -642,3 +642,34 @@ class TestReviewRegressions:
             out = streaming_exact_dedup(d, time_col="ts")
             kept = sorted(r.doc_id for r in out.collect())
             assert kept == [3, 9]  # earliest wins deterministically
+
+
+class TestChunkText:
+    def test_known_windows(self, spark):
+        from kafka_graphs_spark.pipeline import text as t
+
+        df = spark.createDataFrame([(1, "abcdefghijk"), (2, "xy"), (3, "")],
+                                   "doc_id long, text string")
+        out = {(r.doc_id, r.chunk_id): r.chunk for r in t.chunk_text(df, size=4, overlap=1).collect()}
+        # doc 1 (n=11, stride 3): starts 1,4,7,10 -> abcd, defg, ghij, jk
+        assert out == {
+            (1, 0): "abcd", (1, 1): "defg", (1, 2): "ghij", (1, 3): "jk",
+            (2, 0): "xy",
+        }
+
+    def test_no_overlap_partitions_text(self, spark):
+        from kafka_graphs_spark.pipeline import text as t
+
+        df = spark.createDataFrame([(1, "a" * 1000 + "b" * 23)], "doc_id long, text string")
+        out = t.chunk_text(df, size=100)
+        rows = sorted((r.chunk_id, r.chunk) for r in out.collect())
+        assert len(rows) == 11
+        assert "".join(c for _, c in rows) == "a" * 1000 + "b" * 23
+
+    def test_bad_params(self, spark):
+        from kafka_graphs_spark.pipeline import text as t
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        for kw in ({"size": 0}, {"size": 4, "overlap": 4}, {"size": 4, "overlap": -1}):
+            with pytest.raises(ValueError):
+                t.chunk_text(df, **kw)
