@@ -307,6 +307,19 @@ def ngram_contamination(
     )
 
 
+def _contains_map(dtype) -> bool:
+    """True if the type (recursively) contains a MapType — not orderable."""
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.MapType):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _contains_map(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return any(_contains_map(f.dataType) for f in dtype.fields)
+    return False
+
+
 def streaming_exact_dedup(
     docs: DataFrame,
     text_col: str = "text",
@@ -346,13 +359,25 @@ def streaming_exact_dedup(
             ).dropDuplicatesWithinWatermark(["fp"])
         return with_fp.dropDuplicates(["fp"])
     if time_col is not None:
-        # deterministic batch first-wins: min (time, row) per fingerprint
+        # deterministic batch first-wins: min_by keeps the whole row (the
+        # VALUE side needs no ordering, so map-typed columns are fine)
+        # under an ordering key of (time NULLS LAST, orderable columns) —
+        # a NULL timestamp must lose to any real one, and the orderable
+        # tail makes timestamp ties deterministic
         cols = with_fp.columns
-        ordered = F.struct(F.col(time_col).alias("_t"), *[F.col(c) for c in cols])
+        orderable = [
+            f.name
+            for f in with_fp.schema.fields
+            if not _contains_map(f.dataType) and f.name != "fp"
+        ]
+        key = F.struct(
+            F.col(time_col).isNull().alias("_null"),
+            F.col(time_col).alias("_t"),
+            *[F.col(c) for c in orderable],
+        )
         return (
             with_fp.groupBy("fp")
-            .agg(F.min(ordered).alias("_m"))
-            .select("fp", *[F.col(f"_m.{c}").alias(c) for c in cols if c != "fp"])
-            .select(*cols)
+            .agg(F.min_by(F.struct(*[F.col(c) for c in cols]), key).alias("_m"))
+            .select(*[F.col(f"_m.{c}").alias(c) for c in cols])
         )
     return with_fp.dropDuplicates(["fp"])

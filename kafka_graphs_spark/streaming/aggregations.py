@@ -26,6 +26,7 @@ from typing import Callable, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 FoldFn = Callable[[object, object], object]  # (summary, row) -> summary
 CombineFn = Callable[[object, object], object]  # (summary, summary) -> summary
@@ -92,27 +93,32 @@ def collect_summaries(result: DataFrame, max_bytes: Optional[int] = 1 << 30) -> 
     instead of OOMing the driver. Pass ``max_bytes=None`` to skip the
     guard (e.g. per-micro-batch use where the extra action matters).
     """
-    if max_bytes is not None:
-        # cache so the guard agg and the collect run the (expensive)
-        # fold/combine pipeline once, not twice
-        result.persist()
-        try:
-            biggest = result.agg(F.max(F.length("summary")).alias("b")).collect()[0]["b"]
-            if biggest is not None and biggest > max_bytes:
-                raise RuntimeError(
-                    f"summary of {biggest} bytes exceeds collect_summaries cap "
-                    f"{max_bytes}; narrow the window (summary size is window-"
-                    "bounded) or raise max_bytes explicitly"
-                )
-            return {
-                r["window_start"]: pickle.loads(bytes(r["summary"]))
-                for r in result.collect()
-            }
-        finally:
+    def _collect() -> dict:
+        return {
+            r["window_start"]: pickle.loads(bytes(r["summary"]))
+            for r in result.collect()
+        }
+
+    if max_bytes is None:
+        return _collect()
+    # cache so the guard agg and the collect run the (expensive)
+    # fold/combine pipeline once, not twice — but never clobber a cache
+    # the CALLER manages on this frame (unpersist is not ref-counted)
+    ours = result.storageLevel == StorageLevel.NONE
+    if ours:
+        result.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        biggest = result.agg(F.max(F.length("summary")).alias("b")).collect()[0]["b"]
+        if biggest is not None and biggest > max_bytes:
+            raise RuntimeError(
+                f"summary of {biggest} bytes exceeds collect_summaries cap "
+                f"{max_bytes}; narrow the window (summary size is window-"
+                "bounded) or raise max_bytes explicitly"
+            )
+        return _collect()
+    finally:
+        if ours:
             result.unpersist()
-    return {
-        r["window_start"]: pickle.loads(bytes(r["summary"])) for r in result.collect()
-    }
 
 
 def run_streaming(
@@ -141,9 +147,10 @@ def run_streaming(
         res = summary_bulk_aggregation(
             batch_df, initial, fold, combine, window_duration, event_time
         )
-        # per-micro-batch path skips the size guard (window-bounded by
-        # construction; the guard's extra action per batch isn't worth it)
-        for w, s in collect_summaries(res, max_bytes=None).items():
+        # guard stays ON for the unattended streaming path: user folds are
+        # not forced to be sketch-sized, and with the cache inside
+        # collect_summaries the guard is one cached scan, not a recompute
+        for w, s in collect_summaries(res).items():
             state[w] = combine(state[w], s) if w in state else s
         on_update(dict(state))
 

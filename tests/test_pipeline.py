@@ -673,3 +673,47 @@ class TestChunkText:
         for kw in ({"size": 0}, {"size": 4, "overlap": 4}, {"size": 4, "overlap": -1}):
             with pytest.raises(ValueError):
                 t.chunk_text(df, **kw)
+
+
+class TestReviewRegressions2:
+    def test_null_time_loses_to_real_time(self, spark):
+        import datetime
+
+        from kafka_graphs_spark.pipeline.dedup import streaming_exact_dedup
+
+        t = datetime.datetime(2026, 1, 1)
+        df = spark.createDataFrame(
+            [(7, "x y z", None), (3, "x  Y z!", t)],
+            "doc_id long, text string, ts timestamp",
+        )
+        kept = [r.doc_id for r in streaming_exact_dedup(df, time_col="ts").collect()]
+        assert kept == [3]
+
+    def test_map_columns_survive_batch_dedup(self, spark):
+        import datetime
+
+        from kafka_graphs_spark.pipeline.dedup import streaming_exact_dedup
+
+        t0, t1 = datetime.datetime(2026, 1, 1), datetime.datetime(2026, 1, 2)
+        df = spark.createDataFrame(
+            [(1, "a b", t1, {"k": "late"}), (2, "a  b", t0, {"k": "early"}), (3, "c", t0, {})],
+            "doc_id long, text string, ts timestamp, meta map<string,string>",
+        )
+        out = {r.doc_id: r.meta for r in streaming_exact_dedup(df, time_col="ts").collect()}
+        assert set(out) == {2, 3} and out[2] == {"k": "early"}
+
+    def test_collect_summaries_respects_caller_cache(self, spark):
+        import pickle
+
+        from pyspark.storagelevel import StorageLevel
+
+        from kafka_graphs_spark.streaming.aggregations import collect_summaries
+
+        df = spark.createDataFrame(
+            [(0, pickle.dumps({"x": 1}))], "window_start long, summary binary"
+        ).persist(StorageLevel.MEMORY_ONLY)
+        df.count()
+        got = collect_summaries(df)
+        assert got == {0: {"x": 1}}
+        assert df.storageLevel != StorageLevel.NONE  # caller's cache intact
+        df.unpersist()
