@@ -23,7 +23,7 @@ from kafka_graphs_spark.library.components import (
     modularity,
 )
 from kafka_graphs_spark.library.pagerank import pagerank
-from kafka_graphs_spark.library.paths import bfs, mssp, random_walks, sssp
+from kafka_graphs_spark.library.paths import bfs, mssp, node2vec_walks, random_walks, sssp
 from kafka_graphs_spark.library.registry import ALGORITHMS, get_algorithm
 from kafka_graphs_spark.library.similarity import adamic_adar, jaccard
 from kafka_graphs_spark.library.cf import als, als_ml, predict, sgd, svdpp, svdpp_predict
@@ -38,6 +38,7 @@ __all__ = [
     "sssp",
     "mssp",
     "random_walks",
+    "node2vec_walks",
     "connected_components",
     "core_decomposition",
     "k_core",

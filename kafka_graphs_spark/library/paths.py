@@ -327,3 +327,135 @@ def random_walks(
         release_adj()
         release_deg()
     return out
+
+
+def node2vec_walks(
+    graph: Graph,
+    walk_length: int,
+    p: float = 1.0,
+    q: float = 1.0,
+    walks_per_vertex: int = 1,
+    seed: str = "n2v",
+) -> DataFrame:
+    """(walk_id, start, step, vertex) — deterministic node2vec walks.
+
+    Second-order biased walks (Grover & Leskovec 2016): stepping from
+    ``cur`` with predecessor ``prev``, each out-neighbor ``x`` weighs
+    1/p if x == prev (return), 1 if x is also a neighbor of prev
+    (common neighbor, BFS-ish), else 1/q (exploration, DFS-ish). The
+    first step is uniform. Selection is the deterministic md5 draw of
+    :func:`random_walks` applied to the CUMULATIVE weight profile: pick
+    the first neighbor (in dst order) whose running weight crosses
+    u·total. Every arithmetic step is a fixed-order double computation,
+    so walks are bit-reproducible across engines — the draw has an exact
+    SQL twin.
+
+    Scale shape: per step, one equi-join to enumerate candidates, one
+    broadcast-free equi-join probing prev→x edge existence, and one
+    per-(walk) window cumsum whose partition size is the out-degree of
+    ``cur`` — the same shuffle profile as the uniform walker plus the
+    edge probe. Walks stop early at sinks.
+    """
+    from pyspark.sql.window import Window
+
+    if walk_length < 0 or walks_per_vertex < 1:
+        raise ValueError("walk_length >= 0 and walks_per_vertex >= 1 required")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be positive")
+    e = graph.edges.select("src", "dst").distinct()
+    adj, release_adj = sized_cache(e)
+    probe = e.select(F.col("src").alias("_pa"), F.col("dst").alias("_pb"))
+
+    spark = graph.vertices.sparkSession
+    walks = (
+        graph.vertices.select(F.col("id").alias("start"))
+        .crossJoin(spark.range(walks_per_vertex).select(F.col("id").alias("_w")))
+        .select(
+            F.concat(F.col("start").cast("string"), F.lit("#"), F.col("_w")).alias(
+                "walk_id"
+            ),
+            "start",
+        )
+    )
+    frontier = walks.select(
+        "walk_id", "start",
+        F.lit(None).cast("long").alias("prev"),
+        F.col("start").alias("cur"),
+    )
+    out = frontier.select(
+        "walk_id", "start", F.lit(0).cast("long").alias("step"),
+        F.col("cur").alias("vertex"),
+    )
+    loop = ChainLoop()
+    out_loop = ChainLoop(adaptive=False)
+    try:
+        frontier, _ = loop.advance(frontier)
+        out, _ = out_loop.advance(out)
+        for step in range(1, walk_length + 1):
+            cand = (
+                frontier.join(adj, frontier["cur"] == adj["src"])
+                .select("walk_id", "start", "prev", "cur", F.col("dst").alias("x"))
+                .join(
+                    probe,
+                    on=[
+                        F.col("prev").eqNullSafe(F.col("_pa")),
+                        F.col("x") == F.col("_pb"),
+                    ],
+                    how="left",
+                )
+                .select(
+                    "walk_id", "start", "prev", "cur", "x",
+                    F.when(F.col("prev").isNull(), F.lit(1.0))
+                    .when(F.col("x") == F.col("prev"), F.lit(1.0 / p))
+                    .when(F.col("_pa").isNotNull(), F.lit(1.0))
+                    .otherwise(F.lit(1.0 / q))
+                    .alias("w"),
+                )
+            )
+            win = Window.partitionBy("walk_id").orderBy("x")
+            draw = F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("walk_id"), F.lit(f":{seed}:{step}:"),
+                            F.col("cur").cast("string"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long") / F.lit(float(1 << 32))
+            chosen = (
+                cand.select(
+                    "walk_id", "start", "cur", "x", "w",
+                    F.sum("w").over(win).alias("cumw"),
+                    F.sum("w").over(Window.partitionBy("walk_id")).alias("totw"),
+                )
+                .withColumn("_u", draw * F.col("totw"))
+                .filter(
+                    (F.col("cumw") > F.col("_u"))
+                    & ((F.col("cumw") - F.col("w")) <= F.col("_u"))
+                )
+                .select(
+                    "walk_id", "start",
+                    F.col("cur").alias("prev"), F.col("x").alias("cur"),
+                )
+            )
+            frontier, row = loop.advance(chosen)
+            if row["_kgs_rows"] == 0:
+                break
+            out, _ = out_loop.advance(
+                out.unionByName(
+                    frontier.select(
+                        "walk_id", "start",
+                        F.lit(step).cast("long").alias("step"),
+                        F.col("cur").alias("vertex"),
+                    )
+                )
+            )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        loop.release()
+        out_loop.release()
+        release_adj()
+    return out

@@ -1183,3 +1183,64 @@ class TestReviewRegressions:
         g = Graph.from_edges(e, F.lit(0))
         cc = {r.id: r.closeness for r in closeness_centrality(g, landmarks=[1, 1, 2]).collect()}
         assert cc == {1: 1.0, 2: 1.0}
+
+
+class TestNode2VecWalks:
+    def _g(self, spark, pairs):
+        e = spark.createDataFrame(pairs, "src long, dst long").withColumn(
+            "value", F.lit(1.0)
+        )
+        return Graph.from_edges(e, F.lit(0))
+
+    def test_huge_p_never_returns(self, spark):
+        from kafka_graphs_spark.library import node2vec_walks
+
+        g = self._g(spark, [(0, 1), (1, 0), (1, 2), (2, 1)])
+        steps = {(r.walk_id, r.step): r.vertex
+                 for r in node2vec_walks(g, 2, p=1e9, q=1.0).collect()}
+        assert [steps[("0#0", s)] for s in range(3)] == [0, 1, 2]
+
+    def test_huge_q_returns_home(self, spark):
+        from kafka_graphs_spark.library import node2vec_walks
+
+        g = self._g(spark, [(0, 1), (1, 0), (1, 2), (2, 1)])
+        steps = {(r.walk_id, r.step): r.vertex
+                 for r in node2vec_walks(g, 2, p=1.0, q=1e9).collect()}
+        assert [steps[("0#0", s)] for s in range(3)] == [0, 1, 0]
+
+    def test_common_neighbor_class_dominates(self, spark):
+        from kafka_graphs_spark.library import node2vec_walks
+
+        # triangle 0-1-2 + pendant 9 on 1: from 1 with prev 0 and huge
+        # p and q, the common neighbor 2 (weight 1) beats return (1/p)
+        # and exploration to 9 (1/q)
+        tri = [(0, 1), (0, 2), (1, 2), (1, 9)]
+        und = tri + [(b, a) for a, b in tri]
+        g = self._g(spark, und)
+        steps = {(r.walk_id, r.step): r.vertex
+                 for r in node2vec_walks(g, 2, p=1e9, q=1e9).collect()}
+        if steps[("0#0", 1)] == 1:
+            assert steps[("0#0", 2)] == 2
+        if steps[("2#0", 1)] == 1:
+            assert steps[("2#0", 2)] == 0
+
+    def test_deterministic_and_sink_stop(self, spark):
+        from kafka_graphs_spark.library import node2vec_walks
+
+        g = self._g(spark, [(0, 1), (1, 2)])  # directed; 2 is a sink
+        a = sorted(map(tuple, node2vec_walks(g, 4, p=2.0, q=0.5).collect()))
+        b = sorted(map(tuple, node2vec_walks(
+            Graph(g.vertices.repartition(3), g.edges.repartition(5)), 4, p=2.0, q=0.5
+        ).collect()))
+        assert a == b
+        per = {r[0]: r[1] for r in node2vec_walks(g, 4).groupBy("walk_id").count().collect()}
+        assert per == {"0#0": 3, "1#0": 2, "2#0": 1}
+
+    def test_bad_params(self, spark):
+        from kafka_graphs_spark.library import node2vec_walks
+
+        g = self._g(spark, [(0, 1)])
+        with pytest.raises(ValueError):
+            node2vec_walks(g, 2, p=0.0)
+        with pytest.raises(ValueError):
+            node2vec_walks(g, -1)
