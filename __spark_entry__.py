@@ -253,6 +253,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             EdgeDirection.OUT,
         )
 
+    def sp_katz(spark, sf):
+        # truncated Katz: dyadic alpha ⇒ exact dyadic sums, bit-exact twin
+        from kafka_graphs_spark.library import katz_centrality
+
+        return katz_centrality(_sp_graph(spark, sf), alpha=0.125, iterations=3)
+
     def sp_hits(spark, sf):
         # HITS with exact integer path-count semantics (unit hubs,
         # unweighted edges) — bit-exact chained-CTE oracle
@@ -1401,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally hash-verified at sf0.01 this round, so every slot goes
         # to first-time scoring; r03-green flagships rotate back next --
         "doc_chunks": doc_chunks,
+        "sp_katz": sp_katz,
         "doc_pii_redact": doc_pii_redact,
         "doc_split": doc_split,
         "gen_ktruss_complete": gen_ktruss_complete,
@@ -1477,6 +1484,23 @@ def oracle_sql() -> dict[str, str]:
             WITH e AS ({SP_EDGES}), v AS ({SP_VERTICES})
             SELECT v.id, coalesce(c.cnt, 0) AS value
             FROM v LEFT JOIN (SELECT dst, count(*) AS cnt FROM e GROUP BY 1) c ON v.id = c.dst
+        """,
+        "sp_katz": f"""
+            WITH e AS ({SP_EDGES}), v AS ({SP_VERTICES}),
+            w0 AS (SELECT id, 1::BIGINT AS n FROM v),
+            w1 AS (SELECT e.dst AS id, CAST(SUM(w0.n) AS BIGINT) AS n
+                   FROM e JOIN w0 ON e.src = w0.id GROUP BY 1),
+            w2 AS (SELECT e.dst AS id, CAST(SUM(w1.n) AS BIGINT) AS n
+                   FROM e JOIN w1 ON e.src = w1.id GROUP BY 1),
+            w3 AS (SELECT e.dst AS id, CAST(SUM(w2.n) AS BIGINT) AS n
+                   FROM e JOIN w2 ON e.src = w2.id GROUP BY 1)
+            SELECT v.id,
+                   COALESCE(w1.n, 0) * CAST(0.125 AS DOUBLE)
+                   + COALESCE(w2.n, 0) * CAST(0.015625 AS DOUBLE)
+                   + COALESCE(w3.n, 0) * CAST(0.001953125 AS DOUBLE) AS katz
+            FROM v LEFT JOIN w1 ON v.id = w1.id
+                   LEFT JOIN w2 ON v.id = w2.id
+                   LEFT JOIN w3 ON v.id = w3.id
         """,
         "sp_hits": f"""
             WITH e AS ({SP_EDGES}), v AS ({SP_VERTICES}),

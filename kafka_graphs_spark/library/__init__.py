@@ -30,7 +30,7 @@ from kafka_graphs_spark.library.cf import als, als_ml, predict, sgd, svdpp, svdp
 from kafka_graphs_spark.library.clustering import kmeans, kmeans_ml, semi_clustering
 from kafka_graphs_spark.library.maxbmatching import max_b_matching
 from kafka_graphs_spark.library.sybilrank import sybil_rank
-from kafka_graphs_spark.library.hits import hits
+from kafka_graphs_spark.library.hits import hits, katz_centrality
 from kafka_graphs_spark.library.centrality import betweenness_centrality, closeness_centrality
 
 __all__ = [
@@ -56,6 +56,7 @@ __all__ = [
     "adamic_adar",
     "sybil_rank",
     "hits",
+    "katz_centrality",
     "closeness_centrality",
     "betweenness_centrality",
     "max_b_matching",

@@ -88,3 +88,52 @@ def hits(graph: Graph, iterations: int = 3, normalize: bool = False) -> DataFram
     finally:
         release()
     return out
+
+
+def katz_centrality(
+    graph: Graph, alpha: float = 0.125, iterations: int = 3
+) -> DataFrame:
+    """(id, katz) — truncated Katz centrality Σ_{k=1..K} α^k · |walks of
+    length k ending at the vertex|.
+
+    Beyond-reference companion to :func:`hits`. The walk counts are exact
+    integers and α^k is exact when α is dyadic (the 0.125 default), so
+    the truncated sum is a bit-reproducible double with a closed-form SQL
+    twin — same oracle discipline as HITS. Each term is one equi-join of
+    the previous term against the edge list into a map-side-combined sum;
+    K is a small constant, so the plan is a fixed-depth chain. For the
+    untruncated fixed point use a larger K (the tail is geometric in
+    α·Δ); magnitudes must stay under 2^53 for exactness — same caveat as
+    hits().
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    if not (0 < alpha < 1):
+        raise ValueError("alpha must be in (0, 1)")
+    edges, release = sized_cache(graph.edges.select("src", "dst"))
+    try:
+        # walks[k](v) = number of length-k walks ending at v
+        walks = graph.vertices.select("id", F.lit(1).cast("long").alias("n"))
+        total = None
+        for k in range(1, iterations + 1):
+            walks = (
+                edges.join(walks, edges["src"] == walks["id"])
+                .groupBy("dst")
+                .agg(F.sum("n").alias("n"))
+                .select(F.col("dst").alias("id"), "n")
+            )
+            term = walks.select("id", (F.col("n") * F.lit(alpha**k)).alias("t"))
+            total = term if total is None else (
+                total.unionByName(term)
+                .groupBy("id")
+                .agg(F.sum("t").alias("t"))
+            )
+        out = (
+            graph.vertices.select("id")
+            .join(total, on="id", how="left")
+            .select("id", F.coalesce("t", F.lit(0.0)).alias("katz"))
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        release()
+    return out

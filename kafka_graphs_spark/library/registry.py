@@ -27,7 +27,7 @@ from kafka_graphs_spark.library.components import (
 from kafka_graphs_spark.library.pagerank import pagerank as _pagerank
 from kafka_graphs_spark.library.paths import bfs, mssp, sssp
 from kafka_graphs_spark.library.cf import als, sgd, svdpp
-from kafka_graphs_spark.library.hits import hits
+from kafka_graphs_spark.library.hits import hits, katz_centrality
 from kafka_graphs_spark.library.centrality import betweenness_centrality, closeness_centrality
 from kafka_graphs_spark.library.clustering import kmeans, semi_clustering
 from kafka_graphs_spark.library.maxbmatching import max_b_matching
@@ -136,6 +136,10 @@ ALGORITHMS: Dict[str, AlgorithmSpec] = {
     ),
     "ktruss": AlgorithmSpec(
         "ktruss", k_truss, lambda id_col: F.lit(0), "long", {"k": 3}
+    ),
+    "katz": AlgorithmSpec(
+        "katz", katz_centrality, lambda id_col: F.lit(0.0), "double",
+        {"alpha": 0.125, "iterations": 3}
     ),
     "closeness": AlgorithmSpec(
         "closeness", closeness_centrality, lambda id_col: F.lit(0.0), "double", {}

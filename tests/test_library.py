@@ -1244,3 +1244,43 @@ class TestNode2VecWalks:
             node2vec_walks(g, 2, p=0.0)
         with pytest.raises(ValueError):
             node2vec_walks(g, -1)
+
+
+class TestKatz:
+    def test_path_closed_form(self, spark):
+        from kafka_graphs_spark.library import katz_centrality
+
+        g = make_graph(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)])
+        got = {r.id: r.katz for r in katz_centrality(g, alpha=0.125, iterations=3).collect()}
+        assert got == {
+            0: 0.0,
+            1: 1 / 8,
+            2: 1 / 8 + 1 / 64,
+            3: 1 / 8 + 1 / 64 + 1 / 512,
+        }
+
+    def test_star_hub_collects(self, spark):
+        from kafka_graphs_spark.library import katz_centrality
+
+        g = make_graph(spark, [(i, 0, 1.0) for i in range(1, 6)])
+        got = {r.id: r.katz for r in katz_centrality(g, alpha=0.125, iterations=3).collect()}
+        assert got[0] == 5 / 8 and all(got[i] == 0.0 for i in range(1, 6))
+
+    def test_cycle_walk_counts_compound(self, spark):
+        from kafka_graphs_spark.library import katz_centrality
+
+        # directed triangle: every vertex has exactly one length-k walk
+        # ending at it for every k
+        g = make_graph(spark, [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0)])
+        got = {r.id: r.katz for r in katz_centrality(g, alpha=0.125, iterations=3).collect()}
+        expect = 1 / 8 + 1 / 64 + 1 / 512
+        assert all(v == expect for v in got.values())
+
+    def test_param_guards(self, spark):
+        from kafka_graphs_spark.library import katz_centrality
+
+        g = make_graph(spark, [(0, 1, 1.0)])
+        with pytest.raises(ValueError):
+            katz_centrality(g, alpha=1.5)
+        with pytest.raises(ValueError):
+            katz_centrality(g, iterations=0)
