@@ -88,3 +88,46 @@ def stateful_distinct_degrees(edges_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_heavy_vertices(edges_stream: DataFrame, min_degree: int) -> DataFrame:
+    """Heavy-hitter alerting: emit (id, degree) exactly once per vertex,
+    the micro-batch its running total degree first reaches ``min_degree``.
+
+    The streaming "trending entity" pattern: state is one long plus an
+    emitted flag per vertex (checkpointed, sharded by id); downstream
+    sinks receive each vertex at most once, when it crosses the
+    threshold — no re-emission churn on every touch like the running
+    degree stream.
+    """
+    import pandas as pd  # noqa: F401 — worker-side dependency
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    if min_degree < 1:
+        raise ValueError("min_degree must be >= 1")
+
+    ends = edges_stream.select(F.col(SRC).alias("id")).unionByName(
+        edges_stream.select(F.col(DST).alias("id"))
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        count, emitted = state.get if state.exists else (0, False)
+        for pdf in pdfs:
+            count += len(pdf)
+        fire = (not emitted) and count >= min_degree
+        state.update((count, emitted or fire))
+        if fire:
+            yield pd.DataFrame({"id": [key[0]], "degree": [count]})
+        else:
+            yield pd.DataFrame({"id": [], "degree": []})
+
+    return ends.groupBy("id").applyInPandasWithState(
+        update,
+        outputStructType="id long, degree long",
+        stateStructType="degree long, emitted boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -261,3 +261,44 @@ class TestHitsPlan:
         # HLL + KLL are ObjectHashAggregate sketches with a partial phase
         assert "ObjectHashAggregate" in plan
         assert "partial_approx_count_distinct" in plan or "partial" in plan.lower()
+
+
+class TestWalkAndKatzPlans:
+    def test_katz_terms_are_equi_joins_with_partial_sums(self, spark):
+        from kafka_graphs_spark import datasets
+        from kafka_graphs_spark.library.hits import katz_centrality
+
+        g = datasets.supplier_part_graph(spark, SF)
+        plan = executed_plan(katz_centrality(g, iterations=2))
+        # hits()-style: result is materialized, so audit the pre-checkpoint
+        # shape indirectly — no Python, and the checkpointed scan is clean
+        assert "BatchEvalPython" not in plan
+
+    def test_walk_step_is_equi_join_no_cartesian(self, spark):
+        from pyspark.sql.window import Window
+
+        from kafka_graphs_spark import datasets
+
+        # reproduce one walk step's plan shape (the operators materialize
+        # their outputs, so build the step expression directly)
+        g = datasets.supplier_part_graph(spark, SF)
+        e = g.edges.select("src", "dst").distinct()
+        ranked = e.withColumn(
+            "_idx", F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
+        )
+        degs = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        frontier = g.vertices.select(
+            F.col("id").cast("string").alias("walk_id"),
+            F.col("id").alias("start"), F.col("id").alias("vertex"),
+        )
+        draw = F.conv(F.substring(F.md5(F.col("walk_id")), 1, 8), 16, 10).cast("long")
+        step = (
+            frontier.join(degs, frontier["vertex"] == degs["src"])
+            .select("walk_id", "start", "vertex", (draw % F.col("_deg")).alias("_i"))
+            .join(ranked, on=[F.col("vertex") == ranked["src"], F.col("_i") == ranked["_idx"]])
+            .select("walk_id", "start", F.col("dst").alias("vertex"))
+        )
+        plan = executed_plan(step)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan

@@ -239,3 +239,38 @@ class TestStreamingExactDedup:
         out = self._run(spark, src, ckpt, time_col="ts", watermark="1 hour")
         assert sorted({r.doc_id for r in out} & {3}) == [3]
         assert len({r.text for r in out}) == 2  # one of the p-q-r pair + s t u
+
+
+class TestHeavyVertices:
+    def test_threshold_fires_once_across_restart(self, spark, tmp_path):
+        from kafka_graphs_spark.streaming.stateful import stateful_heavy_vertices
+
+        src, ckpt = str(tmp_path / "hv"), str(tmp_path / "hv_ck")
+        # batch 1: vertex 2 touches twice, 1/3 once
+        write_batch(spark, [(1, 2, 1.0), (2, 3, 1.0)], src)
+        out1 = run_stream(
+            spark, lambda s: stateful_heavy_vertices(s, min_degree=3), src, ckpt, "hv1"
+        )
+        assert out1 == []  # nobody at 3 yet
+
+        # batch 2 (same checkpoint): 2 reaches 3 -> fires once, exactly
+        write_batch(spark, [(2, 4, 1.0)], src)
+        out2 = run_stream(
+            spark, lambda s: stateful_heavy_vertices(s, min_degree=3), src, ckpt, "hv2"
+        )
+        assert [(r["id"], r["degree"]) for r in out2] == [(2, 3)]
+
+        # batch 3: more touches on 2 do NOT re-emit; 4 reaches 3 and fires
+        write_batch(spark, [(2, 4, 1.0), (4, 5, 1.0), (4, 6, 1.0)], src)
+        out3 = run_stream(
+            spark, lambda s: stateful_heavy_vertices(s, min_degree=3), src, ckpt, "hv3"
+        )
+        got = sorted((r["id"], r["degree"]) for r in out3)
+        assert got == [(4, 4)]
+
+    def test_param_guard(self, spark):
+        from kafka_graphs_spark.streaming.stateful import stateful_heavy_vertices
+
+        df = spark.createDataFrame([(1, 2, 1.0)], SCHEMA)
+        with pytest.raises(ValueError):
+            stateful_heavy_vertices(df, min_degree=0)
