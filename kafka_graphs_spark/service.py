@@ -138,6 +138,20 @@ class GraphService:
     def configs(self, algo_id: str) -> dict:
         return dict(self._get(algo_id)["configs"])
 
+    def algorithms(self) -> dict:
+        """Registry listing: algorithm name → its tunable defaults
+        (the Spark twin of the reference's GraphAlgorithmType enum
+        surface — lets a client discover what POST /pregel accepts)."""
+        from kafka_graphs_spark.library.registry import ALGORITHMS
+
+        return {
+            name: {
+                "defaults": dict(spec.defaults),
+                "vertexValueType": spec.vertex_value_type,
+            }
+            for name, spec in sorted(ALGORITHMS.items())
+        }
+
     def _result_frame(self, algo_id: str, key: Optional[str] = None):
         ex = self._get(algo_id)
         if ex["state"] != "HALTED":
@@ -254,6 +268,8 @@ def make_handler(service: GraphService):
                     return self._send(service.import_graph(self._body()))
                 if method == "POST" and parts == ["prepare"]:
                     return self._send(service.prepare_graph(self._body()))
+                if method == "GET" and parts == ["algorithms"]:
+                    return self._send(service.algorithms())
                 if method == "POST" and parts == ["pregel"]:
                     return self._send(service.configure(self._body()))
                 if len(parts) == 2 and parts[0] == "pregel":

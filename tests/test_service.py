@@ -136,3 +136,14 @@ def test_sse_error_before_completion_is_clean_409(server, tmp_path):
 
     code, out = call(server, "GET", "/pregel/doesnotexist/result?stream=true")
     assert code == 404 and "error" in out
+
+
+def test_algorithms_listing(server):
+    code, out = call(server, "GET", "/algorithms")
+    assert code == 200
+    # registry surface: reference enum algorithms plus beyond-ref additions
+    for name in ("bfs", "wcc", "pagerank", "sssp", "svdpp", "lcc", "lp", "mssp",
+                 "hits", "ktruss", "katz", "closeness", "betweenness"):
+        assert name in out, name
+    assert out["pagerank"]["defaults"]["tolerance"] == 0.0001
+    assert out["bfs"]["vertexValueType"] == "long"
