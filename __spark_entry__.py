@@ -1385,11 +1385,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_stream_distinct": ec_stream_distinct,
         "ec_stream_union": ec_stream_union,
         # -- new this round: sampling/mixing/packing/PII/profile tier --
-        "doc_hash_sample": doc_hash_sample,
         "doc_mixture_sample": doc_mixture_sample,
         "doc_pack_sequences": doc_pack_sequences,
         "doc_pii_stats": doc_pii_stats,
         "hier_n2v_walks": hier_n2v_walks,
+        "sp_katz": sp_katz,
         "doc_source_profile": doc_source_profile,
         "sp_hits": sp_hits,
         "hier_ktruss3": hier_ktruss3,
@@ -1407,7 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # locally hash-verified at sf0.01 this round, so every slot goes
         # to first-time scoring; r03-green flagships rotate back next --
         "doc_chunks": doc_chunks,
-        "sp_katz": sp_katz,
+        "doc_hash_sample": doc_hash_sample,
         "doc_pii_redact": doc_pii_redact,
         "doc_split": doc_split,
         "gen_ktruss_complete": gen_ktruss_complete,
@@ -1816,12 +1816,15 @@ def oracle_sql() -> dict[str, str]:
                           SUM(1.0) OVER (PARTITION BY w.walk_id ORDER BY ed.dst) AS cumw,
                           SUM(1.0) OVER (PARTITION BY w.walk_id) AS totw
                    FROM w0 w JOIN ed ON ed.src = w.vertex),
+            c1l AS (SELECT c1.*,
+                           LAG(cumw, 1, 0.0) OVER (PARTITION BY walk_id ORDER BY x) AS lo
+                    FROM c1),
             s1 AS (SELECT walk_id, start, cur, x FROM (
-                     SELECT c1.*,
+                     SELECT c1l.*,
                             (('0x' || substr(md5(walk_id || ':n2v:1:' || (cur)::VARCHAR), 1, 8))::BIGINT
                              / 4294967296.0) * totw AS u
-                     FROM c1)
-                   WHERE cumw > u AND cumw - w <= u),
+                     FROM c1l)
+                   WHERE cumw > u AND lo <= u),
             c2 AS (SELECT s.walk_id, s.start, s.cur AS prev, s.x AS cur, ed.dst AS x,
                           CASE WHEN ed.dst = s.cur THEN 0.25
                                WHEN EXISTS (SELECT 1 FROM ed p
@@ -1833,12 +1836,15 @@ def oracle_sql() -> dict[str, str]:
                            SUM(w) OVER (PARTITION BY walk_id ORDER BY x) AS cumw,
                            SUM(w) OVER (PARTITION BY walk_id) AS totw
                     FROM c2),
+            c2l AS (SELECT c2w.*,
+                           LAG(cumw, 1, 0.0) OVER (PARTITION BY walk_id ORDER BY x) AS lo
+                    FROM c2w),
             s2 AS (SELECT walk_id, start, x FROM (
-                     SELECT c2w.*,
+                     SELECT c2l.*,
                             (('0x' || substr(md5(walk_id || ':n2v:2:' || (cur)::VARCHAR), 1, 8))::BIGINT
                              / 4294967296.0) * totw AS u
-                     FROM c2w)
-                   WHERE cumw > u AND cumw - w <= u)
+                     FROM c2l)
+                   WHERE cumw > u AND lo <= u)
             SELECT walk_id, start, step, vertex FROM w0
             UNION ALL SELECT walk_id, start, CAST(1 AS BIGINT), x FROM s1
             UNION ALL SELECT walk_id, start, CAST(2 AS BIGINT), x FROM s2

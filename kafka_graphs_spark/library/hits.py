@@ -112,28 +112,36 @@ def katz_centrality(
         raise ValueError("alpha must be in (0, 1)")
     edges, release = sized_cache(graph.edges.select("src", "dst"))
     try:
-        # walks[k](v) = number of length-k walks ending at v
-        walks = graph.vertices.select("id", F.lit(1).cast("long").alias("n"))
-        total = None
-        for k in range(1, iterations + 1):
-            walks = (
-                edges.join(walks, edges["src"] == walks["id"])
-                .groupBy("dst")
-                .agg(F.sum("n").alias("n"))
-                .select(F.col("dst").alias("id"), "n")
-            )
-            term = walks.select("id", (F.col("n") * F.lit(alpha**k)).alias("t"))
-            total = term if total is None else (
-                total.unionByName(term)
-                .groupBy("id")
-                .agg(F.sum("t").alias("t"))
-            )
-        out = (
-            graph.vertices.select("id")
-            .join(total, on="id", how="left")
-            .select("id", F.coalesce("t", F.lit(0.0)).alias("katz"))
-            .localCheckpoint(eager=True)
+        out = _katz_frame(graph.vertices, edges, alpha, iterations).localCheckpoint(
+            eager=True
         )
     finally:
         release()
     return out
+
+
+def _katz_frame(
+    vertices: DataFrame, edges: DataFrame, alpha: float, iterations: int
+) -> DataFrame:
+    """Un-materialized Katz plan — K equi-join/sum terms unioned into ONE
+    final aggregation (audited by tests/test_plans.py)."""
+    # walks[k](v) = number of length-k walks ending at v
+    walks = vertices.select("id", F.lit(1).cast("long").alias("n"))
+    terms = []
+    for k in range(1, iterations + 1):
+        walks = (
+            edges.join(walks, edges["src"] == walks["id"])
+            .groupBy("dst")
+            .agg(F.sum("n").alias("n"))
+            .select(F.col("dst").alias("id"), "n")
+        )
+        terms.append(walks.select("id", (F.col("n") * F.lit(alpha**k)).alias("t")))
+    total = terms[0]
+    for t in terms[1:]:
+        total = total.unionByName(t)
+    total = total.groupBy("id").agg(F.sum("t").alias("t"))
+    return (
+        vertices.select("id")
+        .join(total, on="id", how="left")
+        .select("id", F.coalesce("t", F.lit(0.0)).alias("katz"))
+    )

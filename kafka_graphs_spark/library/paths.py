@@ -224,6 +224,81 @@ def mssp(
     return out
 
 
+def _seed_walks(graph: Graph, walks_per_vertex: int) -> DataFrame:
+    """(walk_id, start) — one row per (vertex, replica); walk_id =
+    "<start>#<replica>" is the deterministic draw key both walkers share."""
+    return (
+        graph.vertices.select(F.col("id").alias("start"))
+        .crossJoin(
+            graph.vertices.sparkSession.range(walks_per_vertex).select(
+                F.col("id").alias("_w")
+            )
+        )
+        .select(
+            F.concat(F.col("start").cast("string"), F.lit("#"), F.col("_w")).alias(
+                "walk_id"
+            ),
+            "start",
+        )
+    )
+
+
+def _walk_draw(seed: str, step: int) -> "F.Column":
+    """Uniform [0, 2^32) md5 draw over (walk key, step, current vertex) —
+    the shared randomness source; mirrored verbatim by the SQL oracles."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("walk_id"), F.lit(f":{seed}:{step}:"),
+                    F.col("cur").cast("string"),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+
+
+def _drive_walks(frontier: DataFrame, walk_length: int, step_fn) -> DataFrame:
+    """Shared walker choreography: frontier carries (walk_id, start, cur,
+    …); ``step_fn(frontier, step)`` returns the next same-shaped frontier.
+
+    Two ChainLoops: the frontier and the accumulated output each need
+    their plans cut to a leaf every step — the output unions every step's
+    frontier, and ChainLoop frees blocks older than two generations, so
+    an un-cut union would reference freed checkpoint blocks. Returns
+    (walk_id, start, step, vertex), materialized.
+    """
+    out = frontier.select(
+        "walk_id", "start", F.lit(0).cast("long").alias("step"),
+        F.col("cur").alias("vertex"),
+    )
+    loop = ChainLoop()
+    out_loop = ChainLoop(adaptive=False)
+    try:
+        frontier, _ = loop.advance(frontier)
+        out, _ = out_loop.advance(out)
+        for step in range(1, walk_length + 1):
+            frontier, row = loop.advance(step_fn(frontier, step))
+            if row["_kgs_rows"] == 0:
+                break
+            out, _ = out_loop.advance(
+                out.unionByName(
+                    frontier.select(
+                        "walk_id", "start",
+                        F.lit(step).cast("long").alias("step"),
+                        F.col("cur").alias("vertex"),
+                    )
+                )
+            )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        loop.release()
+        out_loop.release()
+    return out
+
+
 def random_walks(
     graph: Graph,
     walk_length: int,
@@ -259,74 +334,23 @@ def random_walks(
     adj, release_adj = sized_cache(ranked)
     deg, release_deg = sized_cache(degs)
 
-    walks = (
-        graph.vertices.select(F.col("id").alias("start"))
-        .crossJoin(
-            graph.vertices.sparkSession.range(walks_per_vertex).select(
-                F.col("id").alias("_w")
-            )
+    def step_fn(frontier, step):
+        draw = _walk_draw(seed, step)
+        return (
+            frontier.join(deg, frontier["cur"] == deg["src"])
+            .select("walk_id", "start", "cur", (draw % F.col("_deg")).alias("_i"))
+            .join(adj, on=[F.col("cur") == adj["src"], F.col("_i") == adj["_idx"]])
+            .select("walk_id", "start", F.col("dst").alias("cur"))
         )
-        .select(
-            F.concat(F.col("start").cast("string"), F.lit("#"), F.col("_w")).alias(
-                "walk_id"
-            ),
-            "start",
-        )
-    )
-    frontier = walks.select("walk_id", "start", F.col("start").alias("vertex"))
-    out = frontier.select(
-        "walk_id", "start", F.lit(0).cast("long").alias("step"), "vertex"
-    )
-    # two loops: the frontier and the accumulated output each need their
-    # plans cut to a leaf every step — the output unions every step's
-    # frontier, and ChainLoop frees blocks older than two generations, so
-    # an un-cut union would reference freed checkpoint blocks
-    loop = ChainLoop()
-    out_loop = ChainLoop(adaptive=False)
+
     try:
-        frontier, _ = loop.advance(frontier)
-        out, _ = out_loop.advance(out)
-        for step in range(1, walk_length + 1):
-            # md5 draw over (walk key, step, current vertex) mod out-degree
-            draw = F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("walk_id"), F.lit(f":{seed}:{step}:"),
-                            F.col("vertex").cast("string"),
-                        )
-                    ),
-                    1, 8,
-                ),
-                16, 10,
-            ).cast("long")
-            nxt = (
-                frontier.join(deg, frontier["vertex"] == deg["src"])
-                .select("walk_id", "start", "vertex", (draw % F.col("_deg")).alias("_i"))
-                .join(
-                    adj,
-                    on=[F.col("vertex") == adj["src"], F.col("_i") == adj["_idx"]],
-                )
-                .select("walk_id", "start", F.col("dst").alias("vertex"))
-            )
-            frontier, row = loop.advance(nxt)
-            if row["_kgs_rows"] == 0:
-                break
-            out, _ = out_loop.advance(
-                out.unionByName(
-                    frontier.select(
-                        "walk_id", "start",
-                        F.lit(step).cast("long").alias("step"), "vertex",
-                    )
-                )
-            )
-        out = out.localCheckpoint(eager=True)
+        frontier = _seed_walks(graph, walks_per_vertex).select(
+            "walk_id", "start", F.col("start").alias("cur")
+        )
+        return _drive_walks(frontier, walk_length, step_fn)
     finally:
-        loop.release()
-        out_loop.release()
         release_adj()
         release_deg()
-    return out
 
 
 def node2vec_walks(
@@ -343,12 +367,13 @@ def node2vec_walks(
     ``cur`` with predecessor ``prev``, each out-neighbor ``x`` weighs
     1/p if x == prev (return), 1 if x is also a neighbor of prev
     (common neighbor, BFS-ish), else 1/q (exploration, DFS-ish). The
-    first step is uniform. Selection is the deterministic md5 draw of
-    :func:`random_walks` applied to the CUMULATIVE weight profile: pick
-    the first neighbor (in dst order) whose running weight crosses
-    u·total. Every arithmetic step is a fixed-order double computation,
-    so walks are bit-reproducible across engines — the draw has an exact
-    SQL twin.
+    first step is uniform. Selection applies the shared md5 draw to the
+    CUMULATIVE weight profile: pick the neighbor (in dst order) whose
+    interval [lag(cumw), cumw) contains u·total — the lagged prefix
+    (not cumw − w, which can leave FP gaps/overlaps for non-dyadic
+    weights) makes the intervals an exact partition of [0, total).
+    Dyadic p/q keep every value exactly representable, so walks are
+    bit-reproducible across engines — the draw has an exact SQL twin.
 
     Scale shape: per step, one equi-join to enumerate candidates, one
     broadcast-free equi-join probing prev→x edge existence, and one
@@ -366,96 +391,50 @@ def node2vec_walks(
     adj, release_adj = sized_cache(e)
     probe = e.select(F.col("src").alias("_pa"), F.col("dst").alias("_pb"))
 
-    spark = graph.vertices.sparkSession
-    walks = (
-        graph.vertices.select(F.col("id").alias("start"))
-        .crossJoin(spark.range(walks_per_vertex).select(F.col("id").alias("_w")))
-        .select(
-            F.concat(F.col("start").cast("string"), F.lit("#"), F.col("_w")).alias(
-                "walk_id"
-            ),
-            "start",
+    def step_fn(frontier, step):
+        cand = (
+            frontier.join(adj, frontier["cur"] == adj["src"])
+            .select("walk_id", "start", "prev", "cur", F.col("dst").alias("x"))
+            .join(
+                probe,
+                on=[
+                    F.col("prev").eqNullSafe(F.col("_pa")),
+                    F.col("x") == F.col("_pb"),
+                ],
+                how="left",
+            )
+            .select(
+                "walk_id", "start", "prev", "cur", "x",
+                F.when(F.col("prev").isNull(), F.lit(1.0))
+                .when(F.col("x") == F.col("prev"), F.lit(1.0 / p))
+                .when(F.col("_pa").isNotNull(), F.lit(1.0))
+                .otherwise(F.lit(1.0 / q))
+                .alias("w"),
+            )
         )
-    )
-    frontier = walks.select(
-        "walk_id", "start",
-        F.lit(None).cast("long").alias("prev"),
-        F.col("start").alias("cur"),
-    )
-    out = frontier.select(
-        "walk_id", "start", F.lit(0).cast("long").alias("step"),
-        F.col("cur").alias("vertex"),
-    )
-    loop = ChainLoop()
-    out_loop = ChainLoop(adaptive=False)
+        win = Window.partitionBy("walk_id").orderBy("x")
+        u = (_walk_draw(seed, step) / F.lit(float(1 << 32))) * F.col("totw")
+        return (
+            cand.select(
+                "walk_id", "start", "cur", "x", "w",
+                F.sum("w").over(win).alias("cumw"),
+                F.sum("w").over(Window.partitionBy("walk_id")).alias("totw"),
+            )
+            .withColumn("_lo", F.lag("cumw", 1, 0.0).over(win))
+            .withColumn("_u", u)
+            .filter((F.col("cumw") > F.col("_u")) & (F.col("_lo") <= F.col("_u")))
+            .select(
+                "walk_id", "start",
+                F.col("cur").alias("prev"), F.col("x").alias("cur"),
+            )
+        )
+
     try:
-        frontier, _ = loop.advance(frontier)
-        out, _ = out_loop.advance(out)
-        for step in range(1, walk_length + 1):
-            cand = (
-                frontier.join(adj, frontier["cur"] == adj["src"])
-                .select("walk_id", "start", "prev", "cur", F.col("dst").alias("x"))
-                .join(
-                    probe,
-                    on=[
-                        F.col("prev").eqNullSafe(F.col("_pa")),
-                        F.col("x") == F.col("_pb"),
-                    ],
-                    how="left",
-                )
-                .select(
-                    "walk_id", "start", "prev", "cur", "x",
-                    F.when(F.col("prev").isNull(), F.lit(1.0))
-                    .when(F.col("x") == F.col("prev"), F.lit(1.0 / p))
-                    .when(F.col("_pa").isNotNull(), F.lit(1.0))
-                    .otherwise(F.lit(1.0 / q))
-                    .alias("w"),
-                )
-            )
-            win = Window.partitionBy("walk_id").orderBy("x")
-            draw = F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("walk_id"), F.lit(f":{seed}:{step}:"),
-                            F.col("cur").cast("string"),
-                        )
-                    ),
-                    1, 8,
-                ),
-                16, 10,
-            ).cast("long") / F.lit(float(1 << 32))
-            chosen = (
-                cand.select(
-                    "walk_id", "start", "cur", "x", "w",
-                    F.sum("w").over(win).alias("cumw"),
-                    F.sum("w").over(Window.partitionBy("walk_id")).alias("totw"),
-                )
-                .withColumn("_u", draw * F.col("totw"))
-                .filter(
-                    (F.col("cumw") > F.col("_u"))
-                    & ((F.col("cumw") - F.col("w")) <= F.col("_u"))
-                )
-                .select(
-                    "walk_id", "start",
-                    F.col("cur").alias("prev"), F.col("x").alias("cur"),
-                )
-            )
-            frontier, row = loop.advance(chosen)
-            if row["_kgs_rows"] == 0:
-                break
-            out, _ = out_loop.advance(
-                out.unionByName(
-                    frontier.select(
-                        "walk_id", "start",
-                        F.lit(step).cast("long").alias("step"),
-                        F.col("cur").alias("vertex"),
-                    )
-                )
-            )
-        out = out.localCheckpoint(eager=True)
+        frontier = _seed_walks(graph, walks_per_vertex).select(
+            "walk_id", "start",
+            F.lit(None).cast("long").alias("prev"),
+            F.col("start").alias("cur"),
+        )
+        return _drive_walks(frontier, walk_length, step_fn)
     finally:
-        loop.release()
-        out_loop.release()
         release_adj()
-    return out

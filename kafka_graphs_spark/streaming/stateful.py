@@ -119,10 +119,10 @@ def stateful_heavy_vertices(edges_stream: DataFrame, min_degree: int) -> DataFra
             count += len(pdf)
         fire = (not emitted) and count >= min_degree
         state.update((count, emitted or fire))
+        # yield ONLY on the threshold crossing — the steady-state hot path
+        # (already-emitted / below-threshold groups) serializes nothing
         if fire:
             yield pd.DataFrame({"id": [key[0]], "degree": [count]})
-        else:
-            yield pd.DataFrame({"id": [], "degree": []})
 
     return ends.groupBy("id").applyInPandasWithState(
         update,

@@ -266,13 +266,17 @@ class TestHitsPlan:
 class TestWalkAndKatzPlans:
     def test_katz_terms_are_equi_joins_with_partial_sums(self, spark):
         from kafka_graphs_spark import datasets
-        from kafka_graphs_spark.library.hits import katz_centrality
+        from kafka_graphs_spark.library.hits import _katz_frame
 
         g = datasets.supplier_part_graph(spark, SF)
-        plan = executed_plan(katz_centrality(g, iterations=2))
-        # hits()-style: result is materialized, so audit the pre-checkpoint
-        # shape indirectly — no Python, and the checkpointed scan is clean
+        # audit the PRE-checkpoint plan (katz_centrality materializes)
+        plan = executed_plan(
+            _katz_frame(g.vertices, g.edges.select("src", "dst"), 0.125, 3)
+        )
         assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        # per-term sums partial-aggregate; the final total is ONE aggregation
+        assert plan.count("HashAggregate") >= 6
 
     def test_walk_step_is_equi_join_no_cartesian(self, spark):
         from pyspark.sql.window import Window
