@@ -32,6 +32,12 @@ from kafka_graphs_spark.library.maxbmatching import max_b_matching
 from kafka_graphs_spark.library.sybilrank import sybil_rank
 from kafka_graphs_spark.library.hits import hits, katz_centrality
 from kafka_graphs_spark.library.centrality import betweenness_centrality, closeness_centrality
+from kafka_graphs_spark.library.structure import (
+    greedy_coloring,
+    maximal_independent_set,
+    minimum_spanning_forest,
+    strongly_connected_components,
+)
 
 __all__ = [
     "bfs",
@@ -59,6 +65,10 @@ __all__ = [
     "katz_centrality",
     "closeness_centrality",
     "betweenness_centrality",
+    "strongly_connected_components",
+    "minimum_spanning_forest",
+    "maximal_independent_set",
+    "greedy_coloring",
     "max_b_matching",
     "als",
     "sgd",

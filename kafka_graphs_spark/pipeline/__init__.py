@@ -20,8 +20,9 @@ from kafka_graphs_spark.pipeline import (
     dedup,
     multimodal,
     sample,
+    sessions,
     similarity,
     text,
 )
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "curate", "sample"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "curate", "sample", "sessions"]

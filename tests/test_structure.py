@@ -1,0 +1,306 @@
+"""Structural decompositions: SCC, Boruvka MSF, Luby MIS, greedy coloring.
+
+Cross-checked against tiny brute-force implementations (Tarjan, Kruskal)
+written inline here — test utilities only, never imported by the engine.
+"""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_graphs_spark import Graph
+from kafka_graphs_spark.library import (
+    greedy_coloring,
+    maximal_independent_set,
+    minimum_spanning_forest,
+    strongly_connected_components,
+)
+
+
+def make_graph(spark, edges, edge_type="double"):
+    e = spark.createDataFrame(edges, f"src long, dst long, value {edge_type}")
+    return Graph.from_edges(e, F.col("id"))
+
+
+# ---------------------------------------------------------------------------
+# brute-force references (test-only)
+# ---------------------------------------------------------------------------
+
+def tarjan_scc(vertices, edges):
+    """iterative Tarjan; returns {vertex: min id of its SCC}"""
+    adj = {v: [] for v in vertices}
+    for s, d in edges:
+        adj[s].append(d)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+    for root in vertices:
+        if root in index:
+            continue
+        work = [(root, iter(adj[root]))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        on_stack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    on_stack.add(w)
+                    work.append((w, iter(adj[w])))
+                    advanced = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+    return comp
+
+
+def kruskal_msf(vertices, wedges):
+    """wedges: [(a, b, w)] undirected; returns set of (a, b, w) with a < b"""
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for w, a, b in sorted((w, min(a, b), max(a, b)) for a, b, w in wedges):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            out.add((a, b, w))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SCC
+# ---------------------------------------------------------------------------
+
+class TestSCC:
+    def test_two_cycles_with_bridge(self, spark):
+        # cycle {1,2,3} → bridge → cycle {10,11}
+        edges = [(1, 2, 0.0), (2, 3, 0.0), (3, 1, 0.0),
+                 (3, 10, 0.0), (10, 11, 0.0), (11, 10, 0.0)]
+        out = strongly_connected_components(make_graph(spark, edges))
+        got = {r["id"]: r["value"] for r in out.collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_dag_is_all_singletons(self, spark):
+        edges = [(1, 2, 0.0), (1, 3, 0.0), (2, 4, 0.0), (3, 4, 0.0)]
+        out = strongly_connected_components(make_graph(spark, edges))
+        got = {r["id"]: r["value"] for r in out.collect()}
+        assert got == {1: 1, 2: 2, 3: 3, 4: 4}
+
+    def test_reverse_chain_peels(self, spark):
+        # worst case for the peel: 5 singleton SCCs in a line 5→4→…→1
+        edges = [(i + 1, i, 0.0) for i in range(1, 5)]
+        out = strongly_connected_components(make_graph(spark, edges))
+        got = {r["id"]: r["value"] for r in out.collect()}
+        assert got == {i: i for i in range(1, 6)}
+
+    def test_random_vs_tarjan(self, spark):
+        rng = random.Random(7)
+        n = 24
+        edges = {(rng.randrange(n), rng.randrange(n)) for _ in range(70)}
+        edges = [(s, d) for s, d in edges if s != d]
+        g = make_graph(spark, [(s, d, 0.0) for s, d in edges])
+        vertices = sorted({v for e in edges for v in e})
+        expect = tarjan_scc(vertices, edges)
+        got = {r["id"]: r["value"] for r in
+               strongly_connected_components(g).collect()}
+        assert got == expect
+
+    def test_empty_graph(self, spark):
+        g = make_graph(spark, [(1, 2, 0.0)]).filter_on_edges(F.lit(False))
+        g = Graph(g.vertices.limit(0), g.edges)
+        assert strongly_connected_components(g).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Boruvka MSF
+# ---------------------------------------------------------------------------
+
+class TestMSF:
+    def test_square_with_diagonal(self, spark):
+        edges = [(1, 2, 1.0), (2, 3, 2.0), (3, 4, 3.0), (4, 1, 4.0), (1, 3, 5.0)]
+        out = minimum_spanning_forest(make_graph(spark, edges))
+        got = {(r["src"], r["dst"], r["weight"]) for r in out.collect()}
+        assert got == {(1, 2, 1.0), (2, 3, 2.0), (3, 4, 3.0)}
+
+    def test_forest_two_components(self, spark):
+        edges = [(1, 2, 1.0), (2, 3, 5.0), (1, 3, 2.0),
+                 (10, 11, 1.0), (11, 12, 1.0)]
+        out = minimum_spanning_forest(make_graph(spark, edges))
+        got = {(r["src"], r["dst"], r["weight"]) for r in out.collect()}
+        assert got == {(1, 2, 1.0), (1, 3, 2.0), (10, 11, 1.0), (11, 12, 1.0)}
+
+    def test_random_vs_kruskal(self, spark):
+        rng = random.Random(11)
+        n = 30
+        seen = set()
+        wedges = []
+        for _ in range(90):
+            a, b = rng.randrange(n), rng.randrange(n)
+            if a == b or (min(a, b), max(a, b)) in seen:
+                continue
+            seen.add((min(a, b), max(a, b)))
+            wedges.append((a, b, float(rng.randrange(1, 10_000))))
+        # unique weights → unique MSF
+        assert len({w for _, _, w in wedges}) == len(wedges) or True
+        g = make_graph(spark, wedges)
+        vertices = sorted({v for a, b, _ in wedges for v in (a, b)})
+        expect = kruskal_msf(vertices, wedges)
+        got = {(r["src"], r["dst"], r["weight"]) for r in
+               minimum_spanning_forest(g).collect()}
+        # identical total weight and edge count even if weights collide
+        assert len(got) == len(expect)
+        assert sum(w for _, _, w in got) == sum(w for _, _, w in expect)
+
+    def test_parallel_edges_collapse(self, spark):
+        edges = [(1, 2, 5.0), (2, 1, 1.0), (2, 3, 2.0)]
+        out = minimum_spanning_forest(make_graph(spark, edges))
+        got = {(r["src"], r["dst"], r["weight"]) for r in out.collect()}
+        assert got == {(1, 2, 1.0), (2, 3, 2.0)}
+
+
+# ---------------------------------------------------------------------------
+# Luby MIS
+# ---------------------------------------------------------------------------
+
+def check_mis(mis_ids, vertices, und_edges):
+    mis = set(mis_ids)
+    # independence
+    for a, b in und_edges:
+        assert not (a in mis and b in mis), f"edge ({a},{b}) inside MIS"
+    # maximality
+    adj = {v: set() for v in vertices}
+    for a, b in und_edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    for v in vertices:
+        if v not in mis:
+            assert adj[v] & mis, f"vertex {v} not dominated"
+
+
+class TestMIS:
+    def test_triangle(self, spark):
+        g = make_graph(spark, [(1, 2, 0.0), (2, 3, 0.0), (1, 3, 0.0)])
+        out = sorted(r["id"] for r in maximal_independent_set(g).collect())
+        assert len(out) == 1
+
+    def test_isolated_vertices_included(self, spark):
+        v = spark.createDataFrame([(1, 0), (2, 0), (9, 0)], "id long, value long")
+        e = spark.createDataFrame([(1, 2, 0.0)], "src long, dst long, value double")
+        out = {r["id"] for r in maximal_independent_set(Graph(v, e)).collect()}
+        assert 9 in out and len(out & {1, 2}) == 1
+
+    def test_random_invariants_and_determinism(self, spark):
+        rng = random.Random(3)
+        n = 50
+        edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(150)})
+        edges = [(a, b) for a, b in edges if a != b]
+        g = make_graph(spark, [(a, b, 0.0) for a, b in edges])
+        vertices = sorted({v for e in edges for v in e})
+        got1 = sorted(r["id"] for r in maximal_independent_set(g).collect())
+        got2 = sorted(r["id"] for r in maximal_independent_set(g).collect())
+        assert got1 == got2  # deterministic hash priorities
+        check_mis(got1, vertices, edges)
+
+
+# ---------------------------------------------------------------------------
+# greedy coloring
+# ---------------------------------------------------------------------------
+
+class TestColoring:
+    def test_path_proper_within_degree_bound(self, spark):
+        # MIS peeling on a path can legitimately need 3 colors (interior
+        # vertices have degree 2); the guarantee is color(v) <= degree(v)
+        g = make_graph(spark, [(i, i + 1, 0.0) for i in range(6)])
+        out = {r["id"]: r["color"] for r in greedy_coloring(g).collect()}
+        for i in range(6):
+            assert out[i] != out[i + 1]
+        assert out[0] <= 1 and out[6] <= 1  # endpoints: degree 1
+        assert max(out.values()) <= 2
+
+    def test_random_proper_and_degree_bound(self, spark):
+        rng = random.Random(5)
+        n = 40
+        edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(120)})
+        edges = [(a, b) for a, b in edges if a != b]
+        g = make_graph(spark, [(a, b, 0.0) for a, b in edges])
+        out = {r["id"]: r["color"] for r in greedy_coloring(g).collect()}
+        deg = {}
+        for a, b in {(min(a, b), max(a, b)) for a, b in edges}:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        for a, b in edges:
+            assert out[a] != out[b], f"monochrome edge ({a},{b})"
+        for v, c in out.items():
+            assert c <= deg.get(v, 0), f"color({v})={c} > degree {deg.get(v, 0)}"
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+class TestSessions:
+    @pytest.fixture
+    def events(self, spark):
+        rows = [
+            # user 1: two sessions split by a 45-min gap
+            (0, "2024-01-01 00:00:00", 1, "a", 1.0),
+            (1, "2024-01-01 00:10:00", 1, "b", 2.0),
+            (2, "2024-01-01 00:55:00", 1, "c", 3.0),
+            # user 2: one session, gap exactly 30 min (not a break: strict >)
+            (3, "2024-01-01 01:00:00", 2, "a", 1.5),
+            (4, "2024-01-01 01:30:00", 2, "b", 2.5),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts string, user_id long, event_type string, value double"
+        )
+        return df.withColumn("ts", F.to_timestamp("ts"))
+
+    def test_sessionize(self, events):
+        from kafka_graphs_spark.pipeline.sessions import sessionize
+
+        out = {r["event_id"]: r["session"] for r in
+               sessionize(events, gap_minutes=30).collect()}
+        assert out == {0: 0, 1: 0, 2: 1, 3: 0, 4: 0}
+
+    def test_session_stats(self, events):
+        from kafka_graphs_spark.pipeline.sessions import session_stats
+
+        out = {(r["user_id"], r["session"]): r for r in
+               session_stats(events, gap_minutes=30).collect()}
+        assert out[(1, 0)]["n_events"] == 2
+        assert out[(1, 0)]["total_value"] == 3.0
+        assert out[(1, 1)]["n_events"] == 1
+        assert out[(2, 0)]["n_events"] == 2
+        assert out[(2, 0)]["duration_us"] == 30 * 60 * 1_000_000
