@@ -1337,6 +1337,150 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         feats = multimodal.extract_features(media, strict=False)
         return feats.select("media_id", F.posexplode("features").alias("idx", "feat"))
 
+    # ---- structural decompositions (SCC / MSF / MIS / coloring) ----
+
+    def gen_scc(spark, sf):
+        # 40 disjoint 25-cycles, pair-bridged 2k·L → (2k+1)·L: SCC label
+        # = min id of the cycle, closed-form twin. Paired bridges keep the
+        # condensation 2 peel levels deep (the min-consistent peel removes
+        # one condensation level per outer round), which is the regime the
+        # algorithm targets — a C-deep condensation chain costs C rounds.
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import strongly_connected_components
+
+        L, C = 25, 40
+        base = spark.range(L * C).select(F.col("id").alias("src"))
+        within = base.select(
+            "src",
+            ((F.col("src") / L).cast("long") * L + (F.col("src") % L + 1) % L).alias("dst"),
+            F.lit(1.0).alias("value"),
+        )
+        bridges = spark.range(C // 2).select(
+            (F.col("id") * 2 * L).alias("src"),
+            ((F.col("id") * 2 + 1) * L).alias("dst"),
+            F.lit(1.0).alias("value"),
+        )
+        g = Graph.from_edges(within.unionByName(bridges), F.lit(0.0))
+        return strongly_connected_components(g)
+
+    def gen_msf_complete(spark, sf):
+        # K60 with unique weight i*60+j (i<j): the MSF is the star at 0
+        # (edge (0,j) costs j; every other edge costs >= 60) — exact twin
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import minimum_spanning_forest
+
+        n = 60
+        a = spark.range(n).select(F.col("id").alias("src"))
+        b = spark.range(n).select(F.col("id").alias("dst"))
+        e = (
+            a.crossJoin(b)
+            .filter(F.col("src") < F.col("dst"))
+            .select("src", "dst", (F.col("src") * n + F.col("dst")).cast("double").alias("value"))
+        )
+        g = Graph.from_edges(e, F.lit(0.0))
+        return minimum_spanning_forest(g)
+
+    def hier_msf_inv(spark, sf):
+        # MSF self-consistency on the hierarchy graph: |MSF| = |V| − #WCC
+        # (spanning-forest edge count), and every MSF edge is a canonical
+        # graph edge carrying that pair's minimum weight.
+        from kafka_graphs_spark.datasets import hierarchy_graph
+        from kafka_graphs_spark.library import (
+            connected_components,
+            minimum_spanning_forest,
+        )
+
+        g = hierarchy_graph(spark, sf)
+        msf = minimum_spanning_forest(g)
+        n_v = g.vertices.count()
+        n_comp = connected_components(g, max_iterations=200).select("value").distinct().count()
+        canon = (
+            g.edges.select(
+                F.least("src", "dst").alias("src"),
+                F.greatest("src", "dst").alias("dst"),
+                F.col("value").cast("double").alias("weight"),
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.min("weight").alias("weight"))
+        )
+        non_edges = msf.join(canon, on=["src", "dst", "weight"], how="left_anti").agg(
+            F.count(F.lit(1)).alias("non_edges")
+        )
+        deficit = msf.agg(
+            (F.lit(n_v - n_comp) - F.count(F.lit(1))).cast("long").alias("edge_deficit")
+        )
+        return deficit.crossJoin(non_edges)
+
+    def hier_mis_inv(spark, sf):
+        # Luby MIS invariants: independent (no graph edge inside the set),
+        # maximal (every outsider has a neighbor inside), non-empty.
+        from kafka_graphs_spark.datasets import hierarchy_graph
+        from kafka_graphs_spark.library import maximal_independent_set
+
+        g = hierarchy_graph(spark, sf)
+        mis = maximal_independent_set(g)
+        und = (
+            g.edges.select("src", "dst")
+            .unionByName(g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        inside = und.join(mis, und["src"] == mis["id"], "left_semi")
+        indep = (
+            inside.join(mis, inside["dst"] == mis["id"], "left_semi")
+            .agg(F.count(F.lit(1)).alias("independence_violations"))
+        )
+        outsiders = g.vertices.select("id").join(mis, on="id", how="left_anti")
+        dominated = und.join(mis, und["src"] == mis["id"], "left_semi").select(
+            F.col("dst").alias("id")
+        ).distinct()
+        maximality = outsiders.join(dominated, on="id", how="left_anti").agg(
+            F.count(F.lit(1)).alias("maximality_violations")
+        )
+        ne = mis.agg((F.count(F.lit(1)) > 0).alias("nonempty"))
+        return indep.crossJoin(maximality).crossJoin(ne)
+
+    def hier_coloring_inv(spark, sf):
+        # greedy-coloring invariants: proper (no monochrome edge), total
+        # (every vertex colored exactly once), Jones-Plassmann per-vertex
+        # bound color(v) <= undirected degree(v).
+        from kafka_graphs_spark.datasets import hierarchy_graph
+        from kafka_graphs_spark.library import greedy_coloring
+
+        g = hierarchy_graph(spark, sf)
+        col = greedy_coloring(g)
+        und = (
+            g.edges.select("src", "dst")
+            .unionByName(g.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        mono = (
+            und.join(col.select(F.col("id").alias("src"), F.col("color").alias("ca")), on="src")
+            .join(col.select(F.col("id").alias("dst"), F.col("color").alias("cb")), on="dst")
+            .filter(F.col("ca") == F.col("cb"))
+            .agg((F.count(F.lit(1)) / 2).cast("long").alias("monochrome_edges"))
+        )
+        uncolored = g.vertices.select("id").join(col, on="id", how="left_anti").agg(
+            F.count(F.lit(1)).alias("uncolored")
+        )
+        deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+        over = (
+            col.join(deg, on="id", how="left")
+            .filter(F.col("color") > F.coalesce("deg", F.lit(0)))
+            .agg(F.count(F.lit(1)).alias("degree_violations"))
+        )
+        return mono.crossJoin(uncolored).crossJoin(over)
+
+    def ec_sessions(spark, sf):
+        # gap-based sessionization over the events table — window-function
+        # twin, exact tz-free epoch microseconds
+        from kafka_graphs_spark.pipeline.sessions import session_stats
+
+        ev = datasets.load(spark, sf, "events")
+        return session_stats(ev, gap_minutes=30)
+
     # ------------------------------------------------------------------
     # ORDERING POLICY (the driver's correctness gate checks dict entries
     # 1-50 only): slots 1-50 hold exclusively oracle-backed queries —
@@ -1406,6 +1550,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- beyond slot 50: oracle-backed; the whole window above is
         # locally hash-verified at sf0.01 this round, so every slot goes
         # to first-time scoring; r03-green flagships rotate back next --
+        "gen_scc": gen_scc,
+        "gen_msf_complete": gen_msf_complete,
+        "hier_msf_inv": hier_msf_inv,
+        "hier_mis_inv": hier_mis_inv,
+        "hier_coloring_inv": hier_coloring_inv,
+        "ec_sessions": ec_sessions,
         "doc_chunks": doc_chunks,
         "doc_hash_sample": doc_hash_sample,
         "doc_pii_redact": doc_pii_redact,
@@ -1618,6 +1768,44 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN range = 0 THEN 1.0
                         ELSE CAST(49 AS DOUBLE) / 97 END AS closeness
             FROM range(0, 50)
+        """,
+        "gen_scc": """
+            SELECT range AS id, (range // 25) * 25 AS value FROM range(0, 1000)
+        """,
+        "gen_msf_complete": """
+            SELECT CAST(0 AS BIGINT) AS src, range AS dst,
+                   CAST(range AS DOUBLE) AS weight
+            FROM range(1, 60)
+        """,
+        "hier_msf_inv": """
+            SELECT CAST(0 AS BIGINT) AS edge_deficit, CAST(0 AS BIGINT) AS non_edges
+        """,
+        "hier_mis_inv": """
+            SELECT CAST(0 AS BIGINT) AS independence_violations,
+                   CAST(0 AS BIGINT) AS maximality_violations,
+                   true AS nonempty
+        """,
+        "hier_coloring_inv": """
+            SELECT CAST(0 AS BIGINT) AS monochrome_edges,
+                   CAST(0 AS BIGINT) AS uncolored,
+                   CAST(0 AS BIGINT) AS degree_violations
+        """,
+        "ec_sessions": """
+            WITH s AS (
+              SELECT user_id, event_id, value, ts, epoch_us(ts) AS us,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s2 AS (SELECT user_id, us, value,
+                          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            AS session
+                   FROM s)
+            SELECT user_id, CAST(session AS BIGINT) AS session,
+                   COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us,
+                   MAX(us) - MIN(us) AS duration_us,
+                   round(SUM(value), 6) AS total_value
+            FROM s2 GROUP BY 1, 2
         """,
         "gen_complete_edges": """
             SELECT a.range AS src, b.range AS dst, CAST(1 AS BIGINT) AS value

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from kafka_graphs_spark.graph import Graph
 from kafka_graphs_spark.library._loop import (
+    MAX_LONG,
     ChainLoop,
     eager_checkpoint,
     free_df,
@@ -38,29 +39,46 @@ from kafka_graphs_spark.library._loop import (
 from kafka_graphs_spark.library.components import connected_components
 
 
+_CHUNK = 8  # frontier rounds per driver probe (see paths.py:41-47)
+
+
+def _min_step(state: DataFrame, edges: DataFrame) -> DataFrame:
+    """One monotone relaxation round: changed vertices send their label
+    along out-edges; receivers keep the min. Bellman-Ford-style frontier
+    (an unchanged vertex's label was already delivered)."""
+    frontier = state.filter(F.col("_changed")).select("id", "lbl")
+    msgs = (
+        frontier.join(edges, frontier["id"] == edges["src"])
+        .select(F.col("dst").alias("id"), F.col("lbl").alias("m"))
+        .groupBy("id")
+        .agg(F.min("m").alias("m"))  # min combiner — map-side partial agg
+    )
+    return state.join(msgs, on="id", how="left").select(
+        "id",
+        F.least(F.col("lbl"), F.coalesce("m", F.col("lbl"))).alias("lbl"),
+        (F.coalesce("m", F.lit(MAX_LONG)) < F.col("lbl")).alias("_changed"),
+    )
+
+
 def _propagate_min(loop: ChainLoop, vertices: DataFrame, edges: DataFrame,
                    max_iterations: int) -> DataFrame:
     """Fixpoint of label(v) = min(label(v), min over in-edges label(src)):
     the min vertex id over ancestors-and-self, i.e. min-label reachability
-    ALONG edge direction. Frontier-style: one min-combined agg + one join
-    per round, one ChainLoop action."""
-    state, _ = loop.advance(vertices.select("id", F.col("id").alias("lbl")))
+    ALONG edge direction. Chunked frontier relaxation: _CHUNK lazy rounds
+    (ChainLoop.chain leaves, bounded plans) per termination probe, so a
+    depth-D graph costs ~D/_CHUNK driver actions."""
+    state, _ = loop.advance(
+        vertices.select("id", F.col("id").alias("lbl"), F.lit(True).alias("_changed"))
+    )
     it = 0
     while it < max_iterations:
+        n = min(_CHUNK, max_iterations - it)
+        for _ in range(n - 1):
+            it += 1
+            state = loop.chain(_min_step(state, edges))
         it += 1
-        nbr = (
-            state.join(edges, state["id"] == edges["src"])
-            .select(F.col("dst").alias("id"), F.col("lbl").alias("m"))
-            .groupBy("id")
-            .agg(F.min("m").alias("m"))  # min combiner — map-side partial agg
-        )
-        updated = state.join(nbr, on="id", how="left").select(
-            "id",
-            F.least(F.col("lbl"), F.coalesce("m", F.col("lbl"))).alias("lbl"),
-            (F.coalesce("m", F.col("lbl")) < F.col("lbl")).alias("_changed"),
-        )
         state, row = loop.advance(
-            updated.select("id", "lbl", "_changed"),
+            _min_step(state, edges),
             probes=[F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("n")],
         )
         if not row["n"]:
