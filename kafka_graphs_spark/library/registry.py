@@ -32,6 +32,12 @@ from kafka_graphs_spark.library.centrality import betweenness_centrality, closen
 from kafka_graphs_spark.library.clustering import kmeans, semi_clustering
 from kafka_graphs_spark.library.maxbmatching import max_b_matching
 from kafka_graphs_spark.library.similarity import adamic_adar, jaccard
+from kafka_graphs_spark.library.structure import (
+    greedy_coloring,
+    maximal_independent_set,
+    minimum_spanning_forest,
+    strongly_connected_components,
+)
 from kafka_graphs_spark.library.sybilrank import sybil_rank
 from kafka_graphs_spark.library._loop import INF, MAX_LONG
 
@@ -146,6 +152,18 @@ ALGORITHMS: Dict[str, AlgorithmSpec] = {
     ),
     "betweenness": AlgorithmSpec(
         "betweenness", betweenness_centrality, lambda id_col: F.lit(0.0), "double", {}
+    ),
+    "scc": AlgorithmSpec(
+        "scc", strongly_connected_components, lambda id_col: id_col, "long", {}
+    ),
+    "msf": AlgorithmSpec(
+        "msf", minimum_spanning_forest, lambda id_col: F.lit(0.0), "double", {}
+    ),
+    "mis": AlgorithmSpec(
+        "mis", maximal_independent_set, lambda id_col: F.lit(0), "long", {"seed": 42}
+    ),
+    "coloring": AlgorithmSpec(
+        "coloring", greedy_coloring, lambda id_col: F.lit(0), "int", {"seed": 42}
     ),
 }
 

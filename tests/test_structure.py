@@ -266,6 +266,21 @@ class TestColoring:
             assert c <= deg.get(v, 0), f"color({v})={c} > degree {deg.get(v, 0)}"
 
 
+def test_registry_entries(spark):
+    from kafka_graphs_spark.library import get_algorithm
+
+    edges = [(1, 2, 1.0), (2, 1, 2.0), (2, 3, 3.0)]
+    g = make_graph(spark, edges)
+    scc = {r["id"]: r["value"] for r in get_algorithm("scc").run(g).collect()}
+    assert scc == {1: 1, 2: 1, 3: 3}
+    msf = {(r["src"], r["dst"]) for r in get_algorithm("msf").run(g).collect()}
+    assert msf == {(1, 2), (2, 3)}
+    mis = {r["id"] for r in get_algorithm("mis").run(g).collect()}
+    assert mis in ({1, 3}, {2})
+    col = {r["id"]: r["color"] for r in get_algorithm("coloring").run(g).collect()}
+    assert col[1] != col[2] and col[2] != col[3]
+
+
 # ---------------------------------------------------------------------------
 # sessionization
 # ---------------------------------------------------------------------------
