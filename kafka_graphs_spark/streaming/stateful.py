@@ -131,3 +131,86 @@ def stateful_heavy_vertices(edges_stream: DataFrame, min_degree: int) -> DataFra
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stateful_sessions(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of ``pipeline.sessions.session_stats``: per-user
+    gap-based sessions over an event STREAM.
+
+    State per user: (last event micros, session number, running count,
+    session start micros, running value sum) — checkpointed, sharded by
+    user. Each micro-batch emits the user's CURRENT session row (update
+    mode); a session row is superseded downstream when more events extend
+    it, exactly the continuously-improving result stream of the reference
+    model. Events are processed in (ts, arrival) order WITHIN a batch;
+    cross-batch reordering follows the stream's delivery order (the
+    single-pass assumption the reference's streaming tier makes —
+    io/kgraph/streaming/EdgeStream.java single-pass summaries).
+    """
+    import pandas as pd  # noqa: F401 — worker-side dependency
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    sel = events_stream.select(
+        F.col(user_col).alias("user_id"),
+        F.col(ts_col).cast("timestamp_ntz").alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            last_us, session, n, start_us, total = state.get
+        else:
+            last_us, session, n, start_us, total = None, 0, 0, None, 0.0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if len(batch):
+            batch = batch.sort_values("ts", kind="stable")
+            # emit every session this batch touched: sessions closed by a
+            # gap get their FINAL row; the still-open session its running
+            # row (a batch can open and close several sessions at once)
+            emitted = []
+            for ts, val in zip(batch["ts"], batch["value"]):
+                us = int(pd.Timestamp(ts).value // 1_000)
+                if last_us is not None and us - last_us > gap_us:
+                    emitted.append((session, n, start_us, last_us, round(total, 6)))
+                    session += 1
+                    n, start_us, total = 0, us, 0.0
+                if start_us is None:
+                    start_us = us
+                n += 1
+                total += float(val)
+                last_us = us
+            emitted.append((session, n, start_us, last_us, round(total, 6)))
+            state.update((last_us, session, n, start_us, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]] * len(emitted),
+                    "session": [e[0] for e in emitted],
+                    "n_events": [e[1] for e in emitted],
+                    "start_us": [e[2] for e in emitted],
+                    "end_us": [e[3] for e in emitted],
+                    "total_value": [e[4] for e in emitted],
+                }
+            )
+
+    return sel.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, session long, n_events long, "
+            "start_us long, end_us long, total_value double"
+        ),
+        stateStructType=(
+            "last_us long, session long, n long, start_us long, total double"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

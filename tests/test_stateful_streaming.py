@@ -274,3 +274,100 @@ class TestHeavyVertices:
         df = spark.createDataFrame([(1, 2, 1.0)], SCHEMA)
         with pytest.raises(ValueError):
             stateful_heavy_vertices(df, min_degree=0)
+
+
+EV_SCHEMA = "event_id long, ts timestamp_ntz, user_id long, value double"
+
+
+class TestStatefulSessions:
+    def _write(self, spark, rows, path):
+        df = spark.createDataFrame(
+            [(i, r[0], r[1], r[2]) for i, r in enumerate(rows)],
+            "event_id long, ts string, user_id long, value double",
+        ).select(
+            "event_id",
+            F.to_timestamp("ts").cast("timestamp_ntz").alias("ts"),
+            "user_id",
+            "value",
+        )
+        df.coalesce(1).write.mode("append").parquet(path)
+
+    def _run(self, spark, src, ckpt):
+        from kafka_graphs_spark.streaming.stateful import stateful_sessions
+
+        rows = []
+
+        def sink(batch_df, _batch_id):
+            rows.extend(batch_df.collect())
+
+        stream = spark.readStream.schema(EV_SCHEMA).parquet(src)
+        q = (
+            stateful_sessions(stream, gap_minutes=30)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    def test_sessions_across_batches_and_restart(self, spark, tmp_path):
+        src, ckpt = str(tmp_path / "ev"), str(tmp_path / "ev_ck")
+        self._write(
+            spark,
+            [
+                ("2024-01-01 00:00:00", 1, 1.0),
+                ("2024-01-01 00:10:00", 1, 2.0),
+                ("2024-01-01 00:05:00", 2, 5.0),
+            ],
+            src,
+        )
+        out1 = {(r["user_id"], r["session"]): r for r in self._run(spark, src, ckpt)}
+        assert out1[(1, 0)]["n_events"] == 2
+        assert out1[(1, 0)]["total_value"] == 3.0
+        assert out1[(2, 0)]["n_events"] == 1
+
+        # second run, same checkpoint: user 1's next event is 50 min after
+        # the restored last_us -> NEW session; user 2 extends session 0
+        self._write(
+            spark,
+            [
+                ("2024-01-01 01:00:00", 1, 7.0),
+                ("2024-01-01 00:20:00", 2, 1.0),
+            ],
+            src,
+        )
+        out2 = {(r["user_id"], r["session"]): r for r in self._run(spark, src, ckpt)}
+        assert out2[(1, 1)]["n_events"] == 1
+        assert out2[(1, 1)]["total_value"] == 7.0
+        assert out2[(2, 0)]["n_events"] == 2
+        assert out2[(2, 0)]["total_value"] == 6.0
+
+    def test_matches_batch_twin(self, spark, tmp_path):
+        from kafka_graphs_spark.pipeline.sessions import session_stats
+
+        rows = [
+            ("2024-01-01 00:00:00", 1, 1.0),
+            ("2024-01-01 00:10:00", 1, 2.0),
+            ("2024-01-01 00:55:00", 1, 3.0),
+            ("2024-01-01 01:00:00", 2, 1.5),
+            ("2024-01-01 01:30:00", 2, 2.5),
+        ]
+        src = str(tmp_path / "ev_b")
+        self._write(spark, rows, src)
+        out = self._run(spark, src, str(tmp_path / "ev_b_ck"))
+        # final state per (user, session) from the stream
+        got = {}
+        for r in out:
+            got[(r["user_id"], r["session"])] = (
+                r["n_events"], r["start_us"], r["end_us"], r["total_value"]
+            )
+        batch_df = spark.read.parquet(src)
+        twin = {
+            (r["user_id"], r["session"]): (
+                r["n_events"], r["start_us"], r["end_us"], r["total_value"]
+            )
+            for r in session_stats(batch_df, gap_minutes=30).collect()
+        }
+        assert got == twin
