@@ -1473,6 +1473,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return mono.crossJoin(uncolored).crossJoin(over)
 
+    def sp_bipartite_proj(spark, sf):
+        # weighted one-mode projection: suppliers sharing parts
+        from kafka_graphs_spark.library import bipartite_projection
+
+        return bipartite_projection(_sp_graph(spark, sf), onto="src")
+
+    def gen_diameter_path(spark, sf):
+        # P12: double sweep is exact on trees — (11, endpoints 11 then 0)
+        from kafka_graphs_spark.library import diameter_double_sweep
+        from kafka_graphs_spark.sources import grid_graph
+
+        return diameter_double_sweep(grid_graph(spark, 1, 12))
+
+    def gen_diameter_star(spark, sf):
+        # S50: hub start -> leaf 1 (dist 1, min id), ecc(1) = 2 via leaf 2
+        from kafka_graphs_spark.library import diameter_double_sweep
+        from kafka_graphs_spark.sources import star_graph
+
+        return diameter_double_sweep(star_graph(spark, 50))
+
     def ec_sessions(spark, sf):
         # gap-based sessionization over the events table — window-function
         # twin, exact tz-free epoch microseconds
@@ -1556,6 +1576,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_mis_inv": hier_mis_inv,
         "hier_coloring_inv": hier_coloring_inv,
         "ec_sessions": ec_sessions,
+        "sp_bipartite_proj": sp_bipartite_proj,
+        "gen_diameter_path": gen_diameter_path,
+        "gen_diameter_star": gen_diameter_star,
         "doc_chunks": doc_chunks,
         "doc_hash_sample": doc_hash_sample,
         "doc_pii_redact": doc_pii_redact,
@@ -1806,6 +1829,20 @@ def oracle_sql() -> dict[str, str]:
                    MAX(us) - MIN(us) AS duration_us,
                    round(SUM(value), 6) AS total_value
             FROM s2 GROUP BY 1, 2
+        """,
+        "sp_bipartite_proj": f"""
+            WITH e AS ({SP_EDGES}), d AS (SELECT DISTINCT src, dst FROM e)
+            SELECT a.src AS id_a, b.src AS id_b, COUNT(*) AS weight
+            FROM d a JOIN d b ON a.dst = b.dst AND a.src < b.src
+            GROUP BY 1, 2
+        """,
+        "gen_diameter_path": """
+            SELECT CAST(11 AS BIGINT) AS lower_bound,
+                   CAST(11 AS BIGINT) AS start_id, CAST(0 AS BIGINT) AS far_id
+        """,
+        "gen_diameter_star": """
+            SELECT CAST(2 AS BIGINT) AS lower_bound,
+                   CAST(1 AS BIGINT) AS start_id, CAST(2 AS BIGINT) AS far_id
         """,
         "gen_complete_edges": """
             SELECT a.range AS src, b.range AS dst, CAST(1 AS BIGINT) AS value

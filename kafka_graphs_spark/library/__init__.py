@@ -9,7 +9,14 @@ generic Python compute surface lives in kafka_graphs_spark.pregel for
 user-defined algorithms.
 """
 
-from kafka_graphs_spark.library.basic import edge_count, graph_statistics, reverse_edges, vertex_count
+from kafka_graphs_spark.library.basic import (
+    bipartite_projection,
+    diameter_double_sweep,
+    edge_count,
+    graph_statistics,
+    reverse_edges,
+    vertex_count,
+)
 from kafka_graphs_spark.library.clustering_coefficient import (
     local_clustering_coefficient,
     local_clustering_coefficient_pregel,
@@ -56,6 +63,8 @@ __all__ = [
     "local_clustering_coefficient_pregel",
     "edge_count",
     "graph_statistics",
+    "bipartite_projection",
+    "diameter_double_sweep",
     "vertex_count",
     "reverse_edges",
     "jaccard",

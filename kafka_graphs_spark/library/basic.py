@@ -111,3 +111,98 @@ def graph_statistics(graph) -> "DataFrame":
         "density double, max_degree long, avg_degree double, n_triangles long, "
         "assortativity double",
     )
+
+
+def bipartite_projection(
+    graph: Graph,
+    onto: str = "src",
+    max_hub_degree: int | None = None,
+) -> "DataFrame":
+    """Weighted one-mode projection of a bipartite graph: (id_a, id_b,
+    weight) with id_a < id_b, weight = number of shared neighbors on the
+    other side.
+
+    Beyond-reference operator — the co-occurrence projection every
+    recommender / co-citation pipeline builds from a user-item edge set
+    (the reference's CF tier consumes the bipartite graph directly but
+    offers no projection). ``onto='src'`` pairs sources sharing a target
+    (``'dst'`` the reverse). The self-join is an equi-join on the shared
+    endpoint; output pairs per hub grow quadratically in hub degree, so
+    ``max_hub_degree`` drops hubs above the cap (the standard scale
+    mitigation — a target shared by 10⁶ sources contributes 5·10¹¹ pairs
+    and no signal). The cap is exact-degree-based and deterministic.
+    """
+    if onto not in ("src", "dst"):
+        raise ValueError("onto must be 'src' or 'dst'")
+    other = "dst" if onto == "src" else "src"
+    e = graph.edges.select(
+        F.col(onto).alias("side"), F.col(other).alias("hub")
+    ).distinct()
+    if max_hub_degree is not None:
+        ok = (
+            e.groupBy("hub")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") <= max_hub_degree)
+            .select("hub")
+        )
+        e = e.join(ok, on="hub", how="left_semi")
+    a = e.select(F.col("side").alias("id_a"), "hub")
+    b = e.select(F.col("side").alias("id_b"), "hub")
+    return (
+        a.join(b, on="hub")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+
+
+def diameter_double_sweep(graph: Graph) -> "DataFrame":
+    """One row (lower_bound, start_id, far_id): the classic double-sweep
+    diameter lower bound over the undirected graph.
+
+    Beyond-reference operator: BFS from the smallest vertex id, then BFS
+    from the farthest vertex found (max distance, min id tie-break);
+    that second eccentricity lower-bounds the diameter and is exact on
+    trees. Two bfs() runs (chunked frontier loops) + two tiny argmax
+    collects — no driver-side graph data. Disconnected graphs measure the
+    component containing the start vertex (unreached = excluded).
+    """
+    from kafka_graphs_spark.library._loop import MAX_LONG
+    from kafka_graphs_spark.library.paths import bfs
+
+    und = (
+        graph.edges.select("src", "dst")
+        .unionByName(
+            graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    g = Graph(graph.vertices, und)
+    spark = graph.vertices.sparkSession
+    row0 = graph.vertices.agg(F.min("id").alias("m")).collect()[0]
+    if row0["m"] is None:
+        return spark.createDataFrame(
+            [], "lower_bound long, start_id long, far_id long"
+        )
+    start = row0["m"]
+
+    def farthest(from_id):
+        d = bfs(g, src_vertex_id=from_id, max_iterations=10_000)
+        r = (
+            d.filter(F.col("value") < MAX_LONG)
+            .agg(
+                F.max_by(
+                    F.struct(F.col("value"), F.col("id")),
+                    F.struct(F.col("value"), -F.col("id")),
+                ).alias("far")
+            )
+            .collect()[0]["far"]
+        )
+        return r["id"], r["value"]
+
+    u, _ = farthest(start)
+    w, ecc = farthest(u)
+    return spark.createDataFrame(
+        [(int(ecc), int(u), int(w))], "lower_bound long, start_id long, far_id long"
+    )

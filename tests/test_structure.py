@@ -319,3 +319,66 @@ class TestSessions:
         assert out[(1, 1)]["n_events"] == 1
         assert out[(2, 0)]["n_events"] == 2
         assert out[(2, 0)]["duration_us"] == 30 * 60 * 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# bipartite projection & double-sweep diameter
+# ---------------------------------------------------------------------------
+
+class TestBipartiteProjection:
+    def test_shared_targets(self, spark):
+        from kafka_graphs_spark.library import bipartite_projection
+
+        # users 1,2 share items 10,11; users 2,3 share item 11
+        edges = [(1, 10, 0.0), (1, 11, 0.0), (2, 10, 0.0), (2, 11, 0.0), (3, 11, 0.0)]
+        g = make_graph(spark, edges)
+        got = {(r["id_a"], r["id_b"]): r["weight"]
+               for r in bipartite_projection(g, onto="src").collect()}
+        assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+    def test_hub_cap_drops_heavy_targets(self, spark):
+        from kafka_graphs_spark.library import bipartite_projection
+
+        edges = [(u, 99, 0.0) for u in range(1, 6)] + [(1, 10, 0.0), (2, 10, 0.0)]
+        g = make_graph(spark, edges)
+        got = {(r["id_a"], r["id_b"]): r["weight"]
+               for r in bipartite_projection(g, onto="src", max_hub_degree=3).collect()}
+        assert got == {(1, 2): 1}  # hub 99 (degree 5) dropped
+
+    def test_onto_dst(self, spark):
+        from kafka_graphs_spark.library import bipartite_projection
+
+        edges = [(1, 10, 0.0), (1, 11, 0.0), (2, 10, 0.0)]
+        g = make_graph(spark, edges)
+        got = {(r["id_a"], r["id_b"]): r["weight"]
+               for r in bipartite_projection(g, onto="dst").collect()}
+        assert got == {(10, 11): 1}
+
+    def test_param_guard(self, spark):
+        from kafka_graphs_spark.library import bipartite_projection
+
+        with pytest.raises(ValueError):
+            bipartite_projection(make_graph(spark, [(1, 2, 0.0)]), onto="mid")
+
+
+class TestDiameterDoubleSweep:
+    def test_path_exact(self, spark):
+        from kafka_graphs_spark.library import diameter_double_sweep
+        from kafka_graphs_spark.sources import grid_graph
+
+        row = diameter_double_sweep(grid_graph(spark, 1, 12)).collect()[0]
+        assert (row["lower_bound"], row["start_id"], row["far_id"]) == (11, 11, 0)
+
+    def test_star(self, spark):
+        from kafka_graphs_spark.library import diameter_double_sweep
+        from kafka_graphs_spark.sources import star_graph
+
+        row = diameter_double_sweep(star_graph(spark, 50)).collect()[0]
+        assert (row["lower_bound"], row["start_id"], row["far_id"]) == (2, 1, 2)
+
+    def test_cycle(self, spark):
+        from kafka_graphs_spark.library import diameter_double_sweep
+
+        g = make_graph(spark, [(i, (i + 1) % 8, 0.0) for i in range(8)])
+        row = diameter_double_sweep(g).collect()[0]
+        assert row["lower_bound"] == 4  # C8 diameter exactly 4
