@@ -89,18 +89,24 @@ def _propagate_min(loop: ChainLoop, vertices: DataFrame, edges: DataFrame,
 
 
 def strongly_connected_components(
-    graph: Graph, max_iterations: int = 200
+    graph: Graph, max_iterations: int = 200, max_propagation_rounds: int = 10_000
 ) -> DataFrame:
     """(id, value = min vertex id in the strongly connected component).
 
-    Min-forward/min-backward peeling: per outer round compute
-    minF(v) = min id that REACHES v (min-label propagation along edges) and
-    minB(v) = min id REACHABLE FROM v (propagation along reversed edges).
-    minF(v) == minB(v) == c certifies mutual reachability between v and c,
-    so every such v belongs to SCC(c) and is peeled with final label c; the
-    rest re-run on the induced subgraph. Each round peels at least the SCC
-    of the smallest active vertex (for v in SCC(min): both labels equal the
-    global min), so the peel always progresses. Labels agree with the
+    Min-forward/min-backward peeling with label-class partitioning
+    (Orzan-style coloring): per outer round compute minF(v) = min id that
+    REACHES v (min-label propagation along edges) and minB(v) = min id
+    REACHABLE FROM v (propagation along reversed edges). minF(v) ==
+    minB(v) == c certifies mutual reachability between v and c, so every
+    such v is peeled with final label c. For the rest, any two vertices of
+    one SCC share BOTH labels, so edges whose endpoints differ in either
+    label can never be intra-SCC and are DELETED — the remainder splits
+    into independent (minF, minB) classes that all resolve in parallel in
+    later rounds. Each class contains its own min id, whose SCC becomes
+    min-consistent next round, so every class strictly shrinks: a
+    condensation chain of ANY depth finishes in 2 outer rounds (labels
+    separate every level), and outer rounds stay near-logarithmic in
+    practice rather than O(condensation depth). Labels agree with the
     batch-WCC convention of components.py (min member id).
 
     Everything is vertex-id equi-joins and min-combined aggregation; the
@@ -126,18 +132,20 @@ def strongly_connected_components(
             # detach fwd from the loop's 2-generation window: the backward
             # propagation runs more advances before fwd is read, and the
             # window would free fwd's checkpoint blocks under the join
-            fwd = eager_checkpoint(_propagate_min(loop, active_v, e_cached, max_iterations))
+            fwd = eager_checkpoint(
+                _propagate_min(loop, active_v, e_cached, max_propagation_rounds)
+            )
             rev = e_cached.select(
                 F.col("dst").alias("src"), F.col("src").alias("dst")
             )
-            bwd = _propagate_min(loop, active_v, rev, max_iterations)
+            bwd = _propagate_min(loop, active_v, rev, max_propagation_rounds)
             both = fwd.join(
                 bwd.select("id", F.col("lbl").alias("lbl_b")), on="id"
             )
             # one action: materialize decided + count the remainder
             decided, row = loop.advance(
                 both.select(
-                    "id", F.col("lbl").alias("value"),
+                    "id", F.col("lbl").alias("value"), "lbl_b",
                     (F.col("lbl") == F.col("lbl_b")).alias("_done"),
                 ),
                 probes=[
@@ -150,12 +158,31 @@ def strongly_connected_components(
             result = chunk if result is None else result.unionByName(chunk)
             if not row["left"]:
                 break
-            nxt_v = eager_checkpoint(
-                decided.filter(~F.col("_done")).select("id")
-            )
+            undecided = decided.filter(~F.col("_done"))
+            nxt_v = eager_checkpoint(undecided.select("id"))
+            # keep only intra-class edges: endpoints of one SCC share both
+            # labels, so a (minF, minB) mismatch can never be intra-SCC —
+            # the classes then resolve independently (and in parallel)
+            lbls = undecided.select("id", "value", "lbl_b")
             nxt_e = eager_checkpoint(
-                e_cached.join(nxt_v, e_cached["src"] == nxt_v["id"], "left_semi")
-                .join(nxt_v, e_cached["dst"] == nxt_v["id"], "left_semi")
+                e_cached.join(
+                    lbls.select(
+                        F.col("id").alias("src"),
+                        F.col("value").alias("_sf"),
+                        F.col("lbl_b").alias("_sb"),
+                    ),
+                    on="src",
+                )
+                .join(
+                    lbls.select(
+                        F.col("id").alias("dst"),
+                        F.col("value").alias("_tf"),
+                        F.col("lbl_b").alias("_tb"),
+                    ),
+                    on="dst",
+                )
+                .filter((F.col("_sf") == F.col("_tf")) & (F.col("_sb") == F.col("_tb")))
+                .select("src", "dst")
             )
             # previous round's induced-subgraph frames are superseded
             if outer > 1:

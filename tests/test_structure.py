@@ -382,3 +382,25 @@ class TestDiameterDoubleSweep:
         g = make_graph(spark, [(i, (i + 1) % 8, 0.0) for i in range(8)])
         row = diameter_double_sweep(g).collect()[0]
         assert row["lower_bound"] == 4  # C8 diameter exactly 4
+
+
+class TestSCCPartitioning:
+    def test_deep_dag_chain_resolves(self, spark):
+        # 60-singleton chain: label-class partitioning must resolve this
+        # in 2 outer rounds (the pre-partitioning peel needed 60)
+        edges = [(i, i + 1, 0.0) for i in range(60)]
+        out = strongly_connected_components(make_graph(spark, edges), max_iterations=30)
+        got = {r["id"]: r["value"] for r in out.collect()}
+        assert got == {i: i for i in range(61)}
+
+    def test_chain_of_cycles(self, spark):
+        # 6 triangles bridged in a chain — every condensation level a cycle
+        edges = []
+        for c in range(6):
+            b = c * 3
+            edges += [(b, b + 1, 0.0), (b + 1, b + 2, 0.0), (b + 2, b, 0.0)]
+            if c:
+                edges.append((b - 3, b, 0.0))
+        out = strongly_connected_components(make_graph(spark, edges), max_iterations=30)
+        got = {r["id"]: r["value"] for r in out.collect()}
+        assert got == {i: (i // 3) * 3 for i in range(18)}
