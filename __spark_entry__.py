@@ -1479,6 +1479,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return bipartite_projection(_sp_graph(spark, sf), onto="src")
 
+    def sp_ppmi(spark, sf):
+        # PPMI reweighting of the supplier co-occurrence projection
+        from kafka_graphs_spark.library import bipartite_projection, ppmi
+
+        pairs = bipartite_projection(_sp_graph(spark, sf), onto="src")
+        out = ppmi(pairs)
+        return out.select(
+            "id_a", "id_b", "weight", F.round("ppmi", 6).alias("ppmi")
+        )
+
     def gen_diameter_path(spark, sf):
         # P12: double sweep is exact on trees — (11, endpoints 11 then 0)
         from kafka_graphs_spark.library import diameter_double_sweep
@@ -1577,6 +1587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_coloring_inv": hier_coloring_inv,
         "ec_sessions": ec_sessions,
         "sp_bipartite_proj": sp_bipartite_proj,
+        "sp_ppmi": sp_ppmi,
         "gen_diameter_path": gen_diameter_path,
         "gen_diameter_star": gen_diameter_star,
         "doc_chunks": doc_chunks,
@@ -1835,6 +1846,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.src AS id_a, b.src AS id_b, COUNT(*) AS weight
             FROM d a JOIN d b ON a.dst = b.dst AND a.src < b.src
             GROUP BY 1, 2
+        """,
+        "sp_ppmi": f"""
+            WITH e AS ({SP_EDGES}), d AS (SELECT DISTINCT src, dst FROM e),
+            p AS (
+              SELECT a.src AS id_a, b.src AS id_b, COUNT(*) AS weight
+              FROM d a JOIN d b ON a.dst = b.dst AND a.src < b.src
+              GROUP BY 1, 2
+            ),
+            t AS (SELECT SUM(weight) AS t FROM p),
+            m AS (SELECT x, SUM(w) AS m FROM (
+                    SELECT id_a AS x, weight AS w FROM p
+                    UNION ALL SELECT id_b, weight FROM p) GROUP BY 1)
+            SELECT p.id_a, p.id_b, p.weight,
+                   round(greatest(0.0,
+                     ln(p.weight::DOUBLE * t.t / (ma.m::DOUBLE * mb.m::DOUBLE))), 6)
+                     AS ppmi
+            FROM p CROSS JOIN t
+            JOIN m ma ON ma.x = p.id_a
+            JOIN m mb ON mb.x = p.id_b
         """,
         "gen_diameter_path": """
             SELECT CAST(11 AS BIGINT) AS lower_bound,

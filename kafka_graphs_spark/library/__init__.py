@@ -14,6 +14,7 @@ from kafka_graphs_spark.library.basic import (
     diameter_double_sweep,
     edge_count,
     graph_statistics,
+    ppmi,
     reverse_edges,
     vertex_count,
 )
@@ -65,6 +66,7 @@ __all__ = [
     "graph_statistics",
     "bipartite_projection",
     "diameter_double_sweep",
+    "ppmi",
     "vertex_count",
     "reverse_edges",
     "jaccard",

@@ -206,3 +206,49 @@ def diameter_double_sweep(graph: Graph) -> "DataFrame":
     return spark.createDataFrame(
         [(int(ecc), int(u), int(w))], "lower_bound long, start_id long, far_id long"
     )
+
+
+def ppmi(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    weight_col: str = "weight",
+) -> "DataFrame":
+    """Positive pointwise mutual information over symmetric co-occurrence
+    pairs: (id_a, id_b, weight, ppmi = max(0, ln(w·T / (m_a·m_b)))).
+
+    Beyond-reference operator — the classic reweighting that turns raw
+    co-occurrence counts (e.g. :func:`bipartite_projection` output) into
+    the association scores embedding trainers factorize (Levy &
+    Goldberg 2014, public). T = total pair mass, m_x = mass of pairs
+    containing x. Marginals are one map-side-combined aggregation over the
+    doubled pair list; the total is a scalar broadcast into the plan. No
+    UDFs — ln() stays in codegen.
+    """
+    a, b, w = F.col(a_col), F.col(b_col), F.col(weight_col)
+    total = pairs.agg(F.sum(w).alias("t")).collect()[0]["t"]
+    if not total:
+        return pairs.select(a_col, b_col, weight_col).withColumn(
+            "ppmi", F.lit(0.0)
+        ).limit(0)
+    sides = pairs.select(a.alias("x"), w.alias("w")).unionByName(
+        pairs.select(b.alias("x"), w.alias("w"))
+    )
+    marg = sides.groupBy("x").agg(F.sum("w").alias("m"))
+    out = (
+        pairs.join(marg.select(F.col("x").alias(a_col), F.col("m").alias("_ma")), on=a_col)
+        .join(marg.select(F.col("x").alias(b_col), F.col("m").alias("_mb")), on=b_col)
+        .select(
+            a_col,
+            b_col,
+            weight_col,
+            F.greatest(
+                F.lit(0.0),
+                F.log(
+                    w.cast("double") * F.lit(float(total))
+                    / (F.col("_ma").cast("double") * F.col("_mb").cast("double"))
+                ),
+            ).alias("ppmi"),
+        )
+    )
+    return out

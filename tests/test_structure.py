@@ -404,3 +404,34 @@ class TestSCCPartitioning:
         out = strongly_connected_components(make_graph(spark, edges), max_iterations=30)
         got = {r["id"]: r["value"] for r in out.collect()}
         assert got == {i: (i // 3) * 3 for i in range(18)}
+
+
+class TestPPMI:
+    def test_hand_computed(self, spark):
+        import math
+
+        from kafka_graphs_spark.library import ppmi
+
+        pairs = spark.createDataFrame(
+            [(1, 2, 4), (1, 3, 1), (2, 3, 1)], "id_a long, id_b long, weight long"
+        )
+        got = {(r["id_a"], r["id_b"]): r["ppmi"] for r in ppmi(pairs).collect()}
+        # T=6, m1=5, m2=5, m3=2
+        assert got[(1, 2)] == pytest.approx(max(0.0, math.log(4 * 6 / 25)))
+        assert got[(1, 3)] == pytest.approx(max(0.0, math.log(1 * 6 / 10)))
+        assert got[(2, 3)] == pytest.approx(max(0.0, math.log(1 * 6 / 10)))
+
+    def test_negative_pmi_clamped(self, spark):
+        from kafka_graphs_spark.library import ppmi
+
+        pairs = spark.createDataFrame(
+            [(1, 2, 1), (1, 3, 100), (2, 4, 100)], "id_a long, id_b long, weight long"
+        )
+        got = {(r["id_a"], r["id_b"]): r["ppmi"] for r in ppmi(pairs).collect()}
+        assert got[(1, 2)] == 0.0  # rare pair of two frequent items
+
+    def test_empty(self, spark):
+        from kafka_graphs_spark.library import ppmi
+
+        pairs = spark.createDataFrame([], "id_a long, id_b long, weight long")
+        assert ppmi(pairs).count() == 0
