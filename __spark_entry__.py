@@ -365,6 +365,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "id", F.round("value", 4).alias("value")
         )
 
+    def ec_pregel_wcc(spark, sf):
+        # the generic Pregel runtime driving reference HashMin WCC
+        # (ConnectedComponents.java:28-62 fixpoint) over the undirected
+        # edge set — parity twin of the DataFrame-native ec_wcc, same SQL.
+        from kafka_graphs_spark.pregel import pregel
+
+        def compute(step, vid, value, messages, out_edges, ctx):
+            cur = value if value is not None else vid
+            if step == 0:
+                ctx.set_new_vertex_value(vid)
+                for e in out_edges:
+                    if vid < e["dst"]:
+                        ctx.send_message_to(e["dst"], vid)
+            else:
+                m = min(messages) if messages else cur
+                if m < cur:
+                    ctx.set_new_vertex_value(m)
+                    for e in out_edges:
+                        if m < e["dst"]:
+                            ctx.send_message_to(e["dst"], m)
+            ctx.vote_to_halt()
+
+        g = _ec_graph(spark, sf).undirected().map_vertices(
+            lambda id_col, _v: id_col
+        )
+        res = pregel(
+            g, compute, vertex_value_type="long", message_type="long",
+            combiner="min", max_iterations=1000,
+        )
+        return res.vertices.select("id", "value")
+
     def sp_io_roundtrip(spark, sf):
         # text sink + source roundtrip (verticesToFile / vertex parser):
         # degrees written as `id value` lines, read back, oracle-checked
@@ -1586,6 +1617,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_mis_inv": hier_mis_inv,
         "hier_coloring_inv": hier_coloring_inv,
         "ec_sessions": ec_sessions,
+        "ec_pregel_wcc": ec_pregel_wcc,
         "sp_bipartite_proj": sp_bipartite_proj,
         "sp_ppmi": sp_ppmi,
         "gen_diameter_path": gen_diameter_path,
@@ -1945,6 +1977,10 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
         """,
         "ec_wcc": """
+            SELECT event_id AS id, MIN(event_id) OVER (PARTITION BY user_id) AS value
+            FROM events
+        """,
+        "ec_pregel_wcc": """
             SELECT event_id AS id, MIN(event_id) OVER (PARTITION BY user_id) AS value
             FROM events
         """,
