@@ -1504,6 +1504,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return mono.crossJoin(uncolored).crossJoin(over)
 
+    def doc_cross_source_near_dups(spark, sf):
+        # SimHash near-dup pairs crossing source boundaries, per source
+        # pair — the mirror-detection rollup
+        docs = datasets.load(spark, sf, "documents")
+        return dedup.cross_source_near_duplicate_profile(docs)
+
+    def doc_unigram_logprob(spark, sf):
+        # corpus-unigram surprisal per document (perplexity proxy)
+        docs = datasets.load(spark, sf, "documents")
+        out = text.unigram_logprob(docs)
+        return out.select(
+            "doc_id", "n_tokens", F.round("avg_neg_logprob", 6).alias("avg_neg_logprob")
+        )
+
     def sp_bipartite_proj(spark, sf):
         # weighted one-mode projection: suppliers sharing parts
         from kafka_graphs_spark.library import bipartite_projection
@@ -1618,6 +1632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_coloring_inv": hier_coloring_inv,
         "ec_sessions": ec_sessions,
         "ec_pregel_wcc": ec_pregel_wcc,
+        "doc_cross_source_near_dups": doc_cross_source_near_dups,
+        "doc_unigram_logprob": doc_unigram_logprob,
         "sp_bipartite_proj": sp_bipartite_proj,
         "sp_ppmi": sp_ppmi,
         "gen_diameter_path": gen_diameter_path,
@@ -1975,6 +1991,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        """,
+        "doc_cross_source_near_dups": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            tok AS (SELECT DISTINCT doc_id, unnest(toks) AS tk FROM t),
+            h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+            bits AS (SELECT doc_id, b,
+                            SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                     FROM h, (SELECT unnest(range(0, 16)) AS b) GROUP BY 1, 2),
+            sig AS (SELECT doc_id,
+                           CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+                                AS BIGINT) AS simhash
+                    FROM bits GROUP BY 1),
+            p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+                  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2),
+            lab AS (SELECT least(da.source, db.source) AS source_a,
+                           greatest(da.source, db.source) AS source_b
+                    FROM p JOIN documents da ON p.doc_a = da.doc_id
+                           JOIN documents db ON p.doc_b = db.doc_id
+                    WHERE da.source <> db.source)
+            SELECT source_a, source_b, COUNT(*) AS n_pairs
+            FROM lab GROUP BY 1, 2
+        """,
+        "doc_unigram_logprob": f"""
+            WITH toks AS (SELECT doc_id, unnest({TOKS}) AS tok FROM documents),
+            freq AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+            tot AS (SELECT SUM(c) AS t FROM freq),
+            scored AS (SELECT doc_id, -ln(c::DOUBLE / t) AS nlp
+                       FROM toks JOIN freq USING (tok) CROSS JOIN tot),
+            pd AS (SELECT doc_id, COUNT(*) AS n_tokens,
+                          round(AVG(nlp), 6) AS avg_neg_logprob
+                   FROM scored GROUP BY doc_id)
+            SELECT d.doc_id, coalesce(pd.n_tokens, 0) AS n_tokens,
+                   pd.avg_neg_logprob
+            FROM documents d LEFT JOIN pd USING (doc_id)
         """,
         "ec_wcc": """
             SELECT event_id AS id, MIN(event_id) OVER (PARTITION BY user_id) AS value

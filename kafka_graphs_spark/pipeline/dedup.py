@@ -381,3 +381,67 @@ def streaming_exact_dedup(
             .select(*[F.col(f"_m.{c}").alias(c) for c in cols])
         )
     return with_fp.dropDuplicates(["fp"])
+
+
+def cross_source_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(fp, n_docs, n_sources, keep_doc_id) — canonical fingerprints that
+    appear in MORE THAN ONE source, with the deterministic keeper
+    (min doc_id).
+
+    Cross-source duplication is the syndication/mirror signal a curation
+    pipeline treats differently from in-source duplication (mirrors are
+    usually bulk-droppable). Composition of text.fingerprint with one
+    map-side-combinable aggregation — digest-only shuffle, scales like
+    exact dedup.
+    """
+    from kafka_graphs_spark.pipeline.text import fingerprint
+
+    fp = fingerprint(docs, text_col).join(
+        docs.select("doc_id", "source"), on="doc_id"
+    )
+    return (
+        fp.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("keep_doc_id"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )
+
+
+def cross_source_near_duplicate_profile(
+    docs: DataFrame, bits: int = 16, max_hamming: int = 2, text_col: str = "text"
+) -> DataFrame:
+    """(source_a, source_b, n_pairs) — SimHash near-duplicate pairs that
+    CROSS source boundaries, aggregated per source pair (source_a <
+    source_b lexicographically).
+
+    The mirror-detection rollup: a source pair with many cross near-dups
+    is a syndication/mirror relationship worth bulk action, invisible to
+    per-pair review. Rides :func:`simhash_near_pairs` (banded equi-join,
+    never all-pairs) plus two broadcast-sized joins on doc_id and one
+    map-side-combinable count.
+    """
+    pairs = simhash_near_pairs(docs, bits=bits, max_hamming=max_hamming,
+                               text_col=text_col)
+    src = docs.select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("_sa")),
+            on="doc_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("_sb")),
+            on="doc_b",
+        )
+        .filter(F.col("_sa") != F.col("_sb"))
+    )
+    return (
+        labeled.select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

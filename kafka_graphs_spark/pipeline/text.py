@@ -423,3 +423,34 @@ def chunk_text(
             F.substring(F.col("_t"), F.col("_start"), size).alias("chunk"),
         )
     )
+
+
+def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, avg_neg_logprob) — corpus-unigram surprisal per
+    document: mean of −ln(count(token)/total) over the document's tokens.
+
+    The classic perplexity proxy for quality filtering (a real LM is a
+    model artifact; the unigram bound is computable in-engine and ranks
+    gibberish/boilerplate the same direction). Two aggregations: the
+    unigram table (map-side combined; vocabulary-sized, broadcast into the
+    scoring join) and the per-document mean. Everything stays in codegen —
+    no UDFs. Empty documents score NULL.
+    """
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").alias("t")).collect()[0]["t"] or 1
+    scored = toks.join(F.broadcast(freq), on="tok").select(
+        "doc_id",
+        (-F.log(F.col("c").cast("double") / F.lit(float(total)))).alias("nlp"),
+    )
+    per_doc = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("nlp").alias("avg_neg_logprob"),
+    )
+    return docs.select("doc_id").join(per_doc, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        "avg_neg_logprob",
+    )

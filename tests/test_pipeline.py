@@ -717,3 +717,79 @@ class TestReviewRegressions2:
         assert got == {0: {"x": 1}}
         assert df.storageLevel != StorageLevel.NONE  # caller's cache intact
         df.unpersist()
+
+
+class TestCrossSourceDedup:
+    def test_exact_cross_source(self, spark):
+        from kafka_graphs_spark.pipeline.dedup import cross_source_duplicates
+
+        docs = spark.createDataFrame(
+            [
+                (1, "Hello   world", "a"),
+                (2, "hello world!", "b"),    # same fp, other source
+                (3, "hello world", "a"),     # same fp, same source as 1
+                (4, "something else", "a"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = cross_source_duplicates(docs).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["n_docs"], r["n_sources"], r["keep_doc_id"]) == (3, 2, 1)
+
+    def test_same_source_dups_excluded(self, spark):
+        from kafka_graphs_spark.pipeline.dedup import cross_source_duplicates
+
+        docs = spark.createDataFrame(
+            [(1, "dup text", "a"), (2, "dup text", "a")],
+            "doc_id long, text string, source string",
+        )
+        assert cross_source_duplicates(docs).count() == 0
+
+    def test_near_dup_profile(self, spark):
+        from kafka_graphs_spark.pipeline.dedup import (
+            cross_source_near_duplicate_profile,
+        )
+
+        # identical token streams -> simhash distance 0 -> near pair
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta", "a"),
+                (2, "alpha beta gamma delta", "b"),
+                (3, "completely different words here entirely", "c"),
+            ],
+            "doc_id long, text string, source string",
+        )
+        out = cross_source_near_duplicate_profile(docs).collect()
+        assert [(r["source_a"], r["source_b"], r["n_pairs"]) for r in out] == [
+            ("a", "b", 1)
+        ]
+
+
+class TestUnigramLogprob:
+    def test_hand_computed(self, spark):
+        import math
+
+        from kafka_graphs_spark.pipeline.text import unigram_logprob
+
+        docs = spark.createDataFrame(
+            [(1, "a a b"), (2, "b c"), (3, "")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+        # counts: a=2, b=2, c=1, T=5
+        nl = lambda c: -math.log(c / 5)
+        assert out[1]["n_tokens"] == 3
+        assert out[1]["avg_neg_logprob"] == pytest.approx((2 * nl(2) + nl(2)) / 3)
+        assert out[2]["avg_neg_logprob"] == pytest.approx((nl(2) + nl(1)) / 2)
+        assert out[3]["n_tokens"] == 0 and out[3]["avg_neg_logprob"] is None
+
+    def test_rare_tokens_score_higher(self, spark):
+        from kafka_graphs_spark.pipeline.text import unigram_logprob
+
+        docs = spark.createDataFrame(
+            [(1, "common common common common"), (2, "zxqv")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["avg_neg_logprob"] for r in unigram_logprob(docs).collect()}
+        assert out[2] > out[1]
