@@ -1548,6 +1548,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return diameter_double_sweep(star_graph(spark, 50))
 
+    def hier_motifs(spark, sf):
+        # directed triad census of the hierarchy graph: every triangle is
+        # one customer's (c → nation → region, c → region) feed-forward
+        # triple with ascending ids — all 030T, one per customer
+        from kafka_graphs_spark.datasets import hierarchy_graph
+        from kafka_graphs_spark.library import triangle_motif_census
+
+        return triangle_motif_census(hierarchy_graph(spark, sf))
+
+    def gen_motifs(spark, sf):
+        # 50 disjoint blocks each holding one triangle of every class
+        # (030T, 030C, 120, 300) — closed-form census
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import triangle_motif_census
+
+        offs = [
+            (1, 2), (2, 3), (1, 3),                    # 030T
+            (4, 5), (5, 6), (6, 4),                    # 030C
+            (7, 8), (8, 7), (8, 9), (7, 9),            # 120
+            (10, 11), (11, 10), (11, 12), (12, 11),    # 300
+            (10, 12), (12, 10),
+        ]
+        pat = F.array(*[F.struct(F.lit(s).alias("s"), F.lit(d).alias("d")) for s, d in offs])
+        edges = (
+            spark.range(50)
+            .select((F.col("id") * 12).alias("base"), F.explode(pat).alias("e"))
+            .select(
+                (F.col("base") + F.col("e.s")).alias("src"),
+                (F.col("base") + F.col("e.d")).alias("dst"),
+                F.lit(1.0).alias("value"),
+            )
+        )
+        return triangle_motif_census(Graph.from_edges(edges, F.lit(0.0)))
+
     def ec_sessions(spark, sf):
         # gap-based sessionization over the events table — window-function
         # twin, exact tz-free epoch microseconds
@@ -1632,6 +1666,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_coloring_inv": hier_coloring_inv,
         "ec_sessions": ec_sessions,
         "ec_pregel_wcc": ec_pregel_wcc,
+        "hier_motifs": hier_motifs,
+        "gen_motifs": gen_motifs,
         "doc_cross_source_near_dups": doc_cross_source_near_dups,
         "doc_unigram_logprob": doc_unigram_logprob,
         "sp_bipartite_proj": sp_bipartite_proj,
@@ -1991,6 +2027,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        """,
+        "hier_motifs": """
+            SELECT '030T' AS motif, COUNT(*) AS n FROM customer
+        """,
+        "gen_motifs": """
+            SELECT motif, CAST(50 AS BIGINT) AS n
+            FROM (VALUES ('030T'), ('030C'), ('120'), ('300')) AS t(motif)
         """,
         "doc_cross_source_near_dups": f"""
             WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),

@@ -15,6 +15,7 @@ from kafka_graphs_spark.library.basic import (
     edge_count,
     graph_statistics,
     ppmi,
+    triangle_motif_census,
     reverse_edges,
     vertex_count,
 )
@@ -67,6 +68,7 @@ __all__ = [
     "bipartite_projection",
     "diameter_double_sweep",
     "ppmi",
+    "triangle_motif_census",
     "vertex_count",
     "reverse_edges",
     "jaccard",

@@ -252,3 +252,56 @@ def ppmi(
         )
     )
     return out
+
+
+def triangle_motif_census(graph: Graph) -> "DataFrame":
+    """(motif, n) — census of directed triangle motifs, standard triad
+    names: 030C (3-cycle), 030T (transitive/feed-forward), 120 / 210 /
+    300 (one / two / three reciprocated pairs).
+
+    Beyond-reference operator — the motif profile (feed-forward loops vs
+    cycles vs reciprocity) behind network-science dataset cards. One
+    pair-state aggregation (fwd/rev flags per unordered pair), the same
+    wedge-close enumeration as the triangle counter (three equi-joins on
+    vertex ids, every triangle exactly once at x < y < z), then a
+    map-side-combinable count per class. No UDFs, no driver data.
+    """
+    e = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    pair = (
+        e.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            (F.col("src") < F.col("dst")).alias("is_fwd"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.max(F.col("is_fwd")).alias("fwd"),
+            F.max(~F.col("is_fwd")).alias("rev"),
+        )
+    )
+    e1 = pair.select(F.col("a").alias("x"), F.col("b").alias("y"),
+                     F.col("fwd").alias("fxy"), F.col("rev").alias("rxy"))
+    e2 = pair.select(F.col("a").alias("y"), F.col("b").alias("z"),
+                     F.col("fwd").alias("fyz"), F.col("rev").alias("ryz"))
+    e3 = pair.select(F.col("a").alias("x"), F.col("b").alias("z"),
+                     F.col("fwd").alias("fxz"), F.col("rev").alias("rxz"))
+    tri = e1.join(e2, on="y").join(e3, on=["x", "z"])
+    m = (
+        (F.col("fxy") & F.col("rxy")).cast("int")
+        + (F.col("fyz") & F.col("ryz")).cast("int")
+        + (F.col("fxz") & F.col("rxz")).cast("int")
+    )
+    cyclic = (
+        (F.col("fxy") & F.col("fyz") & ~F.col("fxz"))
+        | (~F.col("fxy") & ~F.col("fyz") & F.col("fxz"))
+    )
+    motif = (
+        F.when(m == 3, F.lit("300"))
+        .when(m == 2, F.lit("210"))
+        .when(m == 1, F.lit("120"))
+        .when(cyclic, F.lit("030C"))
+        .otherwise(F.lit("030T"))
+    )
+    return tri.select(motif.alias("motif")).groupBy("motif").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -435,3 +435,42 @@ class TestPPMI:
 
         pairs = spark.createDataFrame([], "id_a long, id_b long, weight long")
         assert ppmi(pairs).count() == 0
+
+
+class TestTriangleMotifs:
+    def test_all_classes(self, spark):
+        from kafka_graphs_spark.library import triangle_motif_census
+
+        edges = [
+            # feed-forward 1,2,3: 1->2, 2->3, 1->3
+            (1, 2, 0.0), (2, 3, 0.0), (1, 3, 0.0),
+            # cycle 4,5,6: 4->5, 5->6, 6->4
+            (4, 5, 0.0), (5, 6, 0.0), (6, 4, 0.0),
+            # one reciprocated pair 7,8,9: 7<->8, 8->9, 7->9
+            (7, 8, 0.0), (8, 7, 0.0), (8, 9, 0.0), (7, 9, 0.0),
+            # fully reciprocated 10,11,12
+            (10, 11, 0.0), (11, 10, 0.0), (11, 12, 0.0), (12, 11, 0.0),
+            (10, 12, 0.0), (12, 10, 0.0),
+        ]
+        got = {r["motif"]: r["n"] for r in
+               triangle_motif_census(make_graph(spark, edges)).collect()}
+        assert got == {"030T": 1, "030C": 1, "120": 1, "300": 1}
+
+    def test_reverse_cycle_and_210(self, spark):
+        from kafka_graphs_spark.library import triangle_motif_census
+
+        edges = [
+            # reverse-orientation cycle: 3->2, 2->1, 1->3
+            (3, 2, 0.0), (2, 1, 0.0), (1, 3, 0.0),
+            # two reciprocated pairs 4,5,6: 4<->5, 5<->6, 4->6
+            (4, 5, 0.0), (5, 4, 0.0), (5, 6, 0.0), (6, 5, 0.0), (4, 6, 0.0),
+        ]
+        got = {r["motif"]: r["n"] for r in
+               triangle_motif_census(make_graph(spark, edges)).collect()}
+        assert got == {"030C": 1, "210": 1}
+
+    def test_no_triangles(self, spark):
+        from kafka_graphs_spark.library import triangle_motif_census
+
+        got = triangle_motif_census(make_graph(spark, [(1, 2, 0.0), (2, 3, 0.0)]))
+        assert got.count() == 0
