@@ -1548,6 +1548,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return diameter_double_sweep(star_graph(spark, 50))
 
+    def emb_quantize_inv(spark, sf):
+        # scalar-quantization invariants over the embeddings table: codes
+        # bounded by the level count, reconstruction error within step/2
+        from kafka_graphs_spark.pipeline.similarity import dequantize, scalar_quantize
+
+        emb = datasets.load(spark, sf, "embeddings")
+        q = scalar_quantize(emb, levels=256)
+        rec = dequantize(q, levels=256)
+        joined = (
+            emb.select("vec_id", F.col("embedding").alias("orig"))
+            .join(rec.select("vec_id", F.col("embedding").alias("back")), on="vec_id")
+            .join(q.select("vec_id", "codes", "lo", "hi"), on="vec_id")
+        )
+        err = F.aggregate(
+            F.zip_with(
+                F.col("orig"), F.col("back"),
+                lambda a, b: F.abs(a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        )
+        bound = (F.col("hi") - F.col("lo")) / F.lit(2.0 * 255) + F.lit(1e-9)
+        bad_err = F.when(err > bound, 1).otherwise(0)
+        bad_code = F.when(
+            (F.array_min("codes") < 0) | (F.array_max("codes") > 255), 1
+        ).otherwise(0)
+        return joined.agg(
+            F.sum(bad_err).cast("long").alias("error_violations"),
+            F.sum(bad_code).cast("long").alias("code_violations"),
+            (F.count(F.lit(1)) > 0).alias("nonempty"),
+        )
+
     def hier_motifs(spark, sf):
         # directed triad census of the hierarchy graph: every triangle is
         # one customer's (c → nation → region, c → region) feed-forward
@@ -1666,6 +1698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_coloring_inv": hier_coloring_inv,
         "ec_sessions": ec_sessions,
         "ec_pregel_wcc": ec_pregel_wcc,
+        "emb_quantize_inv": emb_quantize_inv,
         "hier_motifs": hier_motifs,
         "gen_motifs": gen_motifs,
         "doc_cross_source_near_dups": doc_cross_source_near_dups,
@@ -2027,6 +2060,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        """,
+        "emb_quantize_inv": """
+            SELECT CAST(0 AS BIGINT) AS error_violations,
+                   CAST(0 AS BIGINT) AS code_violations,
+                   true AS nonempty
         """,
         "hier_motifs": """
             SELECT '030T' AS motif, COUNT(*) AS n FROM customer

@@ -383,3 +383,55 @@ def embedding_decontamination(
     ).filter(F.col("cos") >= threshold)
     best = scored.groupBy("id").agg(F.max(F.struct("cos", "bench_id")).alias("m"))
     return best.select("id", F.col("m.bench_id").alias("bench_id"), F.col("m.cos").alias("cos"))
+
+
+def scalar_quantize(
+    embeddings: DataFrame,
+    levels: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector scalar quantization: (id, codes array<int>, lo, hi).
+
+    The storage-side half of an embedding index: each float collapses to
+    round((x − lo)/(hi − lo) · (levels−1)) against the VECTOR's own
+    [lo, hi] range — 4x smaller at levels=256, reconstruction error
+    bounded by step/2 = (hi − lo)/(2·(levels−1)). Pure array expressions
+    (aggregate + transform), no UDFs; constant vectors (hi == lo)
+    quantize to code 0. Codes are engine-portable integers; use
+    :func:`dequantize` to rebuild approximate floats.
+    """
+    if levels < 2:
+        raise ValueError("levels must be >= 2")
+    v = F.col(vec_col)
+    lo = F.array_min(v)
+    hi = F.array_max(v)
+    step = (hi - lo) / F.lit(float(levels - 1))
+    codes = F.when(
+        hi == lo,
+        F.transform(v, lambda _: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            v, lambda x: F.round((x.cast("double") - lo.cast("double")) / step).cast("int")
+        )
+    )
+    return embeddings.select(
+        F.col(id_col),
+        codes.alias("codes"),
+        lo.cast("double").alias("lo"),
+        hi.cast("double").alias("hi"),
+    )
+
+
+def dequantize(
+    quantized: DataFrame, levels: int = 256, id_col: str = "vec_id"
+) -> DataFrame:
+    """(id, embedding array<double>) — approximate reconstruction of
+    :func:`scalar_quantize` output: x ≈ lo + code·(hi − lo)/(levels−1)."""
+    step = (F.col("hi") - F.col("lo")) / F.lit(float(levels - 1))
+    return quantized.select(
+        F.col(id_col),
+        F.transform(
+            F.col("codes"), lambda c: F.col("lo") + c.cast("double") * step
+        ).alias("embedding"),
+    )

@@ -793,3 +793,40 @@ class TestUnigramLogprob:
         )
         out = {r["doc_id"]: r["avg_neg_logprob"] for r in unigram_logprob(docs).collect()}
         assert out[2] > out[1]
+
+
+class TestScalarQuantization:
+    def test_roundtrip_error_bound(self, spark):
+        from kafka_graphs_spark.pipeline.similarity import dequantize, scalar_quantize
+
+        vecs = spark.createDataFrame(
+            [(1, [0.0, 1.0, 0.5, -1.0]), (2, [3.0, 3.0, 3.0]), (3, [2.5])],
+            "vec_id long, embedding array<float>",
+        )
+        q = scalar_quantize(vecs, levels=256)
+        d = {r["vec_id"]: r["embedding"] for r in dequantize(q, levels=256).collect()}
+        orig = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+        for vid, v in orig.items():
+            lo, hi = min(v), max(v)
+            bound = (hi - lo) / (2 * 255) + 1e-9
+            for a, b in zip(v, d[vid]):
+                assert abs(a - b) <= bound
+        # constant vector reconstructs exactly at lo
+        assert d[2] == [3.0, 3.0, 3.0]
+        assert d[3] == [2.5]
+
+    def test_codes_in_range(self, spark):
+        from kafka_graphs_spark.pipeline.similarity import scalar_quantize
+
+        vecs = spark.createDataFrame(
+            [(1, [float(i) for i in range(10)])], "vec_id long, embedding array<float>"
+        )
+        codes = scalar_quantize(vecs, levels=4).collect()[0]["codes"]
+        assert min(codes) == 0 and max(codes) == 3
+
+    def test_param_guard(self, spark):
+        from kafka_graphs_spark.pipeline.similarity import scalar_quantize
+
+        vecs = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+        with pytest.raises(ValueError):
+            scalar_quantize(vecs, levels=1)
