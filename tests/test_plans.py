@@ -306,3 +306,54 @@ class TestWalkAndKatzPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestRound4OperatorPlans:
+    def test_projection_and_motifs_no_python_no_cartesian(self, spark):
+        from kafka_graphs_spark import datasets
+        from kafka_graphs_spark.library import (
+            bipartite_projection,
+            ppmi,
+            triangle_motif_census,
+        )
+
+        g = datasets.supplier_part_graph(spark, SF)
+        proj = bipartite_projection(g, onto="src")
+        for df in (proj, ppmi(proj), triangle_motif_census(g)):
+            plan = executed_plan(df)
+            assert "BatchEvalPython" not in plan
+            assert "CartesianProduct" not in plan
+            assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_projection_count_combines_map_side(self, spark):
+        from kafka_graphs_spark import datasets
+        from kafka_graphs_spark.library import bipartite_projection
+
+        g = datasets.supplier_part_graph(spark, SF)
+        plan = executed_plan(bipartite_projection(g, onto="src"))
+        assert plan.count("HashAggregate") >= 2
+
+    def test_sessionize_single_user_shuffle(self, spark):
+        from kafka_graphs_spark.pipeline.sessions import session_stats
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        df = session_stats(ev, gap_minutes=30)
+        plan = executed_plan(df)
+        assert "BatchEvalPython" not in plan
+        # ONE exchange on user_id: the window sort and the per-session
+        # aggregation reuse the same hash partitioning
+        assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+    def test_quantize_no_python(self, emb):
+        from kafka_graphs_spark.pipeline.similarity import dequantize, scalar_quantize
+
+        q = scalar_quantize(emb)
+        for df in (q, dequantize(q)):
+            assert "BatchEvalPython" not in executed_plan(df)
+
+    def test_unigram_logprob_broadcasts_freq_table(self, docs):
+        from kafka_graphs_spark.pipeline.text import unigram_logprob
+
+        plan = executed_plan(unigram_logprob(docs))
+        assert "BatchEvalPython" not in plan
+        assert "BroadcastHashJoin" in plan
