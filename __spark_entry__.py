@@ -1548,6 +1548,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return diameter_double_sweep(star_graph(spark, 50))
 
+    def gen_pagerank_weighted(spark, sf):
+        # weighted PageRank (beyond-ref): 100 disjoint 5-vertex blocks,
+        # dyadic weights + reset=0.75 (damp 0.25, init 3.0) make every
+        # float op exact — bit-exact chained-CTE twin, no rounding
+        from kafka_graphs_spark import Graph
+
+        pat = F.array(*[
+            F.struct(F.lit(s).alias("s"), F.lit(d).alias("d"), F.lit(w).alias("w"))
+            for s, d, w in [
+                (0, 1, 1.0), (0, 2, 3.0), (1, 3, 2.0),
+                (2, 3, 1.0), (2, 4, 1.0), (3, 0, 4.0),
+            ]
+        ])
+        edges = (
+            spark.range(100)
+            .select((F.col("id") * 5).alias("base"), F.explode(pat).alias("e"))
+            .select(
+                (F.col("base") + F.col("e.s")).alias("src"),
+                (F.col("base") + F.col("e.d")).alias("dst"),
+                F.col("e.w").alias("value"),
+            )
+        )
+        g = Graph.from_edges(edges, F.lit(0.0))
+        out = pagerank(
+            g, reset_probability=0.75, max_iterations=3, weighted=True
+        )
+        return out.select("id", "value")
+
     def emb_quantize_inv(spark, sf):
         # scalar-quantization invariants over the embeddings table: codes
         # bounded by the level count, reconstruction error within step/2
@@ -1698,6 +1726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_coloring_inv": hier_coloring_inv,
         "ec_sessions": ec_sessions,
         "ec_pregel_wcc": ec_pregel_wcc,
+        "gen_pagerank_weighted": gen_pagerank_weighted,
         "emb_quantize_inv": emb_quantize_inv,
         "hier_motifs": hier_motifs,
         "gen_motifs": gen_motifs,
@@ -2060,6 +2089,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        """,
+        "gen_pagerank_weighted": """
+            WITH b AS (SELECT range AS blk FROM range(0, 100)),
+            e AS (SELECT blk*5 + s AS src, blk*5 + d AS dst, w::DOUBLE AS w
+                  FROM b, (VALUES (0,1,0.25),(0,2,0.75),(1,3,1.0),
+                                  (2,3,0.5),(2,4,0.5),(3,0,1.0)) AS t(s,d,w)),
+            v AS (SELECT blk*5 + i AS id
+                  FROM b, (VALUES (0),(1),(2),(3),(4)) AS t(i)),
+            s1 AS (SELECT id, 0.75::DOUBLE AS rank, 0.75::DOUBLE AS delta,
+                          true AS recv FROM v),
+            m2 AS (SELECT e.dst AS id, SUM(s.delta*e.w) AS m
+                   FROM s1 s JOIN e ON s.id = e.src
+                   WHERE s.recv AND s.delta > 0.0001 GROUP BY 1),
+            s2 AS (SELECT s.id,
+                          CASE WHEN m.m IS NULL THEN s.rank
+                               ELSE s.rank + 0.25::DOUBLE*m.m END AS rank,
+                          CASE WHEN m.m IS NULL THEN s.delta
+                               ELSE 0.25::DOUBLE*m.m END AS delta,
+                          m.m IS NOT NULL AS recv
+                   FROM s1 s LEFT JOIN m2 m ON s.id = m.id),
+            m3 AS (SELECT e.dst AS id, SUM(s.delta*e.w) AS m
+                   FROM s2 s JOIN e ON s.id = e.src
+                   WHERE s.recv AND s.delta > 0.0001 GROUP BY 1),
+            s3 AS (SELECT s.id,
+                          CASE WHEN m.m IS NULL THEN s.rank
+                               ELSE s.rank + 0.25::DOUBLE*m.m END AS rank,
+                          CASE WHEN m.m IS NULL THEN s.delta
+                               ELSE 0.25::DOUBLE*m.m END AS delta,
+                          m.m IS NOT NULL AS recv
+                   FROM s2 s LEFT JOIN m3 m ON s.id = m.id)
+            SELECT id, rank AS value FROM s3
         """,
         "emb_quantize_inv": """
             SELECT CAST(0 AS BIGINT) AS error_violations,

@@ -37,24 +37,44 @@ def pagerank(
     reset_probability: float = 0.15,
     src_vertex_id=None,
     max_iterations: int = 20,
+    weighted: bool = False,
 ) -> DataFrame:
     """Returns (id, rank double, delta double) after the delta iteration.
 
     ``max_iterations`` counts update supersteps like the reference's
     ``run(maxIterations)`` (supersteps 1..N after the normalization step 0).
+
+    ``weighted=True`` (beyond-reference) makes the transition probability
+    proportional to the edge value instead of uniform: the superstep-0
+    normalization becomes value/Σ(out-values). Edge values must be
+    positive — zero-or-negative weights would corrupt the distribution
+    silently, so the caller owns that contract (documented, not probed:
+    a validation pass would cost a full scan per call).
     """
     personalized = src_vertex_id is not None
     init_msg = 0.0 if personalized else reset_probability / (1.0 - reset_probability)
     damp = 1.0 - reset_probability
 
-    # superstep 0: normalize out-edge weights to 1/outDegree
-    # (PageRank.java:63-71 via cb.setNewEdgeValue)
-    out_deg = graph.edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    edges_w, release_edges = sized_cache(
-        graph.edges.select("src", "dst")
-        .join(out_deg, on="src")
-        .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("w"))
-    )
+    # superstep 0: normalize out-edge weights to 1/outDegree — or to
+    # value/Σvalue in weighted mode (PageRank.java:63-71 via
+    # cb.setNewEdgeValue)
+    if weighted:
+        out_w = graph.edges.groupBy("src").agg(
+            F.sum(F.col("value").cast("double")).alias("_wsum")
+        )
+        normalized = (
+            graph.edges.select("src", "dst", F.col("value").cast("double").alias("_v"))
+            .join(out_w, on="src")
+            .select("src", "dst", (F.col("_v") / F.col("_wsum")).alias("w"))
+        )
+    else:
+        out_deg = graph.edges.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        normalized = (
+            graph.edges.select("src", "dst")
+            .join(out_deg, on="src")
+            .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("w"))
+        )
+    edges_w, release_edges = sized_cache(normalized)
 
     state = graph.vertices.select(
         "id",

@@ -1284,3 +1284,27 @@ class TestKatz:
             katz_centrality(g, alpha=1.5)
         with pytest.raises(ValueError):
             katz_centrality(g, iterations=0)
+
+
+class TestWeightedPageRank:
+    def test_weights_shift_mass(self, spark):
+        from kafka_graphs_spark.library import pagerank
+
+        # 0 splits 1:3 between 1 and 2 (weighted) vs 1:1 (unweighted)
+        g = make_graph(spark, [(0, 1, 1.0), (0, 2, 3.0)])
+        w = vmap(pagerank(g, max_iterations=3, weighted=True).select("id", F.col("value")))
+        u = vmap(pagerank(g, max_iterations=3, weighted=False).select("id", F.col("value")))
+        assert u[1] == u[2]
+        assert w[2] > w[1]
+        # the weighted split is exactly 1/4 vs 3/4 of the propagated mass
+        assert w[2] - w[0] == pytest.approx(3 * (w[1] - w[0]))
+
+    def test_uniform_weights_match_unweighted(self, spark):
+        from kafka_graphs_spark.library import pagerank
+
+        edges = [(0, 1, 7.0), (0, 2, 7.0), (1, 2, 7.0), (2, 0, 7.0)]
+        g = make_graph(spark, edges)
+        w = vmap(pagerank(g, max_iterations=5, weighted=True).select("id", "value"))
+        u = vmap(pagerank(g, max_iterations=5, weighted=False).select("id", "value"))
+        for k in u:
+            assert w[k] == pytest.approx(u[k], abs=1e-12)
