@@ -15,7 +15,14 @@ from typing import Any, Callable, Dict
 
 from pyspark.sql import functions as F
 
-from kafka_graphs_spark.library.basic import edge_count, reverse_edges, vertex_count
+from kafka_graphs_spark.library.basic import (
+    bipartite_projection,
+    diameter_double_sweep,
+    edge_count,
+    reverse_edges,
+    triangle_motif_census,
+    vertex_count,
+)
 from kafka_graphs_spark.library.clustering_coefficient import local_clustering_coefficient
 from kafka_graphs_spark.library.components import (
     connected_components,
@@ -164,6 +171,16 @@ ALGORITHMS: Dict[str, AlgorithmSpec] = {
     ),
     "coloring": AlgorithmSpec(
         "coloring", greedy_coloring, lambda id_col: F.lit(0), "int", {"seed": 42}
+    ),
+    "diameter": AlgorithmSpec(
+        "diameter", diameter_double_sweep, lambda id_col: F.lit(0), "long", {}
+    ),
+    "motifs": AlgorithmSpec(
+        "motifs", triangle_motif_census, lambda id_col: F.lit(0), "long", {}
+    ),
+    "bipartite_projection": AlgorithmSpec(
+        "bipartite_projection", bipartite_projection, lambda id_col: F.lit(0),
+        "long", {"onto": "src"},
     ),
 }
 
