@@ -1548,6 +1548,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return diameter_double_sweep(star_graph(spark, 50))
 
+    def gen_topo_levels(spark, sf):
+        # directed 20x30 grid: level(cell) = row + col, closed-form twin
+        from kafka_graphs_spark.library import topological_levels
+        from kafka_graphs_spark.sources import grid_graph
+
+        return topological_levels(grid_graph(spark, 20, 30))
+
     def gen_pagerank_weighted(spark, sf):
         # weighted PageRank (beyond-ref): 100 disjoint 5-vertex blocks,
         # dyadic weights + reset=0.75 (damp 0.25, init 3.0) make every
@@ -1726,6 +1733,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_coloring_inv": hier_coloring_inv,
         "ec_sessions": ec_sessions,
         "ec_pregel_wcc": ec_pregel_wcc,
+        "gen_topo_levels": gen_topo_levels,
         "gen_pagerank_weighted": gen_pagerank_weighted,
         "emb_quantize_inv": emb_quantize_inv,
         "hier_motifs": hier_motifs,
@@ -2089,6 +2097,10 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        """,
+        "gen_topo_levels": """
+            SELECT range AS id, range // 30 + range % 30 AS level
+            FROM range(0, 600)
         """,
         "gen_pagerank_weighted": """
             WITH b AS (SELECT range AS blk FROM range(0, 100)),

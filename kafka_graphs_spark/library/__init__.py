@@ -46,6 +46,7 @@ from kafka_graphs_spark.library.structure import (
     maximal_independent_set,
     minimum_spanning_forest,
     strongly_connected_components,
+    topological_levels,
 )
 
 __all__ = [
@@ -82,6 +83,7 @@ __all__ = [
     "minimum_spanning_forest",
     "maximal_independent_set",
     "greedy_coloring",
+    "topological_levels",
     "max_b_matching",
     "als",
     "sgd",

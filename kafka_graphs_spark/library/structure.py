@@ -431,3 +431,71 @@ def greedy_coloring(
         spark = graph.vertices.sparkSession
         return spark.createDataFrame([], "id long, color int")
     return result.localCheckpoint(eager=True)
+
+
+def topological_levels(graph: Graph, max_iterations: int = 10_000) -> DataFrame:
+    """(id, level) — longest-path layering of a DAG: sources at level 0,
+    every vertex one past its deepest predecessor (the scheduling /
+    dependency-wave number).
+
+    Beyond-reference operator. Monotone max-relaxation with the same
+    chunked frontier discipline as the min propagation (_CHUNK lazy
+    rounds per probe). Cycles make the recurrence diverge, so any level
+    reaching |V| aborts with an error naming the certificate vertex count
+    instead of looping to the round bound — run
+    :func:`strongly_connected_components` first if cyclicity is unknown.
+    """
+    n_vertices = graph.vertices.count()
+    edges, release_e = sized_cache(
+        graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    )
+    loop = ChainLoop()
+    try:
+        state, _ = loop.advance(
+            graph.vertices.select(
+                "id", F.lit(0).cast("long").alias("level"), F.lit(True).alias("_changed")
+            )
+        )
+
+        def step(state):
+            frontier = state.filter(F.col("_changed")).select("id", "level")
+            msgs = (
+                frontier.join(edges, frontier["id"] == edges["src"])
+                .select(F.col("dst").alias("id"), (F.col("level") + 1).alias("m"))
+                .groupBy("id")
+                .agg(F.max("m").alias("m"))  # max combiner — map-side partial agg
+            )
+            return state.join(msgs, on="id", how="left").select(
+                "id",
+                F.greatest(F.col("level"), F.coalesce("m", F.col("level"))).alias("level"),
+                (F.coalesce("m", F.lit(-1)) > F.col("level")).alias("_changed"),
+            )
+
+        it = 0
+        while it < max_iterations:
+            n = min(_CHUNK, max_iterations - it)
+            for _ in range(n - 1):
+                it += 1
+                state = loop.chain(step(state))
+            it += 1
+            state, row = loop.advance(
+                step(state),
+                probes=[
+                    F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("n"),
+                    F.max("level").alias("max_level"),
+                ],
+            )
+            if row["max_level"] is not None and row["max_level"] >= n_vertices:
+                raise ValueError(
+                    "topological_levels: level reached the vertex count "
+                    f"({n_vertices}) — the graph contains a cycle"
+                )
+            if not row["n"]:
+                out = state.select("id", "level").localCheckpoint(eager=True)
+                return out
+        raise RuntimeError(
+            f"topological_levels did not converge in {max_iterations} rounds"
+        )
+    finally:
+        loop.release()
+        release_e()

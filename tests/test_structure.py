@@ -474,3 +474,29 @@ class TestTriangleMotifs:
 
         got = triangle_motif_census(make_graph(spark, [(1, 2, 0.0), (2, 3, 0.0)]))
         assert got.count() == 0
+
+
+class TestTopologicalLevels:
+    def test_grid_levels(self, spark):
+        from kafka_graphs_spark.library import topological_levels
+        from kafka_graphs_spark.sources import grid_graph
+
+        # directed grid r x c: level(cell) = row + col
+        out = topological_levels(grid_graph(spark, 4, 5))
+        got = {r["id"]: r["level"] for r in out.collect()}
+        assert got == {i: i // 5 + i % 5 for i in range(20)}
+
+    def test_diamond(self, spark):
+        from kafka_graphs_spark.library import topological_levels
+
+        edges = [(1, 2, 0.0), (1, 3, 0.0), (2, 4, 0.0), (3, 4, 0.0), (2, 3, 0.0)]
+        out = {r["id"]: r["level"] for r in
+               topological_levels(make_graph(spark, edges)).collect()}
+        assert out == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    def test_cycle_raises(self, spark):
+        from kafka_graphs_spark.library import topological_levels
+
+        g = make_graph(spark, [(1, 2, 0.0), (2, 3, 0.0), (3, 1, 0.0)])
+        with pytest.raises(ValueError, match="cycle"):
+            topological_levels(g)
