@@ -41,6 +41,7 @@ from kafka_graphs_spark.library.maxbmatching import max_b_matching
 from kafka_graphs_spark.library.similarity import adamic_adar, jaccard
 from kafka_graphs_spark.library.structure import (
     greedy_coloring,
+    topological_levels,
     maximal_independent_set,
     minimum_spanning_forest,
     strongly_connected_components,
@@ -181,6 +182,9 @@ ALGORITHMS: Dict[str, AlgorithmSpec] = {
     "bipartite_projection": AlgorithmSpec(
         "bipartite_projection", bipartite_projection, lambda id_col: F.lit(0),
         "long", {"onto": "src"},
+    ),
+    "topo_levels": AlgorithmSpec(
+        "topo_levels", topological_levels, lambda id_col: F.lit(0), "long", {}
     ),
 }
 
