@@ -1548,6 +1548,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return diameter_double_sweep(star_graph(spark, 50))
 
+    def emb_knn_graph(spark, sf):
+        # exact directed 3-NN graph of the embedding table (the verified
+        # baseline; the LSH path is the scale route)
+        emb = datasets.load(spark, sf, "embeddings")
+        return similarity.knn_graph(emb, k=3, method="exact")
+
     def gen_topo_levels(spark, sf):
         # directed 20x30 grid: level(cell) = row + col, closed-form twin
         from kafka_graphs_spark.library import topological_levels
@@ -1733,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_coloring_inv": hier_coloring_inv,
         "ec_sessions": ec_sessions,
         "ec_pregel_wcc": ec_pregel_wcc,
+        "emb_knn_graph": emb_knn_graph,
         "gen_topo_levels": gen_topo_levels,
         "gen_pagerank_weighted": gen_pagerank_weighted,
         "emb_quantize_inv": emb_quantize_inv,
@@ -2097,6 +2104,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        """,
+        "emb_knn_graph": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+            s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                         list_dot_product(a.ev, b.ev)
+                         / (sqrt(list_dot_product(a.ev, a.ev))
+                            * sqrt(list_dot_product(b.ev, b.ev))) AS cos
+                  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY src
+                                               ORDER BY cos DESC, dst) AS rank
+                  FROM s)
+            SELECT src, dst, round(cos, 6) AS cos FROM r WHERE rank <= 3
         """,
         "gen_topo_levels": """
             SELECT range AS id, range // 30 + range % 30 AS level

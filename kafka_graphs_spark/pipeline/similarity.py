@@ -435,3 +435,43 @@ def dequantize(
             F.col("codes"), lambda c: F.col("lo") + c.cast("double") * step
         ).alias("embedding"),
     )
+
+
+def knn_graph(
+    embeddings: DataFrame,
+    k: int = 10,
+    method: str = "exact",
+    mutual: bool = False,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **lsh_kwargs,
+) -> DataFrame:
+    """(src, dst, cos) — the directed k-nearest-neighbor graph of an
+    embedding table (each vector points at its k most cosine-similar
+    others). ``mutual=True`` keeps only reciprocated edges — the
+    symmetric kNN graph density-based clustering consumes.
+
+    Bridges the pipeline and graph tiers: feed the result to
+    ``Graph.from_edges`` and the whole algorithm library (components,
+    LP communities, coloring…) runs over embedding space.
+    ``method='exact'`` is the all-pairs verification baseline (broadcast
+    self-join, |V|² scores — small corpora only); ``method='lsh'`` rides
+    :func:`rp_lsh_topk` (bucketed candidates, the 100 TB path), accepting
+    its keyword arguments.
+    """
+    if method == "exact":
+        topk = cosine_topk(embeddings, embeddings, k=k, id_col=id_col, vec_col=vec_col)
+    elif method == "lsh":
+        topk = rp_lsh_topk(embeddings, embeddings, k=k, id_col=id_col,
+                           vec_col=vec_col, **lsh_kwargs)
+    else:
+        raise ValueError("method must be 'exact' or 'lsh'")
+    edges = topk.select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"), "cos"
+    )
+    if mutual:
+        rev = edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        )
+        edges = edges.join(rev, on=["src", "dst"], how="left_semi")
+    return edges

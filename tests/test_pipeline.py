@@ -830,3 +830,37 @@ class TestScalarQuantization:
         vecs = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
         with pytest.raises(ValueError):
             scalar_quantize(vecs, levels=1)
+
+
+class TestKnnGraph:
+    @pytest.fixture
+    def vecs(self, spark):
+        rows = [
+            (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [0.1, 0.9]),
+        ]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def test_exact_k1(self, vecs):
+        from kafka_graphs_spark.pipeline.similarity import knn_graph
+
+        got = {(r["src"], r["dst"]) for r in knn_graph(vecs, k=1).collect()}
+        assert got == {(1, 2), (2, 1), (3, 4), (4, 3)}
+
+    def test_mutual_filters_one_way_edges(self, spark):
+        from kafka_graphs_spark.pipeline.similarity import knn_graph
+
+        rows = [
+            (1, [1.0, 0.0]), (2, [0.9, 0.1]),
+            (3, [0.6, 0.45]),  # 3's nearest is 2, but 2's nearest is 1
+        ]
+        vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        allk = {(r["src"], r["dst"]) for r in knn_graph(vecs, k=1).collect()}
+        mut = {(r["src"], r["dst"]) for r in knn_graph(vecs, k=1, mutual=True).collect()}
+        assert (3, 2) in allk and (2, 3) not in allk
+        assert mut == {(1, 2), (2, 1)}
+
+    def test_param_guard(self, vecs):
+        from kafka_graphs_spark.pipeline.similarity import knn_graph
+
+        with pytest.raises(ValueError):
+            knn_graph(vecs, method="hnsw")
