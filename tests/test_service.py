@@ -147,3 +147,31 @@ def test_algorithms_listing(server):
         assert name in out, name
     assert out["pagerank"]["defaults"]["tolerance"] == 0.0001
     assert out["bfs"]["vertexValueType"] == "long"
+
+
+def test_round4_algorithms_over_rest(server, tmp_path):
+    """scc and topo_levels run end-to-end through the REST lifecycle."""
+    ef = tmp_path / "edges_r4.txt"
+    # cycle {1,2,3} feeding a DAG tail 3->4->5
+    ef.write_text("1 2 1\n2 3 1\n3 1 1\n3 4 1\n4 5 1\n")
+    code, out = call(server, "POST", "/import", {"edgesFile": str(ef), "numPartitions": 2})
+    assert code == 200
+    code, out = call(server, "POST", "/prepare", {"numPartitions": 2})
+    assert code == 200
+
+    code, out = call(server, "POST", "/pregel", {"algorithm": "scc", "configs": {}})
+    assert code == 200
+    algo_id = out["id"]
+    code, out = call(server, "POST", f"/pregel/{algo_id}", {"numIterations": 50})
+    assert code == 200
+    for _ in range(120):
+        code, out = call(server, "GET", f"/pregel/{algo_id}")
+        if out["state"] in ("HALTED", "ERROR"):
+            break
+        time.sleep(0.5)
+    assert out["state"] == "HALTED"
+    code, rows = call(server, "GET", f"/pregel/{algo_id}/result")
+    assert code == 200
+    got = {r["key"]: r["value"] for r in rows}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5}
+    call(server, "DELETE", f"/pregel/{algo_id}")
