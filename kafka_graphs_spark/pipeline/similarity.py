@@ -404,8 +404,11 @@ def scalar_quantize(
     if levels < 2:
         raise ValueError("levels must be >= 2")
     v = F.col(vec_col)
-    lo = F.array_min(v)
-    hi = F.array_max(v)
+    # subtract in DOUBLE: a float32 (hi - lo) would give quantize a step
+    # that differs from dequantize's double-subtracted step by ~1e-7
+    # relative, which times code<=255 breaks the step/2 error bound
+    lo = F.array_min(v).cast("double")
+    hi = F.array_max(v).cast("double")
     step = (hi - lo) / F.lit(float(levels - 1))
     codes = F.when(
         hi == lo,
