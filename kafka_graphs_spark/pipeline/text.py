@@ -425,23 +425,31 @@ def chunk_text(
     )
 
 
-def unigram_logprob(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def unigram_logprob(
+    docs: DataFrame, text_col: str = "text", broadcast_vocab: bool = True
+) -> DataFrame:
     """(doc_id, n_tokens, avg_neg_logprob) — corpus-unigram surprisal per
     document: mean of −ln(count(token)/total) over the document's tokens.
 
     The classic perplexity proxy for quality filtering (a real LM is a
     model artifact; the unigram bound is computable in-engine and ranks
     gibberish/boilerplate the same direction). Two aggregations: the
-    unigram table (map-side combined; vocabulary-sized, broadcast into the
-    scoring join) and the per-document mean. Everything stays in codegen —
-    no UDFs. Empty documents score NULL.
+    unigram table (map-side combined) and the per-document mean.
+    Everything stays in codegen — no UDFs. Empty documents score NULL.
+
+    ``broadcast_vocab`` (default True) broadcasts the frequency table
+    into the scoring join — right whenever the vocabulary fits an
+    executor (the usual case). A web-scale raw vocabulary (every typo is
+    a token) can reach 10⁸+ rows: pass False to fall back to a shuffled
+    equi-join on the token key and let AQE pick the strategy.
     """
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
     )
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     total = freq.agg(F.sum("c").alias("t")).collect()[0]["t"] or 1
-    scored = toks.join(F.broadcast(freq), on="tok").select(
+    freq_side = F.broadcast(freq) if broadcast_vocab else freq
+    scored = toks.join(freq_side, on="tok").select(
         "doc_id",
         (-F.log(F.col("c").cast("double") / F.lit(float(total)))).alias("nlp"),
     )
