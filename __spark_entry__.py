@@ -1548,6 +1548,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return diameter_double_sweep(star_graph(spark, 50))
 
+    def gen_harmonic_star(spark, sf):
+        # S50: hub = 49·(1/1); leaf = 1/1 + 48·(1/2) — dyadic, exact twin
+        from kafka_graphs_spark.library import harmonic_centrality
+        from kafka_graphs_spark.sources import star_graph
+
+        return harmonic_centrality(star_graph(spark, 50))
+
     def emb_knn_graph(spark, sf):
         # exact directed 3-NN graph of the embedding table (the verified
         # baseline; the LSH path is the scale route)
@@ -1748,6 +1755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_coloring_inv": hier_coloring_inv,
         "ec_sessions": ec_sessions,
         "ec_pregel_wcc": ec_pregel_wcc,
+        "gen_harmonic_star": gen_harmonic_star,
         "emb_knn_graph": emb_knn_graph,
         "gen_topo_levels": gen_topo_levels,
         "gen_pagerank_weighted": gen_pagerank_weighted,
@@ -2113,6 +2121,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        """,
+        "gen_harmonic_star": """
+            SELECT range AS id,
+                   CASE WHEN range = 0 THEN 49.0 ELSE 25.0 END AS harmonic
+            FROM range(0, 50)
         """,
         "emb_knn_graph": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

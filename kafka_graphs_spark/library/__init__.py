@@ -40,7 +40,11 @@ from kafka_graphs_spark.library.clustering import kmeans, kmeans_ml, semi_cluste
 from kafka_graphs_spark.library.maxbmatching import max_b_matching
 from kafka_graphs_spark.library.sybilrank import sybil_rank
 from kafka_graphs_spark.library.hits import hits, katz_centrality
-from kafka_graphs_spark.library.centrality import betweenness_centrality, closeness_centrality
+from kafka_graphs_spark.library.centrality import (
+    betweenness_centrality,
+    closeness_centrality,
+    harmonic_centrality,
+)
 from kafka_graphs_spark.library.structure import (
     greedy_coloring,
     maximal_independent_set,
@@ -78,6 +82,7 @@ __all__ = [
     "hits",
     "katz_centrality",
     "closeness_centrality",
+    "harmonic_centrality",
     "betweenness_centrality",
     "strongly_connected_components",
     "minimum_spanning_forest",

@@ -102,7 +102,54 @@ def closeness_centrality(
     )
 
 
+def harmonic_centrality(
+    graph: Graph,
+    landmarks: Optional[Iterable] = None,
+    max_iterations: int = 50,
+    directed: bool = False,
+) -> DataFrame:
+    """(id, harmonic) — Σ 1/d(landmark, v) over reached landmarks ≠ self.
+
+    Beyond-reference companion to :func:`closeness_centrality` (same MSSP
+    runtime, same landmark sampling = the scale path): harmonic centrality
+    is the disconnected-robust variant — unreachable pairs contribute 0
+    instead of poisoning the mean, so it needs no per-component
+    normalization (Boldi & Vigna 2014, public). Edge values are weights;
+    unit weights give the hop-count form.
+    """
+    if landmarks is None:
+        landmarks = _all_vertex_ids(graph)
+    landmarks = sorted(set(landmarks))
+    g = graph
+    if not directed:
+        e = graph.edges.select("src", "dst", "value")
+        g = Graph(
+            graph.vertices,
+            e.unionByName(
+                e.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "value"
+                )
+            )
+            .groupBy("src", "dst")
+            .agg(F.min("value").alias("value")),
+        )
+    dists = mssp(g, landmarks, max_iterations=max_iterations)
+    per = (
+        dists.select("id", F.explode("value").alias("s", "d"))
+        .filter(~F.col("d").eqNullSafe(F.lit(float("inf"))))
+        .filter((F.col("s") != F.col("id")) & (F.col("d") > 0.0))
+        .groupBy("id")
+        .agg(F.sum(F.lit(1.0) / F.col("d")).alias("h"))
+    )
+    return (
+        graph.vertices.select("id")
+        .join(per, on="id", how="left")
+        .select("id", F.coalesce("h", F.lit(0.0)).alias("harmonic"))
+    )
+
+
 def betweenness_centrality(
+
     graph: Graph,
     sources: Optional[Iterable] = None,
     max_iterations: int = 100,

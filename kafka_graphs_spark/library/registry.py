@@ -35,7 +35,11 @@ from kafka_graphs_spark.library.pagerank import pagerank as _pagerank
 from kafka_graphs_spark.library.paths import bfs, mssp, sssp
 from kafka_graphs_spark.library.cf import als, sgd, svdpp
 from kafka_graphs_spark.library.hits import hits, katz_centrality
-from kafka_graphs_spark.library.centrality import betweenness_centrality, closeness_centrality
+from kafka_graphs_spark.library.centrality import (
+    betweenness_centrality,
+    closeness_centrality,
+    harmonic_centrality,
+)
 from kafka_graphs_spark.library.clustering import kmeans, semi_clustering
 from kafka_graphs_spark.library.maxbmatching import max_b_matching
 from kafka_graphs_spark.library.similarity import adamic_adar, jaccard
@@ -185,6 +189,9 @@ ALGORITHMS: Dict[str, AlgorithmSpec] = {
     ),
     "topo_levels": AlgorithmSpec(
         "topo_levels", topological_levels, lambda id_col: F.lit(0), "long", {}
+    ),
+    "harmonic": AlgorithmSpec(
+        "harmonic", harmonic_centrality, lambda id_col: F.lit(0.0), "double", {}
     ),
 }
 

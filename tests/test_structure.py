@@ -500,3 +500,33 @@ class TestTopologicalLevels:
         g = make_graph(spark, [(1, 2, 0.0), (2, 3, 0.0), (3, 1, 0.0)])
         with pytest.raises(ValueError, match="cycle"):
             topological_levels(g)
+
+
+class TestHarmonicCentrality:
+    def test_star_closed_form(self, spark):
+        from kafka_graphs_spark.library import harmonic_centrality
+        from kafka_graphs_spark.sources import star_graph
+
+        got = {r["id"]: r["harmonic"] for r in
+               harmonic_centrality(star_graph(spark, 50)).collect()}
+        assert got[0] == 49.0
+        for i in range(1, 50):
+            assert got[i] == 25.0  # 1/1 + 48 * 1/2
+
+    def test_path_values(self, spark):
+        from kafka_graphs_spark.library import harmonic_centrality
+        from kafka_graphs_spark.sources import grid_graph
+
+        got = {r["id"]: r["harmonic"] for r in
+               harmonic_centrality(grid_graph(spark, 1, 5)).collect()}
+        for i in range(5):
+            expect = sum(1.0 / abs(i - j) for j in range(5) if j != i)
+            assert got[i] == pytest.approx(expect)
+
+    def test_disconnected_robust(self, spark):
+        from kafka_graphs_spark.library import harmonic_centrality
+
+        # two components: no inf poisoning, isolated pair still scored
+        g = make_graph(spark, [(1, 2, 1.0), (10, 11, 1.0)])
+        got = {r["id"]: r["harmonic"] for r in harmonic_centrality(g).collect()}
+        assert got == {1: 1.0, 2: 1.0, 10: 1.0, 11: 1.0}
