@@ -170,15 +170,9 @@ def diameter_double_sweep(graph: Graph) -> "DataFrame":
     from kafka_graphs_spark.library._loop import MAX_LONG
     from kafka_graphs_spark.library.paths import bfs
 
-    und = (
-        graph.edges.select("src", "dst")
-        .unionByName(
-            graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
-    g = Graph(graph.vertices, und)
+    from kafka_graphs_spark.library.components import _undirected_simple_edges
+
+    g = Graph(graph.vertices, _undirected_simple_edges(graph.edges))
     spark = graph.vertices.sparkSession
     row0 = graph.vertices.agg(F.min("id").alias("m")).collect()[0]
     if row0["m"] is None:
@@ -225,7 +219,15 @@ def ppmi(
     doubled pair list; the total is a scalar broadcast into the plan. No
     UDFs — ln() stays in codegen.
     """
+    from pyspark import StorageLevel
+
     a, b, w = F.col(a_col), F.col(b_col), F.col(weight_col)
+    # the pair table is scanned 4x (total, both marginal sides, output);
+    # recomputing a quadratic co-occurrence join that many times is the
+    # dominant cost, so persist it for the call's lifetime (the returned
+    # frame keeps reading the cache; blocks are reclaimed by the context
+    # cleaner once the result is dereferenced)
+    pairs.persist(StorageLevel.MEMORY_AND_DISK)
     total = pairs.agg(F.sum(w).alias("t")).collect()[0]["t"]
     if not total:
         return pairs.select(a_col, b_col, weight_col).withColumn(

@@ -46,6 +46,30 @@ def _all_vertex_ids(graph: Graph) -> list:
     return [r["id"] for r in graph.vertices.select("id").collect()]
 
 
+def _landmark_prep(graph, landmarks, directed):
+    """Shared closeness/harmonic preamble: sorted deduped landmarks (dups
+    would collide in the mssp map) and — for undirected semantics — the
+    deterministically symmetrized weighted graph (min weight per ordered
+    pair; dropDuplicates would keep a partition-order-dependent value)."""
+    if landmarks is None:
+        landmarks = _all_vertex_ids(graph)
+    landmarks = sorted(set(landmarks))
+    g = graph
+    if not directed:
+        e = graph.edges.select("src", "dst", "value")
+        g = Graph(
+            graph.vertices,
+            e.unionByName(
+                e.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "value"
+                )
+            )
+            .groupBy("src", "dst")
+            .agg(F.min("value").alias("value")),
+        )
+    return g, landmarks
+
+
 def closeness_centrality(
     graph: Graph,
     landmarks: Optional[Iterable] = None,
@@ -61,24 +85,7 @@ def closeness_centrality(
     ``directed=True`` gives in-closeness under the landmark distances
     d(s, v). Vertices reaching no landmark (or only themselves) get 0.0.
     """
-    if landmarks is None:
-        landmarks = _all_vertex_ids(graph)
-    landmarks = sorted(set(landmarks))  # dups would collide in the mssp map
-    g = graph
-    if not directed:
-        e = graph.edges.select("src", "dst", "value")
-        # deterministic symmetrization: min weight per ordered pair
-        # (dropDuplicates would keep a partition-order-dependent value)
-        g = Graph(
-            graph.vertices,
-            e.unionByName(
-                e.select(
-                    F.col("dst").alias("src"), F.col("src").alias("dst"), "value"
-                )
-            )
-            .groupBy("src", "dst")
-            .agg(F.min("value").alias("value")),
-        )
+    g, landmarks = _landmark_prep(graph, landmarks, directed)
     dists = mssp(g, landmarks, max_iterations=max_iterations)
     per = (
         dists.select("id", F.explode("value").alias("s", "d"))
@@ -117,22 +124,7 @@ def harmonic_centrality(
     normalization (Boldi & Vigna 2014, public). Edge values are weights;
     unit weights give the hop-count form.
     """
-    if landmarks is None:
-        landmarks = _all_vertex_ids(graph)
-    landmarks = sorted(set(landmarks))
-    g = graph
-    if not directed:
-        e = graph.edges.select("src", "dst", "value")
-        g = Graph(
-            graph.vertices,
-            e.unionByName(
-                e.select(
-                    F.col("dst").alias("src"), F.col("src").alias("dst"), "value"
-                )
-            )
-            .groupBy("src", "dst")
-            .agg(F.min("value").alias("value")),
-        )
+    g, landmarks = _landmark_prep(graph, landmarks, directed)
     dists = mssp(g, landmarks, max_iterations=max_iterations)
     per = (
         dists.select("id", F.explode("value").alias("s", "d"))
@@ -149,7 +141,6 @@ def harmonic_centrality(
 
 
 def betweenness_centrality(
-
     graph: Graph,
     sources: Optional[Iterable] = None,
     max_iterations: int = 100,

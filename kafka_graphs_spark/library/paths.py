@@ -47,7 +47,8 @@ def _n_changed():
 _CHUNK = 8
 
 
-def _frontier_loop(loop: "ChainLoop", state, step, max_iterations: int):
+def _frontier_loop(loop: "ChainLoop", state, step, max_iterations: int,
+                   extra_probes=(), probe_check=None, raise_label=None):
     """Drive a frontier-relaxation loop with chunked termination probes.
 
     ``step(state, round_no)`` builds ONE lazy round from a leaf frame.
@@ -55,6 +56,12 @@ def _frontier_loop(loop: "ChainLoop", state, step, max_iterations: int):
     chunk-ending ``loop.advance`` materializes them all in one action and
     reports whether the LAST round changed anything — if the frontier died
     mid-chunk the remaining rounds are no-ops and the probe reads 0.
+
+    ``extra_probes`` ride the same probe action; ``probe_check(row)`` runs
+    per probe (raise inside it to abort, e.g. cycle detection); a
+    ``raise_label`` turns round-budget exhaustion into a RuntimeError
+    instead of returning the non-converged state (for callers whose
+    result is only meaningful at the fixpoint).
     """
     state, _ = loop.advance(state)
     it = 0
@@ -64,9 +71,17 @@ def _frontier_loop(loop: "ChainLoop", state, step, max_iterations: int):
             it += 1
             state = loop.chain(step(state, it))
         it += 1
-        state, row = loop.advance(step(state, it), probes=[_n_changed()])
+        state, row = loop.advance(
+            step(state, it), probes=[_n_changed(), *extra_probes]
+        )
+        if probe_check is not None:
+            probe_check(row)
         if not row["n_changed"]:
-            break
+            return state
+    if raise_label is not None:
+        raise RuntimeError(
+            f"{raise_label} did not converge in {max_iterations} rounds"
+        )
     return state
 
 

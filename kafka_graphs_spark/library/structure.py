@@ -36,10 +36,11 @@ from kafka_graphs_spark.library._loop import (
     free_df,
     sized_cache,
 )
-from kafka_graphs_spark.library.components import connected_components
-
-
-_CHUNK = 8  # frontier rounds per driver probe (see paths.py:41-47)
+from kafka_graphs_spark.library.components import (
+    _undirected_simple_edges,
+    connected_components,
+)
+from kafka_graphs_spark.library.paths import _frontier_loop
 
 
 def _min_step(state: DataFrame, edges: DataFrame) -> DataFrame:
@@ -64,28 +65,17 @@ def _propagate_min(loop: ChainLoop, vertices: DataFrame, edges: DataFrame,
                    max_iterations: int) -> DataFrame:
     """Fixpoint of label(v) = min(label(v), min over in-edges label(src)):
     the min vertex id over ancestors-and-self, i.e. min-label reachability
-    ALONG edge direction. Chunked frontier relaxation: _CHUNK lazy rounds
-    (ChainLoop.chain leaves, bounded plans) per termination probe, so a
-    depth-D graph costs ~D/_CHUNK driver actions."""
-    state, _ = loop.advance(
-        vertices.select("id", F.col("id").alias("lbl"), F.lit(True).alias("_changed"))
+    ALONG edge direction. Rides paths._frontier_loop (chunked lazy rounds,
+    one probe action per chunk), raising on round-budget exhaustion —
+    SCC labels are only meaningful at the fixpoint."""
+    init = vertices.select(
+        "id", F.col("id").alias("lbl"), F.lit(True).alias("_changed")
     )
-    it = 0
-    while it < max_iterations:
-        n = min(_CHUNK, max_iterations - it)
-        for _ in range(n - 1):
-            it += 1
-            state = loop.chain(_min_step(state, edges))
-        it += 1
-        state, row = loop.advance(
-            _min_step(state, edges),
-            probes=[F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("n")],
-        )
-        if not row["n"]:
-            return state.select("id", "lbl")
-    raise RuntimeError(
-        f"scc: min-label propagation did not converge in {max_iterations} rounds"
+    state = _frontier_loop(
+        loop, init, lambda s, _i: _min_step(s, edges), max_iterations,
+        raise_label="scc min-label propagation",
     )
+    return state.select("id", "lbl")
 
 
 def strongly_connected_components(
@@ -321,14 +311,7 @@ def maximal_independent_set(
     O(log V) rounds; each round is one min-combined neighbor agg + one
     join, one ChainLoop action. Isolated vertices enter immediately.
     """
-    und, release_und = sized_cache(
-        graph.edges.select("src", "dst")
-        .unionByName(
-            graph.edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-    )
+    und, release_und = sized_cache(_undirected_simple_edges(graph.edges))
     # status: 0 undecided / 1 in MIS / 2 excluded
     state = graph.vertices.select("id", F.lit(0).alias("status"))
     loop = ChainLoop()
@@ -438,26 +421,24 @@ def topological_levels(graph: Graph, max_iterations: int = 10_000) -> DataFrame:
     every vertex one past its deepest predecessor (the scheduling /
     dependency-wave number).
 
-    Beyond-reference operator. Monotone max-relaxation with the same
-    chunked frontier discipline as the min propagation (_CHUNK lazy
-    rounds per probe). Cycles make the recurrence diverge, so any level
-    reaching |V| aborts with an error naming the certificate vertex count
-    instead of looping to the round bound — run
-    :func:`strongly_connected_components` first if cyclicity is unknown.
+    Beyond-reference operator. Monotone max-relaxation on the shared
+    chunked frontier loop (paths._frontier_loop). Cycles make the
+    recurrence diverge, so any level reaching |V| aborts with a cycle
+    error — self-loops included (they relax themselves upward each round
+    until the bound trips) — run :func:`strongly_connected_components`
+    first if cyclicity is unknown.
     """
     n_vertices = graph.vertices.count()
-    edges, release_e = sized_cache(
-        graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
-    )
+    # keep self-loops: a self-loop IS a cycle and must trip the detector,
+    # not be silently ignored
+    edges, release_e = sized_cache(graph.edges.select("src", "dst").distinct())
     loop = ChainLoop()
     try:
-        state, _ = loop.advance(
-            graph.vertices.select(
-                "id", F.lit(0).cast("long").alias("level"), F.lit(True).alias("_changed")
-            )
+        init = graph.vertices.select(
+            "id", F.lit(0).cast("long").alias("level"), F.lit(True).alias("_changed")
         )
 
-        def step(state):
+        def step(state, _round):
             frontier = state.filter(F.col("_changed")).select("id", "level")
             msgs = (
                 frontier.join(edges, frontier["id"] == edges["src"])
@@ -471,31 +452,20 @@ def topological_levels(graph: Graph, max_iterations: int = 10_000) -> DataFrame:
                 (F.coalesce("m", F.lit(-1)) > F.col("level")).alias("_changed"),
             )
 
-        it = 0
-        while it < max_iterations:
-            n = min(_CHUNK, max_iterations - it)
-            for _ in range(n - 1):
-                it += 1
-                state = loop.chain(step(state))
-            it += 1
-            state, row = loop.advance(
-                step(state),
-                probes=[
-                    F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("n"),
-                    F.max("level").alias("max_level"),
-                ],
-            )
+        def check(row):
             if row["max_level"] is not None and row["max_level"] >= n_vertices:
                 raise ValueError(
                     "topological_levels: level reached the vertex count "
                     f"({n_vertices}) — the graph contains a cycle"
                 )
-            if not row["n"]:
-                out = state.select("id", "level").localCheckpoint(eager=True)
-                return out
-        raise RuntimeError(
-            f"topological_levels did not converge in {max_iterations} rounds"
+
+        state = _frontier_loop(
+            loop, init, step, max_iterations,
+            extra_probes=[F.max("level").alias("max_level")],
+            probe_check=check,
+            raise_label="topological_levels",
         )
+        return state.select("id", "level").localCheckpoint(eager=True)
     finally:
         loop.release()
         release_e()

@@ -443,10 +443,16 @@ def unigram_logprob(
     a token) can reach 10⁸+ rows: pass False to fall back to a shuffled
     equi-join on the token key and let AQE pick the strategy.
     """
+    from pyspark import StorageLevel
+
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
     )
+    # persist the (vocabulary-sized) frequency table so the corpus is
+    # tokenized once for the total probe and once for the scoring join,
+    # instead of three full tokenize passes
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    freq.persist(StorageLevel.MEMORY_AND_DISK)
     total = freq.agg(F.sum("c").alias("t")).collect()[0]["t"] or 1
     freq_side = F.broadcast(freq) if broadcast_vocab else freq
     scored = toks.join(freq_side, on="tok").select(

@@ -172,16 +172,17 @@ class TestMSF:
                 continue
             seen.add((min(a, b), max(a, b)))
             wedges.append((a, b, float(rng.randrange(1, 10_000))))
-        # unique weights → unique MSF
-        assert len({w for _, _, w in wedges}) == len(wedges) or True
+        # dedupe colliding weights so the MSF is unique and edge-set
+        # comparable (not just weight-comparable)
+        seen_w = set()
+        wedges = [e for e in wedges
+                  if e[2] not in seen_w and not seen_w.add(e[2])]
         g = make_graph(spark, wedges)
         vertices = sorted({v for a, b, _ in wedges for v in (a, b)})
         expect = kruskal_msf(vertices, wedges)
         got = {(r["src"], r["dst"], r["weight"]) for r in
                minimum_spanning_forest(g).collect()}
-        # identical total weight and edge count even if weights collide
-        assert len(got) == len(expect)
-        assert sum(w for _, _, w in got) == sum(w for _, _, w in expect)
+        assert got == expect  # unique weights -> unique MSF, exact match
 
     def test_parallel_edges_collapse(self, spark):
         edges = [(1, 2, 5.0), (2, 1, 1.0), (2, 3, 2.0)]
