@@ -1,26 +1,31 @@
 """Structural decompositions: SCC, minimum spanning forest, maximal
-independent set, greedy coloring.
+independent set, greedy coloring, topological levels.
 
 Beyond-reference operators (the reference library — io/kgraph/library/,
 registry GraphAlgorithmType.java:33-116 — has no directed-component,
 forest, or coloring algorithms): standard companions to the component
 tier (components.py) that any GraphX/Gelly user of the reference would
-expect. All four are DataFrame recurrences on ChainLoop — equi-joins
-keyed on vertex/component ids, map-side-combined min/max aggregation,
-one action per round, no driver-side materialization of graph data.
+expect. All are DataFrame recurrences on ChainLoop — equi-joins keyed on
+vertex/component ids, map-side-combined min/max aggregation, one action
+per round (chunked via paths._frontier_loop where rounds are cheap), no
+driver-side materialization of graph data.
 
 Scale notes (100 TB framing):
-- SCC uses the min-forward/min-backward labeling: each outer round peels
-  every label-consistent SCC (always including the SCC of the smallest
-  active vertex). Outer rounds are bounded by the SCC "chain depth" of
-  the condensation, inner rounds by its diameter — both small for the
-  hub-heavy graphs this engine targets; ``max_iterations`` raises on
+- SCC uses min-forward/min-backward labeling with label-class
+  partitioning: each outer round peels every label-consistent SCC AND
+  deletes all cross-class edges, so the remainder splits into classes
+  that resolve concurrently — a condensation chain of any depth
+  finishes in 2 outer rounds, and rounds stay near-logarithmic in
+  practice. Propagation depth rides chunked frontier relaxation
+  (8 lazy rounds per driver action); ``max_iterations`` raises on
   exhaustion instead of returning a partial answer.
 - Boruvka halves the component count per round: O(log V) rounds, each a
   min_by partial agg per component plus a label merge (delegated to the
   pointer-jumped connected_components loop, itself O(log V)).
 - Luby MIS decides an expected constant fraction of vertices per round:
   O(log V) expected rounds, deterministic via xxhash64 priorities.
+- Topological levels are monotone max-relaxation with executor-side
+  cycle detection (level >= |V| aborts with a certificate).
 """
 
 from __future__ import annotations
