@@ -1548,6 +1548,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return diameter_double_sweep(star_graph(spark, 50))
 
+    def emb_knn_wcc(spark, sf):
+        # cross-tier composite: nearest-neighbor graph of the embedding
+        # table -> WCC clusters (138 components at sf0.01) — verified by a
+        # recursive-CTE closure twin
+        from kafka_graphs_spark import Graph
+
+        emb = datasets.load(spark, sf, "embeddings")
+        knn = similarity.knn_graph(emb, k=1, method="exact")
+        g = Graph.from_edges(
+            knn.select("src", "dst", F.lit(1.0).alias("value")), F.lit(0.0)
+        )
+        return connected_components(g, max_iterations=100)
+
     def gen_harmonic_star(spark, sf):
         # S50: hub = 49·(1/1); leaf = 1/1 + 48·(1/2) — dyadic, exact twin
         from kafka_graphs_spark.library import harmonic_centrality
@@ -1757,6 +1770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_pregel_wcc": ec_pregel_wcc,
         "gen_harmonic_star": gen_harmonic_star,
         "emb_knn_graph": emb_knn_graph,
+        "emb_knn_wcc": emb_knn_wcc,
         "gen_topo_levels": gen_topo_levels,
         "gen_pagerank_weighted": gen_pagerank_weighted,
         "emb_quantize_inv": emb_quantize_inv,
@@ -2121,6 +2135,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        """,
+        "emb_knn_wcc": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+            s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                         list_dot_product(a.ev, b.ev)
+                         / (sqrt(list_dot_product(a.ev, a.ev))
+                            * sqrt(list_dot_product(b.ev, b.ev))) AS cos
+                  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY src
+                                               ORDER BY cos DESC, dst) AS rank
+                  FROM s),
+            knn AS (SELECT src, dst FROM r WHERE rank <= 1),
+            und AS (SELECT DISTINCT src, dst FROM
+                    (SELECT src, dst FROM knn UNION ALL SELECT dst, src FROM knn)),
+            rec AS (
+              WITH RECURSIVE reach(id, lbl) AS (
+                SELECT vec_id, vec_id FROM v
+                UNION
+                SELECT u.dst, r2.lbl FROM reach r2 JOIN und u ON r2.id = u.src
+              )
+              SELECT id, MIN(lbl) AS value FROM reach GROUP BY id
+            )
+            SELECT id, value FROM rec
         """,
         "gen_harmonic_star": """
             SELECT range AS id,
