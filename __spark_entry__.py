@@ -1581,6 +1581,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return topological_levels(grid_graph(spark, 20, 30))
 
+    def gen_lp_weighted(spark, sf):
+        # weighted LP (beyond-ref): 100 disjoint 4-vertex blocks, dyadic
+        # vote weights — exact chained-CTE twin over 2 update rounds
+        from kafka_graphs_spark import Graph
+
+        pat = F.array(*[
+            F.struct(F.lit(s).alias("s"), F.lit(d).alias("d"), F.lit(w).alias("w"))
+            for s, d, w in [
+                (1, 0, 4.0), (3, 0, 1.0), (0, 1, 2.0),
+                (3, 2, 2.0), (1, 2, 8.0), (2, 3, 1.0),
+            ]
+        ])
+        edges = (
+            spark.range(100)
+            .select((F.col("id") * 4).alias("base"), F.explode(pat).alias("e"))
+            .select(
+                (F.col("base") + F.col("e.s")).alias("src"),
+                (F.col("base") + F.col("e.d")).alias("dst"),
+                F.col("e.w").alias("value"),
+            )
+        )
+        g = Graph.from_edges(edges, F.col("id"))
+        return label_propagation(g, max_iterations=2, weighted=True)
+
     def gen_pagerank_weighted(spark, sf):
         # weighted PageRank (beyond-ref): 100 disjoint 5-vertex blocks,
         # dyadic weights + reset=0.75 (damp 0.25, init 3.0) make every
@@ -1772,6 +1796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_knn_graph": emb_knn_graph,
         "emb_knn_wcc": emb_knn_wcc,
         "gen_topo_levels": gen_topo_levels,
+        "gen_lp_weighted": gen_lp_weighted,
         "gen_pagerank_weighted": gen_pagerank_weighted,
         "emb_quantize_inv": emb_quantize_inv,
         "hier_motifs": hier_motifs,
@@ -2179,6 +2204,34 @@ def oracle_sql() -> dict[str, str]:
         "gen_topo_levels": """
             SELECT range AS id, range // 30 + range % 30 AS level
             FROM range(0, 600)
+        """,
+        "gen_lp_weighted": """
+            WITH b AS (SELECT range AS blk FROM range(0, 100)),
+            e AS (SELECT blk*4 + s AS src, blk*4 + d AS dst, w::DOUBLE AS w
+                  FROM b, (VALUES (1,0,4.0),(3,0,1.0),(0,1,2.0),
+                                  (3,2,2.0),(1,2,8.0),(2,3,1.0)) AS t(s,d,w)),
+            v AS (SELECT blk*4 + i AS id
+                  FROM b, (VALUES (0),(1),(2),(3)) AS t(i)),
+            s0 AS (SELECT id, id AS lbl FROM v),
+            c1 AS (SELECT e.dst AS id, s.lbl, SUM(e.w) AS cnt
+                   FROM s0 s JOIN e ON s.id = e.src GROUP BY 1, 2),
+            b1 AS (SELECT id, lbl AS best FROM
+                   (SELECT id, lbl, row_number() OVER
+                      (PARTITION BY id ORDER BY cnt DESC, lbl DESC) AS rn
+                    FROM c1) WHERE rn = 1),
+            s1 AS (SELECT s.id,
+                          CASE WHEN b1.best > s.lbl THEN b1.best ELSE s.lbl END AS lbl
+                   FROM s0 s LEFT JOIN b1 ON s.id = b1.id),
+            c2 AS (SELECT e.dst AS id, s.lbl, SUM(e.w) AS cnt
+                   FROM s1 s JOIN e ON s.id = e.src GROUP BY 1, 2),
+            b2 AS (SELECT id, lbl AS best FROM
+                   (SELECT id, lbl, row_number() OVER
+                      (PARTITION BY id ORDER BY cnt DESC, lbl DESC) AS rn
+                    FROM c2) WHERE rn = 1),
+            s2 AS (SELECT s.id,
+                          CASE WHEN b2.best > s.lbl THEN b2.best ELSE s.lbl END AS lbl
+                   FROM s1 s LEFT JOIN b2 ON s.id = b2.id)
+            SELECT id, lbl AS value FROM s2
         """,
         "gen_pagerank_weighted": """
             WITH b AS (SELECT range AS blk FROM range(0, 100)),

@@ -98,7 +98,9 @@ def _wcc_loop(loop, state, und, max_iterations):
     return state.select("id", "value").localCheckpoint(eager=True)
 
 
-def label_propagation(graph: Graph, max_iterations: int = 10) -> DataFrame:
+def label_propagation(
+    graph: Graph, max_iterations: int = 10, weighted: bool = False
+) -> DataFrame:
     """Community detection by monotone max-frequency label adoption.
 
     Reference: LabelPropagation.java:29-59 — per superstep every vertex
@@ -110,18 +112,25 @@ def label_propagation(graph: Graph, max_iterations: int = 10) -> DataFrame:
     Spark: the message maps become (dst, label) rows; count aggregation is
     a partial agg; argmax via max_by over struct(count, label) — the exact
     (count, then label) comparator of LabelPropagation.java:45-48.
+
+    ``weighted=True`` (beyond-reference) votes with the edge value instead
+    of 1 per edge — strong ties dominate community adoption. Same
+    monotone upward-move semantics; sums replace counts in the argmax.
     """
-    edges, release_edges = sized_cache(graph.edges.select("src", "dst"))
+    cols = ["src", "dst"] + (["value"] if weighted else [])
+    edges, release_edges = sized_cache(graph.edges.select(*cols))
     state = graph.vertices.select("id", F.col("id").alias("value"))
     loop = ChainLoop()
     try:
         state, _ = loop.advance(state)
         for _ in range(max_iterations):
-            counts = (
-                state.join(edges, state["id"] == edges["src"])
-                .groupBy(F.col("dst").alias("id"), F.col("value").alias("label"))
-                .agg(F.count(F.lit(1)).alias("cnt"))
+            joined = state.join(edges, state["id"] == edges["src"])
+            vote = (
+                edges["value"].cast("double") if weighted else F.lit(1).cast("long")
             )
+            counts = joined.groupBy(
+                F.col("dst").alias("id"), state["value"].alias("label")
+            ).agg(F.sum(vote).alias("cnt"))
             best = counts.groupBy("id").agg(
                 F.max_by("label", F.struct(F.col("cnt"), F.col("label"))).alias("best")
             )

@@ -1308,3 +1308,30 @@ class TestWeightedPageRank:
         u = vmap(pagerank(g, max_iterations=5, weighted=False).select("id", "value"))
         for k in u:
             assert w[k] == pytest.approx(u[k], abs=1e-12)
+
+
+class TestWeightedLabelPropagation:
+    def test_weights_flip_adoption(self, spark):
+        from kafka_graphs_spark.library import label_propagation
+
+        # vertex 0 hears labels 1 (weight 4) and 3 (weight 1):
+        # unweighted tie -> larger label 3; weighted -> 1
+        edges = [(1, 0, 4.0), (3, 0, 1.0)]
+        g = make_graph(spark, edges)
+        u = vmap(label_propagation(g, max_iterations=1))
+        w = vmap(label_propagation(g, max_iterations=1, weighted=True))
+        assert u[0] == 3
+        assert w[0] == 1
+        # monotone upward move preserved: 1 and 3 receive nothing, keep own
+        assert u[1] == 1 and u[3] == 3 and w[1] == 1 and w[3] == 3
+
+    def test_unit_weights_match_unweighted(self, spark):
+        from kafka_graphs_spark.library import label_propagation
+
+        edges = [(i, (i * 3) % 10, 1.0) for i in range(10)] + [
+            (i, (i + 1) % 10, 1.0) for i in range(10)
+        ]
+        g = make_graph(spark, edges)
+        u = vmap(label_propagation(g, max_iterations=5))
+        w = vmap(label_propagation(g, max_iterations=5, weighted=True))
+        assert u == w
