@@ -531,3 +531,51 @@ class TestHarmonicCentrality:
         g = make_graph(spark, [(1, 2, 1.0), (10, 11, 1.0)])
         got = {r["id"]: r["harmonic"] for r in harmonic_centrality(g).collect()}
         assert got == {1: 1.0, 2: 1.0, 10: 1.0, 11: 1.0}
+
+
+# ---------------------------------------------------------------------------
+# property tests (few examples — each runs a full Spark job)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_edge_lists = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+    unique=True,
+)
+
+
+class TestStructureProperties:
+    @given(_edge_lists)
+    @settings(max_examples=5, deadline=None)
+    def test_scc_matches_tarjan(self, spark, edges):
+        g = make_graph(spark, [(s, d, 0.0) for s, d in edges])
+        vertices = sorted({v for e in edges for v in e})
+        expect = tarjan_scc(vertices, list(edges))
+        got = {r["id"]: r["value"] for r in
+               strongly_connected_components(g).collect()}
+        assert got == expect
+
+    @given(_edge_lists, st.randoms(use_true_random=False))
+    @settings(max_examples=5, deadline=None)
+    def test_msf_matches_kruskal(self, spark, edges, rnd):
+        # unique weights via a shuffled deterministic assignment
+        ws = list(range(1, len(edges) + 1))
+        rnd.shuffle(ws)
+        wedges = []
+        seen = set()
+        for (a, b), w in zip(edges, ws):
+            key = (min(a, b), max(a, b))
+            if key in seen:
+                continue
+            seen.add(key)
+            wedges.append((a, b, float(w)))
+        g = make_graph(spark, wedges)
+        vertices = sorted({v for a, b, _ in wedges for v in (a, b)})
+        expect = kruskal_msf(vertices, wedges)
+        got = {(r["src"], r["dst"], r["weight"]) for r in
+               minimum_spanning_forest(g).collect()}
+        assert got == expect
