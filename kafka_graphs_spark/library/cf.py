@@ -67,6 +67,23 @@ def _init_factors(vertices: DataFrame, dim: int, seed: int) -> DataFrame:
     return vertices.select("id").mapInPandas(gen, schema=_FACTORS_SCHEMA)
 
 
+def _effective_cap(edges: DataFrame, max_neighbors: Optional[int]) -> Optional[int]:
+    """The hub cap to actually apply: None when no gather key (dst) exceeds
+    ``max_neighbors``, so the per-iteration row_number sort in _gathered is
+    skipped whenever it provably cannot bind. One map-side-combined degree
+    agg per als/sgd/svdpp call (not per iteration) buys the skip; results
+    are identical either way (the cap only drops rows above the bound)."""
+    if not max_neighbors:
+        return None
+    row = (
+        edges.groupBy("dst")
+        .agg(F.count(F.lit(1)).alias("_d"))
+        .agg(F.max("_d").alias("m"))
+        .collect()[0]
+    )
+    return None if (row["m"] or 0) <= max_neighbors else max_neighbors
+
+
 def _gathered(edges: DataFrame, factors: DataFrame, max_neighbors: Optional[int]) -> DataFrame:
     """(id=dst, vecs array<array<double>>, ratings array<double>) sorted by sender.
 
@@ -151,16 +168,18 @@ def als(
             F.lit(0.0), lambda acc, x: acc + x,
         )
 
+        cap_items = _effective_cap(edges, max_neighbors)
+        cap_users = _effective_cap(rev, max_neighbors)
         for step in range(iterations):
             if step % 2 == 0:  # update items from user factors (original direction)
                 item_f, _ = loop.advance(
-                    _gathered(edges, user_f, max_neighbors).mapInPandas(
+                    _gathered(edges, user_f, cap_items).mapInPandas(
                         solve_batch, schema=_FACTORS_SCHEMA
                     )
                 )
             else:  # update users from item factors (reverse direction)
                 user_f, _ = loop.advance(
-                    _gathered(rev, item_f, max_neighbors).mapInPandas(
+                    _gathered(rev, item_f, cap_users).mapInPandas(
                         solve_batch, schema=_FACTORS_SCHEMA
                     )
                 )
@@ -244,8 +263,9 @@ def sgd(
             F.lit(0.0), lambda acc, x: acc + x,
         )
 
+        cap_und = _effective_cap(und, max_neighbors)
         for _ in range(iterations):
-            gathered = _gathered(und, factors, max_neighbors).join(
+            gathered = _gathered(und, factors, cap_und).join(
                 factors.select("id", F.col("vec").alias("own")), on="id"
             )
             factors, _ = loop.advance(
