@@ -103,20 +103,18 @@ def minhash_signatures(
     family. Documents with no shingles get an empty signature row.
     """
     sh = shingles(docs, n=n, text_col=text_col)
-    seeded = sh.select(
+    # all per-seed minima in ONE map-side-combined aggregation: the seeded
+    # digests are parallel column expressions over each shingle row (no
+    # num_hashes-way explode, no second shuffle on (doc_id, seed))
+    mins = [
+        F.min(
+            F.md5(F.concat_ws(":", F.col("shingle"), F.lit(str(i))))
+        ).alias(f"_mh{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*mins).select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed"),
-        F.col("shingle"),
-    ).select(
-        "doc_id",
-        "seed",
-        F.md5(F.concat_ws(":", F.col("shingle"), F.col("seed"))).alias("h"),
-    )
-    per_seed = seeded.groupBy("doc_id", "seed").agg(F.min("h").alias("mh"))
-    return per_seed.groupBy("doc_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("seed", "mh"))), lambda s: s.mh
-        ).alias("sig")
+        F.array(*[F.col(f"_mh{i}") for i in range(num_hashes)]).alias("sig"),
     )
 
 
