@@ -1708,14 +1708,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_stats(ev, gap_minutes=30)
 
     # ------------------------------------------------------------------
-    # ROTATION NOTE (round 5): the 19 round-4 additions (gen_scc,
+    # ROTATION NOTE (round 5): the 24 round-4 additions (gen_scc,
     # gen_msf_complete, hier_msf_inv, hier_mis_inv, hier_coloring_inv,
     # ec_sessions, ec_pregel_wcc, doc_cross_source_near_dups,
     # doc_unigram_logprob, sp_bipartite_proj, sp_ppmi, gen_diameter_*,
     # hier_motifs, gen_motifs, emb_quantize_inv, gen_pagerank_weighted,
-    # gen_topo_levels, emb_knn_graph) sit just beyond slot 50 — all
-    # locally hash-verified at sf0.01 this round. Promote them into the
-    # window next round, rotating out r04-scored entries.
+    # gen_lp_weighted, gen_topo_levels, gen_harmonic_star, emb_knn_graph,
+    # emb_knn_wcc) sit just beyond slot 50 — all locally hash-verified at
+    # sf0.01 this round. Promote them into the window next round,
+    # rotating out r04-scored entries.
     # ------------------------------------------------------------------
     # ORDERING POLICY (the driver's correctness gate checks dict entries
     # 1-50 only): slots 1-50 hold exclusively oracle-backed queries —
