@@ -92,7 +92,11 @@ class TestPartialAggregation:
         from kafka_graphs_spark.pipeline import dedup
 
         plan = executed_plan(dedup.minhash_signatures(docs, num_hashes=8))
-        assert plan.count("HashAggregate") >= 2
+        # string mins fall back to SortAggregate (variable-width buffers
+        # aren't hash-aggregable); the pinned property is the map-side
+        # partial_min BEFORE the exchange, whatever the aggregate impl
+        assert "partial_min" in plan
+        assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
 
 
 class TestNoAllPairsJoins:
