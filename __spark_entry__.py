@@ -1548,6 +1548,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return diameter_double_sweep(star_graph(spark, 50))
 
+    def sp_degree_histogram(spark, sf):
+        # out-degree distribution of the supplier-part graph
+        from kafka_graphs_spark.library import degree_histogram
+
+        return degree_histogram(_sp_graph(spark, sf), "out")
+
+    def ec_reciprocity(spark, sf):
+        # event-chain edges are strictly time-forward -> reciprocity 0;
+        # the counts still pin the simple-edge denominator
+        from kafka_graphs_spark.library import reciprocity
+
+        return reciprocity(_ec_graph(spark, sf))
+
     def emb_knn_wcc(spark, sf):
         # cross-tier composite: nearest-neighbor graph of the embedding
         # table -> WCC clusters (138 components at sf0.01) — verified by a
@@ -1796,6 +1809,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_harmonic_star": gen_harmonic_star,
         "emb_knn_graph": emb_knn_graph,
         "emb_knn_wcc": emb_knn_wcc,
+        "sp_degree_histogram": sp_degree_histogram,
+        "ec_reciprocity": ec_reciprocity,
         "gen_topo_levels": gen_topo_levels,
         "gen_lp_weighted": gen_lp_weighted,
         "gen_pagerank_weighted": gen_pagerank_weighted,
@@ -2161,6 +2176,29 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+        """,
+        "sp_degree_histogram": f"""
+            WITH e AS ({SP_EDGES}), v AS ({SP_VERTICES}),
+            deg AS (SELECT src, COUNT(*) AS d FROM (SELECT DISTINCT src, dst FROM e)
+                    GROUP BY 1),
+            alldeg AS (SELECT coalesce(deg.d, 0) AS degree
+                       FROM v LEFT JOIN deg ON v.id = deg.src)
+            SELECT degree, COUNT(*) AS n_vertices FROM alldeg GROUP BY 1
+        """,
+        "ec_reciprocity": f"""
+            WITH pos AS ({EC_POS}),
+            e AS (SELECT DISTINCT a.event_id AS src, b.event_id AS dst
+                  FROM pos a JOIN pos b
+                  ON a.user_id = b.user_id AND b.rn = a.rn + 1
+                  WHERE a.event_id <> b.event_id)
+            SELECT COUNT(*) AS n_directed,
+                   CAST(SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_reciprocated,
+                   CASE WHEN COUNT(*) > 0
+                        THEN SUM(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                             / COUNT(*)
+                        ELSE 0.0 END AS reciprocity
+            FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src
         """,
         "emb_knn_wcc": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),

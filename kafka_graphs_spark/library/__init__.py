@@ -14,7 +14,9 @@ from kafka_graphs_spark.library.basic import (
     diameter_double_sweep,
     edge_count,
     graph_statistics,
+    degree_histogram,
     ppmi,
+    reciprocity,
     triangle_motif_census,
     reverse_edges,
     vertex_count,
@@ -74,6 +76,8 @@ __all__ = [
     "diameter_double_sweep",
     "ppmi",
     "triangle_motif_census",
+    "degree_histogram",
+    "reciprocity",
     "vertex_count",
     "reverse_edges",
     "jaccard",

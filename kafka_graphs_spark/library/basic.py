@@ -307,3 +307,53 @@ def triangle_motif_census(graph: Graph) -> "DataFrame":
     return tri.select(motif.alias("motif")).groupBy("motif").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def degree_histogram(graph: Graph, direction: str = "out") -> "DataFrame":
+    """(degree, n_vertices) — the degree distribution, zero-degree
+    vertices included.
+
+    Dataset-card staple next to :func:`graph_statistics`. ``direction``:
+    'out', 'in', or 'both' (undirected simple degree). Two
+    map-side-combinable aggregations; nothing driver-side.
+    """
+    if direction == "out":
+        keyed = graph.edges.select(F.col("src").alias("id"))
+    elif direction == "in":
+        keyed = graph.edges.select(F.col("dst").alias("id"))
+    elif direction == "both":
+        from kafka_graphs_spark.library.components import _undirected_simple_edges
+
+        keyed = _undirected_simple_edges(graph.edges).select(F.col("src").alias("id"))
+    else:
+        raise ValueError("direction must be 'out', 'in', or 'both'")
+    deg = keyed.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    full = graph.vertices.select("id").join(deg, on="id", how="left").select(
+        F.coalesce("degree", F.lit(0)).alias("degree")
+    )
+    return full.groupBy("degree").agg(F.count(F.lit(1)).alias("n_vertices"))
+
+
+def reciprocity(graph: Graph) -> "DataFrame":
+    """One row (n_directed, n_reciprocated, reciprocity) — the fraction of
+    directed simple edges whose reverse also exists.
+
+    n_directed counts distinct non-loop (src, dst); n_reciprocated counts
+    those with (dst, src) present (each direction of a mutual pair counts,
+    the standard definition). One self-semi-join on the edge key plus two
+    counts; empty graphs score 0.0.
+    """
+    e = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst")).distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    stats = e.join(rev.withColumn("_m", F.lit(1)), on=["src", "dst"], how="left").agg(
+        F.count(F.lit(1)).alias("n_directed"),
+        F.sum(F.coalesce("_m", F.lit(0))).cast("long").alias("n_reciprocated"),
+    )
+    return stats.select(
+        "n_directed",
+        "n_reciprocated",
+        F.when(
+            F.col("n_directed") > 0,
+            F.col("n_reciprocated").cast("double") / F.col("n_directed"),
+        ).otherwise(F.lit(0.0)).alias("reciprocity"),
+    )

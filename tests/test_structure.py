@@ -579,3 +579,31 @@ class TestStructureProperties:
         got = {(r["src"], r["dst"], r["weight"]) for r in
                minimum_spanning_forest(g).collect()}
         assert got == expect
+
+
+class TestDatasetCardExtras:
+    def test_degree_histogram(self, spark):
+        from kafka_graphs_spark.library import degree_histogram
+
+        # 1 -> {2,3}, 2 -> {3}; vertex 3 has out-degree 0
+        g = make_graph(spark, [(1, 2, 0.0), (1, 3, 0.0), (2, 3, 0.0)])
+        got = {r["degree"]: r["n_vertices"] for r in
+               degree_histogram(g, "out").collect()}
+        assert got == {2: 1, 1: 1, 0: 1}
+        got_in = {r["degree"]: r["n_vertices"] for r in
+                  degree_histogram(g, "in").collect()}
+        assert got_in == {0: 1, 1: 1, 2: 1}
+        got_b = {r["degree"]: r["n_vertices"] for r in
+                 degree_histogram(g, "both").collect()}
+        assert got_b == {2: 3}
+        with pytest.raises(ValueError):
+            degree_histogram(g, "sideways")
+
+    def test_reciprocity(self, spark):
+        from kafka_graphs_spark.library import reciprocity
+
+        # 1<->2 mutual, 1->3 one-way => 2 of 3 directed edges reciprocated
+        g = make_graph(spark, [(1, 2, 0.0), (2, 1, 0.0), (1, 3, 0.0)])
+        r = reciprocity(g).collect()[0]
+        assert (r["n_directed"], r["n_reciprocated"]) == (3, 2)
+        assert r["reciprocity"] == pytest.approx(2 / 3)
