@@ -1721,84 +1721,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_stats(ev, gap_minutes=30)
 
     # ------------------------------------------------------------------
-    # ROTATION NOTE (round 5): the 24 round-4 additions (gen_scc,
-    # gen_msf_complete, hier_msf_inv, hier_mis_inv, hier_coloring_inv,
-    # ec_sessions, ec_pregel_wcc, doc_cross_source_near_dups,
-    # doc_unigram_logprob, sp_bipartite_proj, sp_ppmi, gen_diameter_*,
-    # hier_motifs, gen_motifs, emb_quantize_inv, gen_pagerank_weighted,
-    # gen_lp_weighted, gen_topo_levels, gen_harmonic_star, emb_knn_graph,
-    # emb_knn_wcc) sit just beyond slot 50 — all locally hash-verified at
-    # sf0.01 this round. Promote them into the window next round,
-    # rotating out r04-scored entries.
+    # ROTATION NOTE (round 5): slots 1-29 are the 24+5 round-4 additions
+    # that sat beyond the window last round (all locally hash-verified at
+    # sf0.01 in r04); slots 30-50 hedge-rescore the r04 window's most
+    # critical entries (the six invariant twins standing in for the
+    # no-oracle seeded numerics, the streaming-summary oracles, and the
+    # pipeline flagships) because CORRECTNESS_r04.json was not present in
+    # the repo at round-5 start. New round-5 queries are inserted at the
+    # head as they land, displacing hedge entries first.
     # ------------------------------------------------------------------
     # ORDERING POLICY (the driver's correctness gate checks dict entries
-    # 1-50 only): slots 1-50 hold exclusively oracle-backed queries —
-    # first the pipeline/ANN/invariant/streaming oracles that had not yet
-    # produced a scored row (r01-green or new), then a flagship core of
-    # algorithm queries re-scored every round. Oracle-backed queries
-    # beyond slot 50 all hash-matched in CORRECTNESS_r03 (rotated out to
-    # make room, still runnable). The permanently-no-oracle seeded
-    # numerics (ALS/SGD/SVD++ factors, k-means, semi-clustering, MBM) sit
-    # at the tail — their correctness evidence is the invariant/loss twin
-    # queries inside the window (sp_als_loss, sp_sgd_loss, sp_svdpp_loss,
-    # emb_kmeans_assign, hier_semiclusters_inv, ec_maxbmatching_inv).
+    # 1-50 only): slots 1-50 hold exclusively oracle-backed queries,
+    # prioritising first-time scoring, then a rotating re-score core.
+    # Oracle-backed queries beyond slot 50 all hash-matched in a prior
+    # round (rotated out to make room, still runnable). The permanently-
+    # no-oracle seeded numerics (ALS/SGD/SVD++ factors, k-means,
+    # semi-clustering, MBM) and rows-only ANN variants sit at the tail --
+    # their correctness evidence is the invariant/loss/recall twin
+    # queries inside the window.
     # ------------------------------------------------------------------
     return {
-        # -- slots 1-32: oracle-backed, first scored window appearance --
-        "dedup_exact": dedup_exact,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash": dedup_minhash,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_simhash": dedup_simhash,
-        "dedup_resolve": dedup_resolve,
-        "doc_contamination": doc_contamination,
-        "pipeline_curate": pipeline_curate,
-        "pipeline_curate_decontam": pipeline_curate_decontam,
-        "doc_language_stats": doc_language_stats,
-        "doc_bigrams": doc_bigrams,
-        "doc_repetition": doc_repetition,
-        "emb_cosine_topk": emb_cosine_topk,
-        "emb_near_dup": emb_near_dup,
-        "emb_lsh_recall": emb_lsh_recall,
-        "emb_ivf_recall": emb_ivf_recall,
-        "emb_near_dup_lsh_inv": emb_near_dup_lsh_inv,
-        "emb_kmeans_assign": emb_kmeans_assign,
-        "hier_kcore_inv": hier_kcore_inv,
-        "hier_semiclusters_inv": hier_semiclusters_inv,
-        "ec_maxbmatching_inv": ec_maxbmatching_inv,
-        "sp_als_loss": sp_als_loss,
-        "sp_sgd_loss": sp_sgd_loss,
-        "sp_svdpp_loss": sp_svdpp_loss,
-        "ec_ppr5": ec_ppr5,
-        "ec_stream_wcc": ec_stream_wcc,
-        "stream_bipartiteness": stream_bipartiteness,
-        "ec_spanner": ec_spanner,
-        "multimodal_features": multimodal_features,
-        "hier_lcc_pregel": hier_lcc_pregel,
-        "ec_stream_distinct": ec_stream_distinct,
-        "ec_stream_union": ec_stream_union,
-        # -- new this round: sampling/mixing/packing/PII/profile tier --
-        "doc_mixture_sample": doc_mixture_sample,
-        "doc_pack_sequences": doc_pack_sequences,
-        "doc_pii_stats": doc_pii_stats,
-        "hier_n2v_walks": hier_n2v_walks,
-        "sp_katz": sp_katz,
-        "doc_source_profile": doc_source_profile,
-        "sp_hits": sp_hits,
-        "hier_ktruss3": hier_ktruss3,
-        "sp_walks": sp_walks,
-        "ec_modularity": ec_modularity,
-        "doc_sketch_inv": doc_sketch_inv,
-        "pipeline_curate_gated": pipeline_curate_gated,
-        "gen_betweenness_star": gen_betweenness_star,
-        "gen_betweenness_path": gen_betweenness_path,
-        "gen_closeness_star": gen_closeness_star,
-        "emb_decontamination": emb_decontamination,
-        "hier_graph_stats": hier_graph_stats,
-        "doc_cap_per_source": doc_cap_per_source,
-        # -- beyond slot 50: oracle-backed; the whole window above is
-        # locally hash-verified at sf0.01 this round, so every slot goes
-        # to first-time scoring; r03-green flagships rotate back next --
+        # -- slots 1-29: round-4 additions, first driver-scored appearance --
         "gen_scc": gen_scc,
         "gen_msf_complete": gen_msf_complete,
         "hier_msf_inv": hier_msf_inv,
@@ -1828,6 +1771,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redact": doc_pii_redact,
         "doc_split": doc_split,
         "gen_ktruss_complete": gen_ktruss_complete,
+        # -- slots 30-50: hedge re-scores (r04 evidence unconfirmed at rotation time: invariant twins for the no-oracle numerics, streaming-summary oracles, pipeline flagships) --
+        "sp_als_loss": sp_als_loss,
+        "sp_sgd_loss": sp_sgd_loss,
+        "sp_svdpp_loss": sp_svdpp_loss,
+        "emb_kmeans_assign": emb_kmeans_assign,
+        "hier_semiclusters_inv": hier_semiclusters_inv,
+        "ec_maxbmatching_inv": ec_maxbmatching_inv,
+        "hier_kcore_inv": hier_kcore_inv,
+        "ec_ppr5": ec_ppr5,
+        "ec_stream_wcc": ec_stream_wcc,
+        "stream_bipartiteness": stream_bipartiteness,
+        "ec_spanner": ec_spanner,
+        "hier_lcc_pregel": hier_lcc_pregel,
+        "multimodal_features": multimodal_features,
+        "ec_stream_distinct": ec_stream_distinct,
+        "ec_stream_union": ec_stream_union,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_resolve": dedup_resolve,
+        "pipeline_curate_gated": pipeline_curate_gated,
+        "emb_cosine_topk": emb_cosine_topk,
+        "doc_sketch_inv": doc_sketch_inv,
+        # -- beyond slot 50: oracle-backed, previously driver-scored (r01/r03/r04); rotate back in future rounds --
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "doc_contamination": doc_contamination,
+        "pipeline_curate": pipeline_curate,
+        "pipeline_curate_decontam": pipeline_curate_decontam,
+        "doc_language_stats": doc_language_stats,
+        "doc_bigrams": doc_bigrams,
+        "doc_repetition": doc_repetition,
+        "emb_near_dup": emb_near_dup,
+        "emb_lsh_recall": emb_lsh_recall,
+        "emb_ivf_recall": emb_ivf_recall,
+        "emb_near_dup_lsh_inv": emb_near_dup_lsh_inv,
+        "doc_mixture_sample": doc_mixture_sample,
+        "doc_pack_sequences": doc_pack_sequences,
+        "doc_pii_stats": doc_pii_stats,
+        "hier_n2v_walks": hier_n2v_walks,
+        "sp_katz": sp_katz,
+        "doc_source_profile": doc_source_profile,
+        "sp_hits": sp_hits,
+        "hier_ktruss3": hier_ktruss3,
+        "sp_walks": sp_walks,
+        "ec_modularity": ec_modularity,
+        "gen_betweenness_star": gen_betweenness_star,
+        "gen_betweenness_path": gen_betweenness_path,
+        "gen_closeness_star": gen_closeness_star,
+        "emb_decontamination": emb_decontamination,
+        "hier_graph_stats": hier_graph_stats,
+        "doc_cap_per_source": doc_cap_per_source,
         "ec_wcc": ec_wcc,
         "ec_pagerank5": ec_pagerank5,
         "ec_sssp": ec_sssp,
@@ -1873,7 +1868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_normalize": doc_normalize,
         "doc_vocabulary": doc_vocabulary,
         "doc_tfidf_keywords": doc_tfidf_keywords,
-        # -- tail: permanently no-oracle (rows-only); invariant twins above --
+        # -- tail: permanently-no-oracle seeded numerics (invariant twins above) and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
         "sp_sgd_factors": sp_sgd_factors,
         "sp_svdpp_factors": sp_svdpp_factors,
