@@ -1370,6 +1370,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- structural decompositions (SCC / MSF / MIS / coloring) ----
 
+    def gen_louvain_cliques(spark, sf):
+        # ring of 10 single-linked K6 cliques: the modularity optimum is
+        # one community per clique (pytest-verified exact recovery,
+        # Q = 0.8375); canonical labels = min member id ⇒ closed-form twin
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import louvain
+
+        C, K = 10, 6
+        base = spark.range(C * K)
+        intra = (
+            base.select((F.col("id") / K).cast("long").alias("c"), (F.col("id") % K).alias("i"))
+            .join(
+                base.select((F.col("id") / K).cast("long").alias("c"), (F.col("id") % K).alias("j")),
+                on="c",
+            )
+            .filter(F.col("i") < F.col("j"))
+            .select(
+                (F.col("c") * K + F.col("i")).alias("src"),
+                (F.col("c") * K + F.col("j")).alias("dst"),
+                F.lit(1.0).alias("value"),
+            )
+        )
+        ring = spark.range(C).select(
+            (F.col("id") * K).alias("src"),
+            (((F.col("id") + 1) % C) * K).alias("dst"),
+            F.lit(1.0).alias("value"),
+        )
+        g = Graph.from_edges(intra.unionByName(ring), F.lit(0.0))
+        return louvain(g)
+
+    def ec_louvain_inv(spark, sf):
+        # invariant oracle for Louvain on real data: every vertex gets
+        # exactly one community and Q beats a 0.65 floor (measured 0.83 /
+        # 0.81 at sf0.001/0.01 with these caps; the singleton-guard
+        # parallel sweeps are deterministic given the xxhash64 parities)
+        from kafka_graphs_spark.library import louvain, modularity
+
+        g = _ec_graph(spark, sf)
+        res = louvain(g, max_levels=3, max_sweeps=4)
+        n = g.vertices.count()
+        q = modularity(g, res, label_col="community")
+        assigned = res.groupBy().agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct("id").alias("ids"),
+        )
+        return assigned.crossJoin(q).select(
+            ((F.col("rows") == n) & (F.col("ids") == n)).alias("all_assigned"),
+            (F.col("modularity") >= 0.65).alias("q_ok"),
+        )
+
     def gen_scc(spark, sf):
         # 40 disjoint 25-cycles, pair-bridged 2k·L → (2k+1)·L: SCC label
         # = min id of the cycle, closed-form twin. Paired bridges keep the
@@ -1741,7 +1791,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries inside the window.
     # ------------------------------------------------------------------
     return {
-        # -- slots 1-29: round-4 additions, first driver-scored appearance --
+        # -- round-5 additions --
+        "gen_louvain_cliques": gen_louvain_cliques,
+        "ec_louvain_inv": ec_louvain_inv,
+        # -- round-4 additions, first driver-scored appearance --
         "gen_scc": gen_scc,
         "gen_msf_complete": gen_msf_complete,
         "hier_msf_inv": hier_msf_inv,
@@ -2030,6 +2083,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN range = 0 THEN 1.0
                         ELSE CAST(49 AS DOUBLE) / 97 END AS closeness
             FROM range(0, 50)
+        """,
+        "gen_louvain_cliques": """
+            SELECT range AS id, (range // 6) * 6 AS community FROM range(0, 60)
+        """,
+        "ec_louvain_inv": """
+            SELECT true AS all_assigned, true AS q_ok
         """,
         "gen_scc": """
             SELECT range AS id, (range // 25) * 25 AS value FROM range(0, 1000)

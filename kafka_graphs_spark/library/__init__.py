@@ -33,6 +33,7 @@ from kafka_graphs_spark.library.components import (
     label_propagation,
     modularity,
 )
+from kafka_graphs_spark.library.louvain import louvain
 from kafka_graphs_spark.library.pagerank import pagerank
 from kafka_graphs_spark.library.paths import bfs, mssp, node2vec_walks, random_walks, sssp
 from kafka_graphs_spark.library.registry import ALGORITHMS, get_algorithm
@@ -65,6 +66,7 @@ __all__ = [
     "core_decomposition",
     "k_core",
     "k_truss",
+    "louvain",
     "modularity",
     "label_propagation",
     "pagerank",

@@ -1,0 +1,269 @@
+"""Louvain community detection (Blondel et al. 2008), distributed.
+
+Beyond-reference operator (the reference's community surface is
+LabelPropagation / SemiClustering — io/kgraph/library/LabelPropagation.java,
+SemiClustering.java); Louvain is the de-facto standard community detector
+a user of a graph library expects next to them, and its modularity
+objective is scored by the already-shipped :func:`modularity`.
+
+Distributed formulation (the "parallel Louvain" shape used by
+Spark/GraphX ports and the Grappolo line of work):
+
+* **Move phase** — every vertex evaluates, in one DataFrame pass, the
+  modularity gain of moving into each neighboring community:
+  ``score(u→c) = w_{u,c} − k_u · Σ_tot(c \\ u) / 2m``; it moves to the
+  argmax community when that strictly beats staying (deterministic
+  tie-break: smallest community label). Moves are applied in parallel to
+  ONE hash-parity class per sub-sweep (``xxhash64(id) mod 2``) — the
+  standard oscillation guard: the classic two-vertex label swap needs
+  both endpoints to move in the same sub-sweep, which parity makes
+  impossible for ~half the edges per sweep and the alternation breaks
+  cycles in practice. Each sub-sweep is two shuffles (neighbor-community
+  weights, community degree mass) keyed on the vertex id — map-side
+  combined, no adjacency ever collected.
+* **Contraction phase** — when a sweep pair moves nothing, communities
+  collapse into supervertices (groupBy on the community key, weights
+  summed, intra-mass becoming self-loops) and the move phase repeats one
+  level up. The level graph shrinks geometrically, so late levels are
+  cheap; the orig-id → community mapping is composed level by level with
+  one equi-join.
+
+Parallel-move caveat (documented, inherent to every distributed Louvain):
+simultaneous moves within a parity class interact through stale
+``Σ_tot``, so per-move monotonicity is approximate — the classic
+sequential guarantee holds per sub-sweep only in expectation. The
+invariant queries therefore score Q against floors measured on this
+implementation, and the clique goldens assert exact recovery where the
+optimum is unambiguous.
+
+At 100 TB: state per round is one (id, community) frame plus the
+symmetrized edge list; every join is an equi-join on vertex or community
+ids, aggregation is map-side combined, and rounds ride ChainLoop (one
+action per sub-sweep, lazy checkpoints, measured-size partitioning).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from kafka_graphs_spark.graph import Graph
+from kafka_graphs_spark.library._loop import ChainLoop, sized_cache
+
+__all__ = ["louvain"]
+
+
+def _symmetrize(edges: DataFrame):
+    """(adj, selfw): ``adj`` holds both directions of every non-loop edge
+    with parallel/reciprocal weights summed per unordered pair; ``selfw``
+    holds per-vertex self-loop weight (undoubled)."""
+    pair = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+            F.col("value").cast("double").alias("w"),
+        )
+        .groupBy("a", "b")
+        .agg(F.sum("w").alias("w"))
+    )
+    nonloop = pair.filter(F.col("a") != F.col("b"))
+    adj = nonloop.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), "w"
+    ).unionByName(nonloop.select(F.col("b").alias("u"), F.col("a").alias("v"), "w"))
+    selfw = pair.filter(F.col("a") == F.col("b")).select(
+        F.col("a").alias("u"), F.col("w")
+    )
+    return adj, selfw
+
+
+def louvain(
+    graph: Graph,
+    max_levels: int = 4,
+    max_sweeps: int = 8,
+    min_gain: float = 1e-9,
+) -> DataFrame:
+    """Returns (id, community) — community labels canonicalized to the
+    minimum member vertex id. Edge ``value`` is the (non-negative) weight;
+    reciprocal/parallel edges sum, direction is ignored (modularity is an
+    undirected objective).
+    """
+    spark = graph.vertices.sparkSession
+
+    adj, selfw = _symmetrize(graph.edges)
+    # assign: orig vertex id -> community at the CURRENT level
+    assign = graph.vertices.select("id", F.col("id").alias("community"))
+
+    for _level in range(max_levels):
+        adj_scan, release_adj = sized_cache(adj)
+        k = (
+            adj_scan.groupBy("u").agg(F.sum("w").alias("k"))
+            .join(selfw.withColumnRenamed("w", "sw"), on="u", how="outer")
+            .select(
+                "u",
+                (
+                    F.coalesce(F.col("k"), F.lit(0.0))
+                    + 2.0 * F.coalesce(F.col("sw"), F.lit(0.0))
+                ).alias("k"),
+            )
+        )
+        k_scan, release_k = sized_cache(k)
+        m2 = k_scan.agg(F.sum("k")).collect()[0][0] or 0.0
+        if m2 <= 0.0:
+            release_adj()
+            release_k()
+            break
+
+        loop = ChainLoop()
+        comm, _ = loop.advance(
+            k_scan.select("u", F.col("u").alias("c"))
+        )
+        moved_in_pair = 0
+        level_moves = 0
+        for sweep in range(2 * max_sweeps):
+            parity = sweep % 2
+            # w_{u,c}: weight from u into each neighboring community,
+            # plus an explicit zero-weight "stay" candidate so vertices
+            # with no intra-community neighbor still score staying.
+            nbc = (
+                adj_scan.join(
+                    comm.select(F.col("u").alias("v"), F.col("c")), on="v"
+                )
+                .groupBy("u", "c")
+                .agg(F.sum("w").alias("wuc"))
+                .unionByName(comm.select("u", "c", F.lit(0.0).alias("wuc")))
+                .groupBy("u", "c")
+                .agg(F.max("wuc").alias("wuc"))
+            )
+            sigma = (
+                comm.join(k_scan, on="u")
+                .groupBy("c")
+                .agg(F.sum("k").alias("sigma"), F.count(F.lit(1)).alias("csize"))
+            )
+            own = comm.select("u", F.col("c").alias("c_own")).join(
+                sigma.select(
+                    F.col("c").alias("c_own"), F.col("csize").alias("own_csize")
+                ),
+                on="c_own",
+                how="left",
+            )
+            cand = (
+                nbc.join(sigma, on="c")
+                .join(k_scan, on="u")
+                .join(own, on="u")
+                # Grappolo-style singleton guard: two singleton communities
+                # evaluating each other symmetrically would swap labels
+                # forever under parallel application; only the larger-
+                # labeled one may move (into the smaller label), which
+                # breaks the 2-cycle while preserving the merge.
+                .filter(
+                    (F.col("c") == F.col("c_own"))
+                    | ~(
+                        (F.col("csize") == 1)
+                        & (F.coalesce(F.col("own_csize"), F.lit(1)) == 1)
+                        & (F.col("c") > F.col("c_own"))
+                    )
+                )
+                .select(
+                    "u",
+                    "c",
+                    "c_own",
+                    (
+                        F.col("wuc")
+                        - F.col("k")
+                        * (
+                            F.col("sigma")
+                            - F.when(F.col("c") == F.col("c_own"), F.col("k")).otherwise(
+                                F.lit(0.0)
+                            )
+                        )
+                        / F.lit(m2)
+                    ).alias("score"),
+                )
+            )
+            best = cand.groupBy("u").agg(
+                F.max_by(
+                    F.struct("c", "score"),
+                    # max score, then smallest community label
+                    F.struct(F.col("score"), (-F.col("c")).alias("nc")),
+                ).alias("b"),
+                F.max(
+                    F.when(F.col("c") == F.col("c_own"), F.col("score"))
+                ).alias("stay"),
+                F.first("c_own").alias("c_own"),
+            )
+            nxt = best.withColumn(
+                "c_new",
+                F.when(
+                    (F.col("b.score") > F.col("stay") + F.lit(min_gain))
+                    & (F.pmod(F.xxhash64("u"), F.lit(2)) == F.lit(parity)),
+                    F.col("b.c"),
+                ).otherwise(F.col("c_own")),
+            ).select(
+                "u",
+                F.col("c_new").alias("c"),
+                (F.col("c_new") != F.col("c_own")).alias("_moved"),
+            )
+            # the move-count probe rides the materialization action
+            state, row = loop.advance(
+                nxt,
+                [F.sum(F.when(F.col("_moved"), 1).otherwise(0)).alias("moves")],
+            )
+            comm = state.select("u", "c")
+            moves = row["moves"] or 0
+            level_moves += moves
+            moved_in_pair += moves
+            if parity == 1:
+                if moved_in_pair == 0:
+                    break
+                moved_in_pair = 0
+
+        # compose orig-id mapping through this level's communities
+        comm_final = comm.select(
+            F.col("u").alias("community"), F.col("c").alias("_c_next")
+        )
+        assign = (
+            assign.join(comm_final, on="community", how="left")
+            .select(
+                "id", F.coalesce("_c_next", F.col("community")).alias("community")
+            )
+        )
+        assign = assign.localCheckpoint(eager=True)
+
+        if level_moves == 0:
+            loop.release()
+            release_adj()
+            release_k()
+            break
+
+        # contract: communities become vertices one level up
+        cu = comm.select(F.col("u"), F.col("c").alias("cu"))
+        cv = comm.select(F.col("u").alias("v"), F.col("c").alias("cv"))
+        lab = adj_scan.join(cu, on="u").join(cv, on="v")
+        adj_next = (
+            lab.filter(F.col("cu") != F.col("cv"))
+            .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
+            .agg(F.sum("w").alias("w"))
+        )
+        self_next = (
+            lab.filter(F.col("cu") == F.col("cv"))
+            .select(F.col("cu").alias("u"), (F.col("w") / 2.0).alias("w"))
+            .unionByName(
+                selfw.join(
+                    comm.withColumnRenamed("c", "cu"), on="u"
+                ).select(F.col("cu").alias("u"), "w")
+            )
+            .groupBy("u")
+            .agg(F.sum("w").alias("w"))
+        )
+        adj = adj_next.localCheckpoint(eager=True)
+        selfw = self_next.localCheckpoint(eager=True)
+        loop.release()
+        release_adj()
+        release_k()
+
+    # canonical labels: community := min original member id
+    canon = assign.groupBy("community").agg(F.min("id").alias("_canon"))
+    out = assign.join(canon, on="community").select(
+        "id", F.col("_canon").alias("community")
+    )
+    return out.localCheckpoint(eager=True)

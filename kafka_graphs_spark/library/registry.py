@@ -50,6 +50,7 @@ from kafka_graphs_spark.library.structure import (
     minimum_spanning_forest,
     strongly_connected_components,
 )
+from kafka_graphs_spark.library.louvain import louvain
 from kafka_graphs_spark.library.sybilrank import sybil_rank
 from kafka_graphs_spark.library._loop import INF, MAX_LONG
 
@@ -192,6 +193,9 @@ ALGORITHMS: Dict[str, AlgorithmSpec] = {
     ),
     "harmonic": AlgorithmSpec(
         "harmonic", harmonic_centrality, lambda id_col: F.lit(0.0), "double", {}
+    ),
+    "louvain": AlgorithmSpec(
+        "louvain", louvain, lambda id_col: id_col, "long", {}
     ),
 }
 
