@@ -1370,6 +1370,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- structural decompositions (SCC / MSF / MIS / coloring) ----
 
+    def hier_transitivity(spark, sf):
+        # global clustering coefficient of the customer→nation→region
+        # hierarchy (one triangle per customer) — exact wedge/triangle twin
+        from kafka_graphs_spark.datasets import hierarchy_graph
+        from kafka_graphs_spark.library import transitivity
+
+        return transitivity(hierarchy_graph(spark, sf))
+
     def gen_louvain_cliques(spark, sf):
         # ring of 10 single-linked K6 cliques: the modularity optimum is
         # one community per clique (pytest-verified exact recovery,
@@ -1793,6 +1801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- round-5 additions --
         "gen_louvain_cliques": gen_louvain_cliques,
+        "hier_transitivity": hier_transitivity,
         "ec_louvain_inv": ec_louvain_inv,
         # -- round-4 additions, first driver-scored appearance --
         "gen_scc": gen_scc,
@@ -2083,6 +2092,28 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN range = 0 THEN 1.0
                         ELSE CAST(49 AS DOUBLE) / 97 END AS closeness
             FROM range(0, 50)
+        """,
+        "hier_transitivity": """
+            WITH e0 AS (
+                SELECT CAST(c_custkey AS BIGINT) AS src,
+                       CAST(c_nationkey + 2000000 AS BIGINT) AS dst FROM customer
+                UNION ALL
+                SELECT CAST(n_nationkey + 2000000 AS BIGINT),
+                       CAST(n_regionkey + 3000000 AS BIGINT) FROM nation
+                UNION ALL
+                SELECT CAST(c_custkey AS BIGINT), CAST(n_regionkey + 3000000 AS BIGINT)
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+            ),
+            e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+                  FROM e0 WHERE src <> dst),
+            t AS (SELECT count(*) AS t FROM e e1
+                  JOIN e e2 ON e1.b = e2.a
+                  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+            d AS (SELECT id, count(*) AS d FROM (
+                      SELECT a AS id FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+            w AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS w FROM d)
+            SELECT t AS n_triangles, w AS n_wedges,
+                   3.0 * t / w AS transitivity FROM t, w
         """,
         "gen_louvain_cliques": """
             SELECT range AS id, (range // 6) * 6 AS community FROM range(0, 60)

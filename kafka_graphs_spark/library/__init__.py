@@ -15,6 +15,7 @@ from kafka_graphs_spark.library.basic import (
     edge_count,
     graph_statistics,
     degree_histogram,
+    transitivity,
     ppmi,
     reciprocity,
     triangle_motif_census,
@@ -79,6 +80,7 @@ __all__ = [
     "ppmi",
     "triangle_motif_census",
     "degree_histogram",
+    "transitivity",
     "reciprocity",
     "vertex_count",
     "reverse_edges",

@@ -357,3 +357,47 @@ def reciprocity(graph: Graph) -> "DataFrame":
             F.col("n_reciprocated").cast("double") / F.col("n_directed"),
         ).otherwise(F.lit(0.0)).alias("reciprocity"),
     )
+
+
+def transitivity(graph: Graph) -> "DataFrame":
+    """One row (n_triangles, n_wedges, transitivity) — the global
+    clustering coefficient 3·T / W of the simple undirected graph.
+
+    Beyond-reference companion to the per-vertex
+    ``local_clustering_coefficient`` (reference
+    io/kgraph/library/LocalClusteringCoefficient.java computes only the
+    local form): W = Σ_v C(d_v, 2) is one map-side-combined aggregate
+    over the degree frame; T is the same ascending wedge-close equi-join
+    used by exact_triangle_count / k_truss. No driver loops, one small
+    result row — at 100 TB both terms are shuffle-once aggregates.
+    """
+    from pyspark.sql import functions as F
+
+    from kafka_graphs_spark.library.components import _oriented_simple_edges
+
+    spark = graph.edges.sparkSession
+    und = _oriented_simple_edges(graph.edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    w = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("w"))
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, on="y")
+        .join(
+            und.select(F.col("a").alias("x"), F.col("b").alias("z")),
+            on=["x", "z"],
+            how="left_semi",
+        )
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    row = tri.crossJoin(w).collect()[0]
+    t, wedges = row["t"] or 0, row["w"] or 0
+    return spark.createDataFrame(
+        [(t, wedges, (3.0 * t / wedges) if wedges else 0.0)],
+        "n_triangles long, n_wedges long, transitivity double",
+    )
