@@ -1370,6 +1370,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- structural decompositions (SCC / MSF / MIS / coloring) ----
 
+    def doc_line_dedup(spark, sf):
+        # global line-level dedup at token granularity (the synthetic
+        # corpus is single-line, so sep=" " exercises the same machinery:
+        # drop tokens present in >= 80% of documents — boilerplate
+        # removal semantics). Exact list_filter twin.
+        from kafka_graphs_spark.pipeline.text import line_dedup
+
+        docs = datasets.load(spark, sf, "documents")
+        min_docs = int(0.8 * docs.count())
+        return line_dedup(docs, min_docs=min_docs, sep=" ")
+
+    def doc_bigram_logprob(spark, sf):
+        # add-1-smoothed bigram surprisal (order-sensitive perplexity
+        # proxy); exact-rational model, ln parity per hier_adamic_adar /
+        # doc_unigram_logprob precedent
+        from kafka_graphs_spark.pipeline.text import bigram_logprob
+
+        return bigram_logprob(datasets.load(spark, sf, "documents"))
+
+    def ec_json_props(spark, sf):
+        # JSON property extraction + per-type profile over events.props
+        # (get_json_object vs DuckDB json_extract_string) — integer
+        # payloads make every statistic exact
+        from kafka_graphs_spark.pipeline.events import json_props_stats
+
+        return json_props_stats(datasets.load(spark, sf, "events"))
+
+    def doc_quality_model(spark, sf):
+        # linear quality classifier (featurize → dot → sigmoid), the
+        # model-based curation gate; 6-dp rounding bounds libm exp skew
+        from kafka_graphs_spark.pipeline.text import quality_score_linear
+
+        return quality_score_linear(
+            datasets.load(spark, sf, "documents")
+        ).select(
+            "doc_id",
+            F.round("logit", 6).alias("logit"),
+            F.round("prob", 6).alias("prob"),
+        )
+
     def hier_transitivity(spark, sf):
         # global clustering coefficient of the customer→nation→region
         # hierarchy (one triangle per customer) — exact wedge/triangle twin
@@ -1802,6 +1842,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-5 additions --
         "gen_louvain_cliques": gen_louvain_cliques,
         "hier_transitivity": hier_transitivity,
+        "doc_line_dedup": doc_line_dedup,
+        "doc_bigram_logprob": doc_bigram_logprob,
+        "ec_json_props": ec_json_props,
+        "doc_quality_model": doc_quality_model,
         "ec_louvain_inv": ec_louvain_inv,
         # -- round-4 additions, first driver-scored appearance --
         "gen_scc": gen_scc,
@@ -2092,6 +2136,85 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN range = 0 THEN 1.0
                         ELSE CAST(49 AS DOUBLE) / 97 END AS closeness
             FROM range(0, 50)
+        """,
+        "doc_line_dedup": """
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+            ),
+            freq AS (
+                SELECT tok FROM toks GROUP BY tok
+                HAVING count(DISTINCT doc_id) >=
+                       FLOOR(0.8 * (SELECT count(*) FROM documents))
+            ),
+            fl AS (SELECT coalesce(list(tok), []) AS fl FROM freq)
+            SELECT doc_id,
+                   array_to_string(
+                       list_filter(string_split(text, ' '),
+                                   x -> NOT list_contains(fl.fl, x)), ' ') AS text,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> NOT list_contains(fl.fl, x))) AS BIGINT)
+                       AS n_kept,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        x -> list_contains(fl.fl, x))) AS BIGINT)
+                       AS n_removed
+            FROM documents, fl
+        """,
+        "doc_bigram_logprob": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            bg AS (
+                SELECT doc_id, unnest(list_zip(toks[1:-2], toks[2:-1])) AS p
+                FROM t WHERE len(toks) >= 2
+            ),
+            b AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+            c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+            v AS (SELECT count(DISTINCT tok) AS v FROM
+                  (SELECT unnest(toks) AS tok FROM t)),
+            model AS (
+                SELECT c2.w1, c2.w2,
+                       -ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v)) AS nlp
+                FROM c2 JOIN c1 ON c2.w1 = c1.w1, v
+            ),
+            per_doc AS (
+                SELECT b.doc_id, count(*) AS n_bigrams, avg(m.nlp) AS nlp
+                FROM b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+                GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+                   p.nlp AS avg_neg_logprob
+            FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        """,
+        "ec_json_props": """
+            SELECT event_type AS "group",
+                   count(*) AS n,
+                   count(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE))
+                       AS k_nonnull,
+                   sum(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS k_sum,
+                   min(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS k_min,
+                   max(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS k_max,
+                   avg(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS k_avg
+            FROM events GROUP BY 1
+        """,
+        "doc_quality_model": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                len(toks) AS n_tokens,
+                len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS n_stop,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS mean_len
+                FROM t),
+            lg AS (SELECT doc_id,
+                -3.0
+                + 6.0 * (CASE WHEN n_tokens > 0
+                              THEN CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END)
+                + 0.25 * mean_len
+                + 0.5 * ln(1.0 + n_tokens) AS logit
+                FROM s)
+            SELECT doc_id, round(logit, 6) AS logit,
+                   round(1.0 / (1.0 + exp(-logit)), 6) AS prob
+            FROM lg
         """,
         "hier_transitivity": """
             WITH e0 AS (

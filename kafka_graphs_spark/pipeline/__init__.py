@@ -18,6 +18,7 @@ because md5 is the one hash both engines compute identically.
 from kafka_graphs_spark.pipeline import (
     curate,
     dedup,
+    events,
     multimodal,
     sample,
     sessions,
@@ -25,4 +26,4 @@ from kafka_graphs_spark.pipeline import (
     text,
 )
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "curate", "sample", "sessions"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "curate", "sample", "sessions", "events"]

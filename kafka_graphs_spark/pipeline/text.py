@@ -468,3 +468,188 @@ def unigram_logprob(
         F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
         "avg_neg_logprob",
     )
+
+
+def line_dedup(
+    docs: DataFrame,
+    min_docs: int = 2,
+    sep: str = "\n",
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, text, n_kept, n_removed) — global line-level deduplication:
+    drop every line that occurs (verbatim) in ≥ ``min_docs`` distinct
+    documents, preserving the order of the surviving lines.
+
+    The C4/RefinedWeb boilerplate-removal staple (nav bars, cookie
+    banners, license headers repeat across pages; their mass corrupts LM
+    training). ``sep`` is a literal separator (default newline; pass
+    ``" "`` for token-granularity stop-token removal on single-line
+    corpora).
+
+    Scale shape: one posexplode, a map-side-combined distinct-doc count
+    per line, a left_anti equi-join on the line text, and one groupBy
+    back onto the document key — no broadcast of the frequent set (it can
+    be huge at corpus scale), no driver materialization.
+    """
+    import re as _re
+
+    parts = F.split(F.col(text_col), _re.escape(sep), -1)
+    lines = docs.select(
+        "doc_id", F.posexplode(parts).alias("pos", "line")
+    )
+    frequent = (
+        lines.groupBy("line")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(frequent, on="line", how="left_anti")
+    reassembled = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    totals = lines.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_total"))
+    return (
+        docs.select("doc_id")
+        .join(totals, on="doc_id", how="left")
+        .join(reassembled, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("_text", F.lit("")).alias("text"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (
+                F.coalesce("_total", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_removed"),
+        )
+    )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    k_smooth: float = 1.0,
+    text_col: str = "text",
+    broadcast_model: bool = True,
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_neg_logprob) — add-k-smoothed corpus-bigram
+    surprisal per document: mean of −ln p(w_i | w_{i−1}) with
+    p(w2|w1) = (c(w1,w2) + k) / (c(w1,·) + k·V).
+
+    The next step up from :func:`unigram_logprob` as an in-engine
+    perplexity proxy: order-sensitive, so shuffled/boilerplate text
+    scores worse than fluent text with the same unigram profile. The
+    bigram model is two map-side-combined aggregations (pair counts,
+    prefix marginals); scoring is one equi-join on the pair key.
+    Documents with < 2 tokens score NULL. ``broadcast_model`` as in
+    :func:`unigram_logprob` (the bigram table is vocabulary²-bounded but
+    Zipf-sparse; pass False at web scale).
+    """
+    from pyspark import StorageLevel
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    pairs = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    big = docs.select(
+        "doc_id", F.explode(pairs).alias("bg")
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c2.persist(StorageLevel.MEMORY_AND_DISK)
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    vocab_n = (
+        docs.select(F.explode(toks).alias("tok")).agg(
+            F.countDistinct("tok").alias("v")
+        ).collect()[0]["v"]
+        or 1
+    )
+    model = c2.join(c1, on="w1").select(
+        "w1",
+        "w2",
+        (
+            -F.log(
+                (F.col("c2") + F.lit(k_smooth))
+                / (F.col("c1") + F.lit(k_smooth * vocab_n))
+            )
+        ).alias("nlp"),
+    )
+    model_side = F.broadcast(model) if broadcast_model else model
+    per_doc = (
+        big.join(model_side, on=["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("nlp").alias("avg_neg_logprob"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "avg_neg_logprob",
+    )
+
+
+#: default weights for :func:`quality_score_linear` — hand-set to agree in
+#: direction with the band heuristic in :func:`quality_score` (positive
+#: stopword mass, mid-range token length, log-size)
+QUALITY_LINEAR_WEIGHTS = {
+    "intercept": -3.0,
+    "stop_ratio": 6.0,
+    "mean_token_len": 0.25,
+    "log_n_tokens": 0.5,
+}
+
+
+def quality_score_linear(
+    docs: DataFrame,
+    weights: dict | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, logit, prob) — model-based quality scoring: a linear
+    classifier over the in-engine feature set (stopword ratio, mean token
+    length, log token count) squashed through a sigmoid.
+
+    The plumbing layer for fastText/LR-style quality classifiers (the
+    standard curation gate beside heuristics): weights are data, the
+    featurize→dot→sigmoid pipeline is pure codegen'd expressions — swap
+    in trained coefficients and the same plan scores 100 TB at scan
+    speed. Default weights mimic the :func:`quality_score` band
+    heuristic's direction.
+    """
+    w = dict(QUALITY_LINEAR_WEIGHTS)
+    if weights:
+        w.update(weights)
+    toks = tokens(F.col(text_col))
+    n_tokens = F.size(toks)
+    en = STOPWORDS["en"]
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(en)))
+    stop_ratio = F.when(
+        n_tokens > 0, n_stop.cast("double") / n_tokens
+    ).otherwise(F.lit(0.0))
+    mean_len = F.when(
+        n_tokens > 0,
+        F.aggregate(toks, F.lit(0).cast("double"), lambda acc, t: acc + F.length(t))
+        / n_tokens,
+    ).otherwise(F.lit(0.0))
+    logit = (
+        F.lit(float(w["intercept"]))
+        + F.lit(float(w["stop_ratio"])) * stop_ratio
+        + F.lit(float(w["mean_token_len"])) * mean_len
+        + F.lit(float(w["log_n_tokens"])) * F.log1p(n_tokens.cast("double"))
+    )
+    return docs.select(
+        "doc_id",
+        logit.alias("logit"),
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("prob"),
+    )

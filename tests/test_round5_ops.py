@@ -55,3 +55,140 @@ def test_transitivity_empty(spark):
     v = spark.createDataFrame([(1, 0.0)], "id long, value double")
     r = one(transitivity(Graph(v, e)))
     assert (r["n_triangles"], r["n_wedges"], r["transitivity"]) == (0, 0, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup
+# ---------------------------------------------------------------------------
+
+def docs_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_line_dedup_removes_shared_lines_preserving_order(spark):
+    from kafka_graphs_spark.pipeline.text import line_dedup
+
+    d = docs_df(spark, [
+        (1, "keep me\ncookie banner\nunique one"),
+        (2, "cookie banner\nother text"),
+        (3, "solo document"),
+    ])
+    got = {r["doc_id"]: r for r in line_dedup(d, min_docs=2).collect()}
+    assert got[1]["text"] == "keep me\nunique one"
+    assert (got[1]["n_kept"], got[1]["n_removed"]) == (2, 1)
+    assert got[2]["text"] == "other text"
+    assert got[3]["text"] == "solo document"
+    assert got[3]["n_removed"] == 0
+
+
+def test_line_dedup_within_doc_repeat_not_removed(spark):
+    from kafka_graphs_spark.pipeline.text import line_dedup
+
+    # the count is DISTINCT docs: a line repeated in one doc survives
+    d = docs_df(spark, [(1, "dup\ndup\nx"), (2, "y")])
+    got = {r["doc_id"]: r for r in line_dedup(d, min_docs=2).collect()}
+    assert got[1]["text"] == "dup\ndup\nx"
+
+
+def test_line_dedup_fully_removed_doc_and_custom_sep(spark):
+    from kafka_graphs_spark.pipeline.text import line_dedup
+
+    d = docs_df(spark, [(1, "a b"), (2, "a c"), (3, "a")])
+    got = {r["doc_id"]: r for r in line_dedup(d, min_docs=3, sep=" ").collect()}
+    assert got[3]["text"] == "" and got[3]["n_kept"] == 0 and got[3]["n_removed"] == 1
+    assert got[1]["text"] == "b"
+
+
+# ---------------------------------------------------------------------------
+# bigram LM surprisal
+# ---------------------------------------------------------------------------
+
+def test_bigram_logprob_exact_values(spark):
+    import math
+
+    from kafka_graphs_spark.pipeline.text import bigram_logprob
+
+    # corpus: "a b a b", "a c", "solo" → bigrams: (a,b)x2, (b,a)x1, (a,c)x1
+    # V = 4 (a,b,c,solo); prefix marginals c1(a)=3, c1(b)=1; k=1:
+    #   p(b|a) = (2+1)/(3+4) = 3/7 ; p(a|b) = (1+1)/(1+4) = 2/5
+    #   p(c|a) = (1+1)/(3+4) = 2/7
+    d = docs_df(spark, [(1, "a b a b"), (2, "a c"), (3, "solo")])
+    got = {r["doc_id"]: r for r in bigram_logprob(d).collect()}
+    assert got[1]["n_bigrams"] == 3
+    expect1 = (2 * -math.log(3 / 7) + -math.log(2 / 5)) / 3
+    assert got[1]["avg_neg_logprob"] == pytest.approx(expect1, rel=1e-12)
+    assert got[2]["n_bigrams"] == 1
+    assert got[2]["avg_neg_logprob"] == pytest.approx(-math.log(2 / 7), rel=1e-12)
+    assert got[3]["n_bigrams"] == 0 and got[3]["avg_neg_logprob"] is None
+
+
+def test_bigram_logprob_orders_scrambled_below_fluent(spark):
+    from kafka_graphs_spark.pipeline.text import bigram_logprob
+
+    fluent = " ".join(["the cat sat on the mat"] * 10)
+    scrambled = " ".join(["mat the on sat the cat"[::-1]] * 10)
+    base = [(i, fluent) for i in range(10)]
+    d = docs_df(spark, base + [(100, fluent), (101, "cat the mat sat the on")])
+    got = {r["doc_id"]: r["avg_neg_logprob"] for r in bigram_logprob(d).collect()}
+    assert got[100] < got[101]
+
+
+# ---------------------------------------------------------------------------
+# JSON props
+# ---------------------------------------------------------------------------
+
+def test_json_props_stats(spark):
+    from kafka_graphs_spark.pipeline.events import json_props, json_props_stats
+
+    rows = [
+        (1, "click", '{"k": 10}'),
+        (2, "click", '{"k": 20}'),
+        (3, "view", '{"k": 5}'),
+        (4, "view", "not json"),
+        (5, "view", '{"other": 1}'),
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, event_type string, props string")
+    typed = json_props(ev, keys=("k",))
+    assert typed.filter(F.col("k").isNull()).count() == 2
+    got = {r["group"]: r for r in json_props_stats(ev, keys=("k",)).collect()}
+    assert got["click"]["n"] == 2 and got["click"]["k_sum"] == 30.0
+    assert got["click"]["k_avg"] == 15.0
+    assert got["view"]["k_nonnull"] == 1 and got["view"]["k_min"] == 5.0
+
+
+# ---------------------------------------------------------------------------
+# linear quality classifier
+# ---------------------------------------------------------------------------
+
+def test_quality_score_linear_monotone_in_stopword_mass(spark):
+    import math
+
+    from kafka_graphs_spark.pipeline.text import (
+        QUALITY_LINEAR_WEIGHTS,
+        quality_score_linear,
+    )
+
+    d = docs_df(spark, [
+        (1, "the cat is on the mat and it is warm"),   # stopword-rich
+        (2, "zxqv kjht qwpl mnbd zxqv kjht qwpl mnbd"),  # gibberish
+        (3, ""),
+    ])
+    got = {r["doc_id"]: r for r in quality_score_linear(d).collect()}
+    assert got[1]["prob"] > got[2]["prob"]
+    # empty doc: all features zero → sigmoid(intercept)
+    w0 = QUALITY_LINEAR_WEIGHTS["intercept"]
+    assert got[3]["prob"] == pytest.approx(1.0 / (1.0 + math.exp(-w0)), rel=1e-12)
+    # prob is sigmoid(logit) row-wise
+    for r in got.values():
+        assert r["prob"] == pytest.approx(1.0 / (1.0 + math.exp(-r["logit"])), rel=1e-12)
+
+
+def test_quality_score_linear_custom_weights(spark):
+    from kafka_graphs_spark.pipeline.text import quality_score_linear
+
+    d = docs_df(spark, [(1, "the the the")])
+    r = quality_score_linear(
+        d, weights={"intercept": 0.0, "stop_ratio": 0.0,
+                    "mean_token_len": 0.0, "log_n_tokens": 0.0}
+    ).collect()[0]
+    assert r["logit"] == 0.0 and r["prob"] == 0.5
