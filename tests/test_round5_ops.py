@@ -192,3 +192,75 @@ def test_quality_score_linear_custom_weights(spark):
                     "mean_token_len": 0.0, "log_n_tokens": 0.0}
     ).collect()[0]
     assert r["logit"] == 0.0 and r["prob"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_pq_codes_shape_and_range(spark):
+    import random
+
+    from kafka_graphs_spark.pipeline.similarity import (
+        product_quantize,
+        train_pq_codebooks,
+    )
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(40)]
+    emb = _emb_df(spark, vecs)
+    cb = train_pq_codebooks(emb, m=4, k=8, dim=16)
+    assert len(cb) == 4 and len(cb[0]) == 8 and len(cb[0][0]) == 4
+    codes = product_quantize(emb, cb).collect()
+    assert len(codes) == 40
+    for r in codes:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 8 for c in r["codes"])
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    from kafka_graphs_spark.pipeline.similarity import train_pq_codebooks
+
+    emb = _emb_df(spark, [[1.0] * 10])
+    with pytest.raises(ValueError):
+        train_pq_codebooks(emb, m=4, k=2, dim=10)
+
+
+def test_pq_topk_rerank_finds_planted_duplicate(spark):
+    import random
+
+    from kafka_graphs_spark.pipeline.similarity import pq_topk
+
+    rng = random.Random(3)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(50)]
+    # vec 42 := exact duplicate of vec 0 (scaled — cosine-identical)
+    base[42] = [2.0 * x for x in base[0]]
+    emb = _emb_df(spark, base)
+    q = emb.filter(F.col("vec_id") == 0)
+    res = pq_topk(emb, q, k=3, m=4, n_centroids=8, dim=16, rerank=20).collect()
+    top = [r for r in res if r["rank"] == 1][0]
+    assert top["neighbor_id"] == 42
+    assert top["cos"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pq_topk_adc_deterministic(spark):
+    import random
+
+    from kafka_graphs_spark.pipeline.similarity import pq_topk
+
+    rng = random.Random(11)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(30)]
+    emb = _emb_df(spark, vecs)
+    q = emb.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, pq_topk(emb, q, k=4, m=4, n_centroids=8, dim=16).collect()))
+    b = sorted(map(tuple, pq_topk(
+        emb.repartition(7), q, k=4, m=4, n_centroids=8, dim=16
+    ).collect()))
+    assert a == b
