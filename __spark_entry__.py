@@ -1867,7 +1867,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # queries inside the window.
     # ------------------------------------------------------------------
     return {
-        # -- round-5 additions --
+        # -- ROUND-6 WINDOW ROTATION (VERDICT r5 "Next round" #1): slots 1-33 are
+        # the 33 queries that have never received a driver-scored row in any
+        # round; slots 34-50 are core §2 staples as regression re-confirmation. --
+        # - curation composites + dedup/contamination flagships -
+        "pipeline_curate": pipeline_curate,
+        "pipeline_curate_decontam": pipeline_curate_decontam,
+        "pipeline_curate_gated": pipeline_curate_gated,
+        "dedup_resolve": dedup_resolve,
+        "doc_contamination": doc_contamination,
+        "emb_decontamination": emb_decontamination,
+        # - ANN: IVF + LSH recall invariants, near-dup LSH path -
+        "emb_ivf_topk": emb_ivf_topk,
+        "emb_ivf_recall": emb_ivf_recall,
+        "emb_lsh_recall": emb_lsh_recall,
+        "emb_near_dup_lsh": emb_near_dup_lsh,
+        "emb_near_dup_lsh_inv": emb_near_dup_lsh_inv,
+        # - streaming set ops (open since round-2 advice) -
+        "ec_stream_distinct": ec_stream_distinct,
+        "ec_stream_union": ec_stream_union,
+        # - centrality / walks / structure -
+        "gen_betweenness_star": gen_betweenness_star,
+        "gen_betweenness_path": gen_betweenness_path,
+        "gen_closeness_star": gen_closeness_star,
+        "sp_katz": sp_katz,
+        "sp_hits": sp_hits,
+        "sp_walks": sp_walks,
+        "hier_n2v_walks": hier_n2v_walks,
+        "ec_modularity": ec_modularity,
+        "hier_ktruss3": hier_ktruss3,
+        "hier_graph_stats": hier_graph_stats,
+        # - text / sampling / profiling -
+        "doc_bigrams": doc_bigrams,
+        "doc_repetition": doc_repetition,
+        "doc_language_stats": doc_language_stats,
+        "doc_sketch_inv": doc_sketch_inv,
+        "doc_source_profile": doc_source_profile,
+        "doc_pii_stats": doc_pii_stats,
+        "doc_mixture_sample": doc_mixture_sample,
+        "doc_pack_sequences": doc_pack_sequences,
+        "doc_cap_per_source": doc_cap_per_source,
+        # - seeded factor table (rows-only) -
+        "sp_svdpp_factors": sp_svdpp_factors,
+        # -- slots 34-50: core staples, previously green (r01-r05) --
+        "ec_pagerank5": ec_pagerank5,
+        "ec_wcc": ec_wcc,
+        "ec_sssp": ec_sssp,
+        "ec_bfs": ec_bfs,
+        "sp_out_degrees": sp_out_degrees,
+        "dedup_exact": dedup_exact,
+        "doc_token_count": doc_token_count,
+        "ec_lp10": ec_lp10,
+        "hier_lcc": hier_lcc,
+        "hier_triangles": hier_triangles,
+        "ec_mssp": ec_mssp,
+        "ec_sybilrank": ec_sybilrank,
+        "ec_stream_degrees": ec_stream_degrees,
+        "hier_jaccard": hier_jaccard,
+        "hier_adamic_adar": hier_adamic_adar,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "emb_cosine_topk": emb_cosine_topk,
+        # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "gen_louvain_cliques": gen_louvain_cliques,
         "hier_transitivity": hier_transitivity,
         "doc_line_dedup": doc_line_dedup,
@@ -1877,7 +1937,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_recall": emb_pq_recall,
         "emb_pq_codes_inv": emb_pq_codes_inv,
         "ec_louvain_inv": ec_louvain_inv,
-        # -- round-4 additions, first driver-scored appearance --
         "gen_scc": gen_scc,
         "gen_msf_complete": gen_msf_complete,
         "hier_msf_inv": hier_msf_inv,
@@ -1907,7 +1966,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pii_redact": doc_pii_redact,
         "doc_split": doc_split,
         "gen_ktruss_complete": gen_ktruss_complete,
-        # -- slots 30-50: hedge re-scores (r04 evidence unconfirmed at rotation time: invariant twins for the no-oracle numerics, streaming-summary oracles, pipeline flagships) --
         "sp_als_loss": sp_als_loss,
         "sp_sgd_loss": sp_sgd_loss,
         "sp_svdpp_loss": sp_svdpp_loss,
@@ -1921,64 +1979,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_spanner": ec_spanner,
         "hier_lcc_pregel": hier_lcc_pregel,
         "multimodal_features": multimodal_features,
-        "ec_stream_distinct": ec_stream_distinct,
-        "ec_stream_union": ec_stream_union,
-        "dedup_exact": dedup_exact,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "dedup_resolve": dedup_resolve,
-        "pipeline_curate_gated": pipeline_curate_gated,
-        "emb_cosine_topk": emb_cosine_topk,
-        "doc_sketch_inv": doc_sketch_inv,
-        # -- beyond slot 50: oracle-backed, previously driver-scored (r01/r03/r04); rotate back in future rounds --
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
-        "doc_contamination": doc_contamination,
-        "pipeline_curate": pipeline_curate,
-        "pipeline_curate_decontam": pipeline_curate_decontam,
-        "doc_language_stats": doc_language_stats,
-        "doc_bigrams": doc_bigrams,
-        "doc_repetition": doc_repetition,
         "emb_near_dup": emb_near_dup,
-        "emb_lsh_recall": emb_lsh_recall,
-        "emb_ivf_recall": emb_ivf_recall,
-        "emb_near_dup_lsh_inv": emb_near_dup_lsh_inv,
-        "doc_mixture_sample": doc_mixture_sample,
-        "doc_pack_sequences": doc_pack_sequences,
-        "doc_pii_stats": doc_pii_stats,
-        "hier_n2v_walks": hier_n2v_walks,
-        "sp_katz": sp_katz,
-        "doc_source_profile": doc_source_profile,
-        "sp_hits": sp_hits,
-        "hier_ktruss3": hier_ktruss3,
-        "sp_walks": sp_walks,
-        "ec_modularity": ec_modularity,
-        "gen_betweenness_star": gen_betweenness_star,
-        "gen_betweenness_path": gen_betweenness_path,
-        "gen_closeness_star": gen_closeness_star,
-        "emb_decontamination": emb_decontamination,
-        "hier_graph_stats": hier_graph_stats,
-        "doc_cap_per_source": doc_cap_per_source,
-        "ec_wcc": ec_wcc,
-        "ec_pagerank5": ec_pagerank5,
-        "ec_sssp": ec_sssp,
-        "ec_bfs": ec_bfs,
         "ec_pregel_sssp": ec_pregel_sssp,
-        "ec_lp10": ec_lp10,
-        "hier_lcc": hier_lcc,
-        "ec_mssp": ec_mssp,
-        "ec_sybilrank": ec_sybilrank,
-        "hier_triangles": hier_triangles,
-        "ec_stream_degrees": ec_stream_degrees,
-        "hier_jaccard": hier_jaccard,
-        "hier_adamic_adar": hier_adamic_adar,
         "ec_window_sum": ec_window_sum,
         "sp_io_roundtrip": sp_io_roundtrip,
         "sp_group_reduce_nbrs": sp_group_reduce_nbrs,
         "sp_join_vertices": sp_join_vertices,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "gen_complete_edges": gen_complete_edges,
-        "sp_out_degrees": sp_out_degrees,
         "sp_in_degrees": sp_in_degrees,
         "sp_subgraph_edges": sp_subgraph_edges,
         "sp_filter_edges": sp_filter_edges,
@@ -1996,7 +2007,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_window_sum_sliding": ec_window_sum_sliding,
         "ec_stream_reverse": ec_stream_reverse,
         "ec_stream_undirected": ec_stream_undirected,
-        "doc_token_count": doc_token_count,
         "doc_subword_count": doc_subword_count,
         "doc_language_id": doc_language_id,
         "doc_quality": doc_quality,
@@ -2007,13 +2017,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above) and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
         "sp_sgd_factors": sp_sgd_factors,
-        "sp_svdpp_factors": sp_svdpp_factors,
         "hier_semiclusters": hier_semiclusters,
         "emb_kmeans": emb_kmeans,
         "ec_maxbmatching": ec_maxbmatching,
         "emb_lsh_topk": emb_lsh_topk,
-        "emb_ivf_topk": emb_ivf_topk,
-        "emb_near_dup_lsh": emb_near_dup_lsh,
     }
 
 

@@ -221,39 +221,47 @@ def ppmi(
     """
     from pyspark import StorageLevel
 
+    from kafka_graphs_spark.library._loop import eager_checkpoint
+
     a, b, w = F.col(a_col), F.col(b_col), F.col(weight_col)
     # the pair table is scanned 4x (total, both marginal sides, output);
     # recomputing a quadratic co-occurrence join that many times is the
-    # dominant cost, so persist it for the call's lifetime (the returned
-    # frame keeps reading the cache; blocks are reclaimed by the context
-    # cleaner once the result is dereferenced)
+    # dominant cost, so persist it for the call's lifetime only: the
+    # result is eagerly checkpointed while the cache is hot, then the
+    # cache is released in `finally` so nothing stays pinned after the
+    # call returns (the old version leaked the pair table forever).
     pairs.persist(StorageLevel.MEMORY_AND_DISK)
-    total = pairs.agg(F.sum(w).alias("t")).collect()[0]["t"]
-    if not total:
-        return pairs.select(a_col, b_col, weight_col).withColumn(
-            "ppmi", F.lit(0.0)
-        ).limit(0)
-    sides = pairs.select(a.alias("x"), w.alias("w")).unionByName(
-        pairs.select(b.alias("x"), w.alias("w"))
-    )
-    marg = sides.groupBy("x").agg(F.sum("w").alias("m"))
-    out = (
-        pairs.join(marg.select(F.col("x").alias(a_col), F.col("m").alias("_ma")), on=a_col)
-        .join(marg.select(F.col("x").alias(b_col), F.col("m").alias("_mb")), on=b_col)
-        .select(
-            a_col,
-            b_col,
-            weight_col,
-            F.greatest(
-                F.lit(0.0),
-                F.log(
-                    w.cast("double") * F.lit(float(total))
-                    / (F.col("_ma").cast("double") * F.col("_mb").cast("double"))
-                ),
-            ).alias("ppmi"),
+    try:
+        total = pairs.agg(F.sum(w).alias("t")).collect()[0]["t"]
+        if not total:
+            return pairs.select(a_col, b_col, weight_col).withColumn(
+                "ppmi", F.lit(0.0)
+            ).limit(0)
+        sides = pairs.select(a.alias("x"), w.alias("w")).unionByName(
+            pairs.select(b.alias("x"), w.alias("w"))
         )
-    )
-    return out
+        marg = sides.groupBy("x").agg(F.sum("w").alias("m"))
+        out = (
+            pairs.join(
+                marg.select(F.col("x").alias(a_col), F.col("m").alias("_ma")), on=a_col
+            )
+            .join(marg.select(F.col("x").alias(b_col), F.col("m").alias("_mb")), on=b_col)
+            .select(
+                a_col,
+                b_col,
+                weight_col,
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        w.cast("double") * F.lit(float(total))
+                        / (F.col("_ma").cast("double") * F.col("_mb").cast("double"))
+                    ),
+                ).alias("ppmi"),
+            )
+        )
+        return eager_checkpoint(out)
+    finally:
+        pairs.unpersist()
 
 
 def triangle_motif_census(graph: Graph) -> "DataFrame":
@@ -383,7 +391,13 @@ def transitivity(graph: Graph) -> "DataFrame":
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("d"))
     )
-    w = deg.agg(F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("w"))
+    # Exact integer wedge count: `div` (integer division), not float `/` —
+    # double division is exact only below 2^53 wedges, and a hub-heavy
+    # 100 TB graph can exceed that (same fix as bipartiteness's exact div).
+    # d*(d-1) is always even, so `div 2` is lossless.
+    w = deg.agg(
+        F.sum(F.expr("d * (d - 1L) div 2")).cast("long").alias("w")
+    )
     e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
     e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
     tri = (

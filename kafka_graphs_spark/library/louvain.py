@@ -167,7 +167,13 @@ def louvain(
                     "u",
                     "c",
                     "c_own",
-                    (
+                    # Rounded to 6 dp (repo precedent for order-dependent
+                    # float accumulations): wuc/sigma come from F.sum over
+                    # doubles whose accumulation order varies with
+                    # partitioning; without rounding, near-tied gains can
+                    # flip the argmax across runs and the smallest-label
+                    # tie-break below never gets to decide.
+                    F.round(
                         F.col("wuc")
                         - F.col("k")
                         * (
@@ -176,7 +182,8 @@ def louvain(
                                 F.lit(0.0)
                             )
                         )
-                        / F.lit(m2)
+                        / F.lit(m2),
+                        6,
                     ).alias("score"),
                 )
             )

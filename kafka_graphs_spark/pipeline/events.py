@@ -26,11 +26,16 @@ def json_props(
     cast: str = "double",
 ) -> DataFrame:
     """All input columns plus one typed column per JSON key extracted
-    from ``props_col`` (``$.key`` path; unparseable/missing → NULL)."""
+    from ``props_col`` (``$.key`` path; unparseable/missing → NULL).
+
+    ``try_cast`` (not ``cast``) so a malformed value like ``{"k":"abc"}``
+    yields NULL under Spark 4's default ANSI mode instead of raising
+    CAST_INVALID_INPUT — matching TRY_CAST-to-NULL oracle semantics.
+    """
     out = events
     for k in keys:
         out = out.withColumn(
-            k, F.get_json_object(F.col(props_col), f"$.{k}").cast(cast)
+            k, F.get_json_object(F.col(props_col), f"$.{k}").try_cast(cast)
         )
     return out
 

@@ -443,21 +443,22 @@ def unigram_logprob(
     a token) can reach 10⁸+ rows: pass False to fall back to a shuffled
     equi-join on the token key and let AQE pick the strategy.
     """
-    from pyspark import StorageLevel
-
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col(text_col))).alias("tok")
     )
-    # persist the (vocabulary-sized) frequency table so the corpus is
-    # tokenized once for the total probe and once for the scoring join,
-    # instead of three full tokenize passes
     freq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    freq.persist(StorageLevel.MEMORY_AND_DISK)
-    total = freq.agg(F.sum("c").alias("t")).collect()[0]["t"] or 1
+    # The corpus-total token count rides the plan as a broadcast one-row
+    # cross join instead of an eager collect + persist: the whole function
+    # stays lazy, Spark's ReuseExchange computes the freq aggregation once
+    # for both the total and the scoring join, and no cache outlives the
+    # call (the old persist() pinned the vocabulary table forever).
+    total = freq.agg(
+        F.greatest(F.sum("c"), F.lit(1).cast("long")).alias("_t")
+    )
     freq_side = F.broadcast(freq) if broadcast_vocab else freq
-    scored = toks.join(freq_side, on="tok").select(
+    scored = toks.join(freq_side, on="tok").crossJoin(F.broadcast(total)).select(
         "doc_id",
-        (-F.log(F.col("c").cast("double") / F.lit(float(total)))).alias("nlp"),
+        (-F.log(F.col("c").cast("double") / F.col("_t").cast("double"))).alias("nlp"),
     )
     per_doc = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_tokens"),
@@ -549,8 +550,6 @@ def bigram_logprob(
     :func:`unigram_logprob` (the bigram table is vocabulary²-bounded but
     Zipf-sparse; pass False at web scale).
     """
-    from pyspark import StorageLevel
-
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     pairs = F.when(
@@ -566,21 +565,21 @@ def bigram_logprob(
     ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    c2.persist(StorageLevel.MEMORY_AND_DISK)
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
-    vocab_n = (
-        docs.select(F.explode(toks).alias("tok")).agg(
-            F.countDistinct("tok").alias("v")
-        ).collect()[0]["v"]
-        or 1
+    # Vocabulary size rides the plan as a broadcast one-row cross join
+    # (lazy, leak-free) instead of the old eager collect + c2.persist()
+    # that pinned the full corpus bigram table after the call returned;
+    # ReuseExchange computes the c2 aggregation once for c1 and the join.
+    vocab = docs.select(F.explode(toks).alias("tok")).agg(
+        F.greatest(F.countDistinct("tok"), F.lit(1).cast("long")).alias("_v")
     )
-    model = c2.join(c1, on="w1").select(
+    model = c2.join(c1, on="w1").crossJoin(F.broadcast(vocab)).select(
         "w1",
         "w2",
         (
             -F.log(
                 (F.col("c2") + F.lit(k_smooth))
-                / (F.col("c1") + F.lit(k_smooth * vocab_n))
+                / (F.col("c1") + F.lit(k_smooth) * F.col("_v"))
             )
         ).alias("nlp"),
     )

@@ -126,9 +126,9 @@ def test_bigram_logprob_orders_scrambled_below_fluent(spark):
     from kafka_graphs_spark.pipeline.text import bigram_logprob
 
     fluent = " ".join(["the cat sat on the mat"] * 10)
-    scrambled = " ".join(["mat the on sat the cat"[::-1]] * 10)
+    scrambled = "cat the mat sat the on"  # word-shuffled variant of the fluent sentence
     base = [(i, fluent) for i in range(10)]
-    d = docs_df(spark, base + [(100, fluent), (101, "cat the mat sat the on")])
+    d = docs_df(spark, base + [(100, fluent), (101, scrambled)])
     got = {r["doc_id"]: r["avg_neg_logprob"] for r in bigram_logprob(d).collect()}
     assert got[100] < got[101]
 
