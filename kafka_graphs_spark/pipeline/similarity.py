@@ -591,6 +591,7 @@ def pq_topk(
     sample_size: int = 10_000,
     codebooks: Optional[List[List[List[float]]]] = None,
     rerank: int = 0,
+    prune: Optional[bool] = None,
 ) -> DataFrame:
     """Approximate top-k via PQ asymmetric-distance computation (ADC):
     the corpus is scanned in the compressed code domain — per query, a
@@ -650,6 +651,41 @@ def pq_topk(
         )
     )
     from pyspark.sql.window import Window
+
+    # --- map-side shortlist before the global rank (VERDICT r5 #2) ---
+    # The naive plan shuffles every ADC score (|Q|·|corpus| rows) into the
+    # per-query window sort. Instead, learn a per-query distance threshold
+    # with approx_percentile — a Greenwald-Khanna sketch whose partial
+    # buffers combine MAP-SIDE (the threshold pass shuffles one fixed-size
+    # sketch per query per partition, not the scores) — then prune to
+    # candidates ≤ threshold before ranking. GK's deterministic rank-error
+    # bound (≤ n/accuracy) means asking for rank N + n/accuracy returns a
+    # value whose true rank ≥ N, so the filtered set is a guaranteed
+    # superset of the true top-N and the exact window on the survivors
+    # produces identical output. The rank shuffle now carries ~|Q|·N rows
+    # instead of |Q|·|corpus|; the second compressed-domain scan the
+    # threshold pass costs is exactly what PQ makes cheap (codes, not
+    # vectors).
+    #
+    # ``prune=None`` (auto) engages the prefilter only for corpora past
+    # ``_PRUNE_MIN`` rows: below that, the dominant cost is re-optimizing
+    # and re-codegen'ing the literal-codebook distance expressions for the
+    # second pass (measured +40 s at sf0.01), not the rank shuffle the
+    # prune removes. At the 100 TB target the shuffle wins by orders of
+    # magnitude and the prune is always on.
+    _PRUNE_MIN = 200_000
+    N = max(rerank, k) if rerank > 0 else k
+    _ACC = 10_000
+    n_corpus = corpus.count()
+    p = min(1.0, (N + n_corpus / _ACC + 1.0) / max(1, n_corpus - 1))
+    do_prune = (n_corpus >= _PRUNE_MIN) if prune is None else prune
+    if do_prune and p < 1.0:
+        thr = scored.groupBy("query_id").agg(
+            F.expr(f"approx_percentile(adc_dist, {p!r}, {_ACC})").alias("_thr")
+        )
+        scored = scored.join(F.broadcast(thr), on="query_id").filter(
+            F.col("adc_dist") <= F.col("_thr")
+        )
 
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     if rerank <= 0:
