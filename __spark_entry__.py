@@ -695,6 +695,81 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src", "dst", F.round("value", 6).alias("value")
         )
 
+    def ec_stream_edge_count(spark, sf):
+        # running numberOfEdges (EdgeStream.java:166-183) — batch-parity
+        # twin: the running count's final value is the batch count.
+        from kafka_graphs_spark.streaming import EdgeStream
+
+        return EdgeStream(datasets.event_chain_edges(spark, sf)).number_of_edges()
+
+    def ec_stream_vertex_count(spark, sf):
+        # running numberOfVertices (EdgeStream.java:189-207): distinct
+        # endpoints seen so far; final value = batch distinct count.
+        from kafka_graphs_spark.streaming import EdgeStream
+
+        return EdgeStream(datasets.event_chain_edges(spark, sf)).number_of_vertices()
+
+    def ec_stream_aggregate(spark, sf):
+        # aggregate(edgeMapper, vertexMapper) (EdgeStream.java:359-365):
+        # per-vertex sum of outgoing edge weights via the generic hook.
+        from kafka_graphs_spark.streaming import EdgeStream
+
+        s = EdgeStream(datasets.event_chain_edges(spark, sf))
+        return s.aggregate(
+            lambda e: e.select(F.col("src").alias("id"), F.col("value").alias("v")),
+            F.round(F.sum("v"), 6).alias("value"),
+        )
+
+    def ec_stream_global_aggregate(spark, sf):
+        # globalAggregate (EdgeStream.java:377-407): one global row —
+        # total edge weight through the generic global hook.
+        from kafka_graphs_spark.streaming import EdgeStream
+
+        s = EdgeStream(datasets.event_chain_edges(spark, sf))
+        return s.global_aggregate(
+            lambda e: e.select(F.col("value").alias("v")),
+            F.round(F.sum("v"), 6).alias("total_w"),
+        )
+
+    def ec_fold_neighbors(spark, sf):
+        # KGraphWindowedStream.foldNeighbors (KGraphWindowedStream.java:
+        # 56-74): tumbling-window per-vertex fold over neighborhood edges.
+        # The fold is sum-of-squares (order-insensitive up to float
+        # rounding; 6-dp rounding per repo precedent for F.sum parity).
+        from pyspark.sql.window import Window
+
+        from kafka_graphs_spark.streaming import EdgeStream
+
+        ev = datasets.load(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        edges = (
+            ev.select(
+                "user_id", "event_id", "ts",
+                F.lag("event_id").over(w).alias("prev_id"),
+                F.abs(F.col("value")).alias("w"),
+            )
+            .filter(F.col("prev_id").isNotNull())
+            .select(
+                F.col("prev_id").alias("src"),
+                F.col("event_id").alias("dst"),
+                F.col("w").alias("value"),
+                F.col("ts").alias("event_time"),
+            )
+        )
+        out = EdgeStream(edges).slice("1 hour").fold_neighbors(
+            F.lit(0.0), lambda acc, e: acc + e["value"] * e["value"]
+        )
+        start = F.col("window.start")
+        epoch_start = (
+            F.datediff(start.cast("date"), F.lit("1970-01-01").cast("date")).cast("long") * 86400
+            + F.hour(start).cast("long") * 3600
+        )
+        return out.select(
+            epoch_start.alias("window_start"),
+            "id",
+            F.round("value", 6).alias("value"),
+        )
+
     def ec_maxbmatching(spark, sf):
         # greedy message protocol — no SQL oracle (rows-only check)
         from kafka_graphs_spark import Graph
@@ -1920,14 +1995,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_lp10": ec_lp10,
         "hier_lcc": hier_lcc,
         "hier_triangles": hier_triangles,
+        "ec_stream_degrees": ec_stream_degrees,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        # -- slots 46-50: NEW batch-parity twins for the last pytest-only
+        #    streaming aggregates (VERDICT r5 "Next round" #5) --
+        "ec_stream_edge_count": ec_stream_edge_count,
+        "ec_stream_vertex_count": ec_stream_vertex_count,
+        "ec_stream_aggregate": ec_stream_aggregate,
+        "ec_stream_global_aggregate": ec_stream_global_aggregate,
+        "ec_fold_neighbors": ec_fold_neighbors,
+        # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
-        "ec_stream_degrees": ec_stream_degrees,
         "hier_jaccard": hier_jaccard,
         "hier_adamic_adar": hier_adamic_adar,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
         "emb_cosine_topk": emb_cosine_topk,
-        # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "gen_louvain_cliques": gen_louvain_cliques,
         "hier_transitivity": hier_transitivity,
         "doc_line_dedup": doc_line_dedup,
@@ -2373,6 +2455,38 @@ def oracle_sql() -> dict[str, str]:
         "gen_star_edges": """
             SELECT range AS src, CAST(0 AS BIGINT) AS dst, CAST(1 AS BIGINT) AS value
             FROM range(1, 100)
+        """,
+        "ec_stream_edge_count": f"""
+            WITH pos AS ({EC_POS})
+            SELECT CAST(COUNT(*) AS BIGINT) AS count FROM pos WHERE rn > 0
+        """,
+        "ec_stream_vertex_count": f"""
+            WITH pos AS ({EC_POS})
+            SELECT CAST(COUNT(*) AS BIGINT) AS count FROM pos
+            WHERE user_id IN (
+              SELECT user_id FROM pos GROUP BY user_id HAVING COUNT(*) >= 2
+            )
+        """,
+        "ec_stream_aggregate": f"""
+            WITH pos AS ({EC_POS})
+            SELECT a.event_id AS id, round(SUM(b.w), 6) AS value
+            FROM pos a JOIN pos b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+            GROUP BY 1
+        """,
+        "ec_stream_global_aggregate": f"""
+            WITH pos AS ({EC_POS})
+            SELECT round(SUM(b.w), 6) AS total_w
+            FROM pos a JOIN pos b ON a.user_id = b.user_id AND b.rn = a.rn + 1
+        """,
+        "ec_fold_neighbors": """
+            WITH p AS (SELECT event_id, user_id, ts, abs(value) AS w,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+                       FROM events),
+            e AS (SELECT a.event_id AS src, b.event_id AS dst, b.w, b.ts
+                  FROM p a JOIN p b ON a.user_id = b.user_id AND b.rn = a.rn + 1)
+            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
+                   src AS id, round(SUM(w * w), 6) AS value
+            FROM e GROUP BY 1, 2
         """,
         "ec_window_sum": """
             WITH p AS (SELECT event_id, user_id, ts, abs(value) AS w,
