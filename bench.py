@@ -62,6 +62,7 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
         return datasets.chain_sources(spark, sf_dir, 1)[0]
 
     from kafka_graphs_spark.library import als
+    from kafka_graphs_spark.library.louvain import louvain
     from kafka_graphs_spark.streaming import exact_triangle_count
 
     def run_als():
@@ -81,6 +82,12 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
         "wcc": lambda: connected_components(ec, max_iterations=500).count(),
         "sssp": lambda: sssp(ec, src_vertex_id=src(), max_iterations=500).count(),
         "lp10": lambda: label_propagation(ec, max_iterations=10).count(),
+        # local_threshold below the sf0.1 pair count so the level-0 move
+        # phase runs DISTRIBUTED (the 100 TB shape: distributed first
+        # levels, sequential driver tail on the contracted graph)
+        "louvain": lambda: louvain(
+            ec, max_levels=2, max_sweeps=4, local_threshold=50_000
+        ).count(),
         "sp_degrees": lambda: sp.out_degrees().unionByName(sp.in_degrees()).count(),
         "minhash_lsh": lambda: dedup.minhash_lsh_candidates(docs, num_hashes=16, bands=4).count(),
         "simhash": lambda: dedup.simhash(docs, bits=16).count(),

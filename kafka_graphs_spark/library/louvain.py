@@ -76,16 +76,113 @@ def _symmetrize(edges: DataFrame):
     return adj, selfw
 
 
+def _sequential_louvain(pairs, selfw, max_levels, max_sweeps, min_gain):
+    """Classic sequential Louvain on a collected (small) level graph.
+
+    ``pairs``: list of (a, b, w) with a < b, weights pre-summed;
+    ``selfw``: dict node -> self-loop weight. Deterministic: nodes are
+    visited in sorted order, scores use the same 6-dp rounding and
+    smallest-label tie-break as the distributed move phase. Returns
+    dict node -> community (labels are node ids of this level).
+    """
+    # current mapping: level-entry node -> community
+    result = {}
+    nodes = sorted(
+        {a for a, _, _ in pairs} | {b for _, b, _ in pairs} | set(selfw)
+    )
+    for n in nodes:
+        result[n] = n
+
+    for _ in range(max_levels):
+        adj = {}
+        for a, b, w in pairs:
+            adj.setdefault(a, {})[b] = adj.get(a, {}).get(b, 0.0) + w
+            adj.setdefault(b, {})[a] = adj.get(b, {}).get(a, 0.0) + w
+        nodes = sorted(set(adj) | set(selfw))
+        k = {
+            n: sum(adj.get(n, {}).values()) + 2.0 * selfw.get(n, 0.0)
+            for n in nodes
+        }
+        m2 = sum(k.values())
+        if m2 <= 0.0:
+            break
+        comm = {n: n for n in nodes}
+        sigma = dict(k)
+        csize = {n: 1 for n in nodes}
+        level_moves = 0
+        for _sweep in range(max_sweeps):
+            moves = 0
+            for u in nodes:
+                cu, ku = comm[u], k[u]
+                wuc = {}
+                for v, w in adj.get(u, {}).items():
+                    cv = comm[v]
+                    wuc[cv] = wuc.get(cv, 0.0) + w
+                stay = round(
+                    wuc.get(cu, 0.0) - ku * (sigma[cu] - ku) / m2, 6
+                )
+                best_c, best_s = cu, stay
+                for c in sorted(wuc):
+                    if c == cu:
+                        continue
+                    s = round(wuc[c] - ku * sigma[c] / m2, 6)
+                    if s > best_s or (s == best_s and c < best_c):
+                        best_c, best_s = c, s
+                if best_c != cu and best_s > stay + min_gain:
+                    sigma[cu] -= ku
+                    csize[cu] -= 1
+                    sigma[best_c] = sigma.get(best_c, 0.0) + ku
+                    csize[best_c] = csize.get(best_c, 0) + 1
+                    comm[u] = best_c
+                    moves += 1
+            level_moves += moves
+            if moves == 0:
+                break
+        if level_moves == 0:
+            break
+        # compose + contract
+        for n in result:
+            result[n] = comm.get(result[n], result[n])
+        np_pairs = {}
+        np_self = {}
+        for a, b, w in pairs:
+            ca, cb = comm[a], comm[b]
+            if ca == cb:
+                np_self[ca] = np_self.get(ca, 0.0) + w
+            else:
+                key = (min(ca, cb), max(ca, cb))
+                np_pairs[key] = np_pairs.get(key, 0.0) + w
+        for n, w in selfw.items():
+            cn = comm[n]
+            np_self[cn] = np_self.get(cn, 0.0) + w
+        pairs = [(a, b, w) for (a, b), w in sorted(np_pairs.items())]
+        selfw = np_self
+    return result
+
+
 def louvain(
     graph: Graph,
     max_levels: int = 4,
     max_sweeps: int = 8,
     min_gain: float = 1e-9,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """Returns (id, community) — community labels canonicalized to the
     minimum member vertex id. Edge ``value`` is the (non-negative) weight;
     reciprocal/parallel edges sum, direction is ignored (modularity is an
     undirected objective).
+
+    Hybrid execution (the standard multi-level shape — e.g. Grappolo's
+    coarsening handoff): levels run distributed while the contracted
+    graph is large; once a level's graph has ≤ ``local_threshold``
+    unordered weighted pairs, the remaining levels run as the classic
+    sequential algorithm on the driver (deterministic sorted-order
+    sweeps). The contraction shrinks the graph geometrically, so at
+    100 TB the first level or two stay distributed and the tail — where
+    per-superstep scheduling overhead dominates actual work — finishes
+    in milliseconds instead of dozens of scheduled rounds. Same scoring
+    (6-dp rounded gain, smallest-label tie-break) in both tiers;
+    ``local_threshold=0`` forces fully-distributed execution.
     """
     spark = graph.vertices.sparkSession
 
@@ -94,6 +191,35 @@ def louvain(
     assign = graph.vertices.select("id", F.col("id").alias("community"))
 
     for _level in range(max_levels):
+        if local_threshold > 0:
+            n_pairs = adj.count() // 2 + 1  # adj holds both directions
+            if n_pairs <= local_threshold:
+                pairs = [
+                    (r["u"], r["v"], r["w"])
+                    for r in adj.filter(F.col("u") < F.col("v")).collect()
+                ]
+                self_map = {r["u"]: r["w"] for r in selfw.collect()}
+                seq = _sequential_louvain(
+                    pairs, self_map, max_levels - _level, max_sweeps, min_gain
+                )
+                if seq:
+                    # schema by inference: ids keep their type (long ids in
+                    # practice, but string ids work like the distributed path)
+                    comm_final = spark.createDataFrame(
+                        [(a, b) for a, b in sorted(seq.items())],
+                        ["community", "_c_next"],
+                    )
+                    assign = (
+                        assign.join(comm_final, on="community", how="left")
+                        .select(
+                            "id",
+                            F.coalesce("_c_next", F.col("community")).alias(
+                                "community"
+                            ),
+                        )
+                        .localCheckpoint(eager=True)
+                    )
+                break
         adj_scan, release_adj = sized_cache(adj)
         k = (
             adj_scan.groupBy("u").agg(F.sum("w").alias("k"))
@@ -121,31 +247,41 @@ def louvain(
         level_moves = 0
         for sweep in range(2 * max_sweeps):
             parity = sweep % 2
+            # Only the active parity class evaluates moves — filtering the
+            # u-side BEFORE the adjacency join halves the heaviest
+            # join+aggregate of the sweep (the other class's moves would
+            # be suppressed at apply time anyway, so results are
+            # identical; the old shape scored everyone every sub-sweep).
+            par = F.pmod(F.xxhash64(F.col("u")), F.lit(2)) == F.lit(parity)
             # w_{u,c}: weight from u into each neighboring community,
             # plus an explicit zero-weight "stay" candidate so vertices
-            # with no intra-community neighbor still score staying.
+            # with no intra-community neighbor still score staying. The
+            # possible duplicate (u, c_own) pair (real + synthetic zero)
+            # is resolved in the final aggregate (stay = MAX over own
+            # rows; the real score dominates since wuc ≥ 0) instead of a
+            # dedicated dedup shuffle.
             nbc = (
-                adj_scan.join(
-                    comm.select(F.col("u").alias("v"), F.col("c")), on="v"
-                )
+                adj_scan.filter(par)
+                .join(comm.select(F.col("u").alias("v"), F.col("c")), on="v")
                 .groupBy("u", "c")
                 .agg(F.sum("w").alias("wuc"))
-                .unionByName(comm.select("u", "c", F.lit(0.0).alias("wuc")))
-                .groupBy("u", "c")
-                .agg(F.max("wuc").alias("wuc"))
+                .unionByName(
+                    comm.filter(par).select("u", "c", F.lit(0.0).alias("wuc"))
+                )
             )
             sigma = (
                 comm.join(k_scan, on="u")
                 .groupBy("c")
                 .agg(F.sum("k").alias("sigma"), F.count(F.lit(1)).alias("csize"))
             )
-            own = comm.select("u", F.col("c").alias("c_own")).join(
+            own = comm.filter(par).select("u", F.col("c").alias("c_own")).join(
                 sigma.select(
                     F.col("c").alias("c_own"), F.col("csize").alias("own_csize")
                 ),
                 on="c_own",
                 how="left",
             )
+            is_own = F.col("c") == F.col("c_own")
             cand = (
                 nbc.join(sigma, on="c")
                 .join(k_scan, on="u")
@@ -156,7 +292,7 @@ def louvain(
                 # labeled one may move (into the smaller label), which
                 # breaks the 2-cycle while preserving the merge.
                 .filter(
-                    (F.col("c") == F.col("c_own"))
+                    is_own
                     | ~(
                         (F.col("csize") == 1)
                         & (F.coalesce(F.col("own_csize"), F.lit(1)) == 1)
@@ -178,37 +314,43 @@ def louvain(
                         - F.col("k")
                         * (
                             F.col("sigma")
-                            - F.when(F.col("c") == F.col("c_own"), F.col("k")).otherwise(
-                                F.lit(0.0)
-                            )
+                            - F.when(is_own, F.col("k")).otherwise(F.lit(0.0))
                         )
                         / F.lit(m2),
                         6,
                     ).alias("score"),
                 )
             )
+            # max_by/max skip null-ordinal rows, so own rows are excluded
+            # from the move argmax and non-own rows from the stay score
+            # without a pre-partitioned dedup pass.
+            not_own = F.col("c") != F.col("c_own")
             best = cand.groupBy("u").agg(
                 F.max_by(
-                    F.struct("c", "score"),
+                    F.when(not_own, F.struct("c", "score")),
                     # max score, then smallest community label
-                    F.struct(F.col("score"), (-F.col("c")).alias("nc")),
+                    F.when(
+                        not_own,
+                        F.struct(F.col("score"), (-F.col("c")).alias("nc")),
+                    ),
                 ).alias("b"),
-                F.max(
-                    F.when(F.col("c") == F.col("c_own"), F.col("score"))
-                ).alias("stay"),
+                F.max(F.when(is_own, F.col("score"))).alias("stay"),
                 F.first("c_own").alias("c_own"),
             )
             nxt = best.withColumn(
                 "c_new",
                 F.when(
-                    (F.col("b.score") > F.col("stay") + F.lit(min_gain))
-                    & (F.pmod(F.xxhash64("u"), F.lit(2)) == F.lit(parity)),
+                    F.col("b.score") > F.col("stay") + F.lit(min_gain),
                     F.col("b.c"),
                 ).otherwise(F.col("c_own")),
             ).select(
                 "u",
                 F.col("c_new").alias("c"),
                 (F.col("c_new") != F.col("c_own")).alias("_moved"),
+            ).unionByName(
+                comm.filter(~par).select(
+                    "u", "c", F.lit(False).alias("_moved")
+                )
             )
             # the move-count probe rides the materialization action
             state, row = loop.advance(
@@ -242,28 +384,32 @@ def louvain(
             release_k()
             break
 
-        # contract: communities become vertices one level up
+        # contract: communities become vertices one level up. ONE grouped
+        # frame (and one checkpoint job) carries both the inter-community
+        # adjacency and the intra-community mass — the old two-checkpoint
+        # shape executed the 3-way relabeling join twice.
         cu = comm.select(F.col("u"), F.col("c").alias("cu"))
         cv = comm.select(F.col("u").alias("v"), F.col("c").alias("cv"))
         lab = adj_scan.join(cu, on="u").join(cv, on="v")
-        adj_next = (
-            lab.filter(F.col("cu") != F.col("cv"))
-            .groupBy(F.col("cu").alias("u"), F.col("cv").alias("v"))
-            .agg(F.sum("w").alias("w"))
-        )
-        self_next = (
-            lab.filter(F.col("cu") == F.col("cv"))
-            .select(F.col("cu").alias("u"), (F.col("w") / 2.0).alias("w"))
+        contracted = (
+            lab.select(F.col("cu").alias("u"), F.col("cv").alias("v"), "w")
             .unionByName(
-                selfw.join(
-                    comm.withColumnRenamed("c", "cu"), on="u"
-                ).select(F.col("cu").alias("u"), "w")
+                # prior self-loops ride along keyed (cu, cu) with doubled
+                # weight (adjacency rows count each direction; /2 below)
+                selfw.join(comm.withColumnRenamed("c", "cu"), on="u").select(
+                    F.col("cu").alias("u"),
+                    F.col("cu").alias("v"),
+                    (F.col("w") * 2.0).alias("w"),
+                )
             )
-            .groupBy("u")
+            .groupBy("u", "v")
             .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
         )
-        adj = adj_next.localCheckpoint(eager=True)
-        selfw = self_next.localCheckpoint(eager=True)
+        adj = contracted.filter(F.col("u") != F.col("v"))
+        selfw = contracted.filter(F.col("u") == F.col("v")).select(
+            "u", (F.col("w") / 2.0).alias("w")
+        )
         loop.release()
         release_adj()
         release_k()

@@ -16,6 +16,7 @@ from kafka_graphs_spark.streaming.library import (
     connected_components,
     connected_components_frame,
     exact_triangle_count,
+    pagerank_windowed,
     spanner,
     spanner_frame,
 )
@@ -40,6 +41,7 @@ __all__ = [
     "bipartiteness_check",
     "bipartiteness_frame",
     "exact_triangle_count",
+    "pagerank_windowed",
     "spanner",
     "spanner_frame",
     "DisjointSet",

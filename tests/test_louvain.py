@@ -121,3 +121,26 @@ def test_random_graph_invariants(spark):
     q = modularity(g, res, label_col="community").collect()[0]["modularity"]
     # singleton partition Q = -sum((k_i/2m)^2) < 0; Louvain must beat it
     assert q > 0.0
+
+
+def test_louvain_distributed_matches_sequential_on_cliques(spark):
+    """local_threshold=0 forces the fully-distributed path; both tiers must
+    recover the same unambiguous clique partition (the hybrid handoff must
+    not change results where the optimum is clear)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from kafka_graphs_spark import Graph
+    from kafka_graphs_spark.library.louvain import louvain
+
+    edges = []
+    for c in range(4):
+        ids = [c * 10 + i for i in range(6)]
+        edges += [(a, b, 1.0) for a, b in itertools.combinations(ids, 2)]
+    e = spark.createDataFrame(edges, "src long, dst long, value double")
+    g = Graph.from_edges(e, F.lit(0.0))
+    dist = {r["id"]: r["community"] for r in louvain(g, local_threshold=0).collect()}
+    seq = {r["id"]: r["community"] for r in louvain(g).collect()}
+    assert dist == seq
+    assert sorted(set(seq.values())) == [0, 10, 20, 30]
