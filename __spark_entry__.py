@@ -770,6 +770,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round("value", 6).alias("value"),
         )
 
+    def ec_window_pagerank(spark, sf):
+        # per-tumbling-window PageRank (streaming centrality; one
+        # distributed run over struct (window, id) keys). Oracle: within a
+        # (user, window) the chain edges are a contiguous run (ts is
+        # non-decreasing in rn), so each window's subgraph is a disjoint
+        # path and the exact delta recurrence depends only on the
+        # position within the window segment — same closed form as
+        # ec_pagerank5, keyed by (window, segment position).
+        from pyspark.sql.window import Window
+
+        from kafka_graphs_spark.streaming import pagerank_windowed
+
+        ev = datasets.load(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        edges = (
+            ev.select(
+                "user_id", "event_id", "ts",
+                F.lag("event_id").over(w).alias("prev_id"),
+            )
+            .filter(F.col("prev_id").isNotNull())
+            .select(
+                F.col("prev_id").alias("src"),
+                F.col("event_id").alias("dst"),
+                F.col("ts").alias("event_time"),
+            )
+        )
+        out = pagerank_windowed(edges, "1 hour", max_iterations=5)
+        start = F.col("window_start")
+        epoch_start = (
+            F.datediff(start.cast("date"), F.lit("1970-01-01").cast("date")).cast("long") * 86400
+            + F.hour(start).cast("long") * 3600
+        )
+        return out.select(epoch_start.alias("window_start"), "id", "value")
+
     def ec_maxbmatching(spark, sf):
         # greedy message protocol — no SQL oracle (rows-only check)
         from kafka_graphs_spark import Graph
@@ -1994,7 +2028,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": doc_token_count,
         "ec_lp10": ec_lp10,
         "hier_lcc": hier_lcc,
-        "hier_triangles": hier_triangles,
+        # new this round: windowed streaming PageRank (first streaming
+        # centrality), exact closed-form oracle
+        "ec_window_pagerank": ec_window_pagerank,
         "ec_stream_degrees": ec_stream_degrees,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         # -- slots 46-50: NEW batch-parity twins for the last pytest-only
@@ -2007,6 +2043,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
+        "hier_triangles": hier_triangles,
         "hier_jaccard": hier_jaccard,
         "hier_adamic_adar": hier_adamic_adar,
         "emb_cosine_topk": emb_cosine_topk,
@@ -2455,6 +2492,32 @@ def oracle_sql() -> dict[str, str]:
         "gen_star_edges": """
             SELECT range AS src, CAST(0 AS BIGINT) AS dst, CAST(1 AS BIGINT) AS value
             FROM range(1, 100)
+        """,
+        "ec_window_pagerank": """
+            WITH RECURSIVE pr(j, r, d) AS (
+                SELECT 0, 0.85 * (0.15/0.85), 0.85 * (0.15/0.85)
+                UNION ALL
+                SELECT j + 1, r + 0.85 * d, (r + 0.85 * d) - r FROM pr WHERE j < 4
+            ),
+            p AS (SELECT event_id, user_id, ts,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+                  FROM events),
+            e AS (SELECT a.user_id, a.event_id AS src, b.event_id AS dst,
+                         a.rn AS arn, b.rn AS brn,
+                         (CAST(floor(epoch(b.ts)) AS BIGINT) // 3600) * 3600 AS ws
+                  FROM p a JOIN p b ON a.user_id = b.user_id AND b.rn = a.rn + 1),
+            -- DISTINCT over UNION ALL, not bare UNION: under WITH
+            -- RECURSIVE DuckDB stops deduplicating UNION in
+            -- non-recursive CTEs of the same WITH list
+            v AS (SELECT DISTINCT user_id, ws, id, rn FROM (
+                    SELECT user_id, ws, src AS id, arn AS rn FROM e
+                    UNION ALL
+                    SELECT user_id, ws, dst AS id, brn AS rn FROM e)),
+            pos AS (SELECT user_id, ws, id,
+                    row_number() OVER (PARTITION BY user_id, ws ORDER BY rn) - 1 AS seg
+                    FROM v)
+            SELECT ws AS window_start, id, pr.r AS value
+            FROM pos JOIN pr ON pr.j = least(pos.seg, 4)
         """,
         "ec_stream_edge_count": f"""
             WITH pos AS ({EC_POS})
