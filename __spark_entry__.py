@@ -1410,6 +1410,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("range_ok"),
         )
 
+    def emb_ivfpq_topk(spark, sf):
+        # IVFADC (coarse cells + residual PQ + ADC scan + exact rerank) —
+        # rows-only check; recall pinned by emb_ivfpq_recall
+        emb = datasets.load(spark, sf, "embeddings")
+        return similarity.ivfpq_topk(
+            emb, emb.filter(F.col("vec_id") < 10),
+            k=5, n_cells=16, n_probe=6, m=8, n_centroids=16, dim=64, rerank=100,
+        )
+
+    def emb_ivfpq_recall(spark, sf):
+        # invariant oracle for the IVFADC path; measured recall@5 =
+        # 0.70/0.66 at sf0.001/0.01 (deterministic sorted-sample
+        # quantizers; recall is cell-coverage-bounded like emb_ivf_recall,
+        # whose 4-probe floor is also 0.5), floor 0.5
+        return _ann_recall(
+            spark, sf,
+            lambda emb, q: similarity.ivfpq_topk(
+                emb, q, k=5, n_cells=16, n_probe=6, m=8, n_centroids=16,
+                dim=64, rerank=100,
+            ),
+            0.5,
+        )
+
     def emb_near_dup_lsh_inv(spark, sf):
         # invariant oracle for the rows-only emb_near_dup_lsh path: the
         # exact-cosine verify stage makes precision 1.0 by construction
@@ -2040,6 +2063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_stream_aggregate": ec_stream_aggregate,
         "ec_stream_global_aggregate": ec_stream_global_aggregate,
         "ec_fold_neighbors": ec_fold_neighbors,
+        # -- beyond slot 50: round-6 additions, never scored — rotate into the r7 window first --
+        "emb_ivfpq_topk": emb_ivfpq_topk,
+        "emb_ivfpq_recall": emb_ivfpq_recall,
         # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
@@ -3468,6 +3494,7 @@ def oracle_sql() -> dict[str, str]:
         # hash-order-dependent on bucket randomness, the floor is not)
         "emb_lsh_recall": "SELECT true AS recall_ok",
         "emb_ivf_recall": "SELECT true AS recall_ok",
+        "emb_ivfpq_recall": "SELECT true AS recall_ok",
         # LSH near-dup invariants: exact-cosine verify ⇒ zero false pairs;
         # candidate generator must surface at least one true pair
         "emb_near_dup_lsh_inv": """

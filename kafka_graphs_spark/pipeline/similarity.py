@@ -726,3 +726,214 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def _centers_lit(centers):
+    """Array-of-arrays literal for a centroid table (cell -> centroid)."""
+    return F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centers]
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    seed: int = 42,
+    sample_size: int = 10_000,
+    rerank: int = 50,
+) -> DataFrame:
+    """IVFADC approximate top-k (Jégou/Douze/Schmid, TPAMI 2011): the
+    composition of :func:`ivf_topk`'s cell pruning with :func:`pq_topk`'s
+    compressed-domain scan — the production ANN index shape.
+
+    Pipeline: (1) a coarse quantizer (``n_cells`` k-means centers, trained
+    driver-side on a BOUNDED sorted-id sample) assigns each L2-normalized
+    corpus vector to a Voronoi cell; (2) the *residual* ``v − centroid``
+    is product-quantized (``m`` subspaces × ``n_centroids``, codebooks
+    trained on sample residuals — residual PQ, not raw-vector PQ, is the
+    detail that makes IVFADC beat IVF+flat-PQ: residuals concentrate near
+    0 so the same codebook budget quantizes finer); (3) each query probes
+    its ``n_probe`` nearest cells, builds a per-(query, cell) ADC table of
+    exact subvector distances against its own residual in that cell, and
+    scores candidates as ``Σ_j table[j][code_j]``; (4) the per-query
+    shortlist of ``rerank`` candidates joins back to full vectors for
+    exact-cosine re-ranking. Returns (query_id, neighbor_id, cos, rank)
+    matching :func:`cosine_topk`.
+
+    100 TB shape: the corpus pass is one codegen'd scan (cell argmin +
+    residual encode, no shuffle, no Python); the candidate join is an
+    equi-join on cell against a broadcast query table carrying one
+    ``m × n_centroids`` float table per (query, probed cell); the scan
+    inside probed cells reads ``m`` small ints per vector, never floats
+    — floats are touched only for the |Q|·rerank reranked rows. Scored
+    rows per query ≈ |corpus|·n_probe/n_cells, never all-pairs.
+
+    Deterministic: sorted-id samples, seeded Lloyd, first-min argmins,
+    id-tie-broken windows — identical output under any partitioning.
+    """
+    import numpy as np
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    dsub = dim // m
+
+    sample = np.asarray(
+        [
+            [float(x) for x in r[1]]
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype="float64",
+    )
+    nrm = np.linalg.norm(sample, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = 1.0
+    sample = sample / nrm
+
+    coarse = np.asarray(_lloyd_centers(sample, n_cells, 5, seed), dtype="float64")
+    # residuals of the sample against their own nearest coarse center
+    d2 = ((sample[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+    res = sample - coarse[d2.argmin(axis=1)]
+    codebooks = [
+        _lloyd_centers(res[:, j * dsub : (j + 1) * dsub], n_centroids, 5, seed + 1 + j)
+        for j in range(m)
+    ]
+    coarse_lit = _centers_lit(coarse.tolist())
+
+    def sq_dist_lit(vec, center):
+        return F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in center]),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # ---- corpus pass: normalize -> cell argmin -> residual -> PQ codes
+    # Each stage lands in a NAMED column so downstream expressions hold a
+    # cheap attribute reference, not an inlined copy of the upstream tree
+    # (the residual embeds the 16-way centroid argmin; inlining it into
+    # all m×k code distances explodes the plan ~100× and stalls Catalyst).
+    # CollapseProject keeps multiply-referenced non-trivial aliases
+    # un-inlined, so this stays one codegen'd scan with no shuffle.
+    def with_cell_and_resid(df, idc, out_id):
+        vn = _pq_normalized(F.col(vec_col).cast("array<double>"))
+        base = df.select(F.col(idc).alias(out_id), vn.alias("_v"))
+        dists = F.array(*[sq_dist_lit(F.col("_v"), c) for c in coarse.tolist()])
+        base = base.withColumn("_celld", dists).withColumn(
+            "cell",
+            (F.array_position(F.col("_celld"), F.array_min(F.col("_celld"))) - 1)
+            .cast("int"),
+        )
+        return base.withColumn(
+            "_resid",
+            F.zip_with(F.col("_v"), F.element_at(coarse_lit, F.col("cell") + 1),
+                       lambda a, b: a - b),
+        )
+
+    def code_of(j):
+        sub = F.slice(F.col("_resid"), j * dsub + 1, dsub)
+        dists = F.array(*[sq_dist_lit(sub, c) for c in codebooks[j]])
+        return (F.array_position(dists, F.array_min(dists)) - 1).cast("int")
+
+    codes = with_cell_and_resid(corpus, id_col, "neighbor_id").select(
+        "neighbor_id",
+        "cell",
+        F.array(*[code_of(j) for j in range(m)]).alias("codes"),
+    )
+
+    # ---- query pass: probe cells -> per-(query, cell) residual ADC table
+    qn = _pq_normalized(F.col(vec_col).cast("array<double>"))
+    qbase = queries.select(F.col(id_col).alias("query_id"), qn.alias("_qv"))
+    q_cell_dists = F.array(*[sq_dist_lit(F.col("_qv"), c) for c in coarse.tolist()])
+    probed = F.transform(
+        F.slice(
+            F.array_sort(
+                F.transform(F.col("_celld"),
+                            lambda d, i: F.struct(d.alias("d"), i.alias("i")))
+            ),
+            1,
+            n_probe,
+        ),
+        lambda s: s["i"],
+    )
+    q = (
+        qbase.withColumn("_celld", q_cell_dists)
+        .select("query_id", "_qv", F.explode(probed).alias("cell"))
+        .withColumn(
+            "_qres",
+            F.zip_with(F.col("_qv"), F.element_at(coarse_lit, F.col("cell") + 1),
+                       lambda a, b: a - b),
+        )
+        .select(
+            "query_id",
+            "cell",
+            F.array(
+                *[
+                    F.array(
+                        *[
+                            sq_dist_lit(F.slice(F.col("_qres"), j * dsub + 1, dsub), c)
+                            for c in codebooks[j]
+                        ]
+                    )
+                    for j in range(m)
+                ]
+            ).alias("tables"),
+        )
+    )
+
+    scored = (
+        codes.join(F.broadcast(q), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(F.col("codes"), F.col("tables"),
+                           lambda c, t: F.element_at(t, c + 1)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= max(rerank, k))
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    qf = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    exact = (
+        shortlist.join(cv, on="neighbor_id")
+        .join(F.broadcast(qf), on="query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )

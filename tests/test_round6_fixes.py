@@ -242,3 +242,72 @@ def test_pagerank_windowed_matches_per_window_batch(spark):
     # vertex 3 appears in BOTH windows with different ranks (end of the
     # 10:00 path, head of the 11:00 edge)
     assert got[(10, 3)] != got[(11, 3)]
+
+
+# ---- IVFADC (ivfpq_topk) -------------------------------------------------
+
+def _emb(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_ivfpq_finds_planted_duplicate(spark):
+    import random
+
+    from kafka_graphs_spark.pipeline.similarity import ivfpq_topk
+
+    rng = random.Random(5)
+    base = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(60)]
+    # vec 37 := scaled duplicate of vec 0 (cosine-identical) — it lands in
+    # the same coarse cell as vec 0, so the probe must retrieve it at rank 1
+    base[37] = [3.0 * x for x in base[0]]
+    emb = _emb(spark, base)
+    q = emb.filter(F.col("vec_id") == 0)
+    res = ivfpq_topk(
+        emb, q, k=3, n_cells=4, n_probe=2, m=4, n_centroids=8, dim=16, rerank=20
+    ).collect()
+    top = [r for r in res if r["rank"] == 1][0]
+    assert top["neighbor_id"] == 37
+    assert top["cos"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_ivfpq_deterministic_under_repartition(spark):
+    import random
+
+    from kafka_graphs_spark.pipeline.similarity import ivfpq_topk
+
+    rng = random.Random(13)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(40)]
+    emb = _emb(spark, vecs)
+    q = emb.filter(F.col("vec_id") < 3)
+    kw = dict(k=4, n_cells=4, n_probe=2, m=4, n_centroids=8, dim=16, rerank=15)
+    a = sorted(map(tuple, ivfpq_topk(emb, q, **kw).collect()))
+    b = sorted(map(tuple, ivfpq_topk(emb.repartition(7), q, **kw).collect()))
+    assert a == b
+
+
+def test_ivfpq_full_probe_high_recall(spark):
+    # probing ALL cells removes the coverage bound: with exact rerank the
+    # only loss is the ADC shortlist, which at rerank ~ |corpus| is lossless
+    # -> must exactly match the brute-force top-k
+    import random
+
+    from kafka_graphs_spark.pipeline.similarity import cosine_topk, ivfpq_topk
+
+    rng = random.Random(23)
+    vecs = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(30)]
+    emb = _emb(spark, vecs)
+    q = emb.filter(F.col("vec_id") < 4)
+    exact = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in cosine_topk(emb, q, k=3).collect()
+    )
+    approx = sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivfpq_topk(
+            emb, q, k=3, n_cells=4, n_probe=4, m=4, n_centroids=8, dim=16, rerank=30
+        ).collect()
+    )
+    assert approx == exact
