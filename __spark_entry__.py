@@ -1433,6 +1433,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.5,
         )
 
+    def emb_semantic_dedup(spark, sf):
+        # SemDeDup (cluster-then-cosine-dedup) — rows-only check;
+        # the keep-rule contract is pinned by emb_semantic_dedup_inv
+        emb = datasets.load(spark, sf, "embeddings")
+        return similarity.semantic_dedup(emb, threshold=0.3, n_clusters=16, dim=64)
+
+    def emb_semantic_dedup_inv(spark, sf):
+        # invariant oracle for semantic_dedup: against a FRESH exact-cosine
+        # pair join on the raw embeddings, (a) every dropped id has a
+        # smaller-id same-cluster witness within the threshold (soundness),
+        # (b) no kept id has one (completeness), and (c) at this threshold
+        # the corpus must yield at least one drop (non-vacuity; cosine>=0.3
+        # pairs exist — same corpus fact emb_near_dup_lsh_inv relies on).
+        emb = datasets.load(spark, sf, "embeddings")
+        res = similarity.semantic_dedup(emb, threshold=0.3, n_clusters=16, dim=64)
+        nv = emb.select(
+            F.col("vec_id").alias("id"),
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x
+                / F.sqrt(
+                    F.aggregate(
+                        F.col("embedding").cast("array<double>"),
+                        F.lit(0.0),
+                        lambda a, y: a + y * y,
+                    )
+                ),
+            ).alias("v"),
+        )
+        j = res.join(nv, on="id")
+        a = j.select(F.col("id").alias("id_a"), F.col("cluster"), F.col("v").alias("va"))
+        b = j.select(
+            F.col("id").alias("id_b"), F.col("cluster"), F.col("v").alias("vb"),
+            F.col("keep").alias("keep_b"),
+        )
+        witnessed = (
+            a.join(b, on="cluster")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                F.aggregate(
+                    F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x * y),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0.3
+            )
+            .select(F.col("id_b").alias("id"))
+            .distinct()
+            .withColumn("_w", F.lit(True))
+        )
+        chk = res.join(witnessed, on="id", how="left").select(
+            "id", "keep", F.coalesce(F.col("_w"), F.lit(False)).alias("w")
+        )
+        return chk.agg(
+            F.sum(F.when(~F.col("keep") & ~F.col("w"), 1).otherwise(0)).alias(
+                "unsound_drops"
+            ),
+            F.sum(F.when(F.col("keep") & F.col("w"), 1).otherwise(0)).alias(
+                "missed_drops"
+            ),
+            (F.sum(F.when(~F.col("keep"), 1).otherwise(0)) > 0).alias("found_drops"),
+        )
+
     def emb_near_dup_lsh_inv(spark, sf):
         # invariant oracle for the rows-only emb_near_dup_lsh path: the
         # exact-cosine verify stage makes precision 1.0 by construction
@@ -2066,6 +2129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- beyond slot 50: round-6 additions, never scored — rotate into the r7 window first --
         "emb_ivfpq_topk": emb_ivfpq_topk,
         "emb_ivfpq_recall": emb_ivfpq_recall,
+        "emb_semantic_dedup": emb_semantic_dedup,
+        "emb_semantic_dedup_inv": emb_semantic_dedup_inv,
         # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
@@ -3495,6 +3560,10 @@ def oracle_sql() -> dict[str, str]:
         "emb_lsh_recall": "SELECT true AS recall_ok",
         "emb_ivf_recall": "SELECT true AS recall_ok",
         "emb_ivfpq_recall": "SELECT true AS recall_ok",
+        "emb_semantic_dedup_inv": (
+            "SELECT CAST(0 AS BIGINT) AS unsound_drops,"
+            " CAST(0 AS BIGINT) AS missed_drops, true AS found_drops"
+        ),
         # LSH near-dup invariants: exact-cosine verify ⇒ zero false pairs;
         # candidate generator must surface at least one true pair
         "emb_near_dup_lsh_inv": """

@@ -728,6 +728,92 @@ def pq_topk(
     )
 
 
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    seed: int = 42,
+    sample_size: int = 10_000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by embedding — k-means the corpus into ``n_clusters``,
+    then compare pairs ONLY within a cluster; an item is dropped when a
+    *smaller-id* cluster-mate sits within cosine ``threshold`` (the
+    deterministic keep-first rule, mirroring exact dedup's keep-min-id).
+
+    Returns (id, cluster, keep boolean) for every corpus row.
+
+    100 TB shape: the cluster assignment is one codegen'd argmin scan
+    (centers trained driver-side on a BOUNDED sorted-id sample, the same
+    contract as :func:`ivf_topk`); the pair stage is an equi-join on
+    cluster id — |corpus|²/n_clusters expected pairs instead of
+    all-pairs, and n_clusters grows with the corpus (SemDeDup used 50k
+    clusters at LAION scale) so the per-cluster block stays bounded.
+    Deterministic under any partitioning: sorted sample, seeded Lloyd,
+    first-min argmin, and the smaller-id witness rule.
+    """
+    import numpy as np
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    sample = np.asarray(
+        [
+            [float(x) for x in r[1]]
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(sample_size)
+            .collect()
+        ],
+        dtype="float64",
+    )
+    nrm = np.linalg.norm(sample, axis=1, keepdims=True)
+    nrm[nrm == 0.0] = 1.0
+    centers = _lloyd_centers(sample / nrm, n_clusters, 5, seed)
+
+    def sq_dist(vec, center):
+        return F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in center]),
+                       lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    vn = _pq_normalized(F.col(vec_col).cast("array<double>"))
+    base = corpus.select(F.col(id_col).alias("id"), vn.alias("_v"))
+    dists = F.array(*[sq_dist(F.col("_v"), c) for c in centers])
+    assigned = base.withColumn("_d", dists).select(
+        "id",
+        "_v",
+        (F.array_position(F.col("_d"), F.array_min(F.col("_d"))) - 1)
+        .cast("int")
+        .alias("cluster"),
+    )
+
+    a = assigned.select(
+        F.col("id").alias("id_a"), F.col("_v").alias("va"), "cluster"
+    )
+    b = assigned.select(
+        F.col("id").alias("id_b"), F.col("_v").alias("vb"), "cluster"
+    )
+    # a smaller-id witness within the cosine threshold marks id_b dropped
+    dropped = (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(_dot(F.col("va"), F.col("vb")) >= threshold)
+        .select(F.col("id_b").alias("id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped.withColumn("_drop", F.lit(True)), on="id", how="left")
+        .select(
+            "id", "cluster", F.coalesce(~F.col("_drop"), F.lit(True)).alias("keep")
+        )
+    )
+
+
 def _centers_lit(centers):
     """Array-of-arrays literal for a centroid table (cell -> centroid)."""
     return F.array(

@@ -311,3 +311,50 @@ def test_ivfpq_full_probe_high_recall(spark):
         ).collect()
     )
     assert approx == exact
+
+
+# ---- SemDeDup (semantic_dedup) -------------------------------------------
+
+def test_semantic_dedup_drops_planted_near_duplicate(spark):
+    import random
+
+    from kafka_graphs_spark.pipeline.similarity import semantic_dedup
+
+    rng = random.Random(7)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(40)]
+    # vec 25 := scaled copy of vec 3 (cosine 1.0) — same cluster guaranteed
+    vecs[25] = [2.0 * x for x in vecs[3]]
+    emb = _emb(spark, vecs)
+    res = {r["id"]: r for r in semantic_dedup(
+        emb, threshold=0.99, n_clusters=4, dim=8
+    ).collect()}
+    assert len(res) == 40
+    assert res[3]["keep"] is True      # smaller id wins
+    assert res[25]["keep"] is False    # duplicate dropped
+    assert res[3]["cluster"] == res[25]["cluster"]
+
+
+def test_semantic_dedup_keeps_all_when_threshold_unreachable(spark):
+    import random
+
+    from kafka_graphs_spark.pipeline.similarity import semantic_dedup
+
+    rng = random.Random(9)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(20)]
+    res = semantic_dedup(emb := _emb(spark, vecs), threshold=1.5, n_clusters=4, dim=8)
+    assert all(r["keep"] for r in res.collect())
+
+
+def test_semantic_dedup_deterministic_under_repartition(spark):
+    import random
+
+    from kafka_graphs_spark.pipeline.similarity import semantic_dedup
+
+    rng = random.Random(17)
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(30)]
+    emb = _emb(spark, vecs)
+    a = sorted(map(tuple, semantic_dedup(emb, 0.5, n_clusters=4, dim=8).collect()))
+    b = sorted(map(tuple, semantic_dedup(
+        emb.repartition(7), 0.5, n_clusters=4, dim=8
+    ).collect()))
+    assert a == b
