@@ -1433,6 +1433,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.5,
         )
 
+    def doc_dup_spans(spark, sf):
+        # ExactSubstr-style span-level duplication: fraction of 8-token
+        # windows occurring anywhere else in the corpus (full SQL oracle)
+        docs = datasets.load(spark, sf, "documents")
+        return dedup.duplicated_spans(docs, w=8).orderBy("doc_id")
+
     def emb_semantic_dedup(spark, sf):
         # SemDeDup (cluster-then-cosine-dedup) — rows-only check;
         # the keep-rule contract is pinned by emb_semantic_dedup_inv
@@ -2131,6 +2137,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivfpq_recall": emb_ivfpq_recall,
         "emb_semantic_dedup": emb_semantic_dedup,
         "emb_semantic_dedup_inv": emb_semantic_dedup_inv,
+        "doc_dup_spans": doc_dup_spans,
         # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
@@ -3564,6 +3571,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(0 AS BIGINT) AS unsound_drops,"
             " CAST(0 AS BIGINT) AS missed_drops, true AS found_drops"
         ),
+        "doc_dup_spans": r"""
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                FROM documents
+            ),
+            win AS (
+                SELECT doc_id,
+                       md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+                FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS s(i)
+                WHERE len(t) >= 8
+            ),
+            cnt AS (SELECT h, count(*) AS c FROM win GROUP BY h),
+            per AS (
+                SELECT doc_id,
+                       count(*) AS n_windows,
+                       sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS n_dup_windows
+                FROM win JOIN cnt USING (h)
+                GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(COALESCE(per.n_windows, 0) AS BIGINT) AS n_windows,
+                   CAST(COALESCE(per.n_dup_windows, 0) AS BIGINT)
+                       AS n_dup_windows,
+                   COALESCE(
+                       ROUND(per.n_dup_windows / per.n_windows, 6), 0.0
+                   ) AS dup_fraction
+            FROM documents d
+            LEFT JOIN per USING (doc_id)
+            ORDER BY doc_id
+        """,
         # LSH near-dup invariants: exact-cosine verify ⇒ zero false pairs;
         # candidate generator must surface at least one true pair
         "emb_near_dup_lsh_inv": """

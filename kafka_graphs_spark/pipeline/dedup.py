@@ -443,3 +443,68 @@ def cross_source_near_duplicate_profile(
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+def duplicated_spans(
+    docs: DataFrame, w: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, dup_fraction) — per-document
+    fraction of ``w``-token windows whose exact token sequence occurs
+    anywhere else in the corpus (another document OR another position of
+    the same document).
+
+    Span-level exact-substring duplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", arXiv:2107.06499): unlike
+    whole-document dedup, this catches boilerplate headers, license
+    blocks, and templated passages embedded in otherwise-unique documents
+    — the signal ExactSubstr removes at span granularity. This operator
+    reports the per-doc duplicated fraction; a curation gate drops or
+    trims docs past a threshold.
+
+    100 TB shape: one narrow explode to (doc, window-md5) rows — |tokens|
+    rows per doc, the honest cost of span granularity — then a map-side-
+    combinable count per digest and one equi-join back on the digest
+    (AQE handles digest skew from pathological boilerplate). Only md5
+    digests shuffle, never window text. No Python anywhere.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(F.col(id_col), toks.alias("_t"))
+    win = base.select(
+        id_col,
+        F.explode(
+            F.when(
+                F.size("_t") >= w,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - F.lit(w - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_t"), i, w))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("h"),
+    )
+    cnt = win.groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
+    per = (
+        win.join(cnt, on="h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.sum(F.when(F.col("_c") >= 2, 1).otherwise(0)).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_fraction",
+            F.round(
+                F.col("n_dup_windows").cast("double")
+                / F.col("n_windows").cast("double"),
+                6,
+            ),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(per, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup_windows", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.coalesce("dup_fraction", F.lit(0.0)).alias("dup_fraction"),
+        )
+    )

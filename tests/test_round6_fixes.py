@@ -358,3 +358,45 @@ def test_semantic_dedup_deterministic_under_repartition(spark):
         emb.repartition(7), 0.5, n_clusters=4, dim=8
     ).collect()))
     assert a == b
+
+
+# ---- span-level exact-substring duplication (duplicated_spans) -----------
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_duplicated_spans_flags_shared_boilerplate(spark):
+    from kafka_graphs_spark.pipeline.dedup import duplicated_spans
+
+    boiler = "all rights reserved contact us for licensing terms today"  # 9 tokens
+    docs = _docs(spark, [
+        (0, "a", "unique words alpha beta gamma delta epsilon zeta eta " + boiler),
+        (1, "b", boiler + " completely different tail here with more fresh tokens"),
+        (2, "c", "nothing shared with anything else at all in this one text"),
+    ])
+    res = {r["doc_id"]: r for r in duplicated_spans(docs, w=8).collect()}
+    # the 9-token boilerplate yields two 8-token windows shared by docs 0/1
+    assert res[0]["n_dup_windows"] == 2
+    assert res[1]["n_dup_windows"] == 2
+    assert res[2]["n_dup_windows"] == 0
+    assert res[0]["n_windows"] == 18 - 8 + 1
+    assert res[2]["dup_fraction"] == 0.0
+
+
+def test_duplicated_spans_counts_intra_doc_repeats(spark):
+    from kafka_graphs_spark.pipeline.dedup import duplicated_spans
+
+    eight = "one two three four five six seven eight"
+    docs = _docs(spark, [(0, "a", eight + " filler " + eight)])
+    res = duplicated_spans(docs, w=8).collect()[0]
+    # the 8-token phrase occurs at two positions of the SAME doc
+    assert res["n_dup_windows"] >= 2
+
+
+def test_duplicated_spans_short_doc_zero_windows(spark):
+    from kafka_graphs_spark.pipeline.dedup import duplicated_spans
+
+    docs = _docs(spark, [(0, "a", "too short"), (1, "b", "x y z")])
+    for r in duplicated_spans(docs, w=8).collect():
+        assert (r["n_windows"], r["n_dup_windows"], r["dup_fraction"]) == (0, 0, 0.0)
