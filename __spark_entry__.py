@@ -1433,6 +1433,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.5,
         )
 
+    def hier_eigenvector(spark, sf):
+        # power-iteration eigenvector centrality, t=2 on the DAG hierarchy:
+        # all length-2 walks end at regions (customer->nation->region), one
+        # per customer, so the closed form is per-region customer counts
+        # L2-normalized — a varied, exactly-reproducible twin
+        from kafka_graphs_spark.datasets import hierarchy_graph
+        from kafka_graphs_spark.library import eigenvector_centrality
+
+        return eigenvector_centrality(hierarchy_graph(spark, sf), iterations=2)
+
     def doc_dup_spans(spark, sf):
         # ExactSubstr-style span-level duplication: fraction of 8-token
         # windows occurring anywhere else in the corpus (full SQL oracle)
@@ -2138,6 +2148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup": emb_semantic_dedup,
         "emb_semantic_dedup_inv": emb_semantic_dedup_inv,
         "doc_dup_spans": doc_dup_spans,
+        "hier_eigenvector": hier_eigenvector,
         # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
@@ -3571,6 +3582,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(0 AS BIGINT) AS unsound_drops,"
             " CAST(0 AS BIGINT) AS missed_drops, true AS found_drops"
         ),
+        "hier_eigenvector": """
+            WITH cnt AS (
+                SELECT CAST(n_regionkey + 3000000 AS BIGINT) AS id,
+                       CAST(COUNT(*) AS BIGINT) AS n
+                FROM customer JOIN nation ON c_nationkey = n_nationkey
+                GROUP BY 1
+            ),
+            verts AS (
+                SELECT DISTINCT id FROM (
+                    SELECT CAST(c_custkey AS BIGINT) AS id FROM customer
+                    UNION ALL
+                    SELECT CAST(n_nationkey + 2000000 AS BIGINT) FROM nation
+                    UNION ALL
+                    SELECT CAST(n_regionkey + 3000000 AS BIGINT) FROM nation
+                )
+            ),
+            z AS (SELECT SQRT(SUM(n * n)) AS z FROM cnt)
+            SELECT v.id, ROUND(COALESCE(cnt.n, 0) / z.z, 6) AS score
+            FROM verts v LEFT JOIN cnt USING (id), z
+        """,
         "doc_dup_spans": r"""
             WITH toks AS (
                 SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t

@@ -43,7 +43,7 @@ from kafka_graphs_spark.library.cf import als, als_ml, predict, sgd, svdpp, svdp
 from kafka_graphs_spark.library.clustering import kmeans, kmeans_ml, semi_clustering
 from kafka_graphs_spark.library.maxbmatching import max_b_matching
 from kafka_graphs_spark.library.sybilrank import sybil_rank
-from kafka_graphs_spark.library.hits import hits, katz_centrality
+from kafka_graphs_spark.library.hits import eigenvector_centrality, hits, katz_centrality
 from kafka_graphs_spark.library.centrality import (
     betweenness_centrality,
     closeness_centrality,
@@ -87,6 +87,7 @@ __all__ = [
     "jaccard",
     "adamic_adar",
     "sybil_rank",
+    "eigenvector_centrality",
     "hits",
     "katz_centrality",
     "closeness_centrality",

@@ -145,3 +145,53 @@ def _katz_frame(
         .join(total, on="id", how="left")
         .select("id", F.coalesce("t", F.lit(0.0)).alias("katz"))
     )
+
+
+def eigenvector_centrality(
+    graph: Graph, iterations: int = 4, normalize: bool = True
+) -> DataFrame:
+    """(id, score) — power-iteration eigenvector centrality: score is the
+    ``iterations``-step walk count ``(Aᵀ)^t · 1`` (mass flows src→dst),
+    L2-normalized once at the end.
+
+    Scaling commutes with the linear iteration, so a single final
+    normalization equals per-step normalization EXACTLY while keeping
+    every intermediate an exact integer — the same cross-engine
+    bit-reproducibility discipline as :func:`hits` and
+    :func:`katz_centrality` (one unrolled equi-join + map-side-combined
+    sum per step; counts and the Σn² norm must stay under 2^53/2^63,
+    callers with hub-heavy graphs at large ``t`` should pre-scale or
+    keep ``t`` small — the standard power-iteration profile).
+    ``normalize=False`` returns the raw integer walk counts.
+    """
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    edges, release = sized_cache(graph.edges.select("src", "dst"))
+    try:
+        walks = graph.vertices.select("id", F.lit(1).cast("long").alias("n"))
+        for _ in range(iterations):
+            walks = (
+                edges.join(walks, edges["src"] == walks["id"])
+                .groupBy("dst")
+                .agg(F.sum("n").alias("n"))
+                .select(F.col("dst").alias("id"), "n")
+            )
+        out = (
+            graph.vertices.select("id")
+            .join(walks, on="id", how="left")
+            .select("id", F.coalesce("n", F.lit(0)).cast("long").alias("n"))
+        )
+        if normalize:
+            z = out.agg(
+                F.sqrt(F.sum(F.col("n") * F.col("n")).cast("double")).alias("z")
+            ).collect()[0]["z"]
+            z = float(z) if z else 1.0
+            out = out.select(
+                "id", F.round(F.col("n") / F.lit(z), 6).alias("score")
+            )
+        else:
+            out = out.select("id", F.col("n").cast("double").alias("score"))
+        out = out.localCheckpoint(eager=True)
+    finally:
+        release()
+    return out

@@ -34,7 +34,7 @@ from kafka_graphs_spark.library.components import (
 from kafka_graphs_spark.library.pagerank import pagerank as _pagerank
 from kafka_graphs_spark.library.paths import bfs, mssp, sssp
 from kafka_graphs_spark.library.cf import als, sgd, svdpp
-from kafka_graphs_spark.library.hits import hits, katz_centrality
+from kafka_graphs_spark.library.hits import eigenvector_centrality, hits, katz_centrality
 from kafka_graphs_spark.library.centrality import (
     betweenness_centrality,
     closeness_centrality,
@@ -155,6 +155,10 @@ ALGORITHMS: Dict[str, AlgorithmSpec] = {
     ),
     "ktruss": AlgorithmSpec(
         "ktruss", k_truss, lambda id_col: F.lit(0), "long", {"k": 3}
+    ),
+    "eigenvector": AlgorithmSpec(
+        "eigenvector", eigenvector_centrality, lambda id_col: F.lit(0.0), "double",
+        {"iterations": 4}
     ),
     "katz": AlgorithmSpec(
         "katz", katz_centrality, lambda id_col: F.lit(0.0), "double",

@@ -400,3 +400,29 @@ def test_duplicated_spans_short_doc_zero_windows(spark):
     docs = _docs(spark, [(0, "a", "too short"), (1, "b", "x y z")])
     for r in duplicated_spans(docs, w=8).collect():
         assert (r["n_windows"], r["n_dup_windows"], r["dup_fraction"]) == (0, 0, 0.0)
+
+
+# ---- eigenvector centrality ----------------------------------------------
+
+def test_eigenvector_walk_counts_and_normalization(spark):
+    from kafka_graphs_spark.graph import Graph
+    from kafka_graphs_spark.library import eigenvector_centrality
+
+    edges = spark.createDataFrame(
+        [(1, 3, 1.0), (2, 3, 1.0), (3, 4, 1.0)], "src long, dst long, value double"
+    )
+    g = Graph.from_edges(edges, F.lit(0.0))
+    raw = {r["id"]: r["score"] for r in eigenvector_centrality(
+        g, iterations=1, normalize=False
+    ).collect()}
+    assert raw == {1: 0.0, 2: 0.0, 3: 2.0, 4: 1.0}
+    norm = {r["id"]: r["score"] for r in eigenvector_centrality(
+        g, iterations=1
+    ).collect()}
+    assert norm[3] == pytest.approx(2.0 / math.sqrt(5.0), abs=1e-6)
+    assert norm[4] == pytest.approx(1.0 / math.sqrt(5.0), abs=1e-6)
+    # t=2: the only length-2 walks end at 4 (via 3) -> all mass on vertex 4
+    t2 = {r["id"]: r["score"] for r in eigenvector_centrality(
+        g, iterations=2
+    ).collect()}
+    assert t2 == {1: 0.0, 2: 0.0, 3: 0.0, 4: 1.0}
