@@ -1433,6 +1433,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.5,
         )
 
+    def doc_source_divergence(spark, sf):
+        # per-source unigram KL divergence from the corpus distribution
+        docs = datasets.load(spark, sf, "documents")
+        return text.source_divergence(docs).orderBy("source")
+
     def hier_eigenvector(spark, sf):
         # power-iteration eigenvector centrality, t=2 on the DAG hierarchy:
         # all length-2 walks end at regions (customer->nation->region), one
@@ -2149,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_semantic_dedup_inv": emb_semantic_dedup_inv,
         "doc_dup_spans": doc_dup_spans,
         "hier_eigenvector": hier_eigenvector,
+        "doc_source_divergence": doc_source_divergence,
         # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
@@ -3582,6 +3588,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(0 AS BIGINT) AS unsound_drops,"
             " CAST(0 AS BIGINT) AS missed_drops, true AS found_drops"
         ),
+        "doc_source_divergence": f"""
+            WITH tok AS (
+                SELECT source, unnest({TOKS}) AS t FROM documents
+            ),
+            sc AS (SELECT source, t, count(*) AS c FROM tok GROUP BY 1, 2),
+            st AS (SELECT source, sum(c) AS n FROM sc GROUP BY 1),
+            ct AS (SELECT t, sum(c) AS ctot FROM sc GROUP BY 1),
+            tot AS (SELECT sum(c) AS N FROM sc)
+            SELECT sc.source,
+                   CAST(MAX(st.n) AS BIGINT) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                   ROUND(SUM((sc.c / CAST(st.n AS DOUBLE))
+                             * LN((sc.c / CAST(st.n AS DOUBLE))
+                                  / (ct.ctot / CAST(tot.N AS DOUBLE)))), 6) AS kl
+            FROM sc JOIN st USING (source) JOIN ct USING (t), tot
+            GROUP BY sc.source
+            ORDER BY sc.source
+        """,
         "hier_eigenvector": """
             WITH cnt AS (
                 SELECT CAST(n_regionkey + 3000000 AS BIGINT) AS id,

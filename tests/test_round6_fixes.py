@@ -426,3 +426,29 @@ def test_eigenvector_walk_counts_and_normalization(spark):
         g, iterations=2
     ).collect()}
     assert t2 == {1: 0.0, 2: 0.0, 3: 0.0, 4: 1.0}
+
+
+# ---- per-source KL divergence --------------------------------------------
+
+def test_source_divergence_zero_for_identical_sources(spark):
+    from kafka_graphs_spark.pipeline.text import source_divergence
+
+    docs = _docs(spark, [
+        (0, "a", "alpha beta gamma"), (1, "b", "alpha beta gamma"),
+    ])
+    res = {r["source"]: r for r in source_divergence(docs).collect()}
+    # each source's distribution equals the corpus distribution -> KL = 0
+    assert res["a"]["kl"] == 0.0 and res["b"]["kl"] == 0.0
+    assert res["a"]["n_tokens"] == 3 and res["a"]["vocab_size"] == 3
+
+
+def test_source_divergence_ranks_divergent_source_higher(spark):
+    from kafka_graphs_spark.pipeline.text import source_divergence
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    docs = _docs(spark, [
+        (0, "mainstream", shared), (1, "mainstream", shared),
+        (2, "mainstream", shared), (3, "weird", "zxqv jkwp mmff zxqv qqzz"),
+    ])
+    res = {r["source"]: r["kl"] for r in source_divergence(docs).collect()}
+    assert res["weird"] > res["mainstream"] > 0.0
