@@ -1433,6 +1433,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.5,
         )
 
+    def doc_jsonl_roundtrip(spark, sf):
+        # JSONL corpus sink -> source roundtrip: write the documents table
+        # as JSON-Lines, read it back with an explicit schema, and return
+        # it — the oracle is the original table, so any drop/dup/type
+        # drift in the IO path hash-mismatches.
+        import os
+        import tempfile
+
+        from kafka_graphs_spark.sources import (
+            read_documents_jsonl,
+            write_documents_jsonl,
+        )
+
+        docs = datasets.load(spark, sf, "documents").select(
+            "doc_id", "source", "text"
+        )
+        path = os.path.join(
+            tempfile.gettempdir(), f"kgs_jsonl_roundtrip_{os.getpid()}"
+        )
+        write_documents_jsonl(docs, path)
+        return read_documents_jsonl(spark, path).orderBy("doc_id")
+
     def doc_source_divergence(spark, sf):
         # per-source unigram KL divergence from the corpus distribution
         docs = datasets.load(spark, sf, "documents")
@@ -2155,6 +2177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dup_spans": doc_dup_spans,
         "hier_eigenvector": hier_eigenvector,
         "doc_source_divergence": doc_source_divergence,
+        "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
         # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
@@ -3587,6 +3610,9 @@ def oracle_sql() -> dict[str, str]:
         "emb_semantic_dedup_inv": (
             "SELECT CAST(0 AS BIGINT) AS unsound_drops,"
             " CAST(0 AS BIGINT) AS missed_drops, true AS found_drops"
+        ),
+        "doc_jsonl_roundtrip": (
+            "SELECT doc_id, source, text FROM documents ORDER BY doc_id"
         ),
         "doc_source_divergence": f"""
             WITH tok AS (

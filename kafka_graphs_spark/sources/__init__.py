@@ -2,9 +2,11 @@
 
 from kafka_graphs_spark.sources.generators import complete_graph, grid_graph, star_graph
 from kafka_graphs_spark.sources.readers import (
+    read_documents_jsonl,
     read_edges_parquet,
     read_edges_text,
     read_vertices_text,
+    write_documents_jsonl,
     write_vertices_text,
 )
 
@@ -16,4 +18,6 @@ __all__ = [
     "read_vertices_text",
     "read_edges_parquet",
     "write_vertices_text",
+    "read_documents_jsonl",
+    "write_documents_jsonl",
 ]

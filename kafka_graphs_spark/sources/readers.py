@@ -47,3 +47,33 @@ def write_vertices_text(df: DataFrame, path: str) -> None:
     """Dump result vertices as ``id value`` text (GraphUtils.verticesToFile:147-151)."""
     cols = [F.col(c).cast("string") for c in df.columns]
     df.select(F.concat_ws(" ", *cols).alias("value")).write.mode("overwrite").text(path)
+
+
+def read_documents_jsonl(
+    spark: SparkSession,
+    path: str,
+    schema: str = "doc_id long, source string, text string",
+) -> DataFrame:
+    """Read a JSON-Lines document corpus (one JSON object per line) — the
+    standard interchange format for LLM training corpora (and the shape
+    of public sets like C4/Dolma/RedPajama dumps).
+
+    An explicit schema is REQUIRED at scale: without one Spark runs a
+    full inference pass over the data before the real read (twice the
+    IO at 100 TB) and nullable drift between files can flip column
+    types mid-corpus. JSONL is line-splittable, so the read
+    parallelizes per HDFS/S3 block like text; prefer compressed
+    ``.jsonl.gz`` per-file sizes near the block size (gzip is NOT
+    splittable — one task per file).
+    """
+    return spark.read.schema(schema).json(path)
+
+
+def write_documents_jsonl(df: DataFrame, path: str, compression: str = "none") -> None:
+    """Write a document DataFrame as JSON-Lines, one object per line.
+
+    ``compression='gzip'`` trades splittability for size (fine for
+    hand-off artifacts; keep 'none'/'zstd-via-parquet' for re-read
+    paths). Column order follows the DataFrame schema.
+    """
+    df.write.mode("overwrite").option("compression", compression).json(path)

@@ -452,3 +452,25 @@ def test_source_divergence_ranks_divergent_source_higher(spark):
     ])
     res = {r["source"]: r["kl"] for r in source_divergence(docs).collect()}
     assert res["weird"] > res["mainstream"] > 0.0
+
+
+# ---- JSONL corpus IO -----------------------------------------------------
+
+def test_jsonl_roundtrip_preserves_rows_and_nulls(spark, tmp_path):
+    from kafka_graphs_spark.sources import read_documents_jsonl, write_documents_jsonl
+
+    docs = _docs(spark, [
+        (0, "a", 'quotes " and \\ backslashes é'),
+        (1, None, "null source survives"),
+        (2, "c", ""),
+    ])
+    path = str(tmp_path / "corpus_jsonl")
+    write_documents_jsonl(docs, path)
+    back = sorted(map(tuple, read_documents_jsonl(spark, path).collect()))
+    orig = sorted(map(tuple, docs.collect()))
+    # Spark's JSON writer omits null/empty-string fields by default; the
+    # schema'd read restores them as NULL — document the empty-string
+    # caveat explicitly
+    assert back[0] == orig[0]
+    assert back[1] == (1, None, "null source survives")
+    assert back[2][0] == 2
