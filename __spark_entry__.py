@@ -1433,6 +1433,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.5,
         )
 
+    def emb_neighborhood_features(spark, sf):
+        # GraphSAGE-style 1-hop mean aggregation over the exact 3-NN
+        # graph, flattened to (id, pos, val) scalar rows for hashing
+        from kafka_graphs_spark.pipeline.features import neighborhood_features
+
+        emb = datasets.load(spark, sf, "embeddings")
+        knn = similarity.knn_graph(emb, k=3, method="exact").select("src", "dst")
+        nf = neighborhood_features(knn, emb, agg="mean")
+        return nf.select(
+            "id", F.posexplode("feat").alias("pos", "val")
+        ).orderBy("id", "pos")
+
     def doc_jsonl_roundtrip(spark, sf):
         # JSONL corpus sink -> source roundtrip: write the documents table
         # as JSON-Lines, read it back with an explicit schema, and return
@@ -2178,6 +2190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_eigenvector": hier_eigenvector,
         "doc_source_divergence": doc_source_divergence,
         "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
+        "emb_neighborhood_features": emb_neighborhood_features,
         # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
@@ -3614,6 +3627,25 @@ def oracle_sql() -> dict[str, str]:
         "doc_jsonl_roundtrip": (
             "SELECT doc_id, source, text FROM documents ORDER BY doc_id"
         ),
+        "emb_neighborhood_features": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+            s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                         list_dot_product(a.ev, b.ev)
+                         / (sqrt(list_dot_product(a.ev, a.ev))
+                            * sqrt(list_dot_product(b.ev, b.ev))) AS cos
+                  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+            r AS (SELECT *, row_number() OVER (PARTITION BY src
+                                               ORDER BY cos DESC, dst) AS rank
+                  FROM s),
+            knn AS (SELECT src, dst FROM r WHERE rank <= 3),
+            x AS (SELECT knn.src AS id, u.i - 1 AS pos, f.ev[u.i] AS v
+                  FROM knn JOIN v f ON knn.dst = f.vec_id,
+                       UNNEST(generate_series(1, len(f.ev))) u(i))
+            SELECT id, CAST(pos AS INTEGER) AS pos,
+                   ROUND(SUM(v) / COUNT(*), 6) AS val
+            FROM x GROUP BY id, pos
+            ORDER BY id, pos
+        """,
         "doc_source_divergence": f"""
             WITH tok AS (
                 SELECT source, unnest({TOKS}) AS t FROM documents

@@ -474,3 +474,34 @@ def test_jsonl_roundtrip_preserves_rows_and_nulls(spark, tmp_path):
     assert back[0] == orig[0]
     assert back[1] == (1, None, "null source survives")
     assert back[2][0] == 2
+
+
+# ---- neighborhood feature aggregation ------------------------------------
+
+def test_neighborhood_features_mean_sum_max(spark):
+    from kafka_graphs_spark.pipeline.features import neighborhood_features
+
+    feats = _emb(spark, [[1.0, 2.0], [3.0, 6.0], [5.0, 10.0]])
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "src long, dst long"
+    )
+    mean = {r["id"]: r for r in neighborhood_features(edges, feats).collect()}
+    assert mean[0]["n_neighbors"] == 2
+    assert mean[0]["feat"] == [4.0, 8.0]
+    assert mean[1]["feat"] == [5.0, 10.0]
+    assert 2 not in mean  # no out-neighbors -> no row (documented)
+    s = {r["id"]: r["feat"] for r in neighborhood_features(
+        edges, feats, agg="sum"
+    ).collect()}
+    assert s[0] == [8.0, 16.0]
+    mx = {r["id"]: r["feat"] for r in neighborhood_features(
+        edges, feats, agg="max"
+    ).collect()}
+    assert mx[0] == [5.0, 10.0]
+
+
+def test_neighborhood_features_rejects_unknown_agg(spark):
+    from kafka_graphs_spark.pipeline.features import neighborhood_features
+
+    with pytest.raises(ValueError):
+        neighborhood_features(None, None, agg="median")
