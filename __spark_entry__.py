@@ -1433,6 +1433,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.5,
         )
 
+    def ec_window_wcc(spark, sf):
+        # per-tumbling-window WCC over the hourly-keyed chain edges. Edge
+        # hours are non-decreasing along each user chain, so each (user,
+        # hour) holds at most ONE contiguous path segment — component =
+        # min event id over that segment's endpoints (closed-form twin).
+        from pyspark.sql.window import Window
+
+        from kafka_graphs_spark.streaming import wcc_windowed
+
+        ev = datasets.load(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        edges = (
+            ev.select(
+                "user_id", "event_id", "ts",
+                F.lag("event_id").over(w).alias("prev_id"),
+            )
+            .filter(F.col("prev_id").isNotNull())
+            .select(
+                F.col("prev_id").alias("src"),
+                F.col("event_id").alias("dst"),
+                F.col("ts").alias("event_time"),
+            )
+        )
+        out = wcc_windowed(edges, "1 hour", max_iterations=500)
+        start = F.col("window_start")
+        epoch_start = (
+            F.datediff(start.cast("date"), F.lit("1970-01-01").cast("date")).cast("long") * 86400
+            + F.hour(start).cast("long") * 3600
+        )
+        return out.select(epoch_start.alias("window_start"), "id", "component")
+
     def ec_window_triangles(spark, sf):
         # per-tumbling-window exact triangles over the hourly user
         # co-occurrence graph (users sharing an event_type that hour);
@@ -2222,6 +2253,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
         "emb_neighborhood_features": emb_neighborhood_features,
         "ec_window_triangles": ec_window_triangles,
+        "ec_window_wcc": ec_window_wcc,
         # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
@@ -3658,6 +3690,33 @@ def oracle_sql() -> dict[str, str]:
         "doc_jsonl_roundtrip": (
             "SELECT doc_id, source, text FROM documents ORDER BY doc_id"
         ),
+        "ec_window_wcc": """
+            WITH ch AS (
+                SELECT user_id, event_id, ts,
+                       lag(event_id) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_id
+                FROM events
+            ),
+            ed AS (
+                SELECT user_id,
+                       epoch(date_trunc('hour', ts))::BIGINT AS ws,
+                       prev_id AS src, event_id AS dst
+                FROM ch WHERE prev_id IS NOT NULL
+            ),
+            grp AS (
+                SELECT user_id, ws, LEAST(MIN(src), MIN(dst)) AS comp
+                FROM ed GROUP BY 1, 2
+            ),
+            verts AS (
+                SELECT DISTINCT ws, user_id, id FROM (
+                    SELECT ws, user_id, src AS id FROM ed
+                    UNION ALL SELECT ws, user_id, dst FROM ed
+                )
+            )
+            SELECT v.ws AS window_start, v.id, g.comp AS component
+            FROM verts v JOIN grp g USING (user_id, ws)
+        """,
         "ec_window_triangles": """
             WITH occ AS (
                 SELECT DISTINCT epoch(date_trunc('hour', ts))::BIGINT AS ws,

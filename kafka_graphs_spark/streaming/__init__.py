@@ -18,6 +18,7 @@ from kafka_graphs_spark.streaming.library import (
     exact_triangle_count,
     pagerank_windowed,
     triangles_windowed,
+    wcc_windowed,
     spanner,
     spanner_frame,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "exact_triangle_count",
     "pagerank_windowed",
     "triangles_windowed",
+    "wcc_windowed",
     "spanner",
     "spanner_frame",
     "DisjointSet",

@@ -329,6 +329,46 @@ def triangles_windowed(
     )
 
 
+def wcc_windowed(
+    edges: DataFrame,
+    window_duration: str,
+    event_time: str = "event_time",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Per-tumbling-window weakly connected components → (window_start,
+    id, component), component = min vertex id in the window's component.
+
+    Third member of the windowed-analytics family (:func:`pagerank_windowed`,
+    :func:`triangles_windowed`): edges key into tumbling windows and ONE
+    distributed HashMin run (:func:`kafka_graphs_spark.library.
+    connected_components` over struct (window, id) vertex keys) resolves
+    every window simultaneously — per-window subgraphs never interact
+    because the window rides the vertex key through every frontier join.
+    No per-window jobs; a month of hourly windows is one ChainLoop run.
+    """
+    from kafka_graphs_spark.graph import Graph
+    from kafka_graphs_spark.library.components import connected_components
+
+    ws = F.window(F.col(event_time), window_duration)["start"].alias("_ws")
+    e = edges.select(ws, F.col("src").alias("_s"), F.col("dst").alias("_d")).select(
+        F.struct(F.col("_ws"), F.col("_s").alias("vid")).alias("src"),
+        F.struct(F.col("_ws"), F.col("_d").alias("vid")).alias("dst"),
+        F.lit(1.0).alias("value"),
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", F.lit(0.0).alias("value"))
+    )
+    out = connected_components(Graph(verts, e), max_iterations=max_iterations)
+    return out.select(
+        F.col("id._ws").alias("window_start"),
+        F.col("id.vid").alias("id"),
+        F.col("value")["vid"].alias("component"),
+    )
+
+
 def pagerank_windowed(
     edges: DataFrame,
     window_duration: str,

@@ -532,3 +532,25 @@ def test_triangles_windowed_counts_per_window(spark):
     assert (0, 4) not in by
     # second window yields no triangle rows at all
     assert not any(h == 1 for (h, _) in by)
+
+
+def test_wcc_windowed_isolates_windows(spark):
+    import datetime
+
+    from kafka_graphs_spark.streaming import wcc_windowed
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 15)
+    t1 = datetime.datetime(2024, 1, 1, 1, 15)
+    edges = spark.createDataFrame(
+        [
+            (1, 2, t0), (2, 3, t0), (10, 11, t0),   # window 0: {1,2,3}, {10,11}
+            (3, 10, t1),                              # window 1 bridges 3-10
+        ],
+        "src long, dst long, event_time timestamp",
+    )
+    res = {(r["window_start"].hour, r["id"]): r["component"]
+           for r in wcc_windowed(edges, "1 hour").collect()}
+    assert res[(0, 1)] == res[(0, 2)] == res[(0, 3)] == 1
+    assert res[(0, 10)] == res[(0, 11)] == 10
+    # the bridge exists only in window 1 — window 0 stays split
+    assert res[(1, 3)] == res[(1, 10)] == 3
