@@ -361,3 +361,58 @@ class TestRound4OperatorPlans:
         plan = executed_plan(unigram_logprob(docs))
         assert "BatchEvalPython" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestRound6Plans:
+    def test_ivfpq_no_python_and_broadcast_query_side(self, spark, emb):
+        from kafka_graphs_spark.pipeline.similarity import ivfpq_topk
+
+        df = ivfpq_topk(
+            emb, emb.filter(F.col("vec_id") < 3),
+            k=3, n_cells=8, n_probe=3, m=8, n_centroids=16, dim=64, rerank=20,
+        )
+        plan = executed_plan(df)
+        assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
+        assert "BroadcastHashJoin" in plan        # query tables broadcast
+        assert "CartesianProduct" not in plan
+
+    def test_duplicated_spans_partial_count_digest_join(self, spark, docs):
+        from kafka_graphs_spark.pipeline.dedup import duplicated_spans
+
+        plan = executed_plan(duplicated_spans(docs, w=8))
+        assert "BatchEvalPython" not in plan
+        # digest count combines map-side before the shuffle
+        assert "partial_count" in plan or "partial count" in plan.lower()
+        assert "CartesianProduct" not in plan
+
+    def test_neighborhood_features_partial_sum_per_dim(self, spark, emb):
+        from kafka_graphs_spark.pipeline.features import neighborhood_features
+        from kafka_graphs_spark.pipeline.similarity import knn_graph
+
+        knn = knn_graph(emb, k=3, method="exact").select("src", "dst")
+        plan = executed_plan(neighborhood_features(knn, emb))
+        assert "BatchEvalPython" not in plan
+        assert "partial_sum" in plan or "partial sum" in plan.lower()
+
+    def test_semantic_dedup_pairs_only_within_clusters(self, spark, emb):
+        from kafka_graphs_spark.pipeline.similarity import semantic_dedup
+
+        plan = executed_plan(semantic_dedup(emb, 0.5, n_clusters=8, dim=64))
+        # the pair stage is an equi-join on the cluster key, never all-pairs
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_windowed_triangles_window_key_in_joins(self, spark):
+        import datetime
+
+        from kafka_graphs_spark.streaming import triangles_windowed
+
+        t0 = datetime.datetime(2024, 1, 1, 0, 30)
+        edges = spark.createDataFrame(
+            [(1, 2, t0), (2, 3, t0), (1, 3, t0)],
+            "src long, dst long, event_time timestamp",
+        )
+        plan = executed_plan(triangles_windowed(edges, "1 hour"))
+        # wedge-close joins carry the window key (ws appears in join keys),
+        # and nothing degenerates to a cartesian
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
