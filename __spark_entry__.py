@@ -1433,6 +1433,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.5,
         )
 
+    def doc_bpe_inv(spark, sf):
+        # BPE trainer invariants: every type's segmentation concatenates
+        # back to the token (lossless), all 20 requested merges trained
+        # (corpus is large enough), and merging strictly compresses the
+        # freq-weighted symbol count vs character symbols
+        from kafka_graphs_spark.pipeline.bpe import train_bpe
+
+        docs = datasets.load(spark, sf, "documents")
+        merges, seg = train_bpe(docs, n_merges=20)
+        return seg.agg(
+            F.sum(
+                F.when(F.concat_ws("", F.col("symbols")) != F.col("token"), 1)
+                .otherwise(0)
+            ).alias("concat_violations"),
+            F.lit(len(merges)).cast("long").alias("n_merges"),
+            (
+                F.sum(F.col("freq") * F.col("n_symbols"))
+                < F.sum(F.col("freq") * F.length("token"))
+            ).alias("compressed"),
+        )
+
+    def doc_bpe_segments(spark, sf):
+        # trained segmentation table (rows-only; invariants pinned above)
+        from kafka_graphs_spark.pipeline.bpe import train_bpe
+
+        docs = datasets.load(spark, sf, "documents")
+        _, seg = train_bpe(docs, n_merges=20)
+        return seg.select(
+            "token", "freq", F.concat_ws(" ", "symbols").alias("segmentation"),
+            "n_symbols",
+        ).orderBy("token")
+
     def ec_window_wcc(spark, sf):
         # per-tumbling-window WCC over the hourly-keyed chain edges. Edge
         # hours are non-decreasing along each user chain, so each (user,
@@ -2254,6 +2286,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_neighborhood_features": emb_neighborhood_features,
         "ec_window_triangles": ec_window_triangles,
         "ec_window_wcc": ec_window_wcc,
+        "doc_bpe_inv": doc_bpe_inv,
+        "doc_bpe_segments": doc_bpe_segments,
         # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
@@ -3689,6 +3723,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_jsonl_roundtrip": (
             "SELECT doc_id, source, text FROM documents ORDER BY doc_id"
+        ),
+        "doc_bpe_inv": (
+            "SELECT CAST(0 AS BIGINT) AS concat_violations,"
+            " CAST(20 AS BIGINT) AS n_merges, true AS compressed"
         ),
         "ec_window_wcc": """
             WITH ch AS (

@@ -554,3 +554,44 @@ def test_wcc_windowed_isolates_windows(spark):
     assert res[(0, 10)] == res[(0, 11)] == 10
     # the bridge exists only in window 1 — window 0 stays split
     assert res[(1, 3)] == res[(1, 10)] == 3
+
+
+# ---- BPE tokenizer training ----------------------------------------------
+
+def test_bpe_learns_classic_merges(spark):
+    from kafka_graphs_spark.pipeline.bpe import train_bpe
+
+    # Sennrich-style toy corpus: "lo" then "low" dominate
+    docs = _docs(spark, [
+        (0, "a", "low low low low low lowest lowest newer newer wider"),
+    ])
+    merges, seg = train_bpe(docs, n_merges=3, min_pair_count=2)
+    assert [(m[1], m[2]) for m in merges][:2] == [("l", "o"), ("lo", "w")]
+    s = {r["token"]: r["symbols"] for r in seg.collect()}
+    assert s["low"] == ["low"]
+    assert s["lowest"][0] == "low"
+
+
+def test_bpe_apply_matches_training_and_handles_overlap(spark):
+    from pyspark.sql import Row
+
+    from kafka_graphs_spark.pipeline.bpe import apply_bpe
+
+    words = spark.createDataFrame([Row(token="aaa"), Row(token="aaaa")])
+    # merge (a,a): leftmost-first non-overlapping: aaa -> [aa, a]
+    out = {r["token"]: r["symbols"] for r in apply_bpe(
+        words, [(0, "a", "a", 99)]
+    ).collect()}
+    assert out["aaa"] == ["aa", "a"]
+    assert out["aaaa"] == ["aa", "aa"]
+
+
+def test_bpe_deterministic_under_repartition(spark):
+    from kafka_graphs_spark.pipeline.bpe import train_bpe
+
+    docs = _docs(spark, [
+        (i, "s", "the quick brown fox jumps over the lazy dog") for i in range(6)
+    ])
+    m1, _ = train_bpe(docs, n_merges=5)
+    m2, _ = train_bpe(docs.repartition(7), n_merges=5)
+    assert m1 == m2
