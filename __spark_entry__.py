@@ -1433,6 +1433,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.5,
         )
 
+    def doc_temperature_sample(spark, sf):
+        # alpha=0.3 temperature mixture (mT5 rule): w_s = c_s^0.3, rates
+        # via the binding-stratum solve, md5-seeded Bernoulli keep. The
+        # synthetic corpus has exactly-uniform source sizes (all rates
+        # would be 1.0 — vacuous), so skew it first: sources src0/src1
+        # keep everything, the rest drop doc_id % 3 == 0.
+        docs = datasets.load(spark, sf, "documents").filter(
+            (F.col("doc_id") % 3 != 0) | F.col("source").isin("src0", "src1")
+        )
+        return sample.temperature_sample(
+            docs, "doc_id", "source", alpha=0.3
+        ).select("doc_id", "source").orderBy("doc_id")
+
     def doc_bpe_inv(spark, sf):
         # BPE trainer invariants: every type's segmentation concatenates
         # back to the token (lossless), all 20 requested merges trained
@@ -2288,6 +2301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_window_wcc": ec_window_wcc,
         "doc_bpe_inv": doc_bpe_inv,
         "doc_bpe_segments": doc_bpe_segments,
+        "doc_temperature_sample": doc_temperature_sample,
         # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
@@ -3724,6 +3738,23 @@ def oracle_sql() -> dict[str, str]:
         "doc_jsonl_roundtrip": (
             "SELECT doc_id, source, text FROM documents ORDER BY doc_id"
         ),
+        "doc_temperature_sample": """
+            WITH documents_skew AS (
+                SELECT * FROM documents
+                WHERE doc_id % 3 <> 0 OR source IN ('src0', 'src1')
+            ),
+            c AS (SELECT source, count(*) AS n FROM documents_skew GROUP BY 1),
+            w AS (SELECT source, n, pow(n, 0.3) AS w FROM c),
+            tw AS (SELECT sum(w) AS tw FROM w),
+            nw AS (SELECT source, n, w / tw AS nw FROM w, tw),
+            t AS (SELECT min(n / nw) AS big_t FROM nw WHERE n > 0),
+            r AS (SELECT source, LEAST(1.0, nw * big_t / n) AS rate FROM nw, t)
+            SELECT d.doc_id, d.source
+            FROM documents_skew d JOIN r USING (source)
+            WHERE (('0x' || substr(md5((d.doc_id)::VARCHAR), 1, 8))::BIGINT
+                   / 4294967296.0) < r.rate
+            ORDER BY d.doc_id
+        """,
         "doc_bpe_inv": (
             "SELECT CAST(0 AS BIGINT) AS concat_violations,"
             " CAST(20 AS BIGINT) AS n_merges, true AS compressed"

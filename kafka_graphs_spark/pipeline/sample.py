@@ -212,3 +212,33 @@ def cap_per_group(
         .filter(F.col("_kgs_rank") <= n)
         .drop("_kgs_rank")
     )
+
+
+def temperature_weights(
+    df: DataFrame, strata_col: str, alpha: float = 0.3
+) -> dict:
+    """Per-stratum mixture weights ``w_s ∝ c_s^α`` — the multilingual-LM
+    temperature rule (mT5 §3.1 / XLM-R: sample language s with
+    probability ∝ |D_s|^α, α<1 upsampling low-resource strata). One
+    COUNT aggregate collected (rows = |strata|)."""
+    if not (0.0 < alpha <= 1.0):
+        raise ValueError("alpha must be in (0, 1]")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_kgs_n")).collect()
+    return {r[strata_col]: float(r["_kgs_n"]) ** alpha for r in counts}
+
+
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.3,
+    salt: str = "",
+) -> DataFrame:
+    """Seeded Bernoulli sample realizing the α-temperature mixture:
+    :func:`temperature_weights` → :func:`mixture_rates` →
+    :func:`stratified_sample`. Two scalar COUNT passes (weights + rates)
+    then one narrow md5 filter — reproducible across runs, engines, and
+    partitionings like every sampler here."""
+    w = temperature_weights(df, strata_col, alpha)
+    rates = mixture_rates(df, strata_col, w)
+    return stratified_sample(df, key_col, strata_col, rates, 0.0, salt)

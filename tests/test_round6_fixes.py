@@ -595,3 +595,31 @@ def test_bpe_deterministic_under_repartition(spark):
     m1, _ = train_bpe(docs, n_merges=5)
     m2, _ = train_bpe(docs.repartition(7), n_merges=5)
     assert m1 == m2
+
+
+# ---- temperature mixture sampling ----------------------------------------
+
+def test_temperature_sample_flattens_skew(spark):
+    from kafka_graphs_spark.pipeline.sample import temperature_sample, temperature_weights
+
+    rows = [(i, "big", f"text {i}") for i in range(400)] + [
+        (1000 + i, "small", f"text {i}") for i in range(50)
+    ]
+    docs = _docs(spark, rows)
+    w = temperature_weights(docs, "source", alpha=0.3)
+    # alpha < 1 compresses the weight ratio far below the count ratio
+    assert 1.0 < w["big"] / w["small"] < 400 / 50
+    out = temperature_sample(docs, "doc_id", "source", alpha=0.3)
+    kept = {s: c for s, c in out.groupBy("source").count().collect()}
+    # the small (binding) stratum keeps ~everything; the big one downsamples
+    assert kept["small"] >= 40
+    assert kept["big"] < 400
+    # realized mixture is flatter than the input mixture
+    assert kept["big"] / max(kept["small"], 1) < 400 / 50
+
+
+def test_temperature_weights_rejects_bad_alpha(spark):
+    from kafka_graphs_spark.pipeline.sample import temperature_weights
+
+    with pytest.raises(ValueError):
+        temperature_weights(None, "source", alpha=0.0)
