@@ -1433,6 +1433,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.5,
         )
 
+    def hier_avg_nbr_degree(spark, sf):
+        # Barabási knn(v): per-vertex mean neighbor degree (undirected
+        # simple degrees), the degree-correlation card metric
+        from kafka_graphs_spark.datasets import hierarchy_graph
+        from kafka_graphs_spark.library import avg_neighbor_degree
+
+        return avg_neighbor_degree(hierarchy_graph(spark, sf))
+
     def doc_temperature_sample(spark, sf):
         # alpha=0.3 temperature mixture (mT5 rule): w_s = c_s^0.3, rates
         # via the binding-stratum solve, md5-seeded Bernoulli keep. The
@@ -2302,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_inv": doc_bpe_inv,
         "doc_bpe_segments": doc_bpe_segments,
         "doc_temperature_sample": doc_temperature_sample,
+        "hier_avg_nbr_degree": hier_avg_nbr_degree,
         # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
@@ -3738,6 +3747,14 @@ def oracle_sql() -> dict[str, str]:
         "doc_jsonl_roundtrip": (
             "SELECT doc_id, source, text FROM documents ORDER BY doc_id"
         ),
+        "hier_avg_nbr_degree": f"""
+            {HIER_UND}
+            SELECT und.src AS id, CAST(count(*) AS BIGINT) AS degree,
+                   ROUND(CAST(SUM(du.d) AS DOUBLE) / count(*), 6)
+                       AS avg_nbr_degree
+            FROM und JOIN deg du ON und.dst = du.src
+            GROUP BY und.src
+        """,
         "doc_temperature_sample": """
             WITH documents_skew AS (
                 SELECT * FROM documents

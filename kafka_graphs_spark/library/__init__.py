@@ -16,6 +16,7 @@ from kafka_graphs_spark.library.basic import (
     graph_statistics,
     degree_histogram,
     transitivity,
+    avg_neighbor_degree,
     ppmi,
     reciprocity,
     triangle_motif_census,
@@ -81,6 +82,7 @@ __all__ = [
     "triangle_motif_census",
     "degree_histogram",
     "transitivity",
+    "avg_neighbor_degree",
     "reciprocity",
     "vertex_count",
     "reverse_edges",

@@ -415,3 +415,36 @@ def transitivity(graph: Graph) -> "DataFrame":
         [(t, wedges, (3.0 * t / wedges) if wedges else 0.0)],
         "n_triangles long, n_wedges long, transitivity double",
     )
+
+
+def avg_neighbor_degree(graph: Graph) -> "DataFrame":
+    """(id, degree, avg_nbr_degree) — each vertex's undirected simple
+    degree and the mean degree of its neighbors (Barabási's knn(v); its
+    per-degree aggregate is the degree-correlation curve read alongside
+    :func:`graph_statistics`'s scalar assortativity).
+
+    Same undirected-simple-degree semantics as :func:`degree_histogram`
+    ('both') and k-core. One neighbor-pair self-join on the vertex key
+    and two map-side-combinable aggregations; the mean is an exact
+    integer-sum / count division, rounded to 6 dp. Isolated vertices are
+    excluded (no neighbors — knn undefined).
+    """
+    from kafka_graphs_spark.library.components import _undirected_simple_edges
+
+    nb = _undirected_simple_edges(graph.edges)
+    deg = nb.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return (
+        nb.join(
+            deg.select(F.col("id").alias("dst"), F.col("degree").alias("_dd")),
+            on="dst",
+        )
+        .groupBy(F.col("src").alias("id"))
+        .agg(
+            F.count(F.lit(1)).alias("degree"),
+            F.round(
+                F.sum("_dd").cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("avg_nbr_degree"),
+        )
+    )

@@ -16,9 +16,11 @@ because md5 is the one hash both engines compute identically.
 """
 
 from kafka_graphs_spark.pipeline import (
+    bpe,
     curate,
     dedup,
     events,
+    features,
     multimodal,
     sample,
     sessions,
@@ -26,4 +28,4 @@ from kafka_graphs_spark.pipeline import (
     text,
 )
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "curate", "sample", "sessions", "events"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "curate", "sample", "sessions", "events", "bpe", "features"]

@@ -623,3 +623,15 @@ def test_temperature_weights_rejects_bad_alpha(spark):
 
     with pytest.raises(ValueError):
         temperature_weights(None, "source", alpha=0.0)
+
+
+def test_avg_neighbor_degree_star(spark):
+    from kafka_graphs_spark.library import avg_neighbor_degree
+    from kafka_graphs_spark.sources import star_graph
+
+    res = {r["id"]: r for r in avg_neighbor_degree(star_graph(spark, 5)).collect()}
+    # center (id 0) has 4 leaves of degree 1; each leaf's one neighbor has degree 4
+    center = [r for r in res.values() if r["degree"] == 4][0]
+    assert center["avg_nbr_degree"] == 1.0
+    leaves = [r for r in res.values() if r["degree"] == 1]
+    assert len(leaves) == 4 and all(r["avg_nbr_degree"] == 4.0 for r in leaves)
