@@ -45,6 +45,7 @@ from kafka_graphs_spark.library.clustering import kmeans, kmeans_ml, semi_cluste
 from kafka_graphs_spark.library.maxbmatching import max_b_matching
 from kafka_graphs_spark.library.sybilrank import sybil_rank
 from kafka_graphs_spark.library.hits import eigenvector_centrality, hits, katz_centrality
+from kafka_graphs_spark.library.hyperanf import hyperanf
 from kafka_graphs_spark.library.centrality import (
     betweenness_centrality,
     closeness_centrality,
@@ -90,6 +91,7 @@ __all__ = [
     "adamic_adar",
     "sybil_rank",
     "eigenvector_centrality",
+    "hyperanf",
     "hits",
     "katz_centrality",
     "closeness_centrality",

@@ -635,3 +635,39 @@ def test_avg_neighbor_degree_star(spark):
     assert center["avg_nbr_degree"] == 1.0
     leaves = [r for r in res.values() if r["degree"] == 1]
     assert len(leaves) == 4 and all(r["avg_nbr_degree"] == 4.0 for r in leaves)
+
+
+# ---- HyperANF ------------------------------------------------------------
+
+def test_hyperanf_path_estimates_and_convergence(spark):
+    from kafka_graphs_spark.graph import Graph
+    from kafka_graphs_spark.library import hyperanf
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, value double"
+    )
+    res = [(r["t"], r["n_pairs_est"]) for r in hyperanf(
+        Graph.from_edges(edges, F.lit(0.0)), p=6, max_iterations=6
+    ).collect()]
+    exact = {0: 4, 1: 7, 2: 9, 3: 10}
+    for t, est in res[:4]:
+        assert abs(est / exact[t] - 1.0) < 0.3
+    # estimates are non-decreasing and the loop stops once stable
+    vals = [v for _, v in res]
+    assert vals == sorted(vals)
+    assert len(res) <= 6  # converged before max_iterations (diameter 3)
+
+
+def test_hyperanf_deterministic_under_repartition(spark):
+    from kafka_graphs_spark.graph import Graph
+    from kafka_graphs_spark.library import hyperanf
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 1) % 20, 1.0) for i in range(20)],
+        "src long, dst long, value double",
+    )
+    g1 = Graph.from_edges(edges, F.lit(0.0))
+    g2 = Graph.from_edges(edges.repartition(7), F.lit(0.0))
+    a = [(r["t"], r["n_pairs_est"]) for r in hyperanf(g1, p=5, max_iterations=4).collect()]
+    b = [(r["t"], r["n_pairs_est"]) for r in hyperanf(g2, p=5, max_iterations=4).collect()]
+    assert a == b
