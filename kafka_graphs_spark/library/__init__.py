@@ -45,7 +45,7 @@ from kafka_graphs_spark.library.clustering import kmeans, kmeans_ml, semi_cluste
 from kafka_graphs_spark.library.maxbmatching import max_b_matching
 from kafka_graphs_spark.library.sybilrank import sybil_rank
 from kafka_graphs_spark.library.hits import eigenvector_centrality, hits, katz_centrality
-from kafka_graphs_spark.library.hyperanf import hyperanf
+from kafka_graphs_spark.library.hyperanf import effective_diameter, hyperanf
 from kafka_graphs_spark.library.centrality import (
     betweenness_centrality,
     closeness_centrality,
@@ -92,6 +92,7 @@ __all__ = [
     "sybil_rank",
     "eigenvector_centrality",
     "hyperanf",
+    "effective_diameter",
     "hits",
     "katz_centrality",
     "closeness_centrality",

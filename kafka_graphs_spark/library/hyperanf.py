@@ -21,7 +21,6 @@ oracle twin bounds explicitly.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 from pyspark.sql import DataFrame
@@ -147,3 +146,36 @@ def hyperanf(
     return spark.createDataFrame(
         [(t, round(v, 4)) for t, v in results], "t int, n_pairs_est double"
     )
+
+
+def effective_diameter(
+    graph: Graph,
+    q: float = 0.9,
+    p: int = 6,
+    max_iterations: int = 32,
+) -> float:
+    """The q-effective diameter read off :func:`hyperanf`'s neighborhood
+    function: the smallest t whose estimated pair count reaches a
+    fraction ``q`` of the final (stabilized) count, with the standard
+    linear interpolation between t−1 and t (Palmer/Faloutsos ANF
+    convention). Driver-side arithmetic over the max_iterations-row
+    neighborhood function — the graph work is hyperanf's."""
+    if not (0.0 < q <= 1.0):
+        raise ValueError("q must be in (0, 1]")
+    nf = sorted(
+        (r["t"], r["n_pairs_est"])
+        for r in hyperanf(graph, p=p, max_iterations=max_iterations).collect()
+    )
+    if not nf:
+        return 0.0
+    target = q * nf[-1][1]
+    prev_t, prev_v = nf[0]
+    if prev_v >= target:
+        return float(prev_t)
+    for t, v in nf[1:]:
+        if v >= target:
+            if v == prev_v:
+                return float(t)
+            return prev_t + (target - prev_v) / (v - prev_v) * (t - prev_t)
+        prev_t, prev_v = t, v
+    return float(nf[-1][0])

@@ -671,3 +671,17 @@ def test_hyperanf_deterministic_under_repartition(spark):
     a = [(r["t"], r["n_pairs_est"]) for r in hyperanf(g1, p=5, max_iterations=4).collect()]
     b = [(r["t"], r["n_pairs_est"]) for r in hyperanf(g2, p=5, max_iterations=4).collect()]
     assert a == b
+
+
+def test_effective_diameter_of_path(spark):
+    from kafka_graphs_spark.graph import Graph
+    from kafka_graphs_spark.library import effective_diameter
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)], "src long, dst long, value double"
+    )
+    d = effective_diameter(Graph.from_edges(edges, F.lit(0.0)), q=0.9, p=6)
+    # exact N: 4,7,9,10 -> target 9.0 reached at t=2 (interpolated <= 2.3)
+    assert 1.5 <= d <= 2.6
+    d_full = effective_diameter(Graph.from_edges(edges, F.lit(0.0)), q=1.0, p=6)
+    assert 2.5 <= d_full <= 3.0
