@@ -1433,6 +1433,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.5,
         )
 
+    def doc_weighted_sample(spark, sf):
+        # Efraimidis-Spirakis weighted sample w/o replacement, weights =
+        # n_chars (long docs favored), n=100 — exact md5-keyed oracle
+        docs = datasets.load(spark, sf, "documents")
+        return sample.weighted_sample(
+            docs.withColumn("w", F.length("text")), "doc_id", "w", 100
+        ).select("doc_id", "source").orderBy("doc_id")
+
     def ec_hyperanf(spark, sf):
         # HyperANF neighborhood function on the directed chains; the
         # exact N(t) has a closed form (per-user Σ_{d≤t} max(n−d, 0)), so
@@ -2348,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_temperature_sample": doc_temperature_sample,
         "hier_avg_nbr_degree": hier_avg_nbr_degree,
         "ec_hyperanf": ec_hyperanf,
+        "doc_weighted_sample": doc_weighted_sample,
         # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
@@ -3786,6 +3795,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ec_hyperanf": """
             SELECT range::INT AS t, true AS within_bound FROM range(0, 9)
+        """,
+        "doc_weighted_sample": """
+            WITH s AS (
+                SELECT doc_id, source,
+                       pow((('0x' || substr(md5((doc_id)::VARCHAR), 1, 8))::BIGINT
+                            / 4294967296.0),
+                           1.0 / length(text)) AS score
+                FROM documents WHERE length(text) > 0
+            ),
+            r AS (SELECT doc_id, source,
+                         row_number() OVER (ORDER BY score DESC, doc_id) AS rk
+                  FROM s)
+            SELECT doc_id, source FROM r WHERE rk <= 100 ORDER BY doc_id
         """,
         "hier_avg_nbr_degree": f"""
             {HIER_UND}

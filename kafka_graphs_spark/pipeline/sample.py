@@ -242,3 +242,41 @@ def temperature_sample(
     w = temperature_weights(df, strata_col, alpha)
     rates = mixture_rates(df, strata_col, w)
     return stratified_sample(df, key_col, strata_col, rates, 0.0, salt)
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Seeded weighted sample WITHOUT replacement of ``n`` rows:
+    Efraimidis–Spirakis A-ES keys — each row draws u = md5-uniform and
+    scores ``u^(1/w)``; the top-``n`` scores are exactly a weighted
+    draw without replacement. Deterministic across runs/engines/
+    partitionings like every sampler here; rows with weight <= 0 are
+    excluded (their inclusion probability is 0).
+
+    The top-n is a rank over scored rows — at 100 TB put a coarse
+    score prefilter ahead (the same approx-threshold trick pq_topk
+    uses) or take per-partition heads first; n is usually tiny next to
+    the corpus so the shuffle carries candidates, not the table.
+    """
+    if n <= 0:
+        return df.limit(0)
+    from pyspark.sql.window import Window
+
+    scored = df.filter(F.col(weight_col) > 0).withColumn(
+        "_kgs_score",
+        F.pow(
+            hash_fraction(F.col(key_col), salt),
+            F.lit(1.0) / F.col(weight_col).cast("double"),
+        ),
+    )
+    w = Window.orderBy(F.desc("_kgs_score"), F.asc(key_col))
+    return (
+        scored.withColumn("_kgs_rank", F.row_number().over(w))
+        .filter(F.col("_kgs_rank") <= n)
+        .drop("_kgs_score", "_kgs_rank")
+    )

@@ -685,3 +685,35 @@ def test_effective_diameter_of_path(spark):
     assert 1.5 <= d <= 2.6
     d_full = effective_diameter(Graph.from_edges(edges, F.lit(0.0)), q=1.0, p=6)
     assert 2.5 <= d_full <= 3.0
+
+
+# ---- weighted sampling without replacement -------------------------------
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from kafka_graphs_spark.pipeline.sample import weighted_sample
+
+    rows = [(i, "light", "x") for i in range(200)] + [
+        (1000 + i, "heavy", "x") for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    df = df.withColumn(
+        "w", F.when(F.col("source") == "heavy", 100.0).otherwise(1.0)
+    )
+    out = weighted_sample(df, "doc_id", "w", 50)
+    kept = dict(out.groupBy("source").count().collect())
+    assert kept.get("heavy", 0) > kept.get("light", 0)
+    assert out.count() == 50
+
+
+def test_weighted_sample_deterministic_and_excludes_nonpositive(spark):
+    from kafka_graphs_spark.pipeline.sample import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, 2.0), (5, 1.0)], "doc_id long, w double"
+    )
+    a = sorted(r["doc_id"] for r in weighted_sample(df, "doc_id", "w", 3).collect())
+    b = sorted(r["doc_id"] for r in weighted_sample(
+        df.repartition(3), "doc_id", "w", 3
+    ).collect())
+    assert a == b
+    assert 2 not in a and 3 not in a
