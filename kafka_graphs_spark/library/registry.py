@@ -35,6 +35,8 @@ from kafka_graphs_spark.library.pagerank import pagerank as _pagerank
 from kafka_graphs_spark.library.paths import bfs, mssp, sssp
 from kafka_graphs_spark.library.cf import als, sgd, svdpp
 from kafka_graphs_spark.library.hits import eigenvector_centrality, hits, katz_centrality
+from kafka_graphs_spark.library.hyperanf import hyperanf
+from kafka_graphs_spark.library.basic import avg_neighbor_degree as _avg_nbr_deg
 from kafka_graphs_spark.library.centrality import (
     betweenness_centrality,
     closeness_centrality,
@@ -159,6 +161,13 @@ ALGORITHMS: Dict[str, AlgorithmSpec] = {
     "eigenvector": AlgorithmSpec(
         "eigenvector", eigenvector_centrality, lambda id_col: F.lit(0.0), "double",
         {"iterations": 4}
+    ),
+    "hyperanf": AlgorithmSpec(
+        "hyperanf", hyperanf, lambda id_col: F.lit(0.0), "double",
+        {"p": 6, "max_iterations": 16}
+    ),
+    "avg_neighbor_degree": AlgorithmSpec(
+        "avg_neighbor_degree", _avg_nbr_deg, lambda id_col: F.lit(0.0), "double", {}
     ),
     "katz": AlgorithmSpec(
         "katz", katz_centrality, lambda id_col: F.lit(0.0), "double",
