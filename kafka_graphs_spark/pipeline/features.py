@@ -21,6 +21,7 @@ def neighborhood_features(
     vec_col: str = "embedding",
     src_col: str = "src",
     dst_col: str = "dst",
+    hops: int = 1,
 ) -> DataFrame:
     """(id, n_neighbors, feat) — element-wise ``mean``/``sum``/``max`` of
     the feature vectors of each vertex's out-neighbors (``src`` gathers
@@ -39,30 +40,43 @@ def neighborhood_features(
     """
     if agg not in ("mean", "sum", "max"):
         raise ValueError("agg must be one of mean/sum/max")
-    f = features.select(
-        F.col(id_col).alias("_nid"), F.col(vec_col).cast("array<double>").alias("_fv")
-    )
-    ex = (
-        edges.select(src_col, dst_col)
-        .join(f, F.col(dst_col) == F.col("_nid"))
-        .select(F.col(src_col).alias("id"), F.posexplode("_fv").alias("pos", "v"))
-    )
-    per_dim = ex.groupBy("id", "pos").agg(
-        F.sum("v").alias("s"), F.max("v").alias("mx"), F.count(F.lit(1)).alias("n")
-    )
-    val = {
-        "mean": F.col("s") / F.col("n").cast("double"),
-        "sum": F.col("s"),
-        "max": F.col("mx"),
-    }[agg]
-    return (
-        per_dim.select("id", "pos", "n", F.round(val, 6).alias("val"))
-        .groupBy("id")
-        .agg(
-            F.max("n").cast("long").alias("n_neighbors"),
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                lambda s: s["val"],
-            ).alias("feat"),
+    if hops < 1:
+        raise ValueError("hops must be >= 1")
+
+    def one_hop(feat_df, fid, fvec):
+        f = feat_df.select(
+            F.col(fid).alias("_nid"), F.col(fvec).cast("array<double>").alias("_fv")
         )
-    )
+        ex = (
+            edges.select(src_col, dst_col)
+            .join(f, F.col(dst_col) == F.col("_nid"))
+            .select(F.col(src_col).alias("id"), F.posexplode("_fv").alias("pos", "v"))
+        )
+        per_dim = ex.groupBy("id", "pos").agg(
+            F.sum("v").alias("s"), F.max("v").alias("mx"), F.count(F.lit(1)).alias("n")
+        )
+        val = {
+            "mean": F.col("s") / F.col("n").cast("double"),
+            "sum": F.col("s"),
+            "max": F.col("mx"),
+        }[agg]
+        return (
+            per_dim.select("id", "pos", "n", F.round(val, 6).alias("val"))
+            .groupBy("id")
+            .agg(
+                F.max("n").cast("long").alias("n_neighbors"),
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                    lambda s: s["val"],
+                ).alias("feat"),
+            )
+        )
+
+    # hop 1 reads the raw feature table; hop h > 1 stacks over hop h-1's
+    # aggregated features (GraphSAGE layer composition without the
+    # nonlinearity) — each hop is one more |E|·dim shuffle, checkpointed
+    # so the plan depth stays constant
+    out = one_hop(features, id_col, vec_col)
+    for _ in range(hops - 1):
+        out = one_hop(out.localCheckpoint(eager=True), "id", "feat")
+    return out

@@ -717,3 +717,16 @@ def test_weighted_sample_deterministic_and_excludes_nonpositive(spark):
     ).collect())
     assert a == b
     assert 2 not in a and 3 not in a
+
+
+def test_neighborhood_features_two_hop(spark):
+    from kafka_graphs_spark.pipeline.features import neighborhood_features
+
+    feats = _emb(spark, [[1.0], [10.0], [100.0]])
+    # chain 0 -> 1 -> 2: hop1(0) = f(1) = [10]; hop2(0) = hop1(1) = f(2) = [100]
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    h2 = {r["id"]: r["feat"] for r in neighborhood_features(
+        edges, feats, hops=2
+    ).collect()}
+    assert h2[0] == [100.0]
+    assert 1 not in h2  # vertex 1's hop-1 successor (2) has no hop-1 features
