@@ -1433,6 +1433,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.5,
         )
 
+    def doc_dedup_rate(spark, sf):
+        # per-source exact-dedup removal rate (keep-min-id rule)
+        docs = datasets.load(spark, sf, "documents")
+        return dedup.dedup_rate_per_source(docs).orderBy("source")
+
     def doc_weighted_sample(spark, sf):
         # Efraimidis-Spirakis weighted sample w/o replacement, weights =
         # n_chars (long docs favored), n=100 — exact md5-keyed oracle
@@ -2357,6 +2362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_avg_nbr_degree": hier_avg_nbr_degree,
         "ec_hyperanf": ec_hyperanf,
         "doc_weighted_sample": doc_weighted_sample,
+        "doc_dedup_rate": doc_dedup_rate,
         # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
@@ -3795,6 +3801,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ec_hyperanf": """
             SELECT range::INT AS t, true AS within_bound FROM range(0, 9)
+        """,
+        "doc_dedup_rate": """
+            WITH fp AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+            keep AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY 1)
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed,
+                   ROUND(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END)
+                         / CAST(count(*) AS DOUBLE), 6) AS dedup_rate
+            FROM fp JOIN keep USING (fp)
+            GROUP BY source ORDER BY source
         """,
         "doc_weighted_sample": """
             WITH s AS (

@@ -508,3 +508,34 @@ def duplicated_spans(
             F.coalesce("dup_fraction", F.lit(0.0)).alias("dup_fraction"),
         )
     )
+
+
+def dedup_rate_per_source(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(source, n_docs, n_removed, dedup_rate) — per-source share of
+    documents that exact keep-min-id dedup would REMOVE (their content
+    hash has a smaller-id twin anywhere in the corpus).
+
+    The dataset-card rollup read next to :func:`cross_source_duplicates`:
+    a source with a high removal rate is mostly mirrored/boilerplate
+    content and a candidate for bulk action before any pairwise review.
+    Rides :func:`exact_duplicates`' digest aggregation plus one digest
+    equi-join back and a per-source count — digests shuffle, text never.
+    """
+    fp = docs.select("doc_id", "source", F.md5(F.col(text_col)).alias("fp"))
+    keep = fp.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        fp.join(keep, on="fp")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("doc_id") != F.col("keep_id"), 1).otherwise(0)
+            ).cast("long").alias("n_removed"),
+        )
+        .withColumn(
+            "dedup_rate",
+            F.round(
+                F.col("n_removed").cast("double") / F.col("n_docs").cast("double"), 6
+            ),
+        )
+    )

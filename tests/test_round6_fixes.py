@@ -730,3 +730,18 @@ def test_neighborhood_features_two_hop(spark):
     ).collect()}
     assert h2[0] == [100.0]
     assert 1 not in h2  # vertex 1's hop-1 successor (2) has no hop-1 features
+
+
+def test_dedup_rate_per_source_with_planted_duplicates(spark):
+    from kafka_graphs_spark.pipeline.dedup import dedup_rate_per_source
+
+    docs = _docs(spark, [
+        (0, "clean", "unique one"), (1, "clean", "unique two"),
+        (2, "mirror", "copied body"), (3, "mirror", "copied body"),
+        (4, "mirror", "copied body"), (5, "mirror", "fresh body"),
+    ])
+    res = {r["source"]: r for r in dedup_rate_per_source(docs).collect()}
+    assert res["clean"]["n_removed"] == 0 and res["clean"]["dedup_rate"] == 0.0
+    # doc 2 is the min-id keeper; 3 and 4 are removed
+    assert res["mirror"]["n_removed"] == 2
+    assert res["mirror"]["dedup_rate"] == 0.5
