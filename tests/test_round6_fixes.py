@@ -745,3 +745,56 @@ def test_dedup_rate_per_source_with_planted_duplicates(spark):
     # doc 2 is the min-id keeper; 3 and 4 are removed
     assert res["mirror"]["n_removed"] == 2
     assert res["mirror"]["dedup_rate"] == 0.5
+
+
+def _reference_bpe(word_freqs, n_merges, min_pair_count=2):
+    """15-line reference Sennrich BPE on {word: freq} — the model the
+    distributed trainer must reproduce exactly."""
+    segs = {w: list(w) for w in word_freqs}
+    merges = []
+    for rank in range(n_merges):
+        counts = {}
+        for w, f in word_freqs.items():
+            s = segs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        (l, r), c = best
+        if c < min_pair_count:
+            break
+        merges.append((rank, l, r, c))
+        for w in segs:
+            s, out, i = segs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    return merges, segs
+
+
+def test_bpe_matches_reference_model_on_random_corpora(spark):
+    import random
+
+    from kafka_graphs_spark.pipeline.bpe import train_bpe
+    from kafka_graphs_spark.pipeline.text import tokens as _tok  # noqa: F401
+
+    for seed in (3, 11, 42):
+        rng = random.Random(seed)
+        words = ["".join(rng.choice("abcd") for _ in range(rng.randint(2, 6)))
+                 for _ in range(30)]
+        text = " ".join(rng.choice(words) for _ in range(300))
+        docs = _docs(spark, [(0, "s", text)])
+        got_merges, got_seg = train_bpe(docs, n_merges=6)
+        freqs = {}
+        for w in text.split():
+            freqs[w] = freqs.get(w, 0) + 1
+        want_merges, want_segs = _reference_bpe(freqs, 6)
+        assert got_merges == want_merges, f"seed {seed}"
+        got = {r["token"]: r["symbols"] for r in got_seg.collect()}
+        assert got == want_segs, f"seed {seed}"
