@@ -416,3 +416,50 @@ class TestRound6Plans:
         # wedge-close joins carry the window key (ws appears in join keys),
         # and nothing degenerates to a cartesian
         assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    def test_hyperanf_round_partial_max_no_python(self, spark):
+        from kafka_graphs_spark.graph import Graph
+        from kafka_graphs_spark.library import hyperanf
+
+        edges = spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, value double"
+        )
+        # run one round; the merged-counter plan is checkpointed per round,
+        # so audit the register-merge aggregation shape on a fresh build
+        df = hyperanf(Graph.from_edges(edges, F.lit(0.0)), p=5, max_iterations=1)
+        assert df.count() >= 1  # materialized without error
+        # audit the merge shape directly
+        from kafka_graphs_spark.library.hyperanf import _init_registers
+
+        cur = edges.select(F.col("src").alias("id"),
+                           _init_registers(F.col("src"), 5).alias("regs"))
+        merged = (
+            cur.select("id", F.posexplode("regs").alias("j", "r"))
+            .groupBy("id", "j")
+            .agg(F.max("r").alias("r"))
+        )
+        plan = executed_plan(merged)
+        assert "BatchEvalPython" not in plan
+        assert "partial_max" in plan or "partial max" in plan.lower()
+
+    def test_bpe_pair_count_partial_no_python(self, spark, docs):
+        from kafka_graphs_spark.pipeline.bpe import _char_symbols
+
+        cur = docs.select(F.col("text"), _char_symbols(F.col("text")).alias("symbols"))
+        pairs = cur.select(
+            F.explode(
+                F.when(
+                    F.size("symbols") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size("symbols") - 1),
+                        lambda i: F.struct(
+                            F.element_at("symbols", i).alias("l"),
+                            F.element_at("symbols", i + 1).alias("r"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<l:string,r:string>>"))
+            ).alias("p")
+        ).groupBy("p.l", "p.r").agg(F.count(F.lit(1)).alias("c"))
+        plan = executed_plan(pairs)
+        assert "BatchEvalPython" not in plan
+        assert "partial_count" in plan or "partial count" in plan.lower()
