@@ -1433,6 +1433,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.5,
         )
 
+    def doc_span_removal(spark, sf):
+        # ExactSubstr removal stage: cut every token covered by a
+        # duplicated 8-token window, rejoin survivors in order
+        docs = datasets.load(spark, sf, "documents")
+        return dedup.remove_duplicated_spans(docs, w=8).orderBy("doc_id")
+
     def doc_dedup_rate(spark, sf):
         # per-source exact-dedup removal rate (keep-min-id rule)
         docs = datasets.load(spark, sf, "documents")
@@ -2363,6 +2369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_hyperanf": ec_hyperanf,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_dedup_rate": doc_dedup_rate,
+        "doc_span_removal": doc_span_removal,
         # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
@@ -3801,6 +3808,48 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ec_hyperanf": """
             SELECT range::INT AS t, true AS within_bound FROM range(0, 9)
+        """,
+        "doc_span_removal": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   x -> x <> '') AS t
+                FROM documents
+            ),
+            win AS (
+                SELECT doc_id, i AS i1,
+                       md5(array_to_string(list_slice(t, i, i + 7), ' ')) AS h
+                FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS s(i)
+                WHERE len(t) >= 8
+            ),
+            cnt AS (SELECT h, count(*) AS c FROM win GROUP BY h),
+            cov AS (
+                SELECT DISTINCT doc_id, p
+                FROM win JOIN cnt USING (h),
+                     UNNEST(generate_series(win.i1, win.i1 + 7)) AS u(p)
+                WHERE c >= 2
+            ),
+            pos AS (
+                SELECT doc_id, i AS pos, t[i] AS tok
+                FROM toks, UNNEST(generate_series(1, len(t))) AS s(i)
+            ),
+            kept AS (
+                SELECT pos.doc_id, pos.pos, pos.tok
+                FROM pos ANTI JOIN cov
+                  ON pos.doc_id = cov.doc_id AND pos.pos = cov.p
+            ),
+            reb AS (
+                SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                       count(*) AS kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   COALESCE(reb.clean_text, '') AS clean_text,
+                   CAST(len(t.t) AS BIGINT) AS n_tokens,
+                   CAST(len(t.t) - COALESCE(reb.kept, 0) AS BIGINT)
+                       AS n_tokens_removed
+            FROM toks t LEFT JOIN reb USING (doc_id)
+            ORDER BY t.doc_id
         """,
         "doc_dedup_rate": """
             WITH fp AS (SELECT doc_id, source, md5(text) AS fp FROM documents),

@@ -539,3 +539,74 @@ def dedup_rate_per_source(docs: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame, w: int = 8, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, clean_text, n_tokens, n_tokens_removed) — the removal
+    stage of span-level dedup: every token covered by ANY duplicated
+    ``w``-token window (same corpus-wide recurrence rule as
+    :func:`duplicated_spans`) is cut, and the survivors rejoin in
+    original order. This is ExactSubstr's edit applied at window
+    granularity; whitespace normalizes to single spaces in the output.
+
+    Same plan spine as detection — explode to (doc, window-digest),
+    map-side digest count, digest equi-join — plus a covered-position
+    explode (w rows per duplicated window) and one distinct before the
+    keep-filter; only digests and integer positions shuffle.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select(F.col(id_col), toks.alias("_t"))
+    win = base.select(
+        id_col,
+        F.posexplode(
+            F.when(
+                F.size("_t") >= w,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("_t") - F.lit(w - 1)),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_t"), i, w))),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("i0", "h"),
+    )
+    cnt = win.groupBy("h").agg(F.count(F.lit(1)).alias("_c"))
+    # positions covered by duplicated windows (i0 is 0-based window start)
+    covered = (
+        win.join(cnt.filter(F.col("_c") >= 2), on="h")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("i0") + 1, F.col("i0") + w)
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    pos = base.select(
+        id_col, F.posexplode("_t").alias("p0", "tok")
+    ).select(id_col, (F.col("p0") + 1).alias("pos"), "tok")
+    kept = pos.join(covered, on=[id_col, "pos"], how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("_kept"),
+    )
+    return (
+        base.select(id_col, F.size("_t").alias("n_tokens"))
+        .join(rebuilt, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            (F.col("n_tokens") - F.coalesce(F.col("_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_tokens_removed"),
+        )
+    )

@@ -798,3 +798,22 @@ def test_bpe_matches_reference_model_on_random_corpora(spark):
         assert got_merges == want_merges, f"seed {seed}"
         got = {r["token"]: r["symbols"] for r in got_seg.collect()}
         assert got == want_segs, f"seed {seed}"
+
+
+def test_remove_duplicated_spans_cuts_shared_boilerplate(spark):
+    from kafka_graphs_spark.pipeline.dedup import remove_duplicated_spans
+
+    boiler = "one two three four five six seven eight"  # exactly 8 tokens
+    docs = _docs(spark, [
+        (0, "a", "head alpha beta gamma delta eps zeta eta " + boiler),
+        (1, "b", boiler + " tail omega psi chi phi upsilon tau sigma"),
+        (2, "c", "totally unique words that never repeat anywhere at all ok"),
+    ])
+    res = {r["doc_id"]: r for r in remove_duplicated_spans(docs, w=8).collect()}
+    assert res[2]["n_tokens_removed"] == 0
+    assert res[2]["clean_text"].startswith("totally unique")
+    # both docs lose at least the 8 boilerplate tokens
+    assert res[0]["n_tokens_removed"] >= 8
+    assert res[1]["n_tokens_removed"] >= 8
+    assert "one two three" not in res[0]["clean_text"]
+    assert res[0]["clean_text"].startswith("head alpha")
