@@ -1433,6 +1433,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             0.5,
         )
 
+    def emb_rp_project(spark, sf):
+        # Achlioptas +-1 random projection 64 -> 16 dims, flattened to
+        # (id, pos, val) scalar rows; the oracle rebuilds the SAME md5-
+        # derived sign matrix as inline literals
+        emb = datasets.load(spark, sf, "embeddings")
+        out = similarity.random_projection(emb, out_dim=16, dim=64)
+        return out.select(
+            "id", F.posexplode("proj").alias("pos", "val")
+        ).orderBy("id", "pos")
+
     def doc_span_removal(spark, sf):
         # ExactSubstr removal stage: cut every token covered by a
         # duplicated 8-token window, rejoin survivors in order
@@ -2370,6 +2380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_weighted_sample": doc_weighted_sample,
         "doc_dedup_rate": doc_dedup_rate,
         "doc_span_removal": doc_span_removal,
+        "emb_rp_project": emb_rp_project,
         # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
         "ec_mssp": ec_mssp,
         "ec_sybilrank": ec_sybilrank,
@@ -2478,7 +2489,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
+    # the SAME md5-derived +-1 sign matrix random_projection uses, inlined
+    # as SQL literals so DuckDB reproduces the projection bit-for-bit
+    from kafka_graphs_spark.pipeline.similarity import rp_signs
+
+    _rp = rp_signs(64, 16)
+    _rp_values = ", ".join(
+        f"({i + 1}, {j}, {_rp[i][j]})" for i in range(64) for j in range(16)
+    )
     return {
+        "emb_rp_project": f"""
+            WITH m(i, j, s) AS (VALUES {_rp_values}),
+            v AS (
+                SELECT vec_id AS id, u.i, embedding[u.i]::DOUBLE AS val
+                FROM embeddings,
+                     UNNEST(generate_series(1, len(embedding))) AS u(i)
+            )
+            SELECT v.id, CAST(m.j AS INTEGER) AS pos,
+                   ROUND(0.25 * SUM(v.val * m.s), 6) AS val
+            FROM v JOIN m ON v.i = m.i
+            GROUP BY v.id, m.j
+            ORDER BY v.id, pos
+        """,
         "sp_out_degrees": f"""
             WITH e AS ({SP_EDGES}), v AS ({SP_VERTICES})
             SELECT v.id, coalesce(c.cnt, 0) AS value

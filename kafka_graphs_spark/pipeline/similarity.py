@@ -1023,3 +1023,62 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def rp_signs(dim: int, out_dim: int, seed: int = 42) -> List[List[int]]:
+    """Deterministic ±1 projection matrix (dim × out_dim): sign of entry
+    (i, j) is the parity of the first hex digit of md5(f"{seed}:{i}:{j}")
+    — engine-independent (md5 is the shared hash with the oracles) and
+    reproducible anywhere without an RNG."""
+    import hashlib
+
+    return [
+        [
+            1 if int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1
+            for j in range(out_dim)
+        ]
+        for i in range(dim)
+    ]
+
+
+def random_projection(
+    corpus: DataFrame,
+    out_dim: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: Optional[int] = None,
+    seed: int = 42,
+    scale: bool = True,
+) -> DataFrame:
+    """(id, proj array<double>) — Johnson–Lindenstrauss dimensionality
+    reduction with the Achlioptas ±1 matrix: ``proj_j = (1/√out_dim) ·
+    Σ_i v_i · s_ij``. Distances are preserved within the JL bound in
+    expectation, so downstream ANN (LSH buckets, kNN, clustering) runs
+    on ``out_dim``-wide vectors — a 4× scan-width cut at out_dim=16 over
+    64-dim inputs before any index is built.
+
+    One codegen'd narrow pass: each output coordinate is a literal-sign
+    dot product (``F.aggregate`` over zip_with), no shuffle, no Python
+    on the data path. Deterministic: the sign matrix derives from md5,
+    not an RNG. ``scale=False`` skips the 1/√out_dim factor (exact
+    integer-weighted sums when inputs are integers)."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    signs = rp_signs(dim, out_dim, seed)
+    v = F.col(vec_col).cast("array<double>")
+    factor = 1.0 / math.sqrt(out_dim) if scale else 1.0
+
+    def coord(j):
+        col_signs = F.array(*[F.lit(float(signs[i][j])) for i in range(dim)])
+        s = F.aggregate(
+            F.zip_with(v, col_signs, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return F.round(s * F.lit(factor), 6)
+
+    return corpus.select(
+        F.col(id_col).alias("id"),
+        F.array(*[coord(j) for j in range(out_dim)]).alias("proj"),
+    )

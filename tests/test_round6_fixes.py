@@ -817,3 +817,46 @@ def test_remove_duplicated_spans_cuts_shared_boilerplate(spark):
     assert res[1]["n_tokens_removed"] >= 8
     assert "one two three" not in res[0]["clean_text"]
     assert res[0]["clean_text"].startswith("head alpha")
+
+
+# ---- random projection ---------------------------------------------------
+
+def test_random_projection_preserves_distances_approximately(spark):
+    import math
+    import random
+
+    from kafka_graphs_spark.pipeline.similarity import random_projection
+
+    rng = random.Random(7)
+    vecs = [[rng.gauss(0, 1) for _ in range(64)] for _ in range(20)]
+    emb = _emb(spark, vecs)
+    proj = {r["id"]: r["proj"] for r in random_projection(
+        emb, out_dim=16, dim=64
+    ).collect()}
+
+    def d(a, b):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ratios = []
+    for a in range(0, 10, 2):
+        b = a + 1
+        orig = d(vecs[a], vecs[b])
+        new = d(proj[a], proj[b])
+        ratios.append(new / orig)
+    # JL: distance ratios concentrate around 1 (loose 3-sigma-ish band)
+    assert all(0.4 < r < 1.8 for r in ratios), ratios
+
+
+def test_random_projection_deterministic(spark):
+    import random
+
+    from kafka_graphs_spark.pipeline.similarity import random_projection
+
+    rng = random.Random(9)
+    vecs = [[rng.gauss(0, 1) for _ in range(8)] for _ in range(10)]
+    emb = _emb(spark, vecs)
+    a = sorted(map(tuple, ((r["id"], tuple(r["proj"])) for r in
+                           random_projection(emb, 4, dim=8).collect())))
+    b = sorted(map(tuple, ((r["id"], tuple(r["proj"])) for r in
+                           random_projection(emb.repartition(5), 4, dim=8).collect())))
+    assert a == b
