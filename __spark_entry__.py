@@ -4055,7 +4055,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_dup_spans": r"""
             WITH toks AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                SELECT doc_id,
+                       list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                   x -> x <> '') AS t
                 FROM documents
             ),
             win AS (

@@ -467,7 +467,9 @@ def duplicated_spans(
     (AQE handles digest skew from pathological boilerplate). Only md5
     digests shuffle, never window text. No Python anywhere.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
     base = docs.select(F.col(id_col), toks.alias("_t"))
     win = base.select(
         id_col,
