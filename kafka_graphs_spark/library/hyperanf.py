@@ -140,7 +140,8 @@ def hyperanf(
                 ).alias("regs")
             )
         )
-        cur = merged.localCheckpoint(eager=True)
+        prev, cur = cur, merged.localCheckpoint(eager=True)
+        prev.unpersist()  # superseded generation — release its blocks
 
     spark = graph.vertices.sparkSession
     return spark.createDataFrame(

@@ -109,9 +109,12 @@ def train_bpe(
             break
         l, r, c = best[0]["l"], best[0]["r"], int(best[0]["c"])
         merges.append((rank, l, r, c))
-        # one checkpoint job per round keeps the plan depth constant
-        cur = cur.withColumn("symbols", _apply_merge(F.col("symbols"), l, r)
-                             ).localCheckpoint(eager=True)
+        # one checkpoint job per round keeps the plan depth constant;
+        # the superseded generation's blocks are released immediately
+        prev, cur = cur, cur.withColumn(
+            "symbols", _apply_merge(F.col("symbols"), l, r)
+        ).localCheckpoint(eager=True)
+        prev.unpersist()
 
     segmented = cur.withColumn("n_symbols", F.size("symbols"))
     return merges, segmented

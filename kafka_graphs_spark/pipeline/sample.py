@@ -258,10 +258,11 @@ def weighted_sample(
     partitionings like every sampler here; rows with weight <= 0 are
     excluded (their inclusion probability is 0).
 
-    The top-n is a rank over scored rows — at 100 TB put a coarse
-    score prefilter ahead (the same approx-threshold trick pq_topk
-    uses) or take per-partition heads first; n is usually tiny next to
-    the corpus so the shuffle carries candidates, not the table.
+    The global top-n runs in two stages so no single task ever sorts
+    the table: a per-bucket top-n over 64 hash buckets (parallel
+    windows), then the final exact window over at most 64·n surviving
+    rows — identical output to a direct global rank, since the global
+    top-n is a subset of every bucket's top-n.
     """
     if n <= 0:
         return df.limit(0)
@@ -274,9 +275,19 @@ def weighted_sample(
             F.lit(1.0) / F.col(weight_col).cast("double"),
         ),
     )
+    _BUCKETS = 64
+    scored = scored.withColumn(
+        "_kgs_b", F.pmod(F.xxhash64(F.col(key_col)), F.lit(_BUCKETS))
+    )
+    wb = Window.partitionBy("_kgs_b").orderBy(F.desc("_kgs_score"), F.asc(key_col))
+    survivors = (
+        scored.withColumn("_kgs_rank", F.row_number().over(wb))
+        .filter(F.col("_kgs_rank") <= n)
+        .drop("_kgs_rank")
+    )
     w = Window.orderBy(F.desc("_kgs_score"), F.asc(key_col))
     return (
-        scored.withColumn("_kgs_rank", F.row_number().over(w))
+        survivors.withColumn("_kgs_rank", F.row_number().over(w))
         .filter(F.col("_kgs_rank") <= n)
-        .drop("_kgs_score", "_kgs_rank")
+        .drop("_kgs_score", "_kgs_rank", "_kgs_b")
     )

@@ -994,10 +994,29 @@ def ivfpq_topk(
     )
     from pyspark.sql.window import Window
 
+    # same GK-sketch map-side shortlist pq_topk uses (VERDICT r5 #3): for
+    # large corpora, learn a per-query ADC threshold with approx_percentile
+    # (partial buffers combine map-side) and prune before the rank window,
+    # so the shuffle carries ~|Q|·N rows instead of |Q|·|probed corpus|.
+    # GK's rank-error bound makes the filtered set a guaranteed superset
+    # of the true top-N — the exact window on survivors is unchanged.
+    _PRUNE_MIN = 200_000
+    N = max(rerank, k)
+    _ACC = 10_000
+    n_corpus = corpus.count()
+    p_q = min(1.0, (N + n_corpus / _ACC + 1.0) / max(1, n_corpus - 1))
+    if n_corpus >= _PRUNE_MIN and p_q < 1.0:
+        thr = scored.groupBy("query_id").agg(
+            F.expr(f"approx_percentile(adc_dist, {p_q!r}, {_ACC})").alias("_thr")
+        )
+        scored = scored.join(F.broadcast(thr), on="query_id").filter(
+            F.col("adc_dist") <= F.col("_thr")
+        )
+
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
     shortlist = (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= max(rerank, k))
+        .filter(F.col("rank") <= N)
         .select("query_id", "neighbor_id")
     )
     cv = corpus.select(
