@@ -47,6 +47,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Edge value column type (the reference's edge parser).")
     p.add_argument("-np", "--num-partitions", type=int, default=50,
                    help="Partitions per dataset (the reference's topic partitions).")
+    p.add_argument("-df", "--documents-file",
+                   help="JSONL documents corpus (one JSON object per line) to "
+                        "import as a parquet dataset — beyond-reference "
+                        "pipeline ingestion.")
+    p.add_argument("-dt", "--documents-topic", default="documents",
+                   help="The documents dataset name (default: documents).")
+    p.add_argument("--documents-schema",
+                   default="doc_id long, source string, text string",
+                   help="Explicit JSONL read schema (no inference pass).")
     p.add_argument("--master", default="local[*]", help="Spark master.")
     return p
 
@@ -55,8 +64,9 @@ def run(argv: Optional[Sequence[str]] = None, spark=None) -> int:
     from pyspark.sql import SparkSession
 
     args = build_parser().parse_args(argv)
-    if args.vertices_file is None and args.edges_file is None:
-        raise SystemExit("nothing to import: pass -vf and/or -ef")
+    if (args.vertices_file is None and args.edges_file is None
+            and args.documents_file is None):
+        raise SystemExit("nothing to import: pass -vf, -ef and/or -df")
 
     own_session = spark is None
     if own_session:
@@ -82,6 +92,16 @@ def run(argv: Optional[Sequence[str]] = None, spark=None) -> int:
             e.repartition(args.num_partitions, "src").write.mode("overwrite").parquet(
                 f"{args.output_root}/{args.edges_topic}"
             )
+        if args.documents_file is not None:
+            from kafka_graphs_spark.sources.readers import read_documents_jsonl
+
+            d = read_documents_jsonl(
+                spark, args.documents_file, args.documents_schema
+            )
+            # documents keyed by doc_id — the same co-location contract
+            d.repartition(args.num_partitions, "doc_id").write.mode(
+                "overwrite"
+            ).parquet(f"{args.output_root}/{args.documents_topic}")
     finally:
         if own_session:
             spark.stop()

@@ -860,3 +860,22 @@ def test_random_projection_deterministic(spark):
     b = sorted(map(tuple, ((r["id"], tuple(r["proj"])) for r in
                            random_projection(emb.repartition(5), 4, dim=8).collect())))
     assert a == b
+
+
+def test_importer_documents_mode(spark, tmp_path):
+    import json
+
+    from kafka_graphs_spark.importer import run
+
+    src = tmp_path / "docs.jsonl"
+    with open(src, "w") as f:
+        for i in range(5):
+            f.write(json.dumps(
+                {"doc_id": i, "source": f"s{i % 2}", "text": f"doc number {i}"}
+            ) + "\n")
+    out = tmp_path / "store"
+    rc = run([str(out), "-df", str(src), "-np", "2"], spark=spark)
+    assert rc == 0
+    back = spark.read.parquet(str(out / "documents"))
+    assert back.count() == 5
+    assert sorted(back.columns) == ["doc_id", "source", "text"]
