@@ -32,6 +32,8 @@ def curate(
     max_contamination: float = 0.5,
     max_pii: Optional[int] = None,
     max_dup_trigram_frac: Optional[float] = None,
+    max_dup_span_frac: Optional[float] = None,
+    span_window: int = 8,
 ) -> DataFrame:
     """(doc_id) — documents that pass the quality gate, are not
     benchmark-contaminated (when ``benchmark`` is given), pass the
@@ -41,8 +43,12 @@ def curate(
     ``max_pii``: drop documents with more than this many pattern-PII hits
     (None = gate off). ``max_dup_trigram_frac``: drop documents whose
     Gopher-style duplicate-trigram mass exceeds the bound (None = off).
-    Both gates are pre-dedup: they shrink the pair-generation input, so
-    adding them makes the expensive stage cheaper, never slower.
+    ``max_dup_span_frac``: drop documents whose corpus-wide duplicated
+    ``span_window``-token fraction (ExactSubstr-style, see
+    ``dedup.duplicated_spans``) exceeds the bound (None = off) — the
+    boilerplate/mirror gate. All gates are pre-dedup: they shrink the
+    pair-generation input, so adding them makes the expensive stage
+    cheaper, never slower.
 
     Filtering a corpus is ``docs.join(curate(docs), "doc_id", "left_semi")``.
     """
@@ -60,6 +66,13 @@ def curate(
             F.col("dup_trigram_frac") > max_dup_trigram_frac
         ).select("doc_id")
         kept = kept.join(repetitive, on="doc_id", how="left_anti")
+    if max_dup_span_frac is not None:
+        from kafka_graphs_spark.pipeline.dedup import duplicated_spans
+
+        spanny = duplicated_spans(kept, w=span_window, text_col=text_col).filter(
+            F.col("dup_fraction") > max_dup_span_frac
+        ).select("doc_id")
+        kept = kept.join(spanny, on="doc_id", how="left_anti")
     if benchmark is not None:
         dirty = ngram_contamination(
             kept, benchmark, n=n, text_col=text_col

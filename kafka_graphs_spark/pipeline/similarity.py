@@ -731,7 +731,7 @@ def pq_topk(
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.95,
-    n_clusters: int = 16,
+    n_clusters=16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: Optional[int] = None,
@@ -754,9 +754,16 @@ def semantic_dedup(
     clusters at LAION scale) so the per-cluster block stays bounded.
     Deterministic under any partitioning: sorted sample, seeded Lloyd,
     first-min argmin, and the smaller-id witness rule.
+    ``n_clusters="auto"`` picks ceil(√|corpus|) — the block size then
+    GROWS only as √|corpus|, keeping expected within-cluster pairs
+    linear in the corpus (the 100 TB-safe default; pass an int to pin).
     """
+    import math as _math
+
     import numpy as np
 
+    if n_clusters == "auto":
+        n_clusters = max(1, _math.ceil(_math.sqrt(corpus.count())))
     if dim is None:
         dim = len(corpus.select(vec_col).first()[0])
     sample = np.asarray(

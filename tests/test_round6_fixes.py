@@ -879,3 +879,26 @@ def test_importer_documents_mode(spark, tmp_path):
     back = spark.read.parquet(str(out / "documents"))
     assert back.count() == 5
     assert sorted(back.columns) == ["doc_id", "source", "text"]
+
+
+def test_curate_span_gate_drops_boilerplate_doc(spark):
+    from kafka_graphs_spark.pipeline.curate import curate
+
+    boiler = ("all rights reserved contact the site administrator for details "
+              "and licensing information today")
+    unique = ("a genuinely original passage with thoughtful prose that would "
+              "pass any reasonable quality filter easily and cleanly")
+    docs = _docs(spark, [
+        (0, "a", unique + " first variant ending here now"),
+        (1, "b", boiler),
+        (2, "c", boiler),
+    ])
+    base = {r["doc_id"] for r in curate(docs, min_score=0.0,
+                                        jaccard_threshold=0.99).collect()}
+    gated = {r["doc_id"] for r in curate(
+        docs, min_score=0.0, jaccard_threshold=0.99, max_dup_span_frac=0.5
+    ).collect()}
+    assert 0 in base and 0 in gated
+    # both boilerplate copies exceed the span fraction and are gated out
+    assert (gated & {1, 2}) == set()
+    assert (base & {1, 2}) != set()  # without the gate, a canonical survives
