@@ -1,4 +1,6 @@
-"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+span-level exact-substring (detect + remove), cluster resolution,
+contamination, cross-source signals, per-source rates, streaming ingest.
 
 Scale design (100 TB mindset):
 - exact dedup is one hash-groupBy (partial-aggregated; the md5 runs

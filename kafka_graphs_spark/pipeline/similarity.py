@@ -1,13 +1,21 @@
-"""Embedding similarity search: brute-force cosine top-k + LSH scale path.
+"""Embedding similarity search — four recall-pinned ANN families plus
+embedding-space dedup and transforms.
 
 - ``cosine_topk``: the exact baseline — query×corpus join, JVM-side dot
   product (``F.aggregate``/``F.zip_with``, no Python UDF), per-query top-k
   via window. Exact but O(|Q|·|C|): use for small query sets / verification.
-- ``rp_lsh_topk``: the scale path — deterministic random-hyperplane LSH:
-  sign-bit bucket join + exact re-rank inside buckets (with multi-probe via
-  several independent tables). Approximate; recall grows with tables.
-- ``embedding_near_duplicates``: cosine ≥ threshold pairs (near-dup dedup
-  over an embedding column).
+- ``rp_lsh_topk``: data-independent random-hyperplane LSH — sign-bit
+  bucket join + exact in-bucket re-rank, multi-probe across tables.
+- ``ivf_topk``: data-adaptive k-means cells + n_probe pruning.
+- ``pq_topk``: product-quantization ADC — compressed-domain full scan
+  (codes, not vectors) + exact rerank of a shortlist.
+- ``ivfpq_topk``: IVFADC — cell pruning × residual-PQ compressed scan,
+  the production index shape.
+- ``embedding_near_duplicates`` / ``semantic_dedup`` (SemDeDup) /
+  ``embedding_decontamination``: embedding-space dedup & eval hygiene.
+- ``scalar_quantize``/``dequantize``, ``random_projection`` (JL),
+  ``knn_graph``, ``train_pq_codebooks``/``product_quantize``: transforms
+  and index artifacts.
 """
 
 from __future__ import annotations
