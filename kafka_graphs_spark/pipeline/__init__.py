@@ -3,10 +3,16 @@
 First-class engine components for the 100 TB data-curation path:
 
 - ``text``: tokenization, language-ID, quality scoring, token counting,
-  document fingerprinting — pure JVM-side expressions (no Python UDFs).
-- ``dedup``: exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
-- ``similarity``: brute-force cosine top-k (baseline) and an LSH-bucketed
-  approximate variant (the scale path).
+  fingerprinting, LM surprisal, PII, chunking — pure JVM-side expressions.
+- ``dedup``: exact, n-gram Jaccard, MinHash+LSH, SimHash, span-level
+  exact-substring detect/remove, resolution, contamination, rates.
+- ``similarity``: exact cosine baseline + RP-LSH / IVF / PQ-ADC / IVFADC
+  (all recall-pinned), SemDeDup, kNN graphs, quantization, JL projection.
+- ``bpe``: distributed BPE tokenizer training on frequency-weighted types.
+- ``features``: GraphSAGE-style multi-hop neighborhood feature aggregation.
+- ``sample``: seeded Bernoulli/stratified/temperature/weighted sampling,
+  splits, sequence packing. ``sessions``/``events``: sessionization, JSON
+  property extraction.
 - ``multimodal``: opaque binary columns + typed metadata; Arrow-batched
   decode/feature plumbing with stubbed codecs.
 
