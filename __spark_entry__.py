@@ -1498,6 +1498,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("t")
         )
 
+    def ec_effective_diameter(spark, sf):
+        # q=0.9 effective diameter from HyperANF vs the EXACT value
+        # interpolated from the chain closed form N(t) (both capped at
+        # t=8); HLL error ~1% moves the interpolation by << 0.5
+        from kafka_graphs_spark.library import effective_diameter
+
+        est = effective_diameter(_ec_graph(spark, sf), q=0.9, p=6, max_iterations=8)
+        ev = datasets.load(spark, sf, "events")
+        counts = [r["n"] for r in ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()]
+
+        def n_of(t):
+            return float(sum(sum(max(c - d, 0) for d in range(t + 1))
+                             for c in counts))
+
+        nf = [(t, n_of(t)) for t in range(9)]
+        target = 0.9 * nf[-1][1]
+        if nf[0][1] >= target:
+            exact = float(nf[0][0])
+        else:
+            exact = float(nf[-1][0])
+            for (t0, v0), (t1, v1) in zip(nf, nf[1:]):
+                if v1 >= target:
+                    exact = (
+                        t0 + (target - v0) / (v1 - v0) * (t1 - t0)
+                        if v1 > v0 else float(t1)
+                    )
+                    break
+        return spark.createDataFrame(
+            [(abs(est - exact) <= 0.5,)], "diam_ok boolean"
+        )
+
     def hier_avg_nbr_degree(spark, sf):
         # Barabási knn(v): per-vertex mean neighbor degree (undirected
         # simple degrees), the degree-correlation card metric
@@ -2377,6 +2410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_temperature_sample": doc_temperature_sample,
         "hier_avg_nbr_degree": hier_avg_nbr_degree,
         "ec_hyperanf": ec_hyperanf,
+        "ec_effective_diameter": ec_effective_diameter,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_dedup_rate": doc_dedup_rate,
         "doc_span_removal": doc_span_removal,
@@ -3841,6 +3875,7 @@ def oracle_sql() -> dict[str, str]:
         "ec_hyperanf": """
             SELECT range::INT AS t, true AS within_bound FROM range(0, 9)
         """,
+        "ec_effective_diameter": "SELECT true AS diam_ok",
         "doc_span_removal": r"""
             WITH toks AS (
                 SELECT doc_id,
