@@ -902,3 +902,38 @@ def test_curate_span_gate_drops_boilerplate_doc(spark):
     # both boilerplate copies exceed the span fraction and are gated out
     assert (gated & {1, 2}) == set()
     assert (base & {1, 2}) != set()  # without the gate, a canonical survives
+
+
+# ---- pipeline ops on Structured Streaming frames -------------------------
+
+def test_quality_and_fingerprint_run_on_streaming_frames(spark, tmp_path):
+    # the text tier is pure stateless expressions, so the SAME operators
+    # run unchanged on a readStream frame — the streaming-ingest quality
+    # gate needs no rewrite
+    from kafka_graphs_spark.pipeline.text import fingerprint, quality_score
+
+    src = str(tmp_path / "docs")
+    docs = _docs(spark, [
+        (0, "a", "a clean readable sentence with plenty of ordinary words"),
+        (1, "b", "x"),
+    ])
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    scored = quality_score(stream)
+    fp = fingerprint(stream)
+    assert scored.isStreaming and fp.isStreaming
+    q = (
+        scored.join(fp, on="doc_id")
+        .writeStream.format("memory")
+        .queryName("q_stream_quality")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r for r in spark.sql(
+        "SELECT * FROM q_stream_quality"
+    ).collect()}
+    assert len(rows) == 2
+    assert rows[0]["score"] > rows[1]["score"]
+    assert rows[0]["fp"] is not None
