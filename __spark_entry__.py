@@ -1498,6 +1498,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("t")
         )
 
+    def gen_betweenness_sampled(spark, sf):
+        # Brandes-Pich sampled betweenness on the 50-star: 20 md5-chosen
+        # sources, estimate(hub) = (50/20) * |sampled leaves| * 24 exactly
+        # (every arithmetic step is dyadic-or-integer), leaves 0
+        from kafka_graphs_spark.library import betweenness_centrality
+        from kafka_graphs_spark.sources import star_graph
+
+        return betweenness_centrality(
+            star_graph(spark, 50), n_sample_sources=20
+        )
+
     def ec_effective_diameter(spark, sf):
         # q=0.9 effective diameter from HyperANF vs the EXACT value
         # interpolated from the chain closed form N(t) (both capped at
@@ -2411,6 +2422,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_avg_nbr_degree": hier_avg_nbr_degree,
         "ec_hyperanf": ec_hyperanf,
         "ec_effective_diameter": ec_effective_diameter,
+        "gen_betweenness_sampled": gen_betweenness_sampled,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_dedup_rate": doc_dedup_rate,
         "doc_span_removal": doc_span_removal,
@@ -3876,6 +3888,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT range::INT AS t, true AS within_bound FROM range(0, 9)
         """,
         "ec_effective_diameter": "SELECT true AS diam_ok",
+        "gen_betweenness_sampled": """
+            WITH ids AS (SELECT range AS id FROM range(0, 50)),
+            s AS (
+                SELECT id FROM ids
+                ORDER BY md5(id::VARCHAR || ':42'), id
+                LIMIT 20
+            ),
+            nl AS (SELECT count(*) AS n_leaves FROM s WHERE id <> 0)
+            SELECT ids.id,
+                   CASE WHEN ids.id = 0
+                        THEN (50.0 / 20) * nl.n_leaves * 24
+                        ELSE 0.0 END AS betweenness
+            FROM ids, nl
+        """,
         "doc_span_removal": r"""
             WITH toks AS (
                 SELECT doc_id,

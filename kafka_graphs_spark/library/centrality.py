@@ -145,6 +145,8 @@ def betweenness_centrality(
     sources: Optional[Iterable] = None,
     max_iterations: int = 100,
     directed: bool = False,
+    n_sample_sources: Optional[int] = None,
+    sample_seed: int = 42,
 ) -> DataFrame:
     """(id, betweenness) — Brandes dependency accumulation, BFS semantics.
 
@@ -153,6 +155,13 @@ def betweenness_centrality(
     (each unordered pair is counted from both endpoints); sampled source
     sets are scaled by n/|S| (Brandes–Pich estimator), which is exactly
     1 when sources = all.
+
+    ``n_sample_sources``: the 100 TB path — instead of erroring past
+    ``MAX_EXACT_SOURCES``, draw that many sources deterministically (the
+    ids with the smallest ``md5(id || ':' || seed)``, a distributed
+    top-n; only the n chosen ids reach the driver) and return the scaled
+    Brandes–Pich estimate. Engine-reproducible: the same md5 order is
+    expressible in any SQL engine.
     """
     spark = graph.vertices.sparkSession
     e = graph.edges.select("src", "dst").filter(F.col("src") != F.col("dst"))
@@ -164,7 +173,23 @@ def betweenness_centrality(
 
     n_vertices = graph.vertices.count()
     if sources is None:
-        sources = _all_vertex_ids(graph)
+        if n_sample_sources is not None:
+            sources = [
+                r["id"]
+                for r in graph.vertices.select("id")
+                .orderBy(
+                    F.md5(
+                        F.concat(
+                            F.col("id").cast("string"), F.lit(f":{sample_seed}")
+                        )
+                    ),
+                    F.col("id"),
+                )
+                .limit(n_sample_sources)
+                .collect()
+            ]
+        else:
+            sources = _all_vertex_ids(graph)
     sources = sorted(set(sources))
     if not sources:
         raise ValueError("betweenness_centrality needs at least one source")

@@ -937,3 +937,23 @@ def test_quality_and_fingerprint_run_on_streaming_frames(spark, tmp_path):
     assert len(rows) == 2
     assert rows[0]["score"] > rows[1]["score"]
     assert rows[0]["fp"] is not None
+
+
+def test_sampled_betweenness_estimates_and_determinism(spark):
+    from kafka_graphs_spark.library import betweenness_centrality
+    from kafka_graphs_spark.sources import star_graph
+
+    g = star_graph(spark, 30)
+    exact = {r["id"]: r["betweenness"] for r in betweenness_centrality(g).collect()}
+    est = {r["id"]: r["betweenness"] for r in betweenness_centrality(
+        g, n_sample_sources=10
+    ).collect()}
+    # hub estimate lands near the exact C(29,2) value; leaves stay 0
+    assert exact[0] == 406.0
+    assert 0.5 * exact[0] <= est[0] <= 1.5 * exact[0]
+    assert all(v == 0.0 for i, v in est.items() if i != 0)
+    # deterministic selection: same sample -> identical output
+    again = {r["id"]: r["betweenness"] for r in betweenness_centrality(
+        g, n_sample_sources=10
+    ).collect()}
+    assert est == again
