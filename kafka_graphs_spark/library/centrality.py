@@ -46,13 +46,32 @@ def _all_vertex_ids(graph: Graph) -> list:
     return [r["id"] for r in graph.vertices.select("id").collect()]
 
 
-def _landmark_prep(graph, landmarks, directed):
+def _sample_ids(graph, n: int, seed: int) -> list:
+    """Deterministic id sample: the ``n`` ids with the smallest
+    ``md5(id || ':' || seed)`` — a distributed top-n (only the chosen ids
+    reach the driver), reproducible in any engine with md5."""
+    return [
+        r["id"]
+        for r in graph.vertices.select("id")
+        .orderBy(
+            F.md5(F.concat(F.col("id").cast("string"), F.lit(f":{seed}"))),
+            F.col("id"),
+        )
+        .limit(n)
+        .collect()
+    ]
+
+
+def _landmark_prep(graph, landmarks, directed, n_sample=None, seed=42):
     """Shared closeness/harmonic preamble: sorted deduped landmarks (dups
     would collide in the mssp map) and — for undirected semantics — the
     deterministically symmetrized weighted graph (min weight per ordered
     pair; dropDuplicates would keep a partition-order-dependent value)."""
     if landmarks is None:
-        landmarks = _all_vertex_ids(graph)
+        if n_sample is not None:
+            landmarks = _sample_ids(graph, n_sample, seed)
+        else:
+            landmarks = _all_vertex_ids(graph)
     landmarks = sorted(set(landmarks))
     g = graph
     if not directed:
@@ -73,6 +92,8 @@ def _landmark_prep(graph, landmarks, directed):
 def closeness_centrality(
     graph: Graph,
     landmarks: Optional[Iterable] = None,
+    n_sample_landmarks: Optional[int] = None,
+    sample_seed: int = 42,
     max_iterations: int = 50,
     directed: bool = False,
 ) -> DataFrame:
@@ -85,7 +106,9 @@ def closeness_centrality(
     ``directed=True`` gives in-closeness under the landmark distances
     d(s, v). Vertices reaching no landmark (or only themselves) get 0.0.
     """
-    g, landmarks = _landmark_prep(graph, landmarks, directed)
+    g, landmarks = _landmark_prep(
+        graph, landmarks, directed, n_sample_landmarks, sample_seed
+    )
     dists = mssp(g, landmarks, max_iterations=max_iterations)
     per = (
         dists.select("id", F.explode("value").alias("s", "d"))
@@ -112,6 +135,8 @@ def closeness_centrality(
 def harmonic_centrality(
     graph: Graph,
     landmarks: Optional[Iterable] = None,
+    n_sample_landmarks: Optional[int] = None,
+    sample_seed: int = 42,
     max_iterations: int = 50,
     directed: bool = False,
 ) -> DataFrame:
@@ -124,7 +149,9 @@ def harmonic_centrality(
     normalization (Boldi & Vigna 2014, public). Edge values are weights;
     unit weights give the hop-count form.
     """
-    g, landmarks = _landmark_prep(graph, landmarks, directed)
+    g, landmarks = _landmark_prep(
+        graph, landmarks, directed, n_sample_landmarks, sample_seed
+    )
     dists = mssp(g, landmarks, max_iterations=max_iterations)
     per = (
         dists.select("id", F.explode("value").alias("s", "d"))
@@ -174,20 +201,7 @@ def betweenness_centrality(
     n_vertices = graph.vertices.count()
     if sources is None:
         if n_sample_sources is not None:
-            sources = [
-                r["id"]
-                for r in graph.vertices.select("id")
-                .orderBy(
-                    F.md5(
-                        F.concat(
-                            F.col("id").cast("string"), F.lit(f":{sample_seed}")
-                        )
-                    ),
-                    F.col("id"),
-                )
-                .limit(n_sample_sources)
-                .collect()
-            ]
+            sources = _sample_ids(graph, n_sample_sources, sample_seed)
         else:
             sources = _all_vertex_ids(graph)
     sources = sorted(set(sources))

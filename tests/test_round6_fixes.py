@@ -957,3 +957,21 @@ def test_sampled_betweenness_estimates_and_determinism(spark):
         g, n_sample_sources=10
     ).collect()}
     assert est == again
+
+
+def test_closeness_landmark_sampling_deterministic(spark):
+    from kafka_graphs_spark.library.centrality import (
+        closeness_centrality, harmonic_centrality,
+    )
+    from kafka_graphs_spark.sources import star_graph
+
+    g = star_graph(spark, 20)
+    a = sorted(map(tuple, closeness_centrality(g, n_sample_landmarks=5).collect()))
+    b = sorted(map(tuple, closeness_centrality(g, n_sample_landmarks=5).collect()))
+    assert a == b
+    h = {r["id"]: r["harmonic"] for r in harmonic_centrality(
+        g, n_sample_landmarks=5
+    ).collect()}
+    # hub is 1 hop from every sampled leaf landmark
+    n_leaf_landmarks = sum(1 for i, v in h.items() if i == 0)
+    assert h[0] > 0.0
