@@ -1498,6 +1498,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("t")
         )
 
+    def gen_random_graph(spark, sf):
+        # seeded G(n, p) edge list — the md5-fraction rule replicates
+        # exactly in SQL
+        from kafka_graphs_spark.sources import random_graph
+
+        g = random_graph(spark, 60, 0.1, seed=7)
+        return g.edges.select("src", "dst").orderBy("src", "dst")
+
     def gen_betweenness_sampled(spark, sf):
         # Brandes-Pich sampled betweenness on the 50-star: 20 md5-chosen
         # sources, estimate(hub) = (50/20) * |sampled leaves| * 24 exactly
@@ -2423,6 +2431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_hyperanf": ec_hyperanf,
         "ec_effective_diameter": ec_effective_diameter,
         "gen_betweenness_sampled": gen_betweenness_sampled,
+        "gen_random_graph": gen_random_graph,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_dedup_rate": doc_dedup_rate,
         "doc_span_removal": doc_span_removal,
@@ -3888,6 +3897,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT range::INT AS t, true AS within_bound FROM range(0, 9)
         """,
         "ec_effective_diameter": "SELECT true AS diam_ok",
+        "gen_random_graph": """
+            SELECT a.range AS src, b.range AS dst
+            FROM range(0, 60) a, range(0, 60) b
+            WHERE a.range <> b.range
+              AND (('0x' || substr(md5('7:' || a.range::VARCHAR || ':'
+                                        || b.range::VARCHAR), 1, 8))::BIGINT
+                   / 4294967296.0) < 0.1
+            ORDER BY src, dst
+        """,
         "gen_betweenness_sampled": """
             WITH ids AS (SELECT range AS id FROM range(0, 50)),
             s AS (

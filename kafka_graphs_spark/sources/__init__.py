@@ -1,6 +1,6 @@
 """Graph sources & sinks (reference: io/kgraph/utils/{GraphUtils,Parsers,GraphGenerators}.java)."""
 
-from kafka_graphs_spark.sources.generators import complete_graph, grid_graph, star_graph
+from kafka_graphs_spark.sources.generators import complete_graph, grid_graph, random_graph, star_graph
 from kafka_graphs_spark.sources.readers import (
     read_documents_jsonl,
     read_edges_parquet,
@@ -14,6 +14,7 @@ __all__ = [
     "complete_graph",
     "grid_graph",
     "star_graph",
+    "random_graph",
     "read_edges_text",
     "read_vertices_text",
     "read_edges_parquet",

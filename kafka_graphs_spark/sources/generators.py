@@ -62,3 +62,40 @@ def star_graph(spark: SparkSession, n: int) -> Graph:
         .withColumn("value", F.lit(1).cast("long"))
     )
     return Graph.from_edges(edges, F.lit(1).cast("long"))
+
+
+def random_graph(
+    spark: SparkSession, n: int, p: float, seed: int = 42
+) -> Graph:
+    """Seeded Erdős–Rényi G(n, p): the directed edge (i, j), i ≠ j, exists
+    iff the md5-derived uniform of ``"seed:i:j"`` falls below ``p``.
+
+    Beyond-reference fourth generator: deterministic everywhere (same
+    hash → same graph on any engine, partitioning, or cluster size — the
+    same md5-fraction contract the samplers use) and fully distributed:
+    the candidate pairs come from a range×range cross join that executors
+    generate and immediately filter, so only ~p·n² edges materialize.
+    Value 1L like the reference generators.
+    """
+    if not (0.0 <= p <= 1.0):
+        raise ValueError("p must be in [0, 1]")
+    r = spark.range(n)
+    a = r.select(F.col("id").alias("src"))
+    b = r.select(F.col("id").alias("dst"))
+    frac = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col("src"), F.col("dst"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    edges = (
+        a.crossJoin(b)
+        .filter(F.col("src") != F.col("dst"))
+        .filter(frac < F.lit(float(p)))
+        .withColumn("value", F.lit(1).cast("long"))
+    )
+    return Graph.from_edges(edges, F.lit(1).cast("long"))

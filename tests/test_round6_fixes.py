@@ -975,3 +975,22 @@ def test_closeness_landmark_sampling_deterministic(spark):
     # hub is 1 hop from every sampled leaf landmark
     n_leaf_landmarks = sum(1 for i, v in h.items() if i == 0)
     assert h[0] > 0.0
+
+
+def test_random_graph_deterministic_and_density(spark):
+    from kafka_graphs_spark.sources import random_graph
+
+    g1 = random_graph(spark, 40, 0.2, seed=3)
+    g2 = random_graph(spark, 40, 0.2, seed=3)
+    e1 = sorted(map(tuple, g1.edges.select("src", "dst").collect()))
+    e2 = sorted(map(tuple, g2.edges.select("src", "dst").collect()))
+    assert e1 == e2 and len(e1) > 0
+    # expected density p +- loose band; different seed -> different graph
+    n_pairs = 40 * 39
+    assert 0.1 < len(e1) / n_pairs < 0.3
+    e3 = sorted(map(tuple, random_graph(spark, 40, 0.2, seed=4)
+                    .edges.select("src", "dst").collect()))
+    assert e3 != e1
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        random_graph(spark, 10, 1.5)
