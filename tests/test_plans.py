@@ -463,3 +463,14 @@ class TestRound6Plans:
         plan = executed_plan(pairs)
         assert "BatchEvalPython" not in plan
         assert "partial_count" in plan or "partial count" in plan.lower()
+
+    def test_weighted_sample_two_stage_topn(self, spark, docs):
+        from kafka_graphs_spark.pipeline.sample import weighted_sample
+
+        df = docs.withColumn("w", F.length("text").cast("double"))
+        plan = executed_plan(weighted_sample(df, "doc_id", "w", 10))
+        # stage 1 ranks inside 64 hash buckets (partitioned window),
+        # stage 2's global window sees only the bounded survivors
+        assert plan.count("Window") >= 2
+        assert "_kgs_b" in plan  # bucket key partitions the first window
+        assert "BatchEvalPython" not in plan

@@ -994,3 +994,29 @@ def test_random_graph_deterministic_and_density(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         random_graph(spark, 10, 1.5)
+
+
+def test_duplicated_spans_matches_bruteforce_model(spark):
+    import random
+
+    from kafka_graphs_spark.pipeline.dedup import duplicated_spans
+
+    for seed in (5, 19):
+        rng = random.Random(seed)
+        vocab = ["w%d" % i for i in range(12)]
+        texts = [" ".join(rng.choice(vocab) for _ in range(rng.randint(4, 30)))
+                 for _ in range(12)]
+        docs = _docs(spark, [(i, "s", t) for i, t in enumerate(texts)])
+        got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+               for r in duplicated_spans(docs, w=4).collect()}
+        # brute-force model
+        from collections import Counter
+        wins = {}
+        for i, t in enumerate(texts):
+            toks = t.split()
+            wins[i] = [" ".join(toks[j:j + 4])
+                       for j in range(max(0, len(toks) - 3))]
+        counts = Counter(w for ws in wins.values() for w in ws)
+        want = {i: (len(ws), sum(1 for w in ws if counts[w] >= 2))
+                for i, ws in wins.items()}
+        assert got == want, f"seed {seed}"
