@@ -1498,6 +1498,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("t")
         )
 
+    def doc_negative_samples(spark, sf):
+        # contrastive negatives: 4 seeded draws per query over dense item
+        # ids 0..499 with positive/self exclusion; the md5 draw chain
+        # replays exactly in SQL
+        pairs = spark.range(0, 50).select(
+            F.col("id").alias("query_id"),
+            ((F.col("id") * 7 + 3) % 500).alias("pos_id"),
+        )
+        return sample.negative_samples(
+            pairs, n_items=500, k=4
+        ).orderBy("query_id", "slot")
+
     def gen_random_graph(spark, sf):
         # seeded G(n, p) edge list — the md5-fraction rule replicates
         # exactly in SQL
@@ -2432,6 +2444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_effective_diameter": ec_effective_diameter,
         "gen_betweenness_sampled": gen_betweenness_sampled,
         "gen_random_graph": gen_random_graph,
+        "doc_negative_samples": doc_negative_samples,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_dedup_rate": doc_dedup_rate,
         "doc_span_removal": doc_span_removal,
@@ -3897,6 +3910,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT range::INT AS t, true AS within_bound FROM range(0, 9)
         """,
         "ec_effective_diameter": "SELECT true AS diam_ok",
+        "doc_negative_samples": """
+            WITH qs AS (SELECT range AS q FROM range(0, 50)),
+            p AS (SELECT q, (q * 7 + 3) % 500 AS pos FROM qs),
+            c AS (
+                SELECT qs.q, s.range AS slot, a.range AS attempt,
+                       (('0x' || substr(md5('42:' || qs.q::VARCHAR || ':'
+                            || s.range::VARCHAR || ':'
+                            || a.range::VARCHAR), 1, 8))::BIGINT % 500)
+                           AS neg_id
+                FROM qs, range(0, 4) s, range(0, 8) a
+            ),
+            ok AS (
+                SELECT c.q, c.slot, c.attempt, c.neg_id
+                FROM c ANTI JOIN p ON c.q = p.q AND c.neg_id = p.pos
+                WHERE c.neg_id <> c.q
+            )
+            SELECT q AS query_id, CAST(slot AS INTEGER) AS slot,
+                   min_by(neg_id, attempt) AS neg_id
+            FROM ok GROUP BY q, slot
+            ORDER BY query_id, slot
+        """,
         "gen_random_graph": """
             SELECT a.range AS src, b.range AS dst
             FROM range(0, 60) a, range(0, 60) b

@@ -291,3 +291,69 @@ def weighted_sample(
         .filter(F.col("_kgs_rank") <= n)
         .drop("_kgs_score", "_kgs_rank", "_kgs_b")
     )
+
+
+def negative_samples(
+    pairs: DataFrame,
+    n_items: int,
+    k: int = 4,
+    query_col: str = "query_id",
+    pos_col: str = "pos_id",
+    seed: int = 42,
+    max_attempts: int = 8,
+) -> DataFrame:
+    """(query_id, slot, neg_id) — ``k`` deterministic negative draws per
+    query for contrastive training (word2vec / dual-encoder negatives):
+    slot j's candidate chain is ``md5(seed:q:j:attempt) mod n_items``,
+    and the first attempt that hits neither the query's positives nor
+    the query itself wins. Requires dense item ids 0..n_items-1 (map
+    through a vocabulary table first otherwise).
+
+    Deterministic across engines/partitionings (md5 + integer mod — the
+    corpus-independent draw lets the oracle replay it in SQL). Cost is
+    O(|pairs|·k·attempts) narrow rows plus one left-anti on the positive
+    set — no corpus join at all. A query whose positives cover every
+    candidate in the chain yields fewer than k rows (bounded retries,
+    documented rather than silent resampling).
+    """
+    q = pairs.select(query_col).distinct()
+    slots = q.select(
+        query_col,
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("slot"),
+    ).select(
+        query_col,
+        "slot",
+        F.explode(F.sequence(F.lit(0), F.lit(max_attempts - 1))).alias("attempt"),
+    )
+    cand = slots.withColumn(
+        "neg_id",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit(str(seed)),
+                            F.col(query_col),
+                            F.col("slot"),
+                            F.col("attempt"),
+                        )
+                    ),
+                    1, 8,
+                ),
+                16, 10,
+            ).cast("long"),
+            F.lit(n_items),
+        ),
+    ).filter(F.col("neg_id") != F.col(query_col))
+    ok = cand.join(
+        pairs.select(
+            F.col(query_col), F.col(pos_col).alias("neg_id")
+        ).distinct(),
+        on=[query_col, "neg_id"],
+        how="left_anti",
+    )
+    first = ok.groupBy(query_col, "slot").agg(
+        F.min_by("neg_id", "attempt").alias("neg_id")
+    )
+    return first.select(query_col, "slot", "neg_id")

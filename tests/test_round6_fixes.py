@@ -1020,3 +1020,24 @@ def test_duplicated_spans_matches_bruteforce_model(spark):
         want = {i: (len(ws), sum(1 for w in ws if counts[w] >= 2))
                 for i, ws in wins.items()}
         assert got == want, f"seed {seed}"
+
+
+def test_negative_samples_excludes_positives_and_self(spark):
+    from kafka_graphs_spark.pipeline.sample import negative_samples
+
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 0), (2, 5)], "query_id long, pos_id long"
+    )
+    out = negative_samples(pairs, n_items=10, k=3).collect()
+    pos = {(0, 1), (0, 2), (1, 0), (2, 5)}
+    for r in out:
+        assert (r["query_id"], r["neg_id"]) not in pos
+        assert r["neg_id"] != r["query_id"]
+        assert 0 <= r["neg_id"] < 10
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], set()).add(r["slot"])
+    assert all(len(slots) == 3 for slots in by_q.values())
+    # deterministic
+    again = sorted(map(tuple, negative_samples(pairs, n_items=10, k=3).collect()))
+    assert sorted(map(tuple, out)) == again
