@@ -1498,6 +1498,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("t")
         )
 
+    def doc_zipf_fit(spark, sf):
+        # ln(freq) ~ ln(rank) least squares over the corpus vocabulary
+        docs = datasets.load(spark, sf, "documents")
+        return text.zipf_fit(docs)
+
     def doc_negative_samples(spark, sf):
         # contrastive negatives: 4 seeded draws per query over dense item
         # ids 0..499 with positive/self exclusion; the md5 draw chain
@@ -2425,6 +2430,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_stream_global_aggregate": ec_stream_global_aggregate,
         "ec_fold_neighbors": ec_fold_neighbors,
         # -- beyond slot 50: round-6 additions, never scored — rotate into the r7 window first --
+        # (r7 rotation list: every key from here to the 'previously
+        #  driver-scored' marker below — emb_ivfpq_*, emb_semantic_dedup*,
+        #  doc_dup_spans, hier_eigenvector, doc_source_divergence,
+        #  doc_jsonl_roundtrip, emb_neighborhood_features,
+        #  ec_window_triangles, ec_window_wcc, doc_bpe_*,
+        #  doc_temperature_sample, hier_avg_nbr_degree, ec_hyperanf,
+        #  ec_effective_diameter, gen_betweenness_sampled,
+        #  gen_random_graph, doc_negative_samples, doc_weighted_sample,
+        #  doc_dedup_rate, doc_span_removal, emb_rp_project — plus the
+        #  round-5 stragglers ec_window_pagerank/ec_stream_* twins if
+        #  CORRECTNESS_r06 scored them; fill remaining slots with core
+        #  staples per the round-5 verdict's recipe) --
         "emb_ivfpq_topk": emb_ivfpq_topk,
         "emb_ivfpq_recall": emb_ivfpq_recall,
         "emb_semantic_dedup": emb_semantic_dedup,
@@ -2445,6 +2462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_betweenness_sampled": gen_betweenness_sampled,
         "gen_random_graph": gen_random_graph,
         "doc_negative_samples": doc_negative_samples,
+        "doc_zipf_fit": doc_zipf_fit,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_dedup_rate": doc_dedup_rate,
         "doc_span_removal": doc_span_removal,
@@ -3910,6 +3928,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT range::INT AS t, true AS within_bound FROM range(0, 9)
         """,
         "ec_effective_diameter": "SELECT true AS diam_ok",
+        "doc_zipf_fit": f"""
+            WITH tok AS (SELECT unnest({TOKS}) AS token FROM documents),
+            v AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),
+            r AS (
+                SELECT ln((row_number() OVER (ORDER BY freq DESC, token))
+                          ::DOUBLE) AS x,
+                       ln(freq::DOUBLE) AS y
+                FROM v
+            ),
+            a AS (
+                SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                       sum(x * x) AS sxx, sum(y * y) AS syy,
+                       sum(x * y) AS sxy
+                FROM r
+            )
+            SELECT CAST(n AS BIGINT) AS n_types,
+                   ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+                       AS slope,
+                   ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                          * sx) / n, 6) AS intercept,
+                   ROUND(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                         / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+                       AS r2
+            FROM a
+        """,
         "doc_negative_samples": """
             WITH qs AS (SELECT range AS q FROM range(0, 50)),
             p AS (SELECT q, (q * 7 + 3) % 500 AS pos FROM qs),

@@ -689,3 +689,40 @@ def source_divergence(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.sum(ps * F.log(ps / p)), 6).alias("kl"),
         )
     )
+
+
+def zipf_fit(docs: DataFrame, min_count: int = 1, text_col: str = "text") -> DataFrame:
+    """One row (n_types, slope, intercept, r2) — least-squares fit of
+    ``ln(freq) ~ ln(rank)`` over the corpus vocabulary (Zipf's law has
+    slope ≈ −1 for natural language).
+
+    The corpus-health card metric next to :func:`source_profile`: a
+    slope far from −1 or a poor fit flags synthetic, templated, or
+    truncated-vocabulary text. Closed-form regression over the
+    AGGREGATED vocabulary (sums of ln terms — sublinear in corpus
+    size), rounded to 6 dp per the order-dependent-sum precedent.
+    """
+    v = vocabulary(docs, min_count=min_count, text_col=text_col).select(
+        F.log(F.col("token_id").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    agg = v.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / den
+    return agg.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round((num * num) / (den * deny), 6).alias("r2"),
+    )

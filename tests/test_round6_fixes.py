@@ -1041,3 +1041,18 @@ def test_negative_samples_excludes_positives_and_self(spark):
     # deterministic
     again = sorted(map(tuple, negative_samples(pairs, n_items=10, k=3).collect()))
     assert sorted(map(tuple, out)) == again
+
+
+def test_zipf_fit_recovers_planted_power_law(spark):
+    from kafka_graphs_spark.pipeline.text import zipf_fit
+
+    # construct freq(rank) = 600 / rank exactly: token w_r appears
+    # round(600/r) times
+    words = []
+    for r in range(1, 31):
+        words += [f"w{r:02d}x"] * round(600 / r)
+    docs = _docs(spark, [(0, "s", " ".join(words))])
+    row = zipf_fit(docs).collect()[0]
+    assert row["n_types"] == 30
+    assert -1.1 < row["slope"] < -0.9
+    assert row["r2"] > 0.99
