@@ -1498,6 +1498,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("t")
         )
 
+    def doc_tfidf_pairs(spark, sf):
+        # sparse TF-IDF cosine pairs via the token inverted index
+        # (threshold 0.8: the tiny 31-token synthetic vocab makes docs
+        #  broadly similar — 0.8 keeps the strongly-similar ~4k pairs)
+        docs = datasets.load(spark, sf, "documents")
+        return text.tfidf_cosine_pairs(docs, threshold=0.8).orderBy(
+            "doc_a", "doc_b"
+        )
+
     def doc_zipf_fit(spark, sf):
         # ln(freq) ~ ln(rank) least squares over the corpus vocabulary
         docs = datasets.load(spark, sf, "documents")
@@ -2463,6 +2472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_random_graph": gen_random_graph,
         "doc_negative_samples": doc_negative_samples,
         "doc_zipf_fit": doc_zipf_fit,
+        "doc_tfidf_pairs": doc_tfidf_pairs,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_dedup_rate": doc_dedup_rate,
         "doc_span_removal": doc_span_removal,
@@ -3928,6 +3938,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT range::INT AS t, true AS within_bound FROM range(0, 9)
         """,
         "ec_effective_diameter": "SELECT true AS diam_ok",
+        "doc_tfidf_pairs": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({TOKS}) AS token FROM documents
+            ),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT token, count(DISTINCT doc_id) AS df
+                    FROM tok GROUP BY 1),
+            nn AS (SELECT count(*)::DOUBLE AS n FROM documents),
+            w AS (
+                SELECT doc_id, token,
+                       tf::DOUBLE * (nn.n / df::DOUBLE) AS w
+                FROM tf JOIN dfq USING (token), nn
+            ),
+            norms AS (
+                SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1
+            ),
+            dots AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       sum(a.w * b.w) AS dot
+                FROM w a JOIN w b ON a.token = b.token
+                                  AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   ROUND(dot / (na.nrm * nb.nrm), 6) AS cos
+            FROM dots
+            JOIN norms na ON dots.doc_a = na.doc_id
+            JOIN norms nb ON dots.doc_b = nb.doc_id
+            WHERE ROUND(dot / (na.nrm * nb.nrm), 6) >= 0.8
+            ORDER BY doc_a, doc_b
+        """,
         "doc_zipf_fit": f"""
             WITH tok AS (SELECT unnest({TOKS}) AS token FROM documents),
             v AS (SELECT token, count(*) AS freq FROM tok GROUP BY 1),

@@ -726,3 +726,65 @@ def zipf_fit(docs: DataFrame, min_count: int = 1, text_col: str = "text") -> Dat
         ),
         F.round((num * num) / (den * deny), 6).alias("r2"),
     )
+
+
+def tfidf_cosine_pairs(
+    docs: DataFrame, threshold: float = 0.5, text_col: str = "text"
+) -> DataFrame:
+    """(doc_a, doc_b, cos) — document pairs whose TF-IDF vectors have
+    cosine ≥ threshold (doc_a < doc_b). The sparse-vector dual of the
+    embedding near-dup path: retrieval-grade textual similarity with no
+    embedding model, using the same rational ``tf · N/df`` weights as
+    :func:`tfidf_keywords`.
+
+    100 TB shape: candidate pairs come from the TOKEN inverted index
+    (equi-join on token — only docs sharing a term ever pair, never
+    all-pairs), partial dot products combine map-side per pair, and the
+    norm table joins once per side. Stopword-ish high-df terms dominate
+    the index; at web scale prune them first (drop df > x·N) — the same
+    knob every sparse retrieval system exposes. Cosine is rounded to 6 dp
+    (order-dependent float sums).
+    """
+    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            (
+                F.col("tf").cast("double")
+                * (F.col("n").cast("double") / F.col("df").cast("double"))
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    a = w.select(F.col("doc_id").alias("doc_a"), "token", F.col("w").alias("wa"))
+    b = w.select(F.col("doc_id").alias("doc_b"), "token", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, on="token")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    return (
+        dots.join(
+            norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm").alias("na")),
+            on="doc_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm").alias("nb")),
+            on="doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

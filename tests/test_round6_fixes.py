@@ -1056,3 +1056,19 @@ def test_zipf_fit_recovers_planted_power_law(spark):
     assert row["n_types"] == 30
     assert -1.1 < row["slope"] < -0.9
     assert row["r2"] > 0.99
+
+
+def test_tfidf_cosine_pairs_ranks_near_identical_docs_highest(spark):
+    from kafka_graphs_spark.pipeline.text import tfidf_cosine_pairs
+
+    docs = _docs(spark, [
+        (0, "a", "apples and oranges are tasty fruit options"),
+        (1, "b", "apples and oranges are tasty fruit options"),
+        (2, "c", "apples and oranges are tasty fruit choices"),
+        (3, "d", "quantum chromodynamics lattice simulations diverge"),
+    ])
+    pairs = {(r["doc_a"], r["doc_b"]): r["cos"]
+             for r in tfidf_cosine_pairs(docs, threshold=0.0).collect()}
+    assert pairs[(0, 1)] == 1.0           # identical text
+    assert pairs[(0, 2)] > 0.5            # one-token difference
+    assert (0, 3) not in pairs or pairs[(0, 3)] < pairs[(0, 2)]
