@@ -1498,6 +1498,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("t")
         )
 
+    def doc_bm25(spark, sf):
+        # Okapi BM25 top-10 per query over the token inverted index
+        docs = datasets.load(spark, sf, "documents")
+        q = spark.createDataFrame(
+            [
+                (0, "hash join shuffle"),
+                (1, "window sort merge batch"),
+                (2, "slow scan table"),
+            ],
+            "query_id long, query_text string",
+        )
+        return text.bm25_scores(docs, q, k=10).orderBy("query_id", "rank")
+
     def doc_tfidf_pairs(spark, sf):
         # sparse TF-IDF cosine pairs via the token inverted index
         # (threshold 0.8: the tiny 31-token synthetic vocab makes docs
@@ -2473,6 +2486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_negative_samples": doc_negative_samples,
         "doc_zipf_fit": doc_zipf_fit,
         "doc_tfidf_pairs": doc_tfidf_pairs,
+        "doc_bm25": doc_bm25,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_dedup_rate": doc_dedup_rate,
         "doc_span_removal": doc_span_removal,
@@ -3938,6 +3952,50 @@ def oracle_sql() -> dict[str, str]:
             SELECT range::INT AS t, true AS within_bound FROM range(0, 9)
         """,
         "ec_effective_diameter": "SELECT true AS diam_ok",
+        "doc_bm25": f"""
+            WITH q(query_id, query_text) AS (VALUES
+                (0, 'hash join shuffle'),
+                (1, 'window sort merge batch'),
+                (2, 'slow scan table')),
+            qt AS (
+                SELECT DISTINCT query_id,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(query_text), '[^a-z0-9]+'), x -> x <> ''))
+                           AS token
+                FROM q
+            ),
+            tok AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT token, count(DISTINCT doc_id) AS df
+                    FROM tok GROUP BY 1),
+            lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+            st AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                          (SELECT avg(dl) FROM lens) AS avgdl),
+            sc AS (
+                SELECT qt.query_id, tf.doc_id,
+                       ROUND(SUM(
+                           ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                           * (tf.tf::DOUBLE * 2.2)
+                           / (tf.tf::DOUBLE
+                              + 1.2 * (0.25 + 0.75 * lens.dl::DOUBLE
+                                       / st.avgdl))
+                       ), 6) AS score
+                FROM tf
+                JOIN qt USING (token)
+                JOIN dfq USING (token)
+                JOIN lens ON tf.doc_id = lens.doc_id, st
+                GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT query_id, doc_id, score,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+                FROM sc
+            )
+            SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
+            ORDER BY query_id, rank
+        """,
         "doc_tfidf_pairs": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({TOKS}) AS token FROM documents

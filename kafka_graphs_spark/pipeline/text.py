@@ -788,3 +788,64 @@ def tfidf_cosine_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """(query_id, doc_id, score, rank) — top-``k`` documents per query
+    under Okapi BM25 (Robertson/Spärck Jones):
+
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·len/avglen))``
+    with ``idf = ln(1 + (N−df+0.5)/(df+0.5))``.
+
+    The retrieval layer over the sparse stack (tfidf vectors / cosine
+    pairs): candidates come from the token inverted index (docs sharing
+    a query term — an equi-join, never a corpus scan per query), the
+    per-(query, doc) partial sums combine map-side, and the final top-k
+    is a per-query window over candidates only. Query side is tiny and
+    broadcast. Scores round to 6 dp.
+    """
+    from pyspark.sql.window import Window
+
+    tok = docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.count_distinct("doc_id").alias("df"))
+    lens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = docs.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        lens.agg(F.avg("dl").alias("avgdl"))
+    )
+    qt = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(tokens(F.col(query_text_col))).alias("token"),
+    ).distinct()
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    norm_tf = (
+        F.col("tf").cast("double") * (k1 + 1.0)
+    ) / (
+        F.col("tf").cast("double")
+        + k1 * (1.0 - b + b * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(qt), on="token")
+        .join(F.broadcast(df_.join(F.broadcast(qt), on="token").select("token", "df").distinct()), on="token")
+        .join(lens, on="doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum(idf * norm_tf), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1072,3 +1072,23 @@ def test_tfidf_cosine_pairs_ranks_near_identical_docs_highest(spark):
     assert pairs[(0, 1)] == 1.0           # identical text
     assert pairs[(0, 2)] > 0.5            # one-token difference
     assert (0, 3) not in pairs or pairs[(0, 3)] < pairs[(0, 2)]
+
+
+def test_bm25_ranks_term_matches_and_respects_idf(spark):
+    from pyspark.sql import Row
+
+    from kafka_graphs_spark.pipeline.text import bm25_scores
+
+    docs = _docs(spark, [
+        (0, "s", "zebra stripes pattern on the savanna"),
+        (1, "s", "the the the the the common words only"),
+        (2, "s", "zebra zebra zebra stripes everywhere"),
+        (3, "s", "unrelated cooking recipe with butter"),
+    ])
+    q = spark.createDataFrame([Row(query_id=0, query_text="zebra stripes")])
+    res = bm25_scores(docs, q, k=3).collect()
+    by_rank = {r["rank"]: r["doc_id"] for r in res}
+    # doc 2 (repeated rare terms) beats doc 0; doc 3 never matches
+    assert by_rank[1] == 2 and by_rank[2] == 0
+    assert all(r["doc_id"] != 3 for r in res)
+    assert all(r["score"] > 0 for r in res)
