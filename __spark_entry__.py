@@ -1498,6 +1498,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("t")
         )
 
+    def doc_hybrid_retrieval(spark, sf):
+        # hybrid retrieval: RRF-fuse the sparse BM25 list with the dense
+        # exact-cosine list for query ids 0..2 (doc ids and vec ids share
+        # the 0..N-1 key space in the synthetic corpus)
+        docs = datasets.load(spark, sf, "documents")
+        emb = datasets.load(spark, sf, "embeddings")
+        q = spark.createDataFrame(
+            [
+                (0, "hash join shuffle"),
+                (1, "window sort merge batch"),
+                (2, "slow scan table"),
+            ],
+            "query_id long, query_text string",
+        )
+        sparse = text.bm25_scores(docs, q, k=10).select(
+            "query_id", "doc_id", "rank"
+        )
+        dense = similarity.cosine_topk(
+            emb, emb.filter(F.col("vec_id") < 3), k=10
+        ).select("query_id", F.col("neighbor_id").alias("doc_id"), "rank")
+        return similarity.rrf_fuse(sparse, dense, k=60, top=10).orderBy(
+            "query_id", "rank"
+        )
+
     def doc_bm25(spark, sf):
         # Okapi BM25 top-10 per query over the token inverted index
         docs = datasets.load(spark, sf, "documents")
@@ -2487,6 +2511,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_zipf_fit": doc_zipf_fit,
         "doc_tfidf_pairs": doc_tfidf_pairs,
         "doc_bm25": doc_bm25,
+        "doc_hybrid_retrieval": doc_hybrid_retrieval,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_dedup_rate": doc_dedup_rate,
         "doc_span_removal": doc_span_removal,
@@ -3952,6 +3977,77 @@ def oracle_sql() -> dict[str, str]:
             SELECT range::INT AS t, true AS within_bound FROM range(0, 9)
         """,
         "ec_effective_diameter": "SELECT true AS diam_ok",
+        "doc_hybrid_retrieval": f"""
+            WITH q(query_id, query_text) AS (VALUES
+                (0, 'hash join shuffle'),
+                (1, 'window sort merge batch'),
+                (2, 'slow scan table')),
+            qt AS (
+                SELECT DISTINCT query_id,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(query_text), '[^a-z0-9]+'), x -> x <> ''))
+                           AS token
+                FROM q
+            ),
+            tok AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT token, count(DISTINCT doc_id) AS df
+                    FROM tok GROUP BY 1),
+            lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+            st AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                          (SELECT avg(dl) FROM lens) AS avgdl),
+            sc AS (
+                SELECT qt.query_id, tf.doc_id,
+                       ROUND(SUM(
+                           ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                           * (tf.tf::DOUBLE * 2.2)
+                           / (tf.tf::DOUBLE
+                              + 1.2 * (0.25 + 0.75 * lens.dl::DOUBLE
+                                       / st.avgdl))
+                       ), 6) AS score
+                FROM tf
+                JOIN qt USING (token)
+                JOIN dfq USING (token)
+                JOIN lens ON tf.doc_id = lens.doc_id, st
+                GROUP BY 1, 2
+            ),
+            sparse AS (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY score DESC, doc_id) AS rank
+                FROM sc QUALIFY rank <= 10
+            ),
+            v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+            cs AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+                       list_dot_product(a.ev, b.ev)
+                       / (sqrt(list_dot_product(a.ev, a.ev))
+                          * sqrt(list_dot_product(b.ev, b.ev))) AS cos
+                FROM v a JOIN v b ON a.vec_id <> b.vec_id
+                WHERE a.vec_id < 3
+            ),
+            dense AS (
+                SELECT query_id, doc_id,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY cos DESC, doc_id) AS rank
+                FROM cs QUALIFY rank <= 10
+            ),
+            u AS (
+                SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM sparse
+                UNION ALL
+                SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS c FROM dense
+            ),
+            fused AS (
+                SELECT query_id, doc_id, ROUND(SUM(c), 6) AS rrf
+                FROM u GROUP BY 1, 2
+            )
+            SELECT query_id, doc_id, rrf,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                                           ORDER BY rrf DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM fused QUALIFY rank <= 10
+            ORDER BY query_id, rank
+        """,
         "doc_bm25": f"""
             WITH q(query_id, query_text) AS (VALUES
                 (0, 'hash join shuffle'),

@@ -1116,3 +1116,48 @@ def random_projection(
         F.col(id_col).alias("id"),
         F.array(*[coord(j) for j in range(out_dim)]).alias("proj"),
     )
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    k: int = 60,
+    top: int = 10,
+    query_col: str = "query_id",
+    item_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """(query_id, doc_id, rrf, rank) — reciprocal-rank fusion (Cormack,
+    Clarke & Büttcher 2009) of two per-query rankings: ``rrf = Σ_lists
+    1/(k + rank)``, then re-rank by the fused score. THE standard hybrid-
+    retrieval combiner (sparse BM25 list ⊕ dense ANN list) — it needs no
+    score calibration because only ranks enter.
+
+    One union + one map-side-combinable sum per (query, item) + a
+    per-query window over items that appeared in either list (bounded by
+    the input top-k sizes, not the corpus). ``1/(k+rank)`` with integer
+    rank is an exactly-rounded IEEE division, so fused scores reproduce
+    bit-for-bat across engines; rrf rounds to 6 dp, ties break by item.
+    """
+    from pyspark.sql.window import Window
+
+    def norm(df):
+        return df.select(
+            F.col(query_col).alias("query_id"),
+            F.col(item_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col).cast("double"))).alias(
+                "_c"
+            ),
+        )
+
+    fused = (
+        norm(ranked_a)
+        .unionByName(norm(ranked_b))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("_c"), 6).alias("rrf"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top)
+    )

@@ -1092,3 +1092,19 @@ def test_bm25_ranks_term_matches_and_respects_idf(spark):
     assert by_rank[1] == 2 and by_rank[2] == 0
     assert all(r["doc_id"] != 3 for r in res)
     assert all(r["score"] > 0 for r in res)
+
+
+def test_rrf_fuse_rewards_presence_in_both_lists(spark):
+    from kafka_graphs_spark.pipeline.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, doc_id long, rank long"
+    )
+    b = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)], "query_id long, doc_id long, rank long"
+    )
+    res = {r["doc_id"]: r for r in rrf_fuse(a, b, k=60, top=4).collect()}
+    # 11 appears in both lists -> highest fused score
+    assert res[11]["rank"] == 1
+    assert res[11]["rrf"] > res[10]["rrf"]
+    assert set(res) == {10, 11, 12, 13}
