@@ -1498,6 +1498,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("t")
         )
 
+    def dedup_minhash_estimate(spark, sf):
+        # MinHash Jaccard estimate on LSH candidate pairs (signature
+        # agreement fraction) — the scale substitute for exact verify
+        docs = datasets.load(spark, sf, "documents")
+        return dedup.minhash_jaccard_estimate(
+            docs, num_hashes=16, bands=4
+        ).orderBy("doc_a", "doc_b")
+
     def doc_hybrid_retrieval(spark, sf):
         # hybrid retrieval: RRF-fuse the sparse BM25 list with the dense
         # exact-cosine list for query ids 0..2 (doc ids and vec ids share
@@ -2512,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_pairs": doc_tfidf_pairs,
         "doc_bm25": doc_bm25,
         "doc_hybrid_retrieval": doc_hybrid_retrieval,
+        "dedup_minhash_estimate": dedup_minhash_estimate,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_dedup_rate": doc_dedup_rate,
         "doc_span_removal": doc_span_removal,
@@ -3839,6 +3848,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM bands a JOIN bands b
               ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+        """,
+        "dedup_minhash_estimate": f"""
+            WITH sh AS ({SHINGLES}),
+            seeds AS (SELECT unnest(range(0, 16)) AS seed),
+            mh AS (SELECT doc_id, seed,
+                          MIN(md5(shingle || ':' || seed::VARCHAR)) AS mh
+                   FROM sh, seeds GROUP BY 1, 2),
+            bands AS (SELECT doc_id, seed // 4 AS band,
+                             string_agg(mh, '|' ORDER BY seed) AS bucket
+                      FROM mh GROUP BY 1, 2),
+            cand AS (
+                SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bucket = b.bucket
+                 AND a.doc_id < b.doc_id
+            ),
+            agree AS (
+                SELECT c.doc_a, c.doc_b,
+                       SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS agr
+                FROM cand c
+                JOIN mh ma ON ma.doc_id = c.doc_a
+                JOIN mh mb ON mb.doc_id = c.doc_b AND mb.seed = ma.seed
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, agr / 16.0 AS est_jaccard
+            FROM agree ORDER BY doc_a, doc_b
         """,
         "dedup_simhash": f"""
             WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),

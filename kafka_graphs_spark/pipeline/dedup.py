@@ -614,3 +614,52 @@ def remove_duplicated_spans(
             .alias("n_tokens_removed"),
         )
     )
+
+
+def minhash_jaccard_estimate(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) — LSH candidate pairs with the
+    MinHash ESTIMATE of their Jaccard similarity: the fraction of
+    signature components on which the two documents agree (an unbiased
+    estimator of J with variance J(1−J)/num_hashes).
+
+    The scale substitute for exact verification: at 100 TB the exact
+    n-gram Jaccard join re-shingles both sides of every candidate pair,
+    while the estimate reads two already-computed fixed-width signatures
+    — candidates join on the band bucket exactly like
+    :func:`minhash_lsh_candidates`, then one zip_with/aggregate per pair
+    scores agreement. Use the exact verify only for pairs near the
+    decision threshold.
+    """
+    sig = minhash_signatures(docs, num_hashes=num_hashes, n=n, text_col=text_col)
+    cand = minhash_lsh_candidates(
+        docs, num_hashes=num_hashes, bands=bands, n=n, text_col=text_col
+    )
+    agree = F.aggregate(
+        F.zip_with(
+            F.col("_sa"), F.col("_sb"),
+            lambda a, b: F.when(a == b, 1).otherwise(0),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(
+            sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("_sa")),
+            on="doc_a",
+        )
+        .join(
+            sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("_sb")),
+            on="doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
+        )
+    )

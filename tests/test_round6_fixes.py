@@ -1108,3 +1108,25 @@ def test_rrf_fuse_rewards_presence_in_both_lists(spark):
     assert res[11]["rank"] == 1
     assert res[11]["rrf"] > res[10]["rrf"]
     assert set(res) == {10, 11, 12, 13}
+
+
+def test_minhash_jaccard_estimate_tracks_exact(spark):
+    from kafka_graphs_spark.pipeline.dedup import (
+        minhash_jaccard_estimate, ngram_jaccard_pairs,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = _docs(spark, [
+        (0, "s", base),
+        (1, "s", base),                              # identical -> J = 1
+        (2, "s", base + " extra trailing words here"),
+        (3, "s", "completely disjoint vocabulary forever and always now"),
+    ])
+    est = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
+           for r in minhash_jaccard_estimate(docs, num_hashes=16).collect()}
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()}
+    assert est[(0, 1)] == 1.0
+    # the estimate for the near-pair is within the 16-hash noise band
+    assert abs(est[(0, 2)] - exact[(0, 2)]) < 0.35
+    assert all((3 not in pair) for pair in est)  # disjoint doc never pairs
