@@ -1498,6 +1498,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("t")
         )
 
+    def pipeline_curate_spans(spark, sf):
+        # curation with the ExactSubstr span gate between quality and dup
+        # resolution: drop quality-survivors whose duplicated 8-token
+        # window fraction (measured WITHIN the surviving subset) > 0.1
+        from kafka_graphs_spark.pipeline.curate import curate
+
+        return curate(
+            datasets.load(spark, sf, "documents"),
+            min_score=0.6, n=3, jaccard_threshold=0.05,
+            max_dup_span_frac=0.1,
+        )
+
     def dedup_minhash_estimate(spark, sf):
         # MinHash Jaccard estimate on LSH candidate pairs (signature
         # agreement fraction) — the scale substitute for exact verify
@@ -2521,6 +2533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25": doc_bm25,
         "doc_hybrid_retrieval": doc_hybrid_retrieval,
         "dedup_minhash_estimate": dedup_minhash_estimate,
+        "pipeline_curate_spans": pipeline_curate_spans,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_dedup_rate": doc_dedup_rate,
         "doc_span_removal": doc_span_removal,
@@ -4558,6 +4571,71 @@ def oracle_sql() -> dict[str, str]:
             keep AS (SELECT id, MIN(r) AS k FROM reach GROUP BY id)
             SELECT q.doc_id FROM q LEFT JOIN keep ON keep.id = q.doc_id
             WHERE coalesce(keep.k, q.doc_id) = q.doc_id
+        """,
+        # pipeline_curate plus the ExactSubstr span gate between quality
+        # and dedup: duplicated 8-token window fraction measured WITHIN
+        # the quality-surviving subset must stay <= 0.1
+        "pipeline_curate_spans": rf"""
+            WITH RECURSIVE t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS n_stop,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS mtl
+                FROM t),
+            q AS (SELECT doc_id FROM s WHERE
+                (CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE)/n_tokens >= 0.01
+                           AND CAST(n_stop AS DOUBLE)/n_tokens <= 0.5 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.3 ELSE 0.0 END)
+                >= 0.6),
+            spanw AS (
+                SELECT d.doc_id,
+                       list_filter(regexp_split_to_array(trim(d.text), '\s+'),
+                                   x -> x <> '') AS st
+                FROM documents d JOIN q USING (doc_id)
+            ),
+            win AS (
+                SELECT doc_id,
+                       md5(array_to_string(list_slice(st, i, i + 7), ' ')) AS h
+                FROM spanw, UNNEST(generate_series(1, len(st) - 7)) AS u(i)
+                WHERE len(st) >= 8
+            ),
+            wcnt AS (SELECT h, count(*) AS c FROM win GROUP BY h),
+            per AS (
+                SELECT doc_id, count(*) AS nw,
+                       sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS nd
+                FROM win JOIN wcnt USING (h) GROUP BY doc_id
+            ),
+            q2 AS (
+                SELECT q.doc_id FROM q LEFT JOIN per USING (doc_id)
+                WHERE COALESCE(ROUND(per.nd / per.nw, 6), 0.0) <= 0.1
+            ),
+            kt AS (SELECT t.doc_id, t.toks FROM t JOIN q2 USING (doc_id)),
+            sh AS (SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) >= 3
+                              THEN list_transform(range(0, len(toks) - 2),
+                                                  i -> array_to_string(toks[i+1:i+3], ' '))
+                              ELSE CAST([] AS VARCHAR[]) END) AS shingle
+                   FROM kt),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            prs AS (SELECT doc_a, doc_b FROM inter
+                    JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05),
+            und AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                    UNION SELECT doc_b, doc_a FROM prs),
+            reach(id, r) AS (
+                SELECT s, s FROM und
+                UNION
+                SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.id
+            ),
+            keep AS (SELECT id, MIN(r) AS k FROM reach GROUP BY id)
+            SELECT q2.doc_id FROM q2 LEFT JOIN keep ON keep.id = q2.doc_id
+            WHERE coalesce(keep.k, q2.doc_id) = q2.doc_id
         """,
         # pipeline_curate plus the repetition gate between quality and
         # dedup: drop docs whose duplicate-trigram mass exceeds 0.02
