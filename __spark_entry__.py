@@ -1498,6 +1498,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("t")
         )
 
+    def gen_wcc_random(spark, sf):
+        # WCC over the seeded ER graph — third-topology cross-validation
+        # (chains and cliques already twin'd); recursive-closure oracle
+        from kafka_graphs_spark.library import connected_components
+        from kafka_graphs_spark.sources import random_graph
+
+        return connected_components(
+            random_graph(spark, 60, 0.02, seed=9), max_iterations=100
+        )
+
     def pipeline_curate_spans(spark, sf):
         # curation with the ExactSubstr span gate between quality and dup
         # resolution: drop quality-survivors whose duplicated 8-token
@@ -2534,6 +2544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_hybrid_retrieval": doc_hybrid_retrieval,
         "dedup_minhash_estimate": dedup_minhash_estimate,
         "pipeline_curate_spans": pipeline_curate_spans,
+        "gen_wcc_random": gen_wcc_random,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_dedup_rate": doc_dedup_rate,
         "doc_span_removal": doc_span_removal,
@@ -4216,6 +4227,35 @@ def oracle_sql() -> dict[str, str]:
                    min_by(neg_id, attempt) AS neg_id
             FROM ok GROUP BY q, slot
             ORDER BY query_id, slot
+        """,
+        "gen_wcc_random": """
+            WITH RECURSIVE e0 AS (
+                SELECT a.range AS src, b.range AS dst
+                FROM range(0, 60) a, range(0, 60) b
+                WHERE a.range <> b.range
+                  AND (('0x' || substr(md5('9:' || a.range::VARCHAR || ':'
+                           || b.range::VARCHAR), 1, 8))::BIGINT
+                       / 4294967296.0) < 0.02
+            ),
+            und AS (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT src, dst FROM e0
+                    UNION ALL SELECT dst, src FROM e0
+                )
+            ),
+            verts AS (
+                SELECT DISTINCT id FROM (
+                    SELECT src AS id FROM e0 UNION SELECT dst FROM e0
+                )
+            ),
+            reach(id, r) AS (
+                SELECT id, id FROM verts
+                UNION
+                SELECT und.dst, reach.r
+                FROM reach JOIN und ON und.src = reach.id
+            )
+            SELECT id, CAST(MIN(r) AS BIGINT) AS value
+            FROM reach GROUP BY id
         """,
         "gen_random_graph": """
             SELECT a.range AS src, b.range AS dst
