@@ -1498,6 +1498,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("t")
         )
 
+    def ec_window_lp(spark, sf):
+        # per-tumbling-window LP over the hourly-keyed chains. Within a
+        # (user, hour) the edges are one contiguous run, so 10 LP rounds
+        # give label(v) = max id over the 10 preceding segment positions
+        # (the windowed form of ec_lp10's closed form).
+        from pyspark.sql.window import Window
+
+        from kafka_graphs_spark.streaming import lp_windowed
+
+        ev = datasets.load(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        edges = (
+            ev.select(
+                "user_id", "event_id", "ts",
+                F.lag("event_id").over(w).alias("prev_id"),
+            )
+            .filter(F.col("prev_id").isNotNull())
+            .select(
+                F.col("prev_id").alias("src"),
+                F.col("event_id").alias("dst"),
+                F.col("ts").alias("event_time"),
+            )
+        )
+        out = lp_windowed(edges, "1 hour", max_iterations=10)
+        start = F.col("window_start")
+        epoch_start = (
+            F.datediff(start.cast("date"), F.lit("1970-01-01").cast("date")).cast("long") * 86400
+            + F.hour(start).cast("long") * 3600
+        )
+        return out.select(epoch_start.alias("window_start"), "id", "label")
+
     def gen_wcc_random(spark, sf):
         # WCC over the seeded ER graph — third-topology cross-validation
         # (chains and cliques already twin'd); recursive-closure oracle
@@ -2545,6 +2576,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_estimate": dedup_minhash_estimate,
         "pipeline_curate_spans": pipeline_curate_spans,
         "gen_wcc_random": gen_wcc_random,
+        "ec_window_lp": ec_window_lp,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_dedup_rate": doc_dedup_rate,
         "doc_span_removal": doc_span_removal,
@@ -4227,6 +4259,37 @@ def oracle_sql() -> dict[str, str]:
                    min_by(neg_id, attempt) AS neg_id
             FROM ok GROUP BY q, slot
             ORDER BY query_id, slot
+        """,
+        "ec_window_lp": """
+            WITH ch AS (
+                SELECT user_id, event_id, ts,
+                       lag(event_id) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_id
+                FROM events
+            ),
+            ed AS (
+                SELECT user_id,
+                       epoch(date_trunc('hour', ts))::BIGINT AS ws,
+                       prev_id, event_id, ts,
+                       row_number() OVER (
+                           PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts, event_id
+                       ) AS rn
+                FROM ch WHERE prev_id IS NOT NULL
+            ),
+            verts AS (
+                SELECT user_id, ws, prev_id AS id, 0 AS ord
+                FROM ed WHERE rn = 1
+                UNION ALL
+                SELECT user_id, ws, event_id, rn FROM ed
+            )
+            SELECT ws AS window_start, id,
+                   MAX(id) OVER (
+                       PARTITION BY user_id, ws ORDER BY ord
+                       ROWS BETWEEN 10 PRECEDING AND CURRENT ROW
+                   ) AS label
+            FROM verts
         """,
         "gen_wcc_random": """
             WITH RECURSIVE e0 AS (

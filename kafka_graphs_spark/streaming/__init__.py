@@ -16,6 +16,7 @@ from kafka_graphs_spark.streaming.library import (
     connected_components,
     connected_components_frame,
     exact_triangle_count,
+    lp_windowed,
     pagerank_windowed,
     triangles_windowed,
     wcc_windowed,
@@ -43,6 +44,7 @@ __all__ = [
     "bipartiteness_check",
     "bipartiteness_frame",
     "exact_triangle_count",
+    "lp_windowed",
     "pagerank_windowed",
     "triangles_windowed",
     "wcc_windowed",

@@ -369,6 +369,44 @@ def wcc_windowed(
     )
 
 
+def lp_windowed(
+    edges: DataFrame,
+    window_duration: str,
+    max_iterations: int = 10,
+    event_time: str = "event_time",
+) -> DataFrame:
+    """Per-tumbling-window label propagation → (window_start, id, label)
+    — fourth member of the windowed-analytics family: one distributed
+    run of the reference-semantics LP (monotone max-frequency adoption
+    along OUT-edges, exactly ``max_iterations`` rounds) over struct
+    (window, id) vertex keys, every window at once. Struct labels
+    compare window-first, and windows never mix, so the per-window
+    ordering semantics are identical to the batch run on that window's
+    subgraph.
+    """
+    from kafka_graphs_spark.graph import Graph
+    from kafka_graphs_spark.library.components import label_propagation
+
+    ws = F.window(F.col(event_time), window_duration)["start"].alias("_ws")
+    e = edges.select(ws, F.col("src").alias("_s"), F.col("dst").alias("_d")).select(
+        F.struct(F.col("_ws"), F.col("_s").alias("vid")).alias("src"),
+        F.struct(F.col("_ws"), F.col("_d").alias("vid")).alias("dst"),
+        F.lit(1.0).alias("value"),
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .select("id", F.lit(0.0).alias("value"))
+    )
+    out = label_propagation(Graph(verts, e), max_iterations=max_iterations)
+    return out.select(
+        F.col("id._ws").alias("window_start"),
+        F.col("id.vid").alias("id"),
+        F.col("value")["vid"].alias("label"),
+    )
+
+
 def pagerank_windowed(
     edges: DataFrame,
     window_duration: str,

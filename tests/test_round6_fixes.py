@@ -1130,3 +1130,22 @@ def test_minhash_jaccard_estimate_tracks_exact(spark):
     # the estimate for the near-pair is within the 16-hash noise band
     assert abs(est[(0, 2)] - exact[(0, 2)]) < 0.35
     assert all((3 not in pair) for pair in est)  # disjoint doc never pairs
+
+
+def test_lp_windowed_isolates_windows(spark):
+    import datetime
+
+    from kafka_graphs_spark.streaming import lp_windowed
+
+    t0 = datetime.datetime(2024, 1, 1, 0, 15)
+    t1 = datetime.datetime(2024, 1, 1, 1, 15)
+    edges = spark.createDataFrame(
+        [(1, 2, t0), (2, 5, t0), (5, 9, t1)],
+        "src long, dst long, event_time timestamp",
+    )
+    res = {(r["window_start"].hour, r["id"]): r["label"]
+           for r in lp_windowed(edges, "1 hour", max_iterations=10).collect()}
+    # window 0 chain 1->2->5: labels flow forward, monotone max
+    assert res[(0, 1)] == 1 and res[(0, 2)] == 2 and res[(0, 5)] == 5
+    # window 1 chain 5->9: 9 adopts max(5, 9) = 9; 5 keeps itself
+    assert res[(1, 5)] == 5 and res[(1, 9)] == 9
