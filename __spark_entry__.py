@@ -1498,6 +1498,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .orderBy("t")
         )
 
+    def doc_bpe_apply_inv(spark, sf):
+        # BPE inference invariant: replaying the trained merge list with
+        # apply_bpe over the word types reproduces the trainer's own
+        # segmentation table exactly (the train/inference consistency
+        # contract), and the apply path is also lossless
+        from kafka_graphs_spark.pipeline.bpe import apply_bpe, train_bpe
+
+        docs = datasets.load(spark, sf, "documents")
+        merges, seg = train_bpe(docs, n_merges=20)
+        applied = apply_bpe(seg.select("token"), merges)
+        j = seg.select("token", F.col("symbols").alias("_train")).join(
+            applied.select("token", F.col("symbols").alias("_apply")),
+            on="token",
+        )
+        return j.agg(
+            F.sum(
+                F.when(F.col("_train") != F.col("_apply"), 1).otherwise(0)
+            ).alias("mismatches"),
+            F.sum(
+                F.when(F.concat_ws("", F.col("_apply")) != F.col("token"), 1)
+                .otherwise(0)
+            ).alias("concat_violations"),
+            (F.count(F.lit(1)) > 0).alias("nonempty"),
+        )
+
     def ec_window_lp(spark, sf):
         # per-tumbling-window LP over the hourly-keyed chains. Within a
         # (user, hour) the edges are one contiguous run, so 10 LP rounds
@@ -2577,6 +2602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate_spans": pipeline_curate_spans,
         "gen_wcc_random": gen_wcc_random,
         "ec_window_lp": ec_window_lp,
+        "doc_bpe_apply_inv": doc_bpe_apply_inv,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_dedup_rate": doc_dedup_rate,
         "doc_span_removal": doc_span_removal,
@@ -4260,6 +4286,10 @@ def oracle_sql() -> dict[str, str]:
             FROM ok GROUP BY q, slot
             ORDER BY query_id, slot
         """,
+        "doc_bpe_apply_inv": (
+            "SELECT CAST(0 AS BIGINT) AS mismatches,"
+            " CAST(0 AS BIGINT) AS concat_violations, true AS nonempty"
+        ),
         "ec_window_lp": """
             WITH ch AS (
                 SELECT user_id, event_id, ts,
