@@ -571,6 +571,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             datasets.event_chain_edges(spark, sf).withColumn("event_time", F.lit(None).cast("timestamp"))
         ).degrees()
 
+    # ---- stateful-tier driver rows (VERDICT r6 "Next round" #8): run a
+    # REAL applyInPandasWithState streaming query (file source, multiple
+    # micro-batches, foreachBatch sink) and check the FINAL per-key state
+    # against the batch-parity SQL twin. Restart durability stays pytest
+    # (tests/test_stateful_streaming.py); these rows prove semantics. ----
+
+    def _run_stateful_stream(spark, df, op, schema_str, out_schema):
+        import tempfile
+
+        src = tempfile.mkdtemp(prefix="kgs_stateful_src_")
+        ckpt = tempfile.mkdtemp(prefix="kgs_stateful_ckpt_")
+        df.write.mode("overwrite").parquet(src)
+        rows: list = []
+
+        def sink(batch_df, _bid):
+            rows.extend(batch_df.collect())
+
+        stream = (
+            spark.readStream.schema(schema_str)
+            .option("maxFilesPerTrigger", 1)  # force several micro-batches
+            .parquet(src)
+        )
+        q = (
+            op(stream)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        return spark.createDataFrame(rows, out_schema)
+
+    def ec_stateful_degrees(spark, sf):
+        # running total degree via per-vertex GroupState; the stream emits
+        # an updated (id, degree) row each micro-batch that touches the
+        # vertex — degree is monotone, so final state = max per id, which
+        # must equal the batch degree count exactly
+        from kafka_graphs_spark.streaming.stateful import stateful_degrees
+
+        edges = datasets.event_chain_edges(spark, sf).repartition(4)
+        out = _run_stateful_stream(
+            spark, edges, stateful_degrees,
+            "src long, dst long, value double", "id long, degree long",
+        )
+        return out.groupBy("id").agg(F.max("degree").alias("degree"))
+
+    def ec_stateful_sessions(spark, sf):
+        # streaming twin of pipeline.sessions.session_stats: per-user
+        # gap-based sessions with per-user GroupState. Files are
+        # partitioned BY USER so each user's history arrives within one
+        # micro-batch (in-batch ts sort makes the result order-free);
+        # cross-key batching is still real (4 micro-batches). n_events is
+        # monotone per (user, session), so final state = argmax struct.
+        from kafka_graphs_spark.streaming.stateful import stateful_sessions
+
+        ev = datasets.load(spark, sf, "events").select(
+            "event_id", "ts", "user_id", "value"
+        ).repartition(4, "user_id")
+        out = _run_stateful_stream(
+            spark, ev, lambda s: stateful_sessions(s, gap_minutes=30),
+            "event_id long, ts timestamp_ntz, user_id long, value double",
+            "user_id long, session long, n_events long, "
+            "start_us long, end_us long, total_value double",
+        )
+        final = out.groupBy("user_id", "session").agg(
+            F.max(F.struct("n_events", "start_us", "end_us", "total_value")).alias("s")
+        )
+        return final.select(
+            "user_id",
+            "session",
+            F.col("s.n_events").alias("n_events"),
+            F.col("s.start_us").alias("start_us"),
+            F.col("s.end_us").alias("end_us"),
+            (F.col("s.end_us") - F.col("s.start_us")).alias("duration_us"),
+            F.col("s.total_value").alias("total_value"),
+        )
+
     def ec_window_sum(spark, sf):
         # tumbling-window per-vertex edge-weight sum (slice +
         # reduceOnEdges) — the KGraphWindowedStream tier under an oracle.
@@ -1265,9 +1343,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the 100 TB shape: RP-LSH banded candidates → exact cosine verify
         # (no all-pairs join). Approximate — rows-only check; the exact
         # path stays oracle-checked as emb_near_dup.
+        # threshold 0.3 matches the _inv twin: at 0.8 this corpus has zero
+        # near-dup pairs (the exact twin hash-matched 0 rows in r1), which
+        # made the rows-only driver row vacuous (VERDICT r6 "What's wrong" #1)
         emb = datasets.load(spark, sf, "embeddings")
         return similarity.embedding_near_duplicates(
-            emb, threshold=0.8, method="lsh", n_planes=6, n_tables=8, dim=64
+            emb, threshold=0.3, method="lsh", n_planes=6, n_tables=8, dim=64
         )
 
     def dedup_simhash_pairs(spark, sf):
@@ -1470,7 +1551,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from kafka_graphs_spark.library import hyperanf
 
         g = _ec_graph(spark, sf)
-        est = hyperanf(g, p=6, max_iterations=8)
+        # rel_tolerance=0 disables the convergence early-stop so the query
+        # always yields exactly t=0..8 rows regardless of chain lengths
+        # (ADVICE r6: early convergence would fail the 9-row oracle on
+        # row count rather than on the accuracy bound)
+        est = hyperanf(g, p=6, max_iterations=8, rel_tolerance=0.0)
         ev = datasets.load(spark, sf, "events")
         n_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
         ts = spark.range(0, 9).select(F.col("id").cast("int").alias("t"))
@@ -2477,46 +2562,90 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return session_stats(ev, gap_minutes=30)
 
     # ------------------------------------------------------------------
-    # ROTATION NOTE (round 5): slots 1-29 are the 24+5 round-4 additions
-    # that sat beyond the window last round (all locally hash-verified at
-    # sf0.01 in r04); slots 30-50 hedge-rescore the r04 window's most
-    # critical entries (the six invariant twins standing in for the
-    # no-oracle seeded numerics, the streaming-summary oracles, and the
-    # pipeline flagships) because CORRECTNESS_r04.json was not present in
-    # the repo at round-5 start. New round-5 queries are inserted at the
-    # head as they land, displacing hedge entries first.
-    # ------------------------------------------------------------------
     # ORDERING POLICY (the driver's correctness gate checks dict entries
-    # 1-50 only): slots 1-50 hold exclusively oracle-backed queries,
-    # prioritising first-time scoring, then a rotating re-score core.
-    # Oracle-backed queries beyond slot 50 all hash-matched in a prior
-    # round (rotated out to make room, still runnable). The permanently-
-    # no-oracle seeded numerics (ALS/SGD/SVD++ factors, k-means,
-    # semi-clustering, MBM) and rows-only ANN variants sit at the tail --
-    # their correctness evidence is the invariant/loss/recall twin
-    # queries inside the window.
+    # 1-50 only): slots 1-50 hold oracle-backed queries, prioritising
+    # first-time scoring, then a rotating re-score core. Oracle-backed
+    # queries beyond slot 50 all hash-matched in a prior round (rotated
+    # out to make room, still runnable). The permanently-no-oracle seeded
+    # numerics (ALS/SGD factors, k-means, semi-clustering, MBM) and
+    # rows-only ANN variants sit at the tail -- their correctness
+    # evidence is the invariant/loss/recall twins inside the window.
     # ------------------------------------------------------------------
     return {
-        # -- ROUND-6 WINDOW ROTATION (VERDICT r5 "Next round" #1): slots 1-33 are
-        # the 33 queries that have never received a driver-scored row in any
-        # round; slots 34-50 are core §2 staples as regression re-confirmation. --
-        # - curation composites + dedup/contamination flagships -
+        # -- ROUND-7 WINDOW ROTATION (VERDICT r6 'Next round' #1): slots 1-31
+        # are the 31 oracle-backed round-6 queries that have never received a
+        # driver-scored row; after this window scores, every oracle-backed
+        # query in the registry has at least one driver row. --
+        "emb_ivfpq_recall": emb_ivfpq_recall,
+        "emb_semantic_dedup": emb_semantic_dedup,
+        "emb_semantic_dedup_inv": emb_semantic_dedup_inv,
+        "doc_dup_spans": doc_dup_spans,
+        "doc_span_removal": doc_span_removal,
+        "doc_dedup_rate": doc_dedup_rate,
+        "doc_bpe_inv": doc_bpe_inv,
+        "doc_bpe_apply_inv": doc_bpe_apply_inv,
+        "doc_temperature_sample": doc_temperature_sample,
+        "doc_weighted_sample": doc_weighted_sample,
+        "doc_negative_samples": doc_negative_samples,
+        "doc_tfidf_pairs": doc_tfidf_pairs,
+        "doc_bm25": doc_bm25,
+        "doc_hybrid_retrieval": doc_hybrid_retrieval,
+        "doc_zipf_fit": doc_zipf_fit,
+        "doc_source_divergence": doc_source_divergence,
+        "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
+        "dedup_minhash_estimate": dedup_minhash_estimate,
+        "pipeline_curate_spans": pipeline_curate_spans,
+        "emb_rp_project": emb_rp_project,
+        "emb_neighborhood_features": emb_neighborhood_features,
+        "hier_eigenvector": hier_eigenvector,
+        "hier_avg_nbr_degree": hier_avg_nbr_degree,
+        "ec_hyperanf": ec_hyperanf,
+        "ec_effective_diameter": ec_effective_diameter,
+        "ec_window_wcc": ec_window_wcc,
+        "ec_window_lp": ec_window_lp,
+        "ec_window_triangles": ec_window_triangles,
+        "gen_betweenness_sampled": gen_betweenness_sampled,
+        "gen_random_graph": gen_random_graph,
+        "gen_wcc_random": gen_wcc_random,
+        # -- slots 32-33: NEW stateful-tier batch-parity twins (VERDICT r6 #8):
+        # real applyInPandasWithState runs, final state vs SQL twin --
+        "ec_stateful_degrees": ec_stateful_degrees,
+        "ec_stateful_sessions": ec_stateful_sessions,
+        # -- slots 34-35: rows-only paths earning a first (non-vacuous) row:
+        # near_dup_lsh now at threshold 0.3 (VERDICT r6 #2), ivfpq composed ANN --
+        "emb_near_dup_lsh": emb_near_dup_lsh,
+        "emb_ivfpq_topk": emb_ivfpq_topk,
+        # -- slots 36-37: Louvain regression guards (fused sweep landed r7) --
+        "gen_louvain_cliques": gen_louvain_cliques,
+        "ec_louvain_inv": ec_louvain_inv,
+        # -- slots 38-50: core staples named by the r6 verdict for re-confirmation --
+        "ec_mssp": ec_mssp,
+        "ec_sybilrank": ec_sybilrank,
+        "ec_ppr5": ec_ppr5,
+        "hier_adamic_adar": hier_adamic_adar,
+        "hier_jaccard": hier_jaccard,
+        "sp_in_degrees": sp_in_degrees,
+        "sp_join_vertices": sp_join_vertices,
+        "sp_join_edges": sp_join_edges,
+        "sp_join_edges_src": sp_join_edges_src,
+        "sp_join_edges_tgt": sp_join_edges_tgt,
+        "ec_stream_wcc": ec_stream_wcc,
+        "stream_bipartiteness": stream_bipartiteness,
+        "ec_spanner": ec_spanner,
+        # -- beyond slot 50: oracle-backed, previously driver-scored (r1-r6);
+        # rotate back into future windows on the staple cadence --
         "pipeline_curate": pipeline_curate,
         "pipeline_curate_decontam": pipeline_curate_decontam,
         "pipeline_curate_gated": pipeline_curate_gated,
         "dedup_resolve": dedup_resolve,
         "doc_contamination": doc_contamination,
         "emb_decontamination": emb_decontamination,
-        # - ANN: IVF + LSH recall invariants, near-dup LSH path -
         "emb_ivf_topk": emb_ivf_topk,
         "emb_ivf_recall": emb_ivf_recall,
         "emb_lsh_recall": emb_lsh_recall,
-        "emb_near_dup_lsh": emb_near_dup_lsh,
         "emb_near_dup_lsh_inv": emb_near_dup_lsh_inv,
-        # - streaming set ops (open since round-2 advice) -
         "ec_stream_distinct": ec_stream_distinct,
         "ec_stream_union": ec_stream_union,
-        # - centrality / walks / structure -
         "gen_betweenness_star": gen_betweenness_star,
         "gen_betweenness_path": gen_betweenness_path,
         "gen_closeness_star": gen_closeness_star,
@@ -2527,7 +2656,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_modularity": ec_modularity,
         "hier_ktruss3": hier_ktruss3,
         "hier_graph_stats": hier_graph_stats,
-        # - text / sampling / profiling -
         "doc_bigrams": doc_bigrams,
         "doc_repetition": doc_repetition,
         "doc_language_stats": doc_language_stats,
@@ -2537,9 +2665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_mixture_sample": doc_mixture_sample,
         "doc_pack_sequences": doc_pack_sequences,
         "doc_cap_per_source": doc_cap_per_source,
-        # - seeded factor table (rows-only) -
         "sp_svdpp_factors": sp_svdpp_factors,
-        # -- slots 34-50: core staples, previously green (r01-r05) --
         "ec_pagerank5": ec_pagerank5,
         "ec_wcc": ec_wcc,
         "ec_sssp": ec_sssp,
@@ -2549,72 +2675,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_count": doc_token_count,
         "ec_lp10": ec_lp10,
         "hier_lcc": hier_lcc,
-        # new this round: windowed streaming PageRank (first streaming
-        # centrality), exact closed-form oracle
         "ec_window_pagerank": ec_window_pagerank,
         "ec_stream_degrees": ec_stream_degrees,
         "dedup_minhash_lsh": dedup_minhash_lsh,
-        # -- slots 46-50: NEW batch-parity twins for the last pytest-only
-        #    streaming aggregates (VERDICT r5 "Next round" #5) --
         "ec_stream_edge_count": ec_stream_edge_count,
         "ec_stream_vertex_count": ec_stream_vertex_count,
         "ec_stream_aggregate": ec_stream_aggregate,
         "ec_stream_global_aggregate": ec_stream_global_aggregate,
         "ec_fold_neighbors": ec_fold_neighbors,
-        # -- beyond slot 50: round-6 additions, never scored — rotate into the r7 window first --
-        # (r7 rotation list: every key from here to the 'previously
-        #  driver-scored' marker below — emb_ivfpq_*, emb_semantic_dedup*,
-        #  doc_dup_spans, hier_eigenvector, doc_source_divergence,
-        #  doc_jsonl_roundtrip, emb_neighborhood_features,
-        #  ec_window_triangles, ec_window_wcc, doc_bpe_*,
-        #  doc_temperature_sample, hier_avg_nbr_degree, ec_hyperanf,
-        #  ec_effective_diameter, gen_betweenness_sampled,
-        #  gen_random_graph, doc_negative_samples, doc_weighted_sample,
-        #  doc_dedup_rate, doc_span_removal, emb_rp_project — plus the
-        #  round-5 stragglers ec_window_pagerank/ec_stream_* twins if
-        #  CORRECTNESS_r06 scored them; fill remaining slots with core
-        #  staples per the round-5 verdict's recipe) --
-        "emb_ivfpq_topk": emb_ivfpq_topk,
-        "emb_ivfpq_recall": emb_ivfpq_recall,
-        "emb_semantic_dedup": emb_semantic_dedup,
-        "emb_semantic_dedup_inv": emb_semantic_dedup_inv,
-        "doc_dup_spans": doc_dup_spans,
-        "hier_eigenvector": hier_eigenvector,
-        "doc_source_divergence": doc_source_divergence,
-        "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
-        "emb_neighborhood_features": emb_neighborhood_features,
-        "ec_window_triangles": ec_window_triangles,
-        "ec_window_wcc": ec_window_wcc,
-        "doc_bpe_inv": doc_bpe_inv,
         "doc_bpe_segments": doc_bpe_segments,
-        "doc_temperature_sample": doc_temperature_sample,
-        "hier_avg_nbr_degree": hier_avg_nbr_degree,
-        "ec_hyperanf": ec_hyperanf,
-        "ec_effective_diameter": ec_effective_diameter,
-        "gen_betweenness_sampled": gen_betweenness_sampled,
-        "gen_random_graph": gen_random_graph,
-        "doc_negative_samples": doc_negative_samples,
-        "doc_zipf_fit": doc_zipf_fit,
-        "doc_tfidf_pairs": doc_tfidf_pairs,
-        "doc_bm25": doc_bm25,
-        "doc_hybrid_retrieval": doc_hybrid_retrieval,
-        "dedup_minhash_estimate": dedup_minhash_estimate,
-        "pipeline_curate_spans": pipeline_curate_spans,
-        "gen_wcc_random": gen_wcc_random,
-        "ec_window_lp": ec_window_lp,
-        "doc_bpe_apply_inv": doc_bpe_apply_inv,
-        "doc_weighted_sample": doc_weighted_sample,
-        "doc_dedup_rate": doc_dedup_rate,
-        "doc_span_removal": doc_span_removal,
-        "emb_rp_project": emb_rp_project,
-        # -- beyond slot 50: oracle-backed, previously driver-scored; rotate back in future rounds --
-        "ec_mssp": ec_mssp,
-        "ec_sybilrank": ec_sybilrank,
         "hier_triangles": hier_triangles,
-        "hier_jaccard": hier_jaccard,
-        "hier_adamic_adar": hier_adamic_adar,
         "emb_cosine_topk": emb_cosine_topk,
-        "gen_louvain_cliques": gen_louvain_cliques,
         "hier_transitivity": hier_transitivity,
         "doc_line_dedup": doc_line_dedup,
         "doc_bigram_logprob": doc_bigram_logprob,
@@ -2622,7 +2693,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_model": doc_quality_model,
         "emb_pq_recall": emb_pq_recall,
         "emb_pq_codes_inv": emb_pq_codes_inv,
-        "ec_louvain_inv": ec_louvain_inv,
         "gen_scc": gen_scc,
         "gen_msf_complete": gen_msf_complete,
         "hier_msf_inv": hier_msf_inv,
@@ -2659,10 +2729,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_semiclusters_inv": hier_semiclusters_inv,
         "ec_maxbmatching_inv": ec_maxbmatching_inv,
         "hier_kcore_inv": hier_kcore_inv,
-        "ec_ppr5": ec_ppr5,
-        "ec_stream_wcc": ec_stream_wcc,
-        "stream_bipartiteness": stream_bipartiteness,
-        "ec_spanner": ec_spanner,
         "hier_lcc_pregel": hier_lcc_pregel,
         "multimodal_features": multimodal_features,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -2673,10 +2739,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_window_sum": ec_window_sum,
         "sp_io_roundtrip": sp_io_roundtrip,
         "sp_group_reduce_nbrs": sp_group_reduce_nbrs,
-        "sp_join_vertices": sp_join_vertices,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "gen_complete_edges": gen_complete_edges,
-        "sp_in_degrees": sp_in_degrees,
         "sp_subgraph_edges": sp_subgraph_edges,
         "sp_filter_edges": sp_filter_edges,
         "sp_undirected_edges": sp_undirected_edges,
@@ -2685,9 +2749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_group_reduce_max_out": sp_group_reduce_max_out,
         "sp_map_vertices": sp_map_vertices,
         "sp_map_edges": sp_map_edges,
-        "sp_join_edges_src": sp_join_edges_src,
-        "sp_join_edges_tgt": sp_join_edges_tgt,
-        "sp_join_edges": sp_join_edges,
         "gen_grid_edges": gen_grid_edges,
         "gen_star_edges": gen_star_edges,
         "ec_window_sum_sliding": ec_window_sum_sliding,
@@ -2700,7 +2761,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_normalize": doc_normalize,
         "doc_vocabulary": doc_vocabulary,
         "doc_tfidf_keywords": doc_tfidf_keywords,
-        # -- tail: permanently-no-oracle seeded numerics (invariant twins above) and rows-only ANN variants (recall invariants above) --
+        # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
+        # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
         "sp_sgd_factors": sp_sgd_factors,
         "hier_semiclusters": hier_semiclusters,
@@ -3635,6 +3697,34 @@ def oracle_sql() -> dict[str, str]:
                     THEN 1 ELSE 0 END) AS BIGINT) AS degree
             FROM e
             WHERE rn > 0 OR rn < (SELECT MAX(rn) FROM pos p3 WHERE p3.user_id = e.user_id)
+        """,
+        # stateful twins: final GroupState must equal the batch aggregate
+        "ec_stateful_degrees": f"""
+            WITH pos AS ({EC_POS}),
+            e AS (SELECT user_id, rn, event_id FROM pos)
+            SELECT event_id AS id, CAST(
+              (CASE WHEN rn > 0 THEN 1 ELSE 0 END) +
+              (CASE WHEN rn < (SELECT MAX(rn) FROM pos p2 WHERE p2.user_id = e.user_id)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS degree
+            FROM e
+            WHERE rn > 0 OR rn < (SELECT MAX(rn) FROM pos p3 WHERE p3.user_id = e.user_id)
+        """,
+        "ec_stateful_sessions": """
+            WITH s AS (
+              SELECT user_id, event_id, value, ts, epoch_us(ts) AS us,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s2 AS (SELECT user_id, us, value,
+                          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            AS session
+                   FROM s)
+            SELECT user_id, CAST(session AS BIGINT) AS session,
+                   COUNT(*) AS n_events, MIN(us) AS start_us, MAX(us) AS end_us,
+                   MAX(us) - MIN(us) AS duration_us,
+                   round(SUM(value), 6) AS total_value
+            FROM s2 GROUP BY 1, 2
         """,
         "ec_pregel_sssp": f"""
             WITH pos AS ({EC_POS}),

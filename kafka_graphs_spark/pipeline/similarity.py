@@ -684,9 +684,18 @@ def pq_topk(
     _PRUNE_MIN = 200_000
     N = max(rerank, k) if rerank > 0 else k
     _ACC = 10_000
-    n_corpus = corpus.count()
-    p = min(1.0, (N + n_corpus / _ACC + 1.0) / max(1, n_corpus - 1))
-    do_prune = (n_corpus >= _PRUNE_MIN) if prune is None else prune
+    # count only when the prune can engage: prune=False pays no extra scan
+    # (ADVICE r6), and the count is reused as the percentile denominator
+    # (the per-query group is the full corpus minus self, so n_corpus is a
+    # safe (over-)estimate: required p = N/(n-1) + 1/ACC, and the chosen
+    # p = (N + n/ACC + 1)/(n-1) strictly dominates it).
+    do_prune = prune
+    p = 1.0
+    if prune is not False:
+        n_corpus = corpus.count()
+        p = min(1.0, (N + n_corpus / _ACC + 1.0) / max(1, n_corpus - 1))
+        if do_prune is None:
+            do_prune = n_corpus >= _PRUNE_MIN
     if do_prune and p < 1.0:
         thr = scored.groupBy("query_id").agg(
             F.expr(f"approx_percentile(adc_dist, {p!r}, {_ACC})").alias("_thr")
@@ -1018,14 +1027,32 @@ def ivfpq_topk(
     _PRUNE_MIN = 200_000
     N = max(rerank, k)
     _ACC = 10_000
+    # Unlike pq_topk, the per-query scored group here is only the probed
+    # subset (~n_probe/n_cells of the corpus, and SKEWED cell sizes make it
+    # variable per query), so the percentile must be derived from the group
+    # size, not n_corpus (ADVICE r6, medium — a too-small p_q would cut
+    # true shortlist candidates). Two layers of defense:
+    #   1. p_q comes from the balanced-cell group estimate;
+    #   2. the threshold aggregation also emits the EXACT per-query group
+    #      count, and the filter lets any group too small for the chosen
+    #      p_q to guarantee a top-N superset (g·p_q − g/ACC < N) pass
+    #      through unpruned — small groups are cheap to rank-sort anyway.
+    # The prune result is therefore a guaranteed superset of the true ADC
+    # top-N for EVERY query, under any cell-size skew, independent of
+    # partitioning (GK's deterministic rank-error bound ≤ g/ACC).
     n_corpus = corpus.count()
-    p_q = min(1.0, (N + n_corpus / _ACC + 1.0) / max(1, n_corpus - 1))
-    if n_corpus >= _PRUNE_MIN and p_q < 1.0:
+    group_est = max(1, -(-n_corpus * n_probe // n_cells))  # ceil
+    p_q = min(1.0, (N + group_est / _ACC + 1.0) / max(1, group_est - 1))
+    if group_est >= _PRUNE_MIN and p_q < 1.0:
+        # g·p_q − g/ACC ≥ N  ⇔  g ≥ N / (p_q − 1/ACC); p_q > 1/ACC holds
+        # because p_q ≥ (N + 1) / group_est ≥ _PRUNE_MIN⁻¹·(N+1) ≫ 1/ACC
+        g_safe = math.ceil(N / (p_q - 1.0 / _ACC))
         thr = scored.groupBy("query_id").agg(
-            F.expr(f"approx_percentile(adc_dist, {p_q!r}, {_ACC})").alias("_thr")
+            F.expr(f"approx_percentile(adc_dist, {p_q!r}, {_ACC})").alias("_thr"),
+            F.count(F.lit(1)).alias("_g"),
         )
         scored = scored.join(F.broadcast(thr), on="query_id").filter(
-            F.col("adc_dist") <= F.col("_thr")
+            (F.col("_g") < F.lit(g_safe)) | (F.col("adc_dist") <= F.col("_thr"))
         )
 
     w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), F.asc("neighbor_id"))
