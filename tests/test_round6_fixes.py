@@ -798,6 +798,15 @@ def test_bpe_matches_reference_model_on_random_corpora(spark):
         assert got_merges == want_merges, f"seed {seed}"
         got = {r["token"]: r["symbols"] for r in got_seg.collect()}
         assert got == want_segs, f"seed {seed}"
+        if seed == 3:
+            # the DISTRIBUTED tier (local_threshold=0) must produce the
+            # identical artifact — the handoff is a perf knob, not a
+            # semantics knob
+            dist_merges, dist_seg = train_bpe(docs, n_merges=6, local_threshold=0)
+            assert dist_merges == want_merges
+            assert {
+                r["token"]: r["symbols"] for r in dist_seg.collect()
+            } == want_segs
 
 
 def test_remove_duplicated_spans_cuts_shared_boilerplate(spark):
