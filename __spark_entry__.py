@@ -1868,6 +1868,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select(epoch_start.alias("window_start"), "id", "component")
 
+    def ec_window_wcc_incr(spark, sf):
+        # INCREMENTAL windowed WCC (the r7 applyInPandasWithState tier):
+        # the same hourly chain edges stream through per-window DSU state
+        # in 4 micro-batches; union-by-min keeps component = min id at
+        # every emission, so final state = MIN over emissions and the
+        # closed-form ec_window_wcc oracle applies verbatim.
+        from pyspark.sql.window import Window
+
+        from kafka_graphs_spark.streaming import wcc_windowed_incremental
+
+        ev = datasets.load(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        edges = (
+            ev.select(
+                "user_id", "event_id", "ts",
+                F.lag("event_id").over(w).alias("prev_id"),
+            )
+            .filter(F.col("prev_id").isNotNull())
+            .select(
+                F.col("prev_id").alias("src"),
+                F.col("event_id").alias("dst"),
+                F.col("ts").alias("event_time"),
+            )
+            .repartition(4)
+        )
+        out = _run_stateful_stream(
+            spark, edges, lambda s: wcc_windowed_incremental(s, "1 hour"),
+            "src long, dst long, event_time timestamp_ntz",
+            "window_start timestamp_ntz, id long, component long",
+        )
+        final = out.groupBy("window_start", "id").agg(
+            F.min("component").alias("component")
+        )
+        start = F.col("window_start")
+        epoch_start = (
+            F.datediff(start.cast("date"), F.lit("1970-01-01").cast("date")).cast("long") * 86400
+            + F.hour(start).cast("long") * 3600
+        )
+        return final.select(epoch_start.alias("window_start"), "id", "component")
+
+    def ec_window_triangles_incr(spark, sf):
+        # INCREMENTAL windowed triangle totals: the hourly co-occurrence
+        # pairs stream through per-window adjacency state; each new edge
+        # closes |N(a) ∩ N(b)| triangles, duplicates excluded in-state.
+        # The running total is monotone, so final = MAX over emissions;
+        # oracle = the global (id = -1) rows of the batch twin.
+        from kafka_graphs_spark.streaming import triangles_windowed_incremental
+
+        ev = datasets.load(spark, sf, "events")
+        occ = ev.select(
+            F.window("ts", "1 hour")["start"].alias("ws"),
+            "user_id",
+            "event_type",
+        ).distinct()
+        pairs = (
+            occ.alias("a")
+            .join(occ.alias("b"), on=["ws", "event_type"])
+            .filter(F.col("a.user_id") < F.col("b.user_id"))
+            .select(
+                F.col("a.user_id").alias("src"),
+                F.col("b.user_id").alias("dst"),
+                F.col("ws").alias("event_time"),
+            )
+            .distinct()
+            .repartition(4)
+        )
+        out = _run_stateful_stream(
+            spark, pairs, lambda s: triangles_windowed_incremental(s, "1 hour"),
+            "src long, dst long, event_time timestamp_ntz",
+            "window_start timestamp_ntz, n_triangles long",
+        )
+        final = out.groupBy("window_start").agg(
+            F.max("n_triangles").alias("n_triangles")
+        ).filter(F.col("n_triangles") > 0)  # oracle universe: windows w/ triangles
+        start = F.col("window_start")
+        epoch_start = (
+            F.datediff(start.cast("date"), F.lit("1970-01-01").cast("date")).cast("long") * 86400
+            + F.hour(start).cast("long") * 3600
+        )
+        return final.select(epoch_start.alias("window_start"), "n_triangles")
+
     def ec_window_triangles(spark, sf):
         # per-tumbling-window exact triangles over the hourly user
         # co-occurrence graph (users sharing an event_type that hour);
@@ -2632,6 +2713,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_stream_wcc": ec_stream_wcc,
         "stream_bipartiteness": stream_bipartiteness,
         "ec_spanner": ec_spanner,
+        # -- beyond slot 50: NEW round-7 incremental windowed tier (never
+        # scored — first in line for the r8 rotation) --
+        "ec_window_wcc_incr": ec_window_wcc_incr,
+        "ec_window_triangles_incr": ec_window_triangles_incr,
         # -- beyond slot 50: oracle-backed, previously driver-scored (r1-r6);
         # rotate back into future windows on the staple cadence --
         "pipeline_curate": pipeline_curate,
@@ -3697,6 +3782,55 @@ def oracle_sql() -> dict[str, str]:
                     THEN 1 ELSE 0 END) AS BIGINT) AS degree
             FROM e
             WHERE rn > 0 OR rn < (SELECT MAX(rn) FROM pos p3 WHERE p3.user_id = e.user_id)
+        """,
+        # incremental windowed tier: final per-window state vs closed forms
+        "ec_window_wcc_incr": """
+            WITH ch AS (
+                SELECT user_id, event_id, ts,
+                       lag(event_id) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_id
+                FROM events
+            ),
+            ed AS (
+                SELECT user_id,
+                       epoch(date_trunc('hour', ts))::BIGINT AS ws,
+                       prev_id AS src, event_id AS dst
+                FROM ch WHERE prev_id IS NOT NULL
+            ),
+            grp AS (
+                SELECT user_id, ws, LEAST(MIN(src), MIN(dst)) AS comp
+                FROM ed GROUP BY 1, 2
+            ),
+            verts AS (
+                SELECT DISTINCT ws, user_id, id FROM (
+                    SELECT ws, user_id, src AS id FROM ed
+                    UNION ALL SELECT ws, user_id, dst FROM ed
+                )
+            )
+            SELECT v.ws AS window_start, v.id, g.comp AS component
+            FROM verts v JOIN grp g USING (user_id, ws)
+        """,
+        "ec_window_triangles_incr": """
+            WITH occ AS (
+                SELECT DISTINCT epoch(date_trunc('hour', ts))::BIGINT AS ws,
+                                user_id, event_type
+                FROM events
+            ),
+            e AS (
+                SELECT DISTINCT a.ws, a.user_id AS x, b.user_id AS y
+                FROM occ a JOIN occ b
+                  ON a.ws = b.ws AND a.event_type = b.event_type
+                 AND a.user_id < b.user_id
+            ),
+            tri AS (
+                SELECT e1.ws, e1.x, e1.y, e2.y AS z
+                FROM e e1
+                JOIN e e2 ON e1.ws = e2.ws AND e1.y = e2.x
+                JOIN e e3 ON e3.ws = e1.ws AND e3.x = e1.x AND e3.y = e2.y
+            )
+            SELECT ws AS window_start, CAST(count(*) AS BIGINT) AS n_triangles
+            FROM tri GROUP BY ws
         """,
         # stateful twins: final GroupState must equal the batch aggregate
         "ec_stateful_degrees": f"""

