@@ -578,30 +578,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (tests/test_stateful_streaming.py); these rows prove semantics. ----
 
     def _run_stateful_stream(spark, df, op, schema_str, out_schema):
+        import shutil
         import tempfile
 
         src = tempfile.mkdtemp(prefix="kgs_stateful_src_")
         ckpt = tempfile.mkdtemp(prefix="kgs_stateful_ckpt_")
-        df.write.mode("overwrite").parquet(src)
-        rows: list = []
+        try:
+            df.write.mode("overwrite").parquet(src)
+            rows: list = []
 
-        def sink(batch_df, _bid):
-            rows.extend(batch_df.collect())
+            def sink(batch_df, _bid):
+                rows.extend(batch_df.collect())
 
-        stream = (
-            spark.readStream.schema(schema_str)
-            .option("maxFilesPerTrigger", 1)  # force several micro-batches
-            .parquet(src)
-        )
-        q = (
-            op(stream)
-            .writeStream.foreachBatch(sink)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(600)
+            stream = (
+                spark.readStream.schema(schema_str)
+                .option("maxFilesPerTrigger", 1)  # force several micro-batches
+                .parquet(src)
+            )
+            q = (
+                op(stream)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+        finally:
+            # the collected rows are driver-side; the scratch stream dirs
+            # have no further reader
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
         return spark.createDataFrame(rows, out_schema)
 
     def ec_stateful_degrees(spark, sf):
@@ -647,6 +654,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("s.end_us").alias("end_us"),
             (F.col("s.end_us") - F.col("s.start_us")).alias("duration_us"),
             F.col("s.total_value").alias("total_value"),
+        )
+
+    def ec_stateful_heavy(spark, sf):
+        # heavy-hitter alerting: emit each vertex ONCE, the micro-batch
+        # its running degree first reaches min_degree. Files are
+        # partitioned BY USER and chain edges are user-local, so every
+        # vertex's full degree is visible within one batch — the crossing
+        # degree equals the total degree and the batch twin is exact:
+        # vertices with degree >= 2 at their full degree.
+        from pyspark.sql.window import Window
+
+        from kafka_graphs_spark.streaming.stateful import stateful_heavy_vertices
+
+        ev = datasets.load(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        edges = (
+            ev.select(
+                "user_id", "event_id",
+                F.lag("event_id").over(w).alias("prev_id"),
+                F.abs(F.col("value")).alias("wv"),
+            )
+            .filter(F.col("prev_id").isNotNull())
+            .repartition(4, "user_id")
+            .select(
+                F.col("prev_id").alias("src"),
+                F.col("event_id").alias("dst"),
+                F.col("wv").alias("value"),
+            )
+        )
+        return _run_stateful_stream(
+            spark, edges,
+            lambda s: stateful_heavy_vertices(s, min_degree=2),
+            "src long, dst long, value double", "id long, degree long",
         )
 
     def ec_window_sum(spark, sf):
@@ -2717,6 +2757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scored — first in line for the r8 rotation) --
         "ec_window_wcc_incr": ec_window_wcc_incr,
         "ec_window_triangles_incr": ec_window_triangles_incr,
+        "ec_stateful_heavy": ec_stateful_heavy,
         # -- beyond slot 50: oracle-backed, previously driver-scored (r1-r6);
         # rotate back into future windows on the staple cadence --
         "pipeline_curate": pipeline_curate,
@@ -3833,6 +3874,19 @@ def oracle_sql() -> dict[str, str]:
             FROM tri GROUP BY ws
         """,
         # stateful twins: final GroupState must equal the batch aggregate
+        "ec_stateful_heavy": f"""
+            WITH pos AS ({EC_POS}),
+            e AS (SELECT user_id, rn, event_id FROM pos),
+            deg AS (
+                SELECT event_id AS id, CAST(
+                  (CASE WHEN rn > 0 THEN 1 ELSE 0 END) +
+                  (CASE WHEN rn < (SELECT MAX(rn) FROM pos p2 WHERE p2.user_id = e.user_id)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS degree
+                FROM e
+                WHERE rn > 0 OR rn < (SELECT MAX(rn) FROM pos p3 WHERE p3.user_id = e.user_id)
+            )
+            SELECT id, degree FROM deg WHERE degree >= 2
+        """,
         "ec_stateful_degrees": f"""
             WITH pos AS ({EC_POS}),
             e AS (SELECT user_id, rn, event_id FROM pos)
