@@ -56,6 +56,9 @@ def wcc_windowed_incremental(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
     )
+    # window over TIMESTAMP_NTZ yields NTZ — mirror it in the output so
+    # the emitted window_start round-trips under any session timezone
+    ts_type = dict(keyed.dtypes)["ws"]
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -102,7 +105,7 @@ def wcc_windowed_incremental(
 
     return keyed.groupBy("ws").applyInPandasWithState(
         update,
-        outputStructType="window_start timestamp, id long, component long",
+        outputStructType=f"window_start {ts_type}, id long, component long",
         stateStructType="ids array<long>, parent array<long>",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -133,6 +136,7 @@ def triangles_windowed_incremental(
         F.least(F.col("src").cast("long"), F.col("dst").cast("long")).alias("a"),
         F.greatest(F.col("src").cast("long"), F.col("dst").cast("long")).alias("b"),
     ).filter(F.col("a") != F.col("b"))
+    ts_type = dict(keyed.dtypes)["ws"]  # NTZ-mirroring, see wcc variant
 
     def update(key, pdfs, state: GroupState):
         import pandas as pd
@@ -163,7 +167,7 @@ def triangles_windowed_incremental(
 
     return keyed.groupBy("ws").applyInPandasWithState(
         update,
-        outputStructType="window_start timestamp, n_triangles long",
+        outputStructType=f"window_start {ts_type}, n_triangles long",
         stateStructType="aa array<long>, bb array<long>, total long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
