@@ -447,6 +447,18 @@ class Graph:
         """Reference: io/kgraph/library/basic/EdgeCount.java (aggregator-only algo)."""
         return self.edges.count()
 
+    def find(self, pattern: str) -> DataFrame:
+        """Motif finding: match a GraphFrames-style edge pattern.
+
+        ``g.find("(a)-[e]->(b); (b)-[]->(c); !(a)-[]->(c)")`` — one row per
+        assignment, one struct column per named element. Beyond-reference
+        query surface; see kafka_graphs_spark/library/motif.py for the
+        grammar and the join plan it compiles to.
+        """
+        from kafka_graphs_spark.library.motif import find as _find
+
+        return _find(self, pattern)
+
     def reverse(self) -> "Graph":
         """Reverse every edge (streaming reverse(): io/kgraph/streaming/EdgeStream.java:252-261)."""
         cols = self.edges.columns

@@ -58,8 +58,10 @@ from kafka_graphs_spark.library.structure import (
     strongly_connected_components,
     topological_levels,
 )
+from kafka_graphs_spark.library.motif import find as find_motifs
 
 __all__ = [
+    "find_motifs",
     "bfs",
     "sssp",
     "mssp",
