@@ -79,6 +79,18 @@ HIER_UND = """
   deg AS (SELECT src, count(*) AS d FROM und GROUP BY 1)
 """
 
+# directed hierarchy edges — twin of datasets.hierarchy_edges
+_HIER_E0 = """
+  SELECT CAST(c_custkey AS BIGINT) AS src,
+         CAST(c_nationkey + 2000000 AS BIGINT) AS dst FROM customer
+  UNION ALL
+  SELECT CAST(n_nationkey + 2000000 AS BIGINT),
+         CAST(n_regionkey + 3000000 AS BIGINT) FROM nation
+  UNION ALL
+  SELECT CAST(c_custkey AS BIGINT), CAST(n_regionkey + 3000000 AS BIGINT)
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+"""
+
 EC_POS = """
   SELECT event_id, user_id, abs(value) AS w,
          row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
@@ -2674,6 +2686,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return triangle_motif_census(Graph.from_edges(edges, F.lit(0.0)))
 
+    def hier_motif_find_triangle(spark, sf):
+        # GraphFrames-style pattern finder (library/motif.py) on the
+        # hierarchy graph: transitive triangles a→b→c with closing a→c —
+        # exactly one per customer (c → nation → region). Oracle = the
+        # same three-way equi-join in SQL.
+        from kafka_graphs_spark.datasets import hierarchy_graph
+
+        return (
+            hierarchy_graph(spark, sf)
+            .find("(a)-[]->(b); (b)-[]->(c); (a)-[]->(c)")
+            .select(
+                F.col("a.id").alias("a_id"),
+                F.col("b.id").alias("b_id"),
+                F.col("c.id").alias("c_id"),
+            )
+        )
+
+    def hier_motif_find_wedge_neg(spark, sf):
+        # negated-edge motif: customer b and nation c feeding the same
+        # region a where b is NOT in nation c — the anti-join discriminates
+        # (each customer's own nation is excluded). 4 rows per customer.
+        from kafka_graphs_spark.datasets import hierarchy_graph
+
+        return (
+            hierarchy_graph(spark, sf)
+            .find("(b)-[]->(a); (c)-[]->(a); !(b)-[]->(c)")
+            .filter("b.id < 2000000 AND c.id >= 2000000 AND c.id < 3000000")
+            .select(
+                F.col("b.id").alias("b_id"),
+                F.col("c.id").alias("c_id"),
+                F.col("a.id").alias("a_id"),
+            )
+        )
+
+    def ec_motif_find_path(spark, sf):
+        # named-edge motif with an edge-attribute predicate: 2-paths in
+        # the event chains where the first hop outweighs the second. Edge
+        # weights ship raw (|value| of the destination event, no
+        # arithmetic → bit-identical across engines).
+        return (
+            _ec_graph(spark, sf)
+            .find("(a)-[e]->(b); (b)-[f]->(c)")
+            .filter(F.col("e.value") > F.col("f.value"))
+            .select(
+                F.col("a.id").alias("a_id"),
+                F.col("c.id").alias("c_id"),
+                F.col("e.value").alias("w1"),
+                F.col("f.value").alias("w2"),
+            )
+        )
+
     def ec_sessions(spark, sf):
         # gap-based sessionization over the events table — window-function
         # twin, exact tz-free epoch microseconds
@@ -2758,6 +2821,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_window_wcc_incr": ec_window_wcc_incr,
         "ec_window_triangles_incr": ec_window_triangles_incr,
         "ec_stateful_heavy": ec_stateful_heavy,
+        # -- beyond slot 50: NEW round-7 motif pattern finder (never
+        # scored — first in line for the r8 rotation) --
+        "hier_motif_find_triangle": hier_motif_find_triangle,
+        "hier_motif_find_wedge_neg": hier_motif_find_wedge_neg,
+        "ec_motif_find_path": ec_motif_find_path,
         # -- beyond slot 50: oracle-backed, previously driver-scored (r1-r6);
         # rotate back into future windows on the staple cadence --
         "pipeline_curate": pipeline_curate,
@@ -3913,6 +3981,32 @@ def oracle_sql() -> dict[str, str]:
                    MAX(us) - MIN(us) AS duration_us,
                    round(SUM(value), 6) AS total_value
             FROM s2 GROUP BY 1, 2
+        """,
+        # motif pattern finder (library/motif.py): the oracle IS the join
+        # plan the pattern compiles to, hand-written in SQL
+        "hier_motif_find_triangle": f"""
+            WITH e0 AS ({_HIER_E0})
+            SELECT e1.src AS a_id, e1.dst AS b_id, e2.dst AS c_id
+            FROM e0 e1
+            JOIN e0 e2 ON e1.dst = e2.src
+            JOIN e0 e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        """,
+        "hier_motif_find_wedge_neg": f"""
+            WITH e0 AS ({_HIER_E0})
+            SELECT e1.src AS b_id, e2.src AS c_id, e1.dst AS a_id
+            FROM e0 e1 JOIN e0 e2 ON e1.dst = e2.dst
+            WHERE e1.src < 2000000 AND e2.src >= 2000000 AND e2.src < 3000000
+              AND NOT EXISTS (SELECT 1 FROM e0 x
+                              WHERE x.src = e1.src AND x.dst = e2.src)
+        """,
+        "ec_motif_find_path": f"""
+            WITH pos AS ({EC_POS})
+            SELECT a.event_id AS a_id, c.event_id AS c_id,
+                   b.w AS w1, c.w AS w2
+            FROM pos a
+            JOIN pos b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+            JOIN pos c ON c.user_id = a.user_id AND c.rn = a.rn + 2
+            WHERE b.w > c.w
         """,
         "ec_pregel_sssp": f"""
             WITH pos AS ({EC_POS}),
