@@ -552,6 +552,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return graph_statistics(hierarchy_graph(spark, sf))
 
+    def hier_rich_club(spark, sf):
+        # rich-club curve phi(k) at every distinct degree threshold —
+        # tail sums over the degree and edge-min histograms, exact twin
+        from kafka_graphs_spark.datasets import hierarchy_graph
+        from kafka_graphs_spark.library import rich_club
+
+        return rich_club(hierarchy_graph(spark, sf))
+
+    def hier_conductance(spark, sf):
+        # per-community conductance of the deterministic id%4 partition
+        # (cut / min-side volume) — non-trivial cuts, closed-form twin
+        from kafka_graphs_spark.datasets import hierarchy_graph
+        from kafka_graphs_spark.library import conductance
+
+        g = hierarchy_graph(spark, sf)
+        return conductance(
+            g, g.vertices.select("id", (F.col("id") % 4).alias("value"))
+        )
+
     def doc_cap_per_source(spark, sf):
         # deterministic per-source cap (hash-ordered top-10 per source)
         return sample.cap_per_group(
@@ -2955,6 +2974,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_normalize": doc_normalize,
         "doc_vocabulary": doc_vocabulary,
         "doc_tfidf_keywords": doc_tfidf_keywords,
+        "hier_rich_club": hier_rich_club,
+        "hier_conductance": hier_conductance,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -5307,6 +5328,46 @@ def oracle_sql() -> dict[str, str]:
             keep AS (SELECT id, MIN(r) AS k FROM reach GROUP BY id)
             SELECT d.doc_id, coalesce(keep.k, d.doc_id) AS keep_id
             FROM documents d LEFT JOIN keep ON keep.id = d.doc_id
+        """,
+        "hier_rich_club": f"""
+            {HIER_UND},
+            ce AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),
+            em AS (SELECT least(da.d, db.d) AS md
+                   FROM ce JOIN deg da ON ce.a = da.src
+                           JOIN deg db ON ce.b = db.src),
+            dh AS (SELECT d, count(*) AS n FROM deg GROUP BY 1),
+            eh AS (SELECT md, count(*) AS e FROM em GROUP BY 1),
+            ks AS (SELECT DISTINCT d AS k FROM deg),
+            nk AS (SELECT k, CAST(SUM(n) AS BIGINT) AS n_nodes
+                   FROM ks JOIN dh ON dh.d > ks.k GROUP BY 1),
+            ek AS (SELECT k, CAST(SUM(e) AS BIGINT) AS n_edges
+                   FROM ks JOIN eh ON eh.md > ks.k GROUP BY 1)
+            SELECT nk.k, nk.n_nodes, COALESCE(ek.n_edges, 0) AS n_edges,
+                   round(2.0 * COALESCE(ek.n_edges, 0)
+                         / (nk.n_nodes * (nk.n_nodes - 1)), 6) AS phi
+            FROM nk LEFT JOIN ek ON nk.k = ek.k
+            WHERE nk.n_nodes >= 2
+        """,
+        "hier_conductance": f"""
+            {HIER_UND},
+            ce AS (SELECT src AS a, dst AS b FROM und WHERE src < dst),
+            led AS (SELECT a % 4 AS ca, b % 4 AS cb FROM ce),
+            mm AS (SELECT 2 * count(*) AS vol2 FROM led),
+            vol AS (SELECT label, CAST(count(*) AS BIGINT) AS volume FROM
+                      (SELECT ca AS label FROM led
+                       UNION ALL SELECT cb FROM led)
+                    GROUP BY 1),
+            cut AS (SELECT label, CAST(count(*) AS BIGINT) AS cut_edges FROM
+                      (SELECT ca AS label FROM led WHERE ca <> cb
+                       UNION ALL SELECT cb FROM led WHERE ca <> cb)
+                    GROUP BY 1)
+            SELECT vol.label, COALESCE(cut.cut_edges, 0) AS cut_edges,
+                   vol.volume,
+                   CASE WHEN least(vol.volume, mm.vol2 - vol.volume) > 0
+                        THEN round(COALESCE(cut.cut_edges, 0)::DOUBLE
+                                   / least(vol.volume, mm.vol2 - vol.volume), 6)
+                        ELSE 0.0 END AS conductance
+            FROM vol LEFT JOIN cut ON vol.label = cut.label CROSS JOIN mm
         """,
         # trained-model-beats-baseline invariants (loss is a gradient chain
         # with no SQL twin; the boolean IS the checkable contract)

@@ -19,6 +19,7 @@ from kafka_graphs_spark.library.basic import (
     avg_neighbor_degree,
     ppmi,
     reciprocity,
+    rich_club,
     triangle_motif_census,
     reverse_edges,
     vertex_count,
@@ -32,6 +33,7 @@ from kafka_graphs_spark.library.components import (
     core_decomposition,
     k_core,
     k_truss,
+    conductance,
     label_propagation,
     modularity,
 )
@@ -73,12 +75,14 @@ __all__ = [
     "k_truss",
     "louvain",
     "modularity",
+    "conductance",
     "label_propagation",
     "pagerank",
     "local_clustering_coefficient",
     "local_clustering_coefficient_pregel",
     "edge_count",
     "graph_statistics",
+    "rich_club",
     "bipartite_projection",
     "diameter_double_sweep",
     "ppmi",

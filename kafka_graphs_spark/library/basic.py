@@ -448,3 +448,65 @@ def avg_neighbor_degree(graph: Graph) -> "DataFrame":
             ).alias("avg_nbr_degree"),
         )
     )
+
+
+def rich_club(graph: Graph) -> "DataFrame":
+    """(k, n_nodes, n_edges, phi) — the rich-club coefficient φ(k) of the
+    simple undirected graph, one row per degree threshold k where the
+    club changes (k ranges over the distinct degree values present).
+
+    Beyond-reference companion to :func:`graph_statistics`'s scalar
+    assortativity (Zhou & Mondragón's φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1)):
+    the density of the subgraph induced by nodes of degree > k; a rising
+    curve means hubs form a dense core).
+
+    Scale shape: NO per-k subgraphs. An edge (a,b) belongs to every club
+    with k < min(d_a, d_b), so E_{>k} is a tail sum over the edge-min
+    histogram and N_{>k} a tail sum over the degree histogram — two
+    shuffle-once histograms (each bounded by the distinct-degree count,
+    O(√E) rows) theta-joined against the threshold list via broadcast.
+    Rows with N_{>k} < 2 are omitted (φ undefined). φ rounded to 6 dp.
+    """
+    from kafka_graphs_spark.library.components import _oriented_simple_edges
+
+    und = _oriented_simple_edges(graph.edges)
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # histogram frames: tiny (one row per distinct degree / edge-min value)
+    dh = deg.groupBy("d").agg(F.count(F.lit(1)).alias("_n"))
+    eh = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("d").alias("_da")), on="a")
+        .join(deg.select(F.col("id").alias("b"), F.col("d").alias("_db")), on="b")
+        .select(F.least("_da", "_db").alias("_md"))
+        .groupBy("_md")
+        .agg(F.count(F.lit(1)).alias("_e"))
+    )
+    ks = dh.select(F.col("d").alias("k")).distinct()
+    n_k = (
+        ks.join(F.broadcast(dh), dh["d"] > F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("_n").cast("long").alias("n_nodes"))
+    )
+    e_k = (
+        ks.join(F.broadcast(eh), eh["_md"] > F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("_e").cast("long").alias("n_edges"))
+    )
+    return (
+        n_k.join(e_k, on="k", how="left")
+        .filter(F.col("n_nodes") >= 2)
+        .select(
+            "k",
+            "n_nodes",
+            F.coalesce("n_edges", F.lit(0)).alias("n_edges"),
+            F.round(
+                F.lit(2.0) * F.coalesce("n_edges", F.lit(0))
+                / (F.col("n_nodes") * (F.col("n_nodes") - F.lit(1))),
+                6,
+            ).alias("phi"),
+        )
+    )

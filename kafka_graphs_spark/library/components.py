@@ -406,3 +406,67 @@ def modularity(graph: Graph, assignment: DataFrame, label_col: str = "value") ->
         [(m, row["k"], round(float(row["q"]), 6))],
         "m long, n_communities long, modularity double",
     )
+
+
+def conductance(
+    graph: Graph, assignment: DataFrame, label_col: str = "value"
+) -> DataFrame:
+    """(label, cut_edges, volume, conductance) — per-community conductance
+    φ(S) = cut(S, S̄) / min(vol(S), 2m − vol(S)) over the undirected
+    simple graph, one row per community with nonzero volume.
+
+    Beyond-reference partition-quality metric read alongside
+    :func:`modularity`: low conductance = few boundary edges relative to
+    the smaller side's degree mass (the bottleneck score from the Cheeger
+    inequality). cut counts undirected edges with endpoints in different
+    communities (each such edge contributes to BOTH communities' cuts);
+    vol(S) is the degree mass of S restricted to labeled endpoints.
+
+    Scale shape: two equi-joins of the canonical a<b edge set against the
+    (id, label) frame, then map-side-combined sums per label — the same
+    plan skeleton as modularity; communities never materialize on the
+    driver. One exact-integer division at the end, rounded to 6 dp;
+    communities spanning the whole volume (min side 0) score 0.0.
+    """
+    spark = graph.vertices.sparkSession
+    und = _oriented_simple_edges(graph.edges)
+    lab = assignment.select("id", F.col(label_col).alias("_c"))
+    labeled = (
+        und.join(lab.select(F.col("id").alias("a"), F.col("_c").alias("_ca")), on="a")
+        .join(lab.select(F.col("id").alias("b"), F.col("_c").alias("_cb")), on="b")
+    )
+    two_m = labeled.count() * 2
+    if two_m == 0:
+        return spark.createDataFrame(
+            [], "label long, cut_edges long, volume long, conductance double"
+        )
+    vol = (
+        labeled.select(F.col("_ca").alias("label"))
+        .unionByName(labeled.select(F.col("_cb").alias("label")))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("volume"))
+    )
+    cut = (
+        labeled.filter(F.col("_ca") != F.col("_cb"))
+        .select(F.col("_ca").alias("label"))
+        .unionByName(
+            labeled.filter(F.col("_ca") != F.col("_cb")).select(
+                F.col("_cb").alias("label")
+            )
+        )
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("cut_edges"))
+    )
+    denom = F.least(F.col("volume"), F.lit(two_m) - F.col("volume"))
+    return vol.join(cut, on="label", how="left").select(
+        "label",
+        F.coalesce("cut_edges", F.lit(0)).alias("cut_edges"),
+        "volume",
+        F.when(
+            denom > 0,
+            F.round(
+                F.coalesce("cut_edges", F.lit(0)).cast("double") / denom.cast("double"),
+                6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("conductance"),
+    )

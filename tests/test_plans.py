@@ -474,3 +474,32 @@ class TestRound6Plans:
         assert plan.count("Window") >= 2
         assert "_kgs_b" in plan  # bucket key partitions the first window
         assert "BatchEvalPython" not in plan
+
+
+class TestGraphStatsPlans:
+    def _hier(self, spark):
+        from kafka_graphs_spark.datasets import hierarchy_graph
+
+        return hierarchy_graph(spark, "/root/testdata/sf0.001")
+
+    def test_rich_club_histograms_partial_agg_no_python(self, spark):
+        from kafka_graphs_spark.library import rich_club
+
+        plan = executed_plan(rich_club(self._hier(spark)))
+        # histogram aggregations are partial (map-side combined) and the
+        # threshold theta-joins ride broadcast of the tiny histograms —
+        # no sort-merge over the full edge set against the k list
+        assert "HashAggregate" in plan
+        assert "BroadcastNestedLoopJoin" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_conductance_equi_joins_no_python(self, spark):
+        from kafka_graphs_spark.library import conductance
+        from pyspark.sql import functions as F
+
+        g = self._hier(spark)
+        lab = g.vertices.select("id", (F.col("id") % 4).alias("value"))
+        plan = executed_plan(conductance(g, lab))
+        assert "HashAggregate" in plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan

@@ -249,3 +249,83 @@ class TestIncrementalWindowedTriangles:
             ).filter(F.col("id") == -1).collect()
         }
         assert batch == {0: 1, 1: 1}
+
+
+# ---- rich_club / conductance ----------------------------------------------
+
+
+def _graph(spark, edges):
+    from kafka_graphs_spark import Graph
+
+    e = spark.createDataFrame(edges, "src long, dst long, value double")
+    return Graph.from_edges(e, F.lit(0.0))
+
+
+class TestRichClub:
+    def test_k4_plus_pendant(self, spark):
+        # K4 on {1..4} + pendant 5-1: degrees 1->4, {2,3,4}->3, 5->1
+        from kafka_graphs_spark.library import rich_club
+
+        edges = [(a, b, 1.0) for a in range(1, 5) for b in range(1, 5) if a < b]
+        edges.append((5, 1, 1.0))
+        rows = {r["k"]: r for r in rich_club(_graph(spark, edges)).collect()}
+        # k=1: club {1,2,3,4} (all of K4) -> phi = 1.0; k=3/k=4 clubs have
+        # <2 members and are omitted
+        assert set(rows) == {1}
+        r = rows[1]
+        assert (r["n_nodes"], r["n_edges"], r["phi"]) == (4, 6, 1.0)
+
+    def test_direction_and_multiplicity_ignored(self, spark):
+        from kafka_graphs_spark.library import rich_club
+
+        # same K4+pendant but with duplicated and reversed rows + a loop
+        edges = [(a, b, 1.0) for a in range(1, 5) for b in range(1, 5) if a != b]
+        edges += [(5, 1, 1.0), (1, 5, 2.0), (3, 3, 9.0)]
+        rows = {r["k"]: tuple(r) for r in rich_club(_graph(spark, edges)).collect()}
+        assert rows == {1: (1, 4, 6, 1.0)}
+
+    def test_star_has_no_club(self, spark):
+        from kafka_graphs_spark.library import rich_club
+
+        star = [(0, i, 1.0) for i in range(1, 6)]
+        rows = rich_club(_graph(spark, star)).collect()
+        # distinct degrees {1, 5}: k=1 club = {0} (one node, omitted);
+        # k=5 club empty -> no rows at all
+        assert rows == []
+
+
+class TestConductance:
+    def test_k4_pendant_parity_partition(self, spark):
+        from kafka_graphs_spark.library import conductance
+
+        edges = [(a, b, 1.0) for a in range(1, 5) for b in range(1, 5) if a < b]
+        edges.append((5, 1, 1.0))
+        g = _graph(spark, edges)
+        lab = g.vertices.select("id", (F.col("id") % 2).alias("value"))
+        rows = {r["label"]: tuple(r) for r in conductance(g, lab).collect()}
+        # 7 undirected edges, 2m=14; odd={1,3,5} vol 8, even={2,4} vol 6;
+        # cut edges (1,2),(1,4),(2,3),(3,4) -> 4; phi = 4/min-side-6 both
+        assert rows == {0: (0, 4, 6, 0.666667), 1: (1, 4, 8, 0.666667)}
+
+    def test_disconnected_partition_scores_zero(self, spark):
+        from kafka_graphs_spark.library import conductance
+
+        # two disjoint triangles, labeled by component -> cut 0, phi 0
+        edges = [(0, 1, 1.0), (1, 2, 1.0), (2, 0, 1.0),
+                 (10, 11, 1.0), (11, 12, 1.0), (12, 10, 1.0)]
+        g = _graph(spark, edges)
+        lab = g.vertices.select("id", (F.col("id") >= 10).cast("long").alias("value"))
+        rows = {r["label"]: tuple(r) for r in conductance(g, lab).collect()}
+        assert rows == {0: (0, 0, 6, 0.0), 1: (1, 0, 6, 0.0)}
+
+    def test_single_community_min_side_zero(self, spark):
+        from kafka_graphs_spark.library import conductance
+
+        edges = [(0, 1, 1.0), (1, 2, 1.0)]
+        g = _graph(spark, edges)
+        lab = g.vertices.select("id", F.lit(7).alias("value"))
+        rows = conductance(g, lab).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # whole graph in one community: vol = 2m, min side 0 -> 0.0
+        assert (r["label"], r["cut_edges"], r["volume"], r["conductance"]) == (7, 0, 4, 0.0)
