@@ -522,6 +522,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return random_walks(_sp_graph(spark, sf), walk_length=3)
 
+    def ec_temporal_arrival(spark, sf):
+        # earliest time-respecting arrival from event 0 over the
+        # symmetrized event-chain graph, edge time = the LATER event's
+        # epoch-micros (ts is long ns under nanosAsLong; div 1000 floors
+        # to the same micros DuckDB's epoch_us yields) — backward hops
+        # need non-increasing times, so the temporal gate binds
+        from pyspark.sql import Window
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import temporal_earliest_arrival
+
+        ev = datasets.load(spark, sf, "events")
+        if dict(ev.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) read as ns
+            tu = F.expr("ts div 1000")
+        else:  # TIMESTAMP_NTZ (micros): exact tz-free epoch-us assembly
+            tu = (
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+                ).cast("long") * F.lit(86400000000)
+                + (F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts"))
+                .cast("long") * F.lit(1000000)
+                + F.date_format("ts", "SSSSSS").cast("long")
+            )
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pos = ev.select(
+            "event_id",
+            F.lag("event_id").over(w).alias("prev_id"),
+            tu.alias("tu"),
+        ).filter(F.col("prev_id").isNotNull())
+        ed = pos.select(
+            F.col("prev_id").alias("src"),
+            F.col("event_id").alias("dst"),
+            F.col("tu").alias("value"),
+        )
+        sym = ed.unionByName(
+            ed.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "value"
+            )
+        )
+        vertices = ev.select(F.col("event_id").alias("id"), F.lit(0).alias("value"))
+        return temporal_earliest_arrival(Graph(vertices, sym), 0, max_iterations=500)
+
     def ec_modularity(spark, sf):
         # community-quality score of the WCC partition on the event-chain
         # graph; communities are per-user chains, so the oracle recomputes
@@ -2976,6 +3017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_keywords": doc_tfidf_keywords,
         "hier_rich_club": hier_rich_club,
         "hier_conductance": hier_conductance,
+        "ec_temporal_arrival": ec_temporal_arrival,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -5368,6 +5410,31 @@ def oracle_sql() -> dict[str, str]:
                                    / least(vol.volume, mm.vol2 - vol.volume), 6)
                         ELSE 0.0 END AS conductance
             FROM vol LEFT JOIN cut ON vol.label = cut.label CROSS JOIN mm
+        """,
+        "ec_temporal_arrival": """
+            WITH RECURSIVE pos AS (
+                SELECT event_id, user_id, epoch_us(ts) AS tu,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            ed AS (SELECT p.event_id AS src, q.event_id AS dst, q.tu AS t
+                   FROM pos p JOIN pos q
+                   ON p.user_id = q.user_id AND q.rn = p.rn + 1),
+            sym AS (SELECT src, dst, t FROM ed
+                    UNION ALL
+                    SELECT dst, src, t FROM ed),
+            reach(id, t) AS (
+                SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+                UNION
+                SELECT s.dst, s.t
+                FROM reach JOIN sym s
+                ON s.src = reach.id AND s.t >= reach.t
+            ),
+            arr AS (SELECT id, MIN(t) AS a FROM reach GROUP BY 1)
+            SELECT e.event_id AS id,
+                   COALESCE(arr.a, 9223372036854775807) AS value
+            FROM events e LEFT JOIN arr ON e.event_id = arr.id
         """,
         # trained-model-beats-baseline invariants (loss is a gradient chain
         # with no SQL twin; the boolean IS the checkable contract)

@@ -39,7 +39,14 @@ from kafka_graphs_spark.library.components import (
 )
 from kafka_graphs_spark.library.louvain import louvain
 from kafka_graphs_spark.library.pagerank import pagerank
-from kafka_graphs_spark.library.paths import bfs, mssp, node2vec_walks, random_walks, sssp
+from kafka_graphs_spark.library.paths import (
+    bfs,
+    mssp,
+    node2vec_walks,
+    random_walks,
+    sssp,
+    temporal_earliest_arrival,
+)
 from kafka_graphs_spark.library.registry import ALGORITHMS, get_algorithm
 from kafka_graphs_spark.library.similarity import adamic_adar, jaccard
 from kafka_graphs_spark.library.cf import als, als_ml, predict, sgd, svdpp, svdpp_predict
@@ -66,6 +73,7 @@ __all__ = [
     "find_motifs",
     "bfs",
     "sssp",
+    "temporal_earliest_arrival",
     "mssp",
     "random_walks",
     "node2vec_walks",

@@ -239,6 +239,70 @@ def mssp(
     return out
 
 
+def temporal_earliest_arrival(
+    graph: Graph, src_vertex_id, start_time: int = 0, max_iterations: int = 50
+) -> DataFrame:
+    """(id, value) — the earliest time each vertex is reachable from
+    ``src_vertex_id`` along TIME-RESPECTING paths; unreached = MAX_LONG.
+
+    Beyond-reference temporal-graph operator (the reference's streaming
+    tier processes edges in arrival order but has no time-respecting path
+    semantics). Edge timestamps ride the graph's edge ``value`` column
+    (cast to long). An edge (u, v, t) is traversable only when
+    t ≥ arrival(u) — you cannot take a connection that departed before
+    you arrived — and then arrival(v) ≤ t. The source starts at
+    ``start_time``.
+
+    Same frontier-relaxation scale shape as :func:`sssp`: arrival times
+    are monotone non-increasing, so the fixpoint exists and each round is
+    one equi-join on ``src`` (the temporal gate ``t ≥ arrival`` is a
+    post-join filter, not a join-strategy change) with a map-side-combined
+    ``min`` per destination, chunk-chained through ChainLoop. When a
+    vertex's arrival improves it re-enters the frontier and re-offers its
+    now-usable later edges — the standard label-correcting treatment of
+    temporal graphs (Wu et al., "Path Problems in Temporal Graphs",
+    VLDB 2014 — single-pass relaxation semantics).
+    """
+    edges, release_edges = sized_cache(
+        graph.edges.select("src", "dst", F.col("value").cast("long").alias("t"))
+    )
+    state = graph.vertices.select(
+        "id",
+        F.when(F.col("id") == src_vertex_id, F.lit(int(start_time)).cast("long"))
+        .otherwise(F.lit(MAX_LONG))
+        .alias("value"),
+        (F.col("id") == src_vertex_id).alias("_changed"),
+    )
+
+    def step(state, _it):
+        frontier = state.filter(F.col("_changed")).select("id", "value")
+        msgs = (
+            frontier.join(
+                edges,
+                (frontier["id"] == edges["src"]) & (edges["t"] >= frontier["value"]),
+            )
+            .select(F.col("dst").alias("id"), "t")
+            .groupBy("id")
+            .agg(F.min("t").alias("t"))
+        )
+        return state.join(msgs, on="id", how="left").select(
+            "id",
+            F.when(F.col("t") < F.col("value"), F.col("t"))
+            .otherwise(F.col("value"))
+            .alias("value"),
+            (F.col("t") < F.col("value")).alias("_changed"),
+        )
+
+    loop = ChainLoop()
+    try:
+        state = _frontier_loop(loop, state, step, max_iterations)
+        result = state.select("id", "value").localCheckpoint(eager=True)
+    finally:
+        loop.release()
+        release_edges()
+    return result
+
+
 def _seed_walks(graph: Graph, walks_per_vertex: int) -> DataFrame:
     """(walk_id, start) — one row per (vertex, replica); walk_id =
     "<start>#<replica>" is the deterministic draw key both walkers share."""

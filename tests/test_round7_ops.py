@@ -329,3 +329,38 @@ class TestConductance:
         r = rows[0]
         # whole graph in one community: vol = 2m, min side 0 -> 0.0
         assert (r["label"], r["cut_edges"], r["volume"], r["conductance"]) == (7, 0, 4, 0.0)
+
+
+# ---- temporal earliest arrival --------------------------------------------
+
+
+class TestTemporalEarliestArrival:
+    MAX = 9223372036854775807
+
+    def _run(self, spark, edges, src, **kw):
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import temporal_earliest_arrival
+
+        e = spark.createDataFrame(edges, "src long, dst long, value long")
+        g = Graph.from_edges(e, F.lit(0))
+        return {
+            r["id"]: r["value"]
+            for r in temporal_earliest_arrival(g, src, **kw).collect()
+        }
+
+    def test_departed_connection_blocks(self, spark):
+        # 1 -t10-> 2 -t5-> 3: the 2->3 edge departed (t=5) before arrival
+        # at 2 (t=10) -> 3 unreachable despite static connectivity
+        out = self._run(spark, [(1, 2, 10), (2, 3, 5), (2, 4, 20), (4, 5, 15), (4, 5, 25)], 1)
+        assert out == {1: 0, 2: 10, 3: self.MAX, 4: 20, 5: 25}
+
+    def test_label_correcting_rerelaxation(self, spark):
+        # direct 1->2 at t=100, but detour 1->6->2 arrives at t=4; the
+        # improved arrival must re-open 2's t=5 edge (label correction)
+        out = self._run(spark, [(1, 2, 100), (1, 6, 3), (6, 2, 4), (2, 7, 50), (2, 8, 5)], 1)
+        assert out == {1: 0, 2: 4, 6: 3, 7: 50, 8: 5}
+
+    def test_start_time_gates_first_hop(self, spark):
+        # start_time later than the only outgoing edge -> nothing reached
+        out = self._run(spark, [(1, 2, 10)], 1, start_time=11)
+        assert out == {1: 11, 2: self.MAX}
