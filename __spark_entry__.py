@@ -156,6 +156,45 @@ def _ec_graph(spark, sf_dir):
     return datasets.event_chain_graph(spark, sf_dir)
 
 
+def _ec_temporal(spark, sf_dir):
+    """(vertices, edges) for the temporal event-chain graph: consecutive
+    per-user events symmetrized, edge time = the LATER event's
+    epoch-micros (ts is long ns under nanosAsLong -> div 1000 floors to
+    the same micros DuckDB's epoch_us yields; NTZ reads assemble the
+    exact tz-free epoch-us)."""
+    from pyspark.sql import Window
+    from kafka_graphs_spark import datasets
+
+    ev = datasets.load(spark, sf_dir, "events")
+    if dict(ev.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) read as ns
+        tu = F.expr("ts div 1000")
+    else:  # TIMESTAMP_NTZ (micros): exact tz-free epoch-us assembly
+        tu = (
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long") * F.lit(86400000000)
+            + (F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts"))
+            .cast("long") * F.lit(1000000)
+            + F.date_format("ts", "SSSSSS").cast("long")
+        )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pos = ev.select(
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_id"),
+        tu.alias("tu"),
+    ).filter(F.col("prev_id").isNotNull())
+    ed = pos.select(
+        F.col("prev_id").alias("src"),
+        F.col("event_id").alias("dst"),
+        F.col("tu").alias("value"),
+    )
+    sym = ed.unionByName(
+        ed.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "value")
+    )
+    vertices = ev.select(F.col("event_id").alias("id"), F.lit(0).alias("value"))
+    return vertices, sym
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship query
 # ---------------------------------------------------------------------------
@@ -524,44 +563,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ec_temporal_arrival(spark, sf):
         # earliest time-respecting arrival from event 0 over the
-        # symmetrized event-chain graph, edge time = the LATER event's
-        # epoch-micros (ts is long ns under nanosAsLong; div 1000 floors
-        # to the same micros DuckDB's epoch_us yields) — backward hops
-        # need non-increasing times, so the temporal gate binds
-        from pyspark.sql import Window
+        # symmetrized event-chain graph — backward hops need
+        # non-increasing times, so the temporal gate binds
         from kafka_graphs_spark import Graph
         from kafka_graphs_spark.library import temporal_earliest_arrival
 
-        ev = datasets.load(spark, sf, "events")
-        if dict(ev.dtypes)["ts"] == "bigint":  # TIMESTAMP(NANOS) read as ns
-            tu = F.expr("ts div 1000")
-        else:  # TIMESTAMP_NTZ (micros): exact tz-free epoch-us assembly
-            tu = (
-                F.datediff(
-                    F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
-                ).cast("long") * F.lit(86400000000)
-                + (F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts"))
-                .cast("long") * F.lit(1000000)
-                + F.date_format("ts", "SSSSSS").cast("long")
-            )
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        pos = ev.select(
-            "event_id",
-            F.lag("event_id").over(w).alias("prev_id"),
-            tu.alias("tu"),
-        ).filter(F.col("prev_id").isNotNull())
-        ed = pos.select(
-            F.col("prev_id").alias("src"),
-            F.col("event_id").alias("dst"),
-            F.col("tu").alias("value"),
-        )
-        sym = ed.unionByName(
-            ed.select(
-                F.col("dst").alias("src"), F.col("src").alias("dst"), "value"
-            )
-        )
-        vertices = ev.select(F.col("event_id").alias("id"), F.lit(0).alias("value"))
+        vertices, sym = _ec_temporal(spark, sf)
         return temporal_earliest_arrival(Graph(vertices, sym), 0, max_iterations=500)
+
+    def ec_temporal_departure(spark, sf):
+        # the dual: latest time-respecting departure toward event 0 with
+        # deadline = the global max edge time (the deadline filter is
+        # vacuous by construction; the t <= departure(v) gate is what
+        # binds on backward-in-time hops)
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import temporal_latest_departure
+
+        vertices, sym = _ec_temporal(spark, sf)
+        deadline = sym.agg(F.max("value")).collect()[0][0]
+        return temporal_latest_departure(
+            Graph(vertices, sym), 0, deadline, max_iterations=500
+        )
 
     def ec_modularity(spark, sf):
         # community-quality score of the WCC partition on the event-chain
@@ -3018,6 +3040,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_rich_club": hier_rich_club,
         "hier_conductance": hier_conductance,
         "ec_temporal_arrival": ec_temporal_arrival,
+        "ec_temporal_departure": ec_temporal_departure,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -5435,6 +5458,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id AS id,
                    COALESCE(arr.a, 9223372036854775807) AS value
             FROM events e LEFT JOIN arr ON e.event_id = arr.id
+        """,
+        "ec_temporal_departure": """
+            WITH RECURSIVE pos AS (
+                SELECT event_id, user_id, epoch_us(ts) AS tu,
+                       row_number() OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ),
+            ed AS (SELECT p.event_id AS src, q.event_id AS dst, q.tu AS t
+                   FROM pos p JOIN pos q
+                   ON p.user_id = q.user_id AND q.rn = p.rn + 1),
+            sym AS (SELECT src, dst, t FROM ed
+                    UNION ALL
+                    SELECT dst, src, t FROM ed),
+            reach(id, t) AS (
+                SELECT CAST(0 AS BIGINT), (SELECT MAX(t) FROM sym)
+                UNION
+                SELECT s.src, s.t
+                FROM reach JOIN sym s
+                ON s.dst = reach.id AND s.t <= reach.t
+            ),
+            dep AS (SELECT id, MAX(t) AS d FROM reach GROUP BY 1)
+            SELECT e.event_id AS id,
+                   COALESCE(dep.d, -9223372036854775808) AS value
+            FROM events e LEFT JOIN dep ON e.event_id = dep.id
         """,
         # trained-model-beats-baseline invariants (loss is a gradient chain
         # with no SQL twin; the boolean IS the checkable contract)

@@ -46,6 +46,7 @@ from kafka_graphs_spark.library.paths import (
     random_walks,
     sssp,
     temporal_earliest_arrival,
+    temporal_latest_departure,
 )
 from kafka_graphs_spark.library.registry import ALGORITHMS, get_algorithm
 from kafka_graphs_spark.library.similarity import adamic_adar, jaccard
@@ -74,6 +75,7 @@ __all__ = [
     "bfs",
     "sssp",
     "temporal_earliest_arrival",
+    "temporal_latest_departure",
     "mssp",
     "random_walks",
     "node2vec_walks",

@@ -517,3 +517,70 @@ def node2vec_walks(
         return _drive_walks(frontier, walk_length, step_fn)
     finally:
         release_adj()
+
+
+MIN_LONG = -9223372036854775808
+
+
+def temporal_latest_departure(
+    graph: Graph, dst_vertex_id, deadline: int, max_iterations: int = 50
+) -> DataFrame:
+    """(id, value) — the LATEST time each vertex can depart and still
+    reach ``dst_vertex_id`` by ``deadline`` along time-respecting paths;
+    no valid departure = MIN_LONG.
+
+    The dual of :func:`temporal_earliest_arrival` (Wu et al.'s
+    latest-departure path problem): an edge (u, v, t) is usable when its
+    time t is no later than v's own latest departure (t ≤ departure(v) —
+    arriving at v at t still leaves every v-onward connection at or
+    after t available, because departure(v) is the latest such time) and
+    within the deadline (t ≤ deadline); taking it means leaving u at t,
+    so departure(u) = max over usable edges. The target itself scores
+    ``deadline``. Departure times are monotone non-DEcreasing under
+    relaxation, so the fixpoint exists; when a vertex's departure
+    improves it re-enters the frontier and re-offers its in-edges.
+
+    Scale shape mirrors sssp/temporal_earliest_arrival with the join
+    keyed on ``dst`` (messages flow BACKWARD along edges): one equi-join
+    per round, temporal gate as a post-join filter, map-side-combined
+    ``max`` per source, chunk-chained through ChainLoop.
+    """
+    edges, release_edges = sized_cache(
+        graph.edges.select("src", "dst", F.col("value").cast("long").alias("t"))
+        .filter(F.col("t") <= F.lit(int(deadline)))
+    )
+    state = graph.vertices.select(
+        "id",
+        F.when(F.col("id") == dst_vertex_id, F.lit(int(deadline)).cast("long"))
+        .otherwise(F.lit(MIN_LONG))
+        .alias("value"),
+        (F.col("id") == dst_vertex_id).alias("_changed"),
+    )
+
+    def step(state, _it):
+        frontier = state.filter(F.col("_changed")).select("id", "value")
+        msgs = (
+            frontier.join(
+                edges,
+                (frontier["id"] == edges["dst"]) & (edges["t"] <= frontier["value"]),
+            )
+            .select(F.col("src").alias("id"), "t")
+            .groupBy("id")
+            .agg(F.max("t").alias("t"))
+        )
+        return state.join(msgs, on="id", how="left").select(
+            "id",
+            F.when(F.col("t") > F.col("value"), F.col("t"))
+            .otherwise(F.col("value"))
+            .alias("value"),
+            (F.col("t") > F.col("value")).alias("_changed"),
+        )
+
+    loop = ChainLoop()
+    try:
+        state = _frontier_loop(loop, state, step, max_iterations)
+        result = state.select("id", "value").localCheckpoint(eager=True)
+    finally:
+        loop.release()
+        release_edges()
+    return result

@@ -364,3 +364,32 @@ class TestTemporalEarliestArrival:
         # start_time later than the only outgoing edge -> nothing reached
         out = self._run(spark, [(1, 2, 10)], 1, start_time=11)
         assert out == {1: 11, 2: self.MAX}
+
+
+class TestTemporalLatestDeparture:
+    MIN = -9223372036854775808
+
+    def _run(self, spark, edges, dst, deadline):
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import temporal_latest_departure
+
+        e = spark.createDataFrame(edges, "src long, dst long, value long")
+        g = Graph.from_edges(e, F.lit(0))
+        return {
+            r["id"]: r["value"]
+            for r in temporal_latest_departure(g, dst, deadline).collect()
+        }
+
+    def test_deadline_and_max_choice(self, spark):
+        # two 4->5 connections: the later (t=25) wins; 3->5 at t=40 is
+        # past the deadline 30 -> 3 has no valid departure
+        out = self._run(
+            spark, [(1, 2, 10), (2, 4, 20), (4, 5, 15), (4, 5, 25), (3, 5, 40)], 5, 30
+        )
+        assert out == {1: 10, 2: 20, 3: self.MIN, 4: 25, 5: 30}
+
+    def test_label_correcting_rerelaxation(self, spark):
+        # dep(4) improves 15 -> 18 via the 4->6->5 detour, re-opening the
+        # t=17 in-edge from 2
+        out = self._run(spark, [(4, 5, 15), (4, 6, 18), (6, 5, 20), (2, 4, 17)], 5, 100)
+        assert out == {5: 100, 6: 20, 4: 18, 2: 17}
