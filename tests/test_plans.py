@@ -503,3 +503,35 @@ class TestGraphStatsPlans:
         assert "HashAggregate" in plan
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestTemporalPathPlans:
+    def test_earliest_arrival_equi_join_no_python(self, spark):
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import temporal_earliest_arrival
+        from pyspark.sql import functions as F
+
+        e = spark.createDataFrame(
+            [(1, 2, 10), (2, 3, 20), (3, 4, 30)], "src long, dst long, value long"
+        )
+        out = temporal_earliest_arrival(Graph.from_edges(e, F.lit(0)), 1)
+        plan = executed_plan(out)
+        # the temporal gate (t >= arrival) must ride the src equi-join as
+        # a post-join filter, not degrade it to a nested-loop join
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_latest_departure_equi_join_no_python(self, spark):
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import temporal_latest_departure
+        from pyspark.sql import functions as F
+
+        e = spark.createDataFrame(
+            [(1, 2, 10), (2, 3, 20), (3, 4, 30)], "src long, dst long, value long"
+        )
+        out = temporal_latest_departure(Graph.from_edges(e, F.lit(0)), 4, 100)
+        plan = executed_plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
