@@ -2355,6 +2355,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return json_props_stats(datasets.load(spark, sf, "events"))
 
+    def ec_funnel(spark, sf):
+        # strict ordered signup -> view -> purchase funnel: chained
+        # min-aggregations on the user key; counts only (timestamps are
+        # compared, never emitted, so the ns-long/NTZ split is moot)
+        from kafka_graphs_spark.pipeline.events import funnel
+
+        return funnel(
+            datasets.load(spark, sf, "events"), ["signup", "view", "purchase"]
+        )
+
+    def ec_retention(spark, sf):
+        # weekly retention triangle: cohort = absolute week index of the
+        # user's first event (exact epoch-seconds div 604800)
+        from kafka_graphs_spark.pipeline.events import retention_cohorts
+
+        return retention_cohorts(datasets.load(spark, sf, "events"))
+
     def doc_quality_model(spark, sf):
         # linear quality classifier (featurize → dot → sigmoid), the
         # model-based curation gate; 6-dp rounding bounds libm exp skew
@@ -3041,6 +3058,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_conductance": hier_conductance,
         "ec_temporal_arrival": ec_temporal_arrival,
         "ec_temporal_departure": ec_temporal_departure,
+        "ec_funnel": ec_funnel,
+        "ec_retention": ec_retention,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -5458,6 +5477,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id AS id,
                    COALESCE(arr.a, 9223372036854775807) AS value
             FROM events e LEFT JOIN arr ON e.event_id = arr.id
+        """,
+        "ec_funnel": """
+            WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                        WHERE event_type = 'signup' GROUP BY 1),
+            s2 AS (SELECT e.user_id, MIN(e.ts) AS t
+                   FROM events e JOIN s1 ON e.user_id = s1.user_id
+                   WHERE e.event_type = 'view' AND e.ts >= s1.t
+                   GROUP BY 1),
+            s3 AS (SELECT e.user_id, MIN(e.ts) AS t
+                   FROM events e JOIN s2 ON e.user_id = s2.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts >= s2.t
+                   GROUP BY 1)
+            SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_users FROM s1
+            UNION ALL
+            SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+        """,
+        "ec_retention": """
+            WITH es AS (SELECT user_id,
+                               CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS w
+                        FROM events),
+            first AS (SELECT user_id, MIN(w) AS cw FROM es GROUP BY 1),
+            act AS (SELECT DISTINCT es.user_id, first.cw, es.w
+                    FROM es JOIN first ON es.user_id = first.user_id)
+            SELECT cw AS cohort, w - cw AS period,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM act GROUP BY 1, 2
         """,
         "ec_temporal_departure": """
             WITH RECURSIVE pos AS (

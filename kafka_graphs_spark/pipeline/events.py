@@ -1,4 +1,5 @@
-"""Semi-structured event processing: JSON property extraction.
+"""Semi-structured event processing: JSON property extraction, funnel
+conversion, retention cohorts.
 
 Beyond-reference pipeline tier — event/clickstream tables carry a JSON
 payload column (the ``events.props`` testdata shape); extracting typed
@@ -16,7 +17,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["json_props", "json_props_stats"]
+__all__ = ["json_props", "json_props_stats", "funnel", "retention_cohorts"]
 
 
 def json_props(
@@ -62,3 +63,96 @@ def json_props_stats(
             F.avg(c).alias(f"{k}_avg"),
         ]
     return typed.groupBy(F.col(group_col).alias("group")).agg(*aggs)
+
+
+def _epoch_seconds(events: DataFrame, ts_col: str):
+    """Exact tz-free epoch seconds for either events-ts encoding: long ns
+    (parquet TIMESTAMP(NANOS) under nanosAsLong) or TIMESTAMP_NTZ —
+    both floor to the second DuckDB's floor(epoch(ts)) yields."""
+    if dict(events.dtypes)[ts_col] == "bigint":
+        return F.expr(f"{ts_col} div 1000000000")
+    c = F.col(ts_col)
+    return (
+        F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date")).cast("long")
+        * F.lit(86400)
+        + (F.hour(c) * 3600 + F.minute(c) * 60 + F.second(c)).cast("long")
+    )
+
+
+def funnel(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(step, event_type, n_users) — strict ordered funnel conversion.
+
+    A user completes step i at the EARLIEST type-i event at or after
+    their step-(i−1) completion time (step 1 at their earliest type-1
+    event); ``n_users`` counts users completing each step, so the
+    sequence is non-increasing. The classic product-analytics funnel,
+    expressed as len(steps) chained min-aggregations + semi-join-shaped
+    equi-joins on the user key — each step is one shuffle on ``user_col``
+    with a map-side-combined ``min``; no window over the full event
+    stream, no Python. Timestamps are only compared, never emitted, so
+    any orderable ts encoding works.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    out = [(1, steps[0], cur)]
+    for i, step_type in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == step_type)
+            .join(cur.select(user_col, F.col("_t").alias("_prev")), on=user_col)
+            .filter(F.col(ts_col) >= F.col("_prev"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+        )
+        out.append((i, step_type, nxt))
+        cur = nxt
+    counts = None
+    for i, step_type, df in out:
+        c = df.agg(F.count(F.lit(1)).cast("long").alias("n_users")).select(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(step_type).alias("event_type"),
+            "n_users",
+        )
+        counts = c if counts is None else counts.unionByName(c)
+    return counts
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_seconds: int = 604800,
+) -> DataFrame:
+    """(cohort, period, n_users) — classic retention triangle: users
+    grouped by the period of their first event (``cohort`` = absolute
+    period index, floor(first epoch-seconds / period_seconds)) and
+    counted in every later period they were active (``period`` = offset
+    from their cohort period; 0 = the cohort period itself).
+
+    Two shuffles on the user key (first-period min, then distinct
+    (user, period) activity) and one small final count — all
+    map-side-combinable exact-integer arithmetic.
+    """
+    es = events.select(
+        F.col(user_col).alias("_u"),
+        _epoch_seconds(events, ts_col).alias("_s"),
+    ).select("_u", F.expr(f"_s div {int(period_seconds)}").alias("_w"))
+    first = es.groupBy("_u").agg(F.min("_w").alias("_cw"))
+    act = es.distinct().join(first, on="_u")
+    return (
+        act.groupBy(
+            F.col("_cw").alias("cohort"),
+            (F.col("_w") - F.col("_cw")).alias("period"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

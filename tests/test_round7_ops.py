@@ -393,3 +393,59 @@ class TestTemporalLatestDeparture:
         # t=17 in-edge from 2
         out = self._run(spark, [(4, 5, 15), (4, 6, 18), (6, 5, 20), (2, 4, 17)], 5, 100)
         assert out == {5: 100, 6: 20, 4: 18, 2: 17}
+
+
+# ---- funnel / retention ----------------------------------------------------
+
+
+class TestFunnel:
+    def _events(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts long"
+        )
+
+    def test_strict_ordering(self, spark):
+        from kafka_graphs_spark.pipeline.events import funnel
+
+        ev = self._events(spark, [
+            # u1: full ordered funnel
+            (1, 1, "signup", 10), (2, 1, "view", 20), (3, 1, "purchase", 30),
+            # u2: purchase BEFORE view -> drops at step 3
+            (4, 2, "signup", 10), (5, 2, "purchase", 15), (6, 2, "view", 20),
+            # u3: never signed up -> counted nowhere despite view+purchase
+            (7, 3, "view", 5), (8, 3, "purchase", 6),
+            # u4: view at the exact signup instant counts (>=)
+            (9, 4, "signup", 40), (10, 4, "view", 40), (11, 4, "purchase", 39),
+        ])
+        out = {r["step"]: (r["event_type"], r["n_users"])
+               for r in funnel(ev, ["signup", "view", "purchase"]).collect()}
+        assert out == {1: ("signup", 3), 2: ("view", 3), 3: ("purchase", 1)}
+
+    def test_single_step_and_empty(self, spark):
+        from kafka_graphs_spark.pipeline.events import funnel
+        import pytest as _pytest
+
+        ev = self._events(spark, [(1, 1, "signup", 10)])
+        out = funnel(ev, ["signup"]).collect()
+        assert [(r["step"], r["n_users"]) for r in out] == [(1, 1)]
+        with _pytest.raises(ValueError):
+            funnel(ev, [])
+
+
+class TestRetentionCohorts:
+    def test_weekly_triangle(self, spark):
+        from kafka_graphs_spark.pipeline.events import retention_cohorts
+
+        W = 604800 * 1_000_000_000  # one week of ns
+        rows = [
+            # u1 first week 0, active weeks 0 and 2
+            (1, 1, "x", 100), (2, 1, "x", 2 * W + 5),
+            # u2 first week 1, active week 1 only (two events, one count)
+            (3, 2, "x", W + 1), (4, 2, "x", W + 2),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts long"
+        )
+        out = {(r["cohort"], r["period"]): r["n_users"]
+               for r in retention_cohorts(ev).collect()}
+        assert out == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
