@@ -2372,6 +2372,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return retention_cohorts(datasets.load(spark, sf, "events"))
 
+    def ec_asof_attribution(spark, sf):
+        # last-touch attribution: each purchase matched to the user's
+        # most recent click at or before it — the as-of join
+        # (union+window, one shuffle) vs DuckDB's native ASOF LEFT JOIN;
+        # equal-ts click ties pre-resolved to max event_id in both
+        from kafka_graphs_spark.pipeline.relational import asof_join
+
+        ev = datasets.load(spark, sf, "events")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        clicks = (
+            ev.filter(F.col("event_type") == "click")
+            .groupBy("user_id", "ts")
+            .agg(F.max("event_id").alias("click_id"))
+        )
+        out = asof_join(
+            purchases, clicks, key="user_id", ts="ts", right_cols=["click_id"]
+        )
+        return out.select("event_id", "user_id", "click_id")
+
     def doc_quality_model(spark, sf):
         # linear quality classifier (featurize → dot → sigmoid), the
         # model-based curation gate; 6-dp rounding bounds libm exp skew
@@ -3060,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_temporal_departure": ec_temporal_departure,
         "ec_funnel": ec_funnel,
         "ec_retention": ec_retention,
+        "ec_asof_attribution": ec_asof_attribution,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -5477,6 +5499,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id AS id,
                    COALESCE(arr.a, 9223372036854775807) AS value
             FROM events e LEFT JOIN arr ON e.event_id = arr.id
+        """,
+        "ec_asof_attribution": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts, MAX(event_id) AS click_id
+                  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+            SELECT p.event_id, p.user_id, c.click_id
+            FROM p ASOF LEFT JOIN c
+            ON p.user_id = c.user_id AND p.ts >= c.ts
         """,
         "ec_funnel": """
             WITH s1 AS (SELECT user_id, MIN(ts) AS t FROM events

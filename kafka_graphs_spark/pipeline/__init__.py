@@ -13,6 +13,8 @@ First-class engine components for the 100 TB data-curation path:
 - ``sample``: seeded Bernoulli/stratified/temperature/weighted sampling,
   splits, sequence packing. ``sessions``/``events``: sessionization, JSON
   property extraction.
+- ``relational``: as-of join (union+window, one shuffle — no range
+  theta-join, no Python).
 - ``multimodal``: opaque binary columns + typed metadata; Arrow-batched
   decode/feature plumbing with stubbed codecs.
 
@@ -28,10 +30,11 @@ from kafka_graphs_spark.pipeline import (
     events,
     features,
     multimodal,
+    relational,
     sample,
     sessions,
     similarity,
     text,
 )
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "curate", "sample", "sessions", "events", "bpe", "features"]
+__all__ = ["text", "dedup", "similarity", "multimodal", "curate", "sample", "sessions", "events", "bpe", "features", "relational"]

@@ -1,0 +1,98 @@
+"""Relational operators Spark's DataFrame API lacks: as-of join.
+
+Beyond-reference tier. An as-of join matches each left row to the
+single most recent right row at or before it (per key) — pandas'
+``merge_asof``, kdb's ``aj``, DuckDB's ``ASOF JOIN``. Spark has no
+built-in; the naive formulations are a range theta-join (quadratic
+blow-up per key) or a per-key ``applyInPandas`` (Python in the hot
+path). This implementation is the union+window trick:
+
+1. tag right rows (carrying their payload as one struct) and left rows,
+2. union them on (key, time),
+3. one window per key ordered by (time, side, tie-break) takes
+   ``last(payload, ignorenulls=True)`` over the unbounded-preceding
+   frame — each left row picks up the latest right payload at or
+   before it,
+4. keep the left rows.
+
+Cost: ONE shuffle on the key (the window sort), no Python, no
+row-multiplication — the 100 TB shape. Right rows sort before left
+rows at equal timestamps, so the match is inclusive (t_right ≤ t_left);
+equal-timestamp right duplicates are resolved deterministically by the
+highest tie-break value.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts: str,
+    right_cols: Sequence[str],
+    tolerance: Optional[int] = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """Left as-of join: every ``left`` row plus, for each name in
+    ``right_cols``, the value from the most recent ``right`` row with
+    ``right.ts <= left.ts`` and the same ``key`` (NULL when none).
+
+    ``tolerance`` (same units as ``ts``, which must then be numeric)
+    discards matches older than ``left.ts - tolerance``. Columns from
+    ``right`` keep their names unless they collide with ``left``'s, in
+    which case ``suffix`` is appended. Equal-``ts`` right rows are
+    resolved deterministically: the row with the greatest first
+    ``right_cols`` value wins.
+    """
+    if key in right_cols or ts in right_cols:
+        raise ValueError("right_cols must not include the key/ts columns")
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    r = right.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_t"),
+        F.lit(0).alias("_side"),
+        payload.alias("_rv"),
+    )
+    l = left.select(
+        F.col(key).alias("_k"),
+        F.col(ts).alias("_t"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lv"),
+    )
+    u = r.select("_k", "_t", "_side", "_rv", F.lit(None).cast(l.schema["_lv"].dataType).alias("_lv")).unionByName(l)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t"), F.col("_side"), F.col("_rv"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = u.select(
+        "_side",
+        "_t",
+        "_lv",
+        F.last("_rv", ignorenulls=True).over(w).alias("_m"),
+        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True)
+        .over(w)
+        .alias("_mt"),
+    ).filter(F.col("_side") == 1)
+    if tolerance is not None:
+        matched = matched.withColumn(
+            "_m",
+            F.when(
+                F.col("_mt") >= F.col("_t") - F.lit(tolerance), F.col("_m")
+            ),
+        )
+    out_cols = [F.col(f"_lv.{c}").alias(c) for c in left.columns]
+    lcols = set(left.columns)
+    for c in right_cols:
+        name = c + suffix if c in lcols else c
+        out_cols.append(F.col(f"_m.{c}").alias(name))
+    return matched.select(*out_cols)

@@ -449,3 +449,57 @@ class TestRetentionCohorts:
         out = {(r["cohort"], r["period"]): r["n_users"]
                for r in retention_cohorts(ev).collect()}
         assert out == {(0, 0): 1, (0, 2): 1, (1, 0): 1}
+
+
+# ---- as-of join ------------------------------------------------------------
+
+
+class TestAsofJoin:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, 1, 10), (2, 1, 5), (3, 1, 30), (4, 2, 7), (5, 3, 100)],
+            "lid long, k long, t long",
+        )
+        right = spark.createDataFrame(
+            [(101, 1, 10), (102, 1, 20), (103, 1, 1), (104, 2, 8), (105, 1, 10)],
+            "rid long, k long, t long",
+        ).select("k", "t", "rid")
+        return left, right
+
+    def test_backward_inclusive_with_ties(self, spark):
+        from kafka_graphs_spark.pipeline.relational import asof_join
+
+        left, right = self._frames(spark)
+        rows = {r["lid"]: r["rid"]
+                for r in asof_join(left, right, "k", "t", ["rid"]).collect()}
+        # t=10 ties (101 vs 105) resolve to the greater rid; t=8 right is
+        # AFTER the t=7 left -> no match; key 3 has no right rows
+        assert rows == {1: 105, 2: 103, 3: 102, 4: None, 5: None}
+
+    def test_tolerance_discards_stale_matches(self, spark):
+        from kafka_graphs_spark.pipeline.relational import asof_join
+
+        left, right = self._frames(spark)
+        rows = {r["lid"]: r["rid"]
+                for r in asof_join(left, right, "k", "t", ["rid"],
+                                   tolerance=5).collect()}
+        # lid3's match at t=20 is 10 old (> 5) -> dropped; lid2's at lag 4 kept
+        assert rows == {1: 105, 2: 103, 3: None, 4: None, 5: None}
+
+    def test_name_collision_gets_suffix(self, spark):
+        from kafka_graphs_spark.pipeline.relational import asof_join
+
+        left, _ = self._frames(spark)
+        right = left.select("k", "t", F.col("lid"))
+        out = asof_join(left, right, "k", "t", ["lid"])
+        assert "lid_right" in out.columns
+
+    def test_one_shuffle_no_python(self, spark):
+        from kafka_graphs_spark.pipeline.relational import asof_join
+
+        left, right = self._frames(spark)
+        plan = (asof_join(left, right, "k", "t", ["rid"])
+                ._jdf.queryExecution().executedPlan().toString())
+        assert plan.count("Exchange") == 1, plan
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
