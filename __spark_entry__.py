@@ -2393,6 +2393,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("event_id", "user_id", "click_id")
 
+    def ec_range_join(spark, sf):
+        # point-in-interval range join, bucketized (no BNL): every error
+        # event opens a [t, t+600s] incident window; count the events
+        # inside each — exact epoch-seconds integers on both engines
+        from kafka_graphs_spark.pipeline.events import _epoch_seconds
+        from kafka_graphs_spark.pipeline.relational import range_join
+
+        ev = datasets.load(spark, sf, "events")
+        secs = _epoch_seconds(ev, "ts")
+        pts = ev.select("event_id", secs.alias("s"))
+        iv = ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("incident_id"),
+            secs.alias("w_start"),
+            (secs + F.lit(600)).alias("w_end"),
+        )
+        joined = range_join(
+            pts, iv, ts="s", start="w_start", end="w_end", bucket_width=600
+        )
+        return joined.groupBy("incident_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events")
+        )
+
     def doc_quality_model(spark, sf):
         # linear quality classifier (featurize → dot → sigmoid), the
         # model-based curation gate; 6-dp rounding bounds libm exp skew
@@ -3082,6 +3104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_funnel": ec_funnel,
         "ec_retention": ec_retention,
         "ec_asof_attribution": ec_asof_attribution,
+        "ec_range_join": ec_range_join,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -5499,6 +5522,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id AS id,
                    COALESCE(arr.a, 9223372036854775807) AS value
             FROM events e LEFT JOIN arr ON e.event_id = arr.id
+        """,
+        "ec_range_join": """
+            WITH es AS (SELECT event_id,
+                               CAST(floor(epoch(ts)) AS BIGINT) AS s
+                        FROM events),
+            iv AS (SELECT e.event_id AS incident_id, es.s AS w0
+                   FROM events e JOIN es ON e.event_id = es.event_id
+                   WHERE e.event_type = 'error')
+            SELECT iv.incident_id, CAST(count(*) AS BIGINT) AS n_events
+            FROM iv JOIN es ON es.s BETWEEN iv.w0 AND iv.w0 + 600
+            GROUP BY 1
         """,
         "ec_asof_attribution": """
             WITH p AS (SELECT event_id, user_id, ts FROM events

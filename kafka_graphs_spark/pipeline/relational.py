@@ -1,4 +1,4 @@
-"""Relational operators Spark's DataFrame API lacks: as-of join.
+"""Relational operators Spark's DataFrame API lacks: as-of join, bucketized range join.
 
 Beyond-reference tier. An as-of join matches each left row to the
 single most recent right row at or before it (per key) — pandas'
@@ -29,7 +29,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join"]
+__all__ = ["asof_join", "range_join"]
 
 
 def asof_join(
@@ -96,3 +96,60 @@ def asof_join(
         name = c + suffix if c in lcols else c
         out_cols.append(F.col(f"_m.{c}").alias(name))
     return matched.select(*out_cols)
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Every (interval, point) pair with ``start <= point.ts <= end`` —
+    the point-in-interval range join, bucketized so it NEVER plans as a
+    nested-loop/cartesian join.
+
+    Spark compiles a bare ``start <= ts AND ts <= end`` condition to
+    BroadcastNestedLoopJoin (every point against every interval). This
+    implementation buckets time instead: each point lands in bucket
+    ``ts div bucket_width``; each interval explodes to the buckets it
+    covers (``sequence(start div W, end div W)``); the join is then an
+    equi-join on the bucket key with the exact range predicate as a
+    post-join filter. Cost: each interval replicates to
+    ``len/W + 1`` bucket rows — pick ``bucket_width`` near the typical
+    interval length so replication is a small constant — and the join
+    shuffles on the bucket key. ``ts``/``start``/``end`` must be
+    non-negative integers in the same unit (``div`` floors toward zero,
+    so negative values would bucket incorrectly).
+
+    Inner join semantics (unmatched intervals drop; for the left flavor
+    semi-join the result back against the interval keys). Output: all
+    interval columns, then all point columns (collisions suffixed
+    ``_point``).
+    """
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    icols = set(intervals.columns)
+    p = points.select(
+        F.expr(f"{ts} div {int(bucket_width)}").alias("_b"),
+        F.col(ts).alias("_pt"),
+        F.struct(*[F.col(c) for c in points.columns]).alias("_pv"),
+    )
+    i = intervals.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start} div {int(bucket_width)}"),
+                F.expr(f"{end} div {int(bucket_width)}"),
+            )
+        ).alias("_b"),
+    )
+    j = i.join(p, on="_b").filter(
+        (F.col("_pt") >= F.col(start)) & (F.col("_pt") <= F.col(end))
+    )
+    out_cols = [F.col(c) for c in intervals.columns]
+    for c in points.columns:
+        name = c + "_point" if c in icols else c
+        out_cols.append(F.col(f"_pv.{c}").alias(name))
+    return j.select(*out_cols)

@@ -503,3 +503,41 @@ class TestAsofJoin:
         assert plan.count("Exchange") == 1, plan
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestRangeJoin:
+    def test_point_in_interval_semantics(self, spark):
+        from kafka_graphs_spark.pipeline.relational import range_join
+
+        pts = spark.createDataFrame(
+            [(1, 5), (2, 10), (3, 15), (4, 25), (5, 100)], "pid long, t long"
+        )
+        iv = spark.createDataFrame(
+            [(10, 0, 10), (20, 12, 30), (30, 50, 60)],
+            "iid long, lo long, hi long",
+        )
+        out = range_join(pts, iv, ts="t", start="lo", end="hi", bucket_width=7)
+        got = sorted((r["iid"], r["pid"]) for r in out.collect())
+        # interval 10=[0,10] gets points at 5,10 (inclusive ends);
+        # 20=[12,30] gets 15,25; 30=[50,60] matches nothing
+        assert got == [(10, 1), (10, 2), (20, 3), (20, 4)]
+
+    def test_no_duplicate_pairs_across_buckets(self, spark):
+        from kafka_graphs_spark.pipeline.relational import range_join
+
+        # interval spans many buckets; each matching point pairs ONCE
+        pts = spark.createDataFrame([(1, 50)], "pid long, t long")
+        iv = spark.createDataFrame([(9, 0, 100)], "iid long, lo long, hi long")
+        out = range_join(pts, iv, ts="t", start="lo", end="hi", bucket_width=3)
+        assert out.count() == 1
+
+    def test_plan_is_equi_join_not_bnl(self, spark):
+        from kafka_graphs_spark.pipeline.relational import range_join
+
+        pts = spark.createDataFrame([(1, 5)], "pid long, t long")
+        iv = spark.createDataFrame([(10, 0, 10)], "iid long, lo long, hi long")
+        plan = (range_join(pts, iv, ts="t", start="lo", end="hi", bucket_width=10)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
