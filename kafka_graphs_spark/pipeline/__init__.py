@@ -12,7 +12,7 @@ First-class engine components for the 100 TB data-curation path:
 - ``features``: GraphSAGE-style multi-hop neighborhood feature aggregation.
 - ``sample``: seeded Bernoulli/stratified/temperature/weighted sampling,
   splits, sequence packing. ``sessions``/``events``: sessionization, JSON
-  property extraction.
+  property extraction, funnel conversion, retention cohorts.
 - ``relational``: as-of join (union+window, one shuffle — no range
   theta-join, no Python).
 - ``multimodal``: opaque binary columns + typed metadata; Arrow-batched
