@@ -2415,6 +2415,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).cast("long").alias("n_events")
         )
 
+    def ec_transitions(spark, sf):
+        # first-order Markov transition profile of the event stream:
+        # one user-partitioned lead() window feeding a map-side count;
+        # p(next|prev) is an exact-integer division per output row
+        from kafka_graphs_spark.pipeline.events import event_transitions
+
+        return event_transitions(datasets.load(spark, sf, "events"))
+
+    def doc_gopher_filter(spark, sf):
+        # document-level Gopher quality rules (Rae et al. 2021 §A1.1) as
+        # per-row boolean flags + keep conjunction — zero shuffles, every
+        # ratio an exact-integer division. Stopword rule uses the repo's
+        # 13-word English set (the corpus's actual function words) so
+        # `keep` is a real mix, not vacuously false
+        from kafka_graphs_spark.pipeline.text import STOPWORDS, gopher_filter
+
+        return gopher_filter(
+            datasets.load(spark, sf, "documents"), stopwords=STOPWORDS["en"]
+        )
+
+    def doc_ppl_buckets(spark, sf):
+        # CCNet-style per-source perplexity bucketing (Wenzek et al.
+        # 2020): bigram-LM surprisal rounded 6 dp, ntile(3) within each
+        # source, NULL-surprisal docs sort last (always 'tail')
+        from kafka_graphs_spark.pipeline.text import perplexity_buckets
+
+        return perplexity_buckets(datasets.load(spark, sf, "documents"))
+
+    def doc_dsir_weights(spark, sf):
+        # DSIR importance weights (Xie et al. 2023): hashed unigram+bigram
+        # buckets (md5, engine-portable), add-k-smoothed target/raw
+        # log-ratio model (B-bounded broadcast), per-doc sum rounded 6 dp
+        from kafka_graphs_spark.pipeline.sample import dsir_weights
+
+        return dsir_weights(
+            datasets.load(spark, sf, "documents"), F.col("lang") == "en"
+        )
+
+    def doc_dsir_select(spark, sf):
+        # DSIR importance RESAMPLING: Gumbel-top-n over the weights
+        # (deterministic md5 Gumbel draws), two-stage top-n — no global
+        # sort; 100 docs sampled w/o replacement ∝ exp(weight)
+        from kafka_graphs_spark.pipeline.sample import dsir_select
+
+        return dsir_select(
+            datasets.load(spark, sf, "documents"), F.col("lang") == "en", 100
+        )
+
     def doc_quality_model(spark, sf):
         # linear quality classifier (featurize → dot → sigmoid), the
         # model-based curation gate; 6-dp rounding bounds libm exp skew
@@ -3105,6 +3153,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_retention": ec_retention,
         "ec_asof_attribution": ec_asof_attribution,
         "ec_range_join": ec_range_join,
+        "ec_transitions": ec_transitions,
+        "doc_gopher_filter": doc_gopher_filter,
+        "doc_ppl_buckets": doc_ppl_buckets,
+        "doc_dsir_weights": doc_dsir_weights,
+        "doc_dsir_select": doc_dsir_select,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -5571,6 +5624,188 @@ def oracle_sql() -> dict[str, str]:
             SELECT cw AS cohort, w - cw AS period,
                    CAST(count(*) AS BIGINT) AS n_users
             FROM act GROUP BY 1, 2
+        """,
+        "ec_transitions": """
+            WITH nxt AS (
+                SELECT event_type AS prev_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS next_type
+                FROM events
+            ),
+            agg AS (SELECT prev_type, next_type, count(*) AS n
+                    FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2)
+            SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+                   CAST(n AS DOUBLE) /
+                       CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+            FROM agg
+        """,
+        # document-level Gopher rules: every ratio is a division of exact
+        # ints (same FP discipline as doc_quality); '…' spelled chr(8230)
+        # so the oracle file stays ASCII-safe
+        "doc_gopher_filter": f"""
+            WITH t AS (SELECT doc_id, text, {TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id, toks,
+                len(toks) AS n,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS mean_len,
+                length(text) - length(replace(text, '#', '')) AS n_hash,
+                (length(text) - length(replace(text, '...', ''))) / 3
+                    + length(text) - length(replace(text, chr(8230), '')) AS n_ell,
+                len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+                len(list_intersect(list_distinct(toks), {STOP_EN})) AS n_stop,
+                CASE WHEN len(toks) >= 2
+                     THEN list_transform(range(0, len(toks) - 1),
+                                         i -> toks[i+1] || ' ' || toks[i+2])
+                     ELSE CAST([] AS VARCHAR[]) END AS bg,
+                CASE WHEN len(toks) >= 3
+                     THEN list_transform(range(0, len(toks) - 2),
+                                         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])
+                     ELSE CAST([] AS VARCHAR[]) END AS tg
+                FROM t),
+            fl AS (SELECT doc_id,
+                CAST(n AS INTEGER) AS n_tokens,
+                (n >= 50 AND n <= 100000) AS flag_word_count,
+                (mean_len >= 3.0 AND mean_len <= 10.0) AS flag_word_length,
+                CASE WHEN n > 0 THEN (n_hash + n_ell) / CAST(n AS DOUBLE) <= 0.1
+                     ELSE FALSE END AS flag_symbol_ratio,
+                CASE WHEN n > 0 THEN CAST(n_alpha AS DOUBLE) / n >= 0.8
+                     ELSE FALSE END AS flag_alpha_ratio,
+                (n_stop >= 2) AS flag_stopwords,
+                ((CASE WHEN len(bg) > 0
+                       THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
+                       ELSE 0.0 END) <= 0.2
+                 AND
+                 (CASE WHEN len(tg) > 0
+                       THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
+                       ELSE 0.0 END) <= 0.18) AS flag_repetition
+                FROM s)
+            SELECT doc_id, n_tokens, flag_word_count, flag_word_length,
+                   flag_symbol_ratio, flag_alpha_ratio, flag_stopwords,
+                   flag_repetition,
+                   (flag_word_count AND flag_word_length AND flag_symbol_ratio
+                    AND flag_alpha_ratio AND flag_stopwords AND flag_repetition) AS keep
+            FROM fl
+        """,
+        # CCNet bucketing rides the doc_bigram_logprob model verbatim;
+        # surprisal rounded 6 dp before ranking, doc_id tie-break, NULLs
+        # (docs with < 2 tokens) last — deterministic ntile on both sides
+        "doc_ppl_buckets": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            bg AS (
+                SELECT doc_id, unnest(list_zip(toks[1:-2], toks[2:-1])) AS p
+                FROM t WHERE len(toks) >= 2
+            ),
+            b AS (SELECT doc_id, p[1] AS w1, p[2] AS w2 FROM bg),
+            c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+            c1 AS (SELECT w1, sum(c2) AS c1 FROM c2 GROUP BY 1),
+            v AS (SELECT count(DISTINCT tok) AS v FROM
+                  (SELECT unnest(toks) AS tok FROM t)),
+            model AS (
+                SELECT c2.w1, c2.w2,
+                       -ln((c2.c2 + 1.0) / (c1.c1 + 1.0 * v.v)) AS nlp
+                FROM c2 JOIN c1 ON c2.w1 = c1.w1, v
+            ),
+            per_doc AS (
+                SELECT b.doc_id, avg(m.nlp) AS nlp
+                FROM b JOIN model m ON b.w1 = m.w1 AND b.w2 = m.w2
+                GROUP BY 1
+            ),
+            scored AS (
+                SELECT d.doc_id, d.source, round(p.nlp, 6) AS surprisal
+                FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+            ),
+            rk AS (
+                SELECT doc_id, source, surprisal,
+                       CAST(ntile(3) OVER (PARTITION BY source
+                            ORDER BY surprisal ASC NULLS LAST, doc_id) AS BIGINT) AS bucket
+                FROM scored
+            )
+            SELECT doc_id, source, surprisal, bucket,
+                   CASE WHEN bucket = 1 THEN 'head'
+                        WHEN bucket = 3 THEN 'tail'
+                        ELSE 'middle' END AS band
+            FROM rk
+        """,
+        # DSIR (Xie et al. 2023): hashed unigram+bigram buckets via the
+        # shared md5-prefix hash, add-0.5-smoothed log-ratio model over
+        # 8192 buckets (0.5·8192 = 4096 in the denominators), per-doc
+        # sum rounded 6 dp
+        "doc_dsir_weights": f"""
+            WITH t AS (SELECT doc_id, lang = 'en' AS tgt, {TOKS} AS toks
+                       FROM documents),
+            uni AS (SELECT doc_id, tgt, unnest(toks) AS f FROM t),
+            bi AS (SELECT doc_id, tgt,
+                          unnest(CASE WHEN len(toks) >= 2
+                               THEN list_transform(range(0, len(toks) - 1),
+                                                   i -> toks[i+1] || ' ' || toks[i+2])
+                               ELSE CAST([] AS VARCHAR[]) END) AS f
+                   FROM t),
+            feats AS (SELECT doc_id, tgt,
+                             ('0x' || substr(md5(f), 1, 8))::BIGINT % 8192 AS bucket
+                      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+            df AS (SELECT doc_id, tgt, bucket, count(*) AS cnt
+                   FROM feats GROUP BY 1, 2, 3),
+            pb AS (SELECT bucket,
+                          CAST(sum(cnt) AS BIGINT) AS c_raw,
+                          CAST(sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS BIGINT) AS c_tgt
+                   FROM df GROUP BY 1),
+            tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS cr,
+                           CAST(sum(c_tgt) AS BIGINT) AS ct FROM pb),
+            model AS (SELECT bucket,
+                             ln((c_tgt + 0.5) / (ct + 4096.0))
+                             - ln((c_raw + 0.5) / (cr + 4096.0)) AS lr
+                      FROM pb, tot),
+            sc AS (SELECT df.doc_id,
+                          CAST(sum(cnt) AS BIGINT) AS n_feats,
+                          round(sum(cnt * lr), 6) AS weight
+                   FROM df JOIN model ON df.bucket = model.bucket
+                   GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(sc.n_feats, 0) AS n_feats,
+                   COALESCE(sc.weight, 0.0) AS weight
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        """,
+        # Gumbel-top-n resampling over the same weights: the Gumbel draw
+        # replays as -ln(-ln((md5 + 0.5)/2^32)) — strictly inside (0,1)
+        # so both ln calls stay finite on both engines
+        "doc_dsir_select": f"""
+            WITH t AS (SELECT doc_id, lang = 'en' AS tgt, {TOKS} AS toks
+                       FROM documents),
+            uni AS (SELECT doc_id, tgt, unnest(toks) AS f FROM t),
+            bi AS (SELECT doc_id, tgt,
+                          unnest(CASE WHEN len(toks) >= 2
+                               THEN list_transform(range(0, len(toks) - 1),
+                                                   i -> toks[i+1] || ' ' || toks[i+2])
+                               ELSE CAST([] AS VARCHAR[]) END) AS f
+                   FROM t),
+            feats AS (SELECT doc_id, tgt,
+                             ('0x' || substr(md5(f), 1, 8))::BIGINT % 8192 AS bucket
+                      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+            df AS (SELECT doc_id, tgt, bucket, count(*) AS cnt
+                   FROM feats GROUP BY 1, 2, 3),
+            pb AS (SELECT bucket,
+                          CAST(sum(cnt) AS BIGINT) AS c_raw,
+                          CAST(sum(CASE WHEN tgt THEN cnt ELSE 0 END) AS BIGINT) AS c_tgt
+                   FROM df GROUP BY 1),
+            tot AS (SELECT CAST(sum(c_raw) AS BIGINT) AS cr,
+                           CAST(sum(c_tgt) AS BIGINT) AS ct FROM pb),
+            model AS (SELECT bucket,
+                             ln((c_tgt + 0.5) / (ct + 4096.0))
+                             - ln((c_raw + 0.5) / (cr + 4096.0)) AS lr
+                      FROM pb, tot),
+            sc AS (SELECT df.doc_id, round(sum(cnt * lr), 6) AS weight
+                   FROM df JOIN model ON df.bucket = model.bucket
+                   GROUP BY 1),
+            w AS (SELECT d.doc_id, COALESCE(sc.weight, 0.0) AS weight
+                  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id),
+            keyed AS (SELECT doc_id, weight,
+                             round(weight - ln(-ln(
+                                 (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT + 0.5)
+                                 / 4294967296.0)), 6) AS key
+                      FROM w)
+            SELECT doc_id, weight, key FROM keyed
+            ORDER BY key DESC, doc_id LIMIT 100
         """,
         "ec_temporal_departure": """
             WITH RECURSIVE pos AS (

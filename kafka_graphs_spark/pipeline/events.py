@@ -17,7 +17,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["json_props", "json_props_stats", "funnel", "retention_cohorts"]
+__all__ = ["json_props", "json_props_stats", "funnel", "retention_cohorts", "event_transitions"]
 
 
 def json_props(
@@ -155,4 +155,42 @@ def retention_cohorts(
             (F.col("_w") - F.col("_cw")).alias("period"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(prev_type, next_type, n, p) — first-order Markov transition
+    profile of the event stream: for every ordered pair of consecutive
+    events of the same user (time order, id tie-break), the transition
+    count and the conditional probability p(next | prev) = n / Σ_next n.
+
+    The standard "what do users do next" analysis (Markov-chain
+    attribution, anomaly baselining, journey mining). One window pass
+    partitioned by user (each user's history sorts within its partition)
+    feeding a map-side-combined count; ``p`` is a single exact-integer
+    division per output row, so both engines produce bit-identical
+    doubles. Output is |event-type|²-bounded — tiny at any corpus scale.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = events.select(
+        F.col(type_col).alias("prev_type"),
+        F.lead(type_col).over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    agg = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return agg.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wp)).alias("p"),
     )

@@ -357,3 +357,153 @@ def negative_samples(
         F.min_by("neg_id", "attempt").alias("neg_id")
     )
     return first.select(query_col, "slot", "neg_id")
+
+
+def _dsir_features(docs: DataFrame, n_buckets: int, text_col: str) -> DataFrame:
+    """(doc_id, bucket, cnt) — hashed unigram+bigram bag per document.
+
+    The DSIR feature map (Xie et al. 2023 §3): every unigram and bigram
+    hashed into ``n_buckets`` buckets via the engine-portable md5 prefix
+    (same family as :func:`hash_fraction`), counted with multiplicity.
+    One explode + map-side-combined groupBy; output is min(corpus tokens,
+    |docs|·buckets)-bounded.
+    """
+    from kafka_graphs_spark.pipeline.text import tokens
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = docs.select(
+        "doc_id", F.explode(F.concat(toks, bigrams)).alias("_f")
+    ).select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("_f")), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("bucket"),
+    )
+    return feats.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: Column,
+    n_buckets: int = 8192,
+    k_smooth: float = 0.5,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_feats, weight) — DSIR importance weights (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling"): score every document by how much more likely its
+    hashed-n-gram profile is under the target-domain distribution than
+    under the raw-corpus distribution,
+
+        weight(d) = Σ_b c_d(b) · [ ln p̂_tgt(b) − ln p̂_raw(b) ],
+
+    with add-k smoothed bucket estimates p̂(b) = (c(b)+k)/(C+k·B).
+    ``target`` is a boolean Column over ``docs`` marking the
+    target-domain subset (e.g. ``F.col("lang") == "en"`` or a
+    quality-classifier verdict).
+
+    Scale shape: the bucket log-ratio model is B-bounded (broadcast
+    join); raw/target counts are one map-side-combined aggregation over
+    the hashed-feature table; totals ride the plan as a broadcast
+    one-row frame (no eager collect). The per-document sum is
+    order-dependent float — rounded to 6 dp (repo precedent), ties in
+    downstream selection break on doc_id.
+    """
+    doc_feats = _dsir_features(docs, n_buckets, text_col).join(
+        docs.select("doc_id", target.alias("_tgt")), on="doc_id"
+    )
+    per_bucket = doc_feats.groupBy("bucket").agg(
+        F.sum("cnt").alias("c_raw"),
+        F.sum(F.when(F.col("_tgt"), F.col("cnt")).otherwise(F.lit(0))).alias("c_tgt"),
+    )
+    totals = per_bucket.agg(
+        F.sum("c_raw").alias("_C_raw"), F.sum("c_tgt").alias("_C_tgt")
+    )
+    kB = float(k_smooth) * n_buckets
+    model = per_bucket.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (
+            F.log((F.col("c_tgt") + F.lit(float(k_smooth))) / (F.col("_C_tgt") + F.lit(kB)))
+            - F.log((F.col("c_raw") + F.lit(float(k_smooth))) / (F.col("_C_raw") + F.lit(kB)))
+        ).alias("_lr"),
+    )
+    scored = (
+        doc_feats.join(F.broadcast(model), on="bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_feats"),
+            F.round(F.sum(F.col("cnt") * F.col("_lr")), 6).alias("weight"),
+        )
+    )
+    return docs.select("doc_id").join(scored, on="doc_id", how="left").select(
+        "doc_id",
+        F.coalesce("n_feats", F.lit(0).cast("long")).alias("n_feats"),
+        F.coalesce("weight", F.lit(0.0)).alias("weight"),
+    )
+
+
+def dsir_select(
+    docs: DataFrame,
+    target: Column,
+    n: int,
+    n_buckets: int = 8192,
+    k_smooth: float = 0.5,
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """(doc_id, weight, key) — DSIR importance RESAMPLING: draw ``n``
+    documents without replacement with probability ∝ exp(weight) via the
+    Gumbel-top-n trick: key = weight + Gumbel(md5-uniform), take the n
+    largest keys (Xie et al. 2023 §3 sample step). Deterministic across
+    runs, engines, and partitionings — the Gumbel draw is a pure
+    function of (doc_id, salt).
+
+    The global top-n reuses the two-stage shape of
+    :func:`weighted_sample`: per-bucket top-n over 64 hash buckets,
+    then one exact window over ≤ 64·n survivors — no global sort.
+    """
+    if n <= 0:
+        return docs.select("doc_id").limit(0).select(
+            "doc_id", F.lit(0.0).alias("weight"), F.lit(0.0).alias("key")
+        )
+    w = dsir_weights(docs, target, n_buckets, k_smooth, text_col)
+    # u strictly in (0, 1): (h + 0.5)/2^32 — keeps both ln calls finite
+    # (Spark log(<=0) is NULL while DuckDB ln(0) is -inf; never hit either)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 8),
+            16, 10,
+        ).cast("long")
+        + F.lit(0.5)
+    ) / F.lit(_HEX8)
+    scored = w.select(
+        "doc_id",
+        "weight",
+        F.round(F.col("weight") - F.log(-F.log(u)), 6).alias("key"),
+    )
+    _BUCKETS = 64
+    b = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(_BUCKETS))
+    wb = Window.partitionBy(b).orderBy(F.desc("key"), F.asc("doc_id"))
+    survivors = (
+        scored.withColumn("_r", F.row_number().over(wb))
+        .filter(F.col("_r") <= n)
+        .drop("_r")
+    )
+    wg = Window.orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        survivors.withColumn("_r", F.row_number().over(wg))
+        .filter(F.col("_r") <= n)
+        .drop("_r")
+    )

@@ -849,3 +849,160 @@ def bm25_scores(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+#: the eight high-frequency English words the Gopher quality rules test
+#: for (Rae et al. 2021, "Scaling Language Models", §A1.1 rule 8)
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_filter(
+    docs: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_ratio: float = 0.8,
+    min_stopwords: int = 2,
+    max_dup_bigram_frac: float = 0.2,
+    max_dup_trigram_frac: float = 0.18,
+    stopwords: list | None = None,
+) -> DataFrame:
+    """(doc_id, n_tokens, flag_word_count, flag_word_length,
+    flag_symbol_ratio, flag_alpha_ratio, flag_stopwords,
+    flag_repetition, keep) — the document-level Gopher quality rules
+    (Rae et al. 2021, §A1.1) as one boolean profile per document:
+
+    - word count within [min_words, max_words];
+    - mean word length within [min_mean_word_len, max_mean_word_len];
+    - symbol-to-word ratio ('#' and '...' / '…' marks) <= max_symbol_ratio;
+    - fraction of words containing an alphabetic character >= min_alpha_ratio;
+    - at least ``min_stopwords`` distinct stopwords present (default set
+      is Gopher's eight; pass ``stopwords`` to match the corpus language
+      — the rule is a proxy for "reads like natural language", so the
+      set must come from the corpus's actual function words);
+    - duplicate bi-/tri-gram mass under the repetition thresholds
+      (the within-document subset of the Gopher repetition rules —
+      the line-level rules need multi-line documents; see
+      :func:`line_dedup` for the corpus-level line treatment).
+
+    ``keep`` is the conjunction. Every signal is a per-row array/string
+    expression — zero shuffles, so the filter runs at scan speed on any
+    corpus size; all ratios are exact-integer divisions (bit-identical
+    across engines). Rows are never dropped: emit flags, let callers
+    filter, so rejected documents stay auditable.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    nd = n.cast("double")
+    mean_len = F.when(
+        n > 0,
+        F.aggregate(toks, F.lit(0).cast("double"), lambda a, t: a + F.length(t)) / nd,
+    ).otherwise(F.lit(0.0))
+    txt = F.col(text_col)
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ell = (
+        (F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))) / F.lit(3)
+        + F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit("")))
+    )
+    n_alpha = F.size(F.filter(toks, lambda t: t.rlike("[a-z]")))
+    stop_set = GOPHER_STOPWORDS if stopwords is None else list(stopwords)
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(w) for w in stop_set]),
+        )
+    )
+
+    def _ngrams(k: int):
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def _dup_frac(arr):
+        sz = F.size(arr)
+        return F.when(
+            sz > 0, F.lit(1.0) - F.size(F.array_distinct(arr)).cast("double") / sz
+        ).otherwise(F.lit(0.0))
+
+    f_words = (n >= min_words) & (n <= max_words)
+    f_len = (mean_len >= min_mean_word_len) & (mean_len <= max_mean_word_len)
+    f_sym = F.when(
+        n > 0, (n_hash + n_ell) / nd <= F.lit(max_symbol_ratio)
+    ).otherwise(F.lit(False))
+    f_alpha = F.when(
+        n > 0, n_alpha.cast("double") / nd >= F.lit(min_alpha_ratio)
+    ).otherwise(F.lit(False))
+    f_stop = n_stop >= F.lit(min_stopwords)
+    f_rep = (_dup_frac(_ngrams(2)) <= F.lit(max_dup_bigram_frac)) & (
+        _dup_frac(_ngrams(3)) <= F.lit(max_dup_trigram_frac)
+    )
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        f_words.alias("flag_word_count"),
+        f_len.alias("flag_word_length"),
+        f_sym.alias("flag_symbol_ratio"),
+        f_alpha.alias("flag_alpha_ratio"),
+        f_stop.alias("flag_stopwords"),
+        f_rep.alias("flag_repetition"),
+        (f_words & f_len & f_sym & f_alpha & f_stop & f_rep).alias("keep"),
+    )
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    group_col: str = "source",
+    text_col: str = "text",
+    k_smooth: float = 1.0,
+) -> DataFrame:
+    """(doc_id, <group_col>, surprisal, bucket, band) — CCNet-style
+    perplexity bucketing (Wenzek et al. 2020): rank every document
+    within its group by in-engine LM surprisal (:func:`bigram_logprob`)
+    and split each group into ``n_buckets`` equal-frequency buckets —
+    band 'head' (most fluent) / 'middle' / 'tail'. Downstream pipelines
+    keep head+middle or reweight by band.
+
+    Surprisal is rounded to 6 dp before ranking (order-dependent float
+    sum; repo precedent) and ties break on doc_id, so the bucketing is
+    deterministic across engines and partitionings. Documents too short
+    to score (< 2 tokens, NULL surprisal) sort last — always 'tail'.
+    The ntile window partitions by group: each group's rank is
+    independent, so the widest window is the largest single group, not
+    the corpus.
+    """
+    from pyspark.sql.window import Window
+
+    lm = bigram_logprob(docs, k_smooth=k_smooth, text_col=text_col)
+    scored = (
+        docs.select("doc_id", group_col)
+        .join(lm, on="doc_id")
+        .select(
+            "doc_id",
+            group_col,
+            F.round(F.col("avg_neg_logprob"), 6).alias("surprisal"),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.asc_nulls_last("surprisal"), F.asc("doc_id")
+    )
+    b = F.ntile(n_buckets).over(w).cast("long")
+    return scored.select(
+        "doc_id",
+        group_col,
+        "surprisal",
+        b.alias("bucket"),
+        F.when(b == 1, F.lit("head"))
+        .when(b == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+        .alias("band"),
+    )

@@ -541,3 +541,191 @@ class TestRangeJoin:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
         assert "BatchEvalPython" not in plan
+
+
+# ---- event transitions (Markov profile) ------------------------------------
+
+class TestEventTransitions:
+    def _events(self, spark):
+        import datetime as dt
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = []
+        # u1: a -> b -> a ; u2: a -> b
+        seq = [(1, "a", 0), (1, "b", 1), (1, "a", 2), (2, "a", 0), (2, "b", 1)]
+        for i, (u, ty, off) in enumerate(seq):
+            rows.append((i, u, ty, t0 + dt.timedelta(minutes=off)))
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+
+    def test_counts_and_probabilities(self, spark):
+        from kafka_graphs_spark.pipeline.events import event_transitions
+
+        got = {
+            (r["prev_type"], r["next_type"]): (r["n"], r["p"])
+            for r in event_transitions(self._events(spark)).collect()
+        }
+        assert got == {("a", "b"): (2, 1.0), ("b", "a"): (1, 1.0)}
+
+    def test_probabilities_sum_to_one_per_prev(self, spark):
+        from kafka_graphs_spark.pipeline.events import event_transitions
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        sums = (
+            event_transitions(ev)
+            .groupBy("prev_type")
+            .agg(F.sum("p").alias("s"))
+            .collect()
+        )
+        assert sums and all(abs(r["s"] - 1.0) < 1e-9 for r in sums)
+
+
+# ---- Gopher quality rules ---------------------------------------------------
+
+class TestGopherFilter:
+    def _flags(self, spark, text, **kw):
+        from kafka_graphs_spark.pipeline.text import gopher_filter
+
+        docs = _docs(spark, [(0, "s", text)])
+        return gopher_filter(docs, **kw).collect()[0]
+
+    def test_each_rule_fires(self, spark):
+        # 60 distinct words (no repeated n-grams), stopwords present
+        base = "the fox and dog have fun with cats " + " ".join(
+            f"word{i}x" for i in range(52)
+        )
+        ok = self._flags(spark, base)
+        assert ok["keep"] and ok["flag_word_count"] and ok["flag_stopwords"]
+        # too short
+        short = self._flags(spark, "the and of that have with be to")
+        assert not short["flag_word_count"] and not short["keep"]
+        # symbol-heavy
+        sym = self._flags(spark, base + " " + "# " * 20)
+        assert not sym["flag_symbol_ratio"]
+        # numeric tokens fail the alpha rule
+        num = self._flags(spark, " ".join(str(i) for i in range(60)))
+        assert not num["flag_alpha_ratio"] and not num["flag_stopwords"]
+        # repetition: one bigram repeated everywhere
+        rep = self._flags(spark, " ".join(["lorem ipsum"] * 40))
+        assert not rep["flag_repetition"]
+
+    def test_zero_shuffle_plan(self, spark):
+        from kafka_graphs_spark.pipeline.text import gopher_filter
+
+        def executed_plan(df):
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(gopher_filter(docs))
+        assert "Exchange" not in plan  # per-row flags run at scan speed
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---- CCNet perplexity buckets ----------------------------------------------
+
+class TestPerplexityBuckets:
+    def test_bands_and_null_tail(self, spark):
+        from kafka_graphs_spark.pipeline.text import perplexity_buckets
+
+        rows = [
+            # src a: 5 scoreable docs + 1 too-short (NULL surprisal)
+            (0, "a", "alpha beta gamma delta epsilon zeta"),
+            (1, "a", "alpha beta gamma delta epsilon eta"),
+            (2, "a", "alpha beta gamma delta theta iota"),
+            (3, "a", "kappa lam mu nu xi omicron"),
+            (4, "a", "pi rho sigma tau upsilon phi"),
+            (5, "a", "word"),
+        ]
+        out = perplexity_buckets(_docs(spark, rows)).collect()
+        by_id = {r["doc_id"]: r for r in out}
+        assert len(out) == 6
+        # the short doc has NULL surprisal and lands in the last bucket
+        assert by_id[5]["surprisal"] is None
+        assert by_id[5]["band"] == "tail" and by_id[5]["bucket"] == 3
+        # ntile(3) over 6 rows: buckets of size 2 each
+        from collections import Counter
+
+        sizes = Counter(r["bucket"] for r in out)
+        assert sizes == {1: 2, 2: 2, 3: 2}
+        # more-predictable docs (shared prefix bigrams) rank ahead of the
+        # one-off token soup
+        assert by_id[0]["band"] == "head"
+        assert by_id[4]["bucket"] >= 2
+
+    def test_deterministic_across_runs(self, spark):
+        from kafka_graphs_spark.pipeline.text import perplexity_buckets
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(map(tuple, perplexity_buckets(docs).collect()))
+        b = sorted(map(tuple, perplexity_buckets(docs).collect()))
+        assert a == b
+
+
+# ---- DSIR -------------------------------------------------------------------
+
+class TestDsir:
+    def _corpus(self, spark):
+        rows = [
+            (0, "tgt", "the cat sat on the mat with the hat"),
+            (1, "tgt", "the cat ran to the mat and the hat"),
+            (2, "tgt", "a cat and a mat and a hat together"),
+            (3, "raw", "quantum flux capacitors emit tachyon bursts"),
+            (4, "raw", "tachyon bursts destabilize quantum flux fields"),
+            (5, "raw", "the cat sat near quantum flux machines"),
+        ]
+        return _docs(spark, rows)
+
+    def test_on_domain_scores_higher(self, spark):
+        from kafka_graphs_spark.pipeline.sample import dsir_weights
+
+        w = {
+            r["doc_id"]: r["weight"]
+            for r in dsir_weights(
+                self._corpus(spark), F.col("source") == "tgt"
+            ).collect()
+        }
+        # every target-domain doc outranks every off-domain doc; the
+        # mixed doc (5) sits between the pure off-domain ones and target
+        assert min(w[0], w[1], w[2]) > max(w[3], w[4], w[5])
+        assert w[5] > min(w[3], w[4])
+
+    def test_n_feats_is_unigrams_plus_bigrams(self, spark):
+        from kafka_graphs_spark.pipeline.sample import dsir_weights
+
+        docs = _docs(spark, [(0, "s", "a b c"), (1, "s", "solo")])
+        got = {
+            r["doc_id"]: r["n_feats"]
+            for r in dsir_weights(docs, F.lit(True)).collect()
+        }
+        assert got == {0: 5, 1: 1}  # 3 uni + 2 bi; 1 uni + 0 bi
+
+    def test_select_is_deterministic_topn(self, spark):
+        from kafka_graphs_spark.pipeline.sample import dsir_select, dsir_weights
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        tgt = F.col("lang") == "en"
+        sel = dsir_select(docs, tgt, 50)
+        rows = sel.collect()
+        assert len(rows) == 50
+        again = {r["doc_id"] for r in dsir_select(docs, tgt, 50).collect()}
+        assert {r["doc_id"] for r in rows} == again
+        # the returned keys are exactly the 50 largest over the corpus
+        all_keys = dsir_select(docs, tgt, 10_000).collect()
+        top = sorted(
+            all_keys, key=lambda r: (-r["key"], r["doc_id"])
+        )[:50]
+        assert {r["doc_id"] for r in top} == {r["doc_id"] for r in rows}
+
+    def test_model_join_is_broadcast(self, spark):
+        from kafka_graphs_spark.pipeline.sample import dsir_weights
+
+        def executed_plan(df):
+            return df._jdf.queryExecution().executedPlan().toString()
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = executed_plan(dsir_weights(docs, F.col("lang") == "en"))
+        # the B-bounded log-ratio model reaches the scoring join as a
+        # broadcast side; per-doc scoring never shuffles the corpus twice
+        assert "BroadcastExchange" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
