@@ -2463,6 +2463,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             datasets.load(spark, sf, "documents"), F.col("lang") == "en", 100
         )
 
+    def doc_quality_train(spark, sf):
+        # distributed logistic-regression trainer: 8 full-batch GD steps,
+        # each ONE map-side-combined aggregation (gradient = 4 scalars);
+        # 6-dp-rounded gradients make the weights bit-exact vs the
+        # chained-CTE SQL replay of the whole training loop
+        from kafka_graphs_spark.pipeline.classifier import train_quality_classifier
+
+        return train_quality_classifier(
+            datasets.load(spark, sf, "documents"),
+            F.col("lang") == "en",
+            n_iterations=8,
+            lr=0.05,
+        )
+
     def doc_quality_model(spark, sf):
         # linear quality classifier (featurize → dot → sigmoid), the
         # model-based curation gate; 6-dp rounding bounds libm exp skew
@@ -3158,6 +3172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ppl_buckets": doc_ppl_buckets,
         "doc_dsir_weights": doc_dsir_weights,
         "doc_dsir_select": doc_dsir_select,
+        "doc_quality_train": doc_quality_train,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -3182,7 +3197,54 @@ def oracle_sql() -> dict[str, str]:
     _rp_values = ", ".join(
         f"({i + 1}, {j}, {_rp[i][j]})" for i in range(64) for j in range(16)
     )
+
+    # chained-CTE replay of train_quality_classifier's full training loop
+    # (classifier.py): w{i+1} = w{i} - lr * round6(avg gradient); each
+    # iteration is two one-row CTEs, so 8 steps stay a compact query
+    def _train_sql(T: int, LR: float) -> str:
+        z = "(wi*intercept + ws*stop_ratio + wm*mean_token_len + wl*log_n_tokens)"
+        p = f"(1.0 / (1.0 + exp(-{z})))"
+        ctes = [
+            f"""t AS (SELECT doc_id, {TOKS} AS toks,
+                  CAST(CAST(lang = 'en' AS INT) AS DOUBLE) AS y FROM documents)""",
+            f"""feats AS (SELECT doc_id, y,
+                  1.0 AS intercept,
+                  CASE WHEN len(toks) > 0
+                       THEN CAST(len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS DOUBLE) / len(toks)
+                       ELSE 0.0 END AS stop_ratio,
+                  CASE WHEN len(toks) > 0
+                       THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                       ELSE 0.0 END AS mean_token_len,
+                  ln(1.0 + len(toks)) AS log_n_tokens
+                  FROM t)""".replace("feats AS (", "feats AS MATERIALIZED ("),
+            "w0 AS (SELECT 0.0 AS wi, 0.0 AS ws, 0.0 AS wm, 0.0 AS wl)",
+        ]
+        for i in range(T):
+            ctes.append(
+                f"""g{i} AS MATERIALIZED (SELECT
+                    round(avg(({p} - y) * intercept), 6) AS gi,
+                    round(avg(({p} - y) * stop_ratio), 6) AS gs,
+                    round(avg(({p} - y) * mean_token_len), 6) AS gm,
+                    round(avg(({p} - y) * log_n_tokens), 6) AS gl
+                    FROM feats, w{i})"""
+            )
+            ctes.append(
+                f"""w{i + 1} AS MATERIALIZED (SELECT wi - {LR} * gi AS wi, ws - {LR} * gs AS ws,
+                    wm - {LR} * gm AS wm, wl - {LR} * gl AS wl FROM w{i}, g{i})"""
+            )
+        ctes.append(
+            f"""lo AS (SELECT round(avg(-y * ln({p}) - (1.0 - y) * ln(1.0 - {p})), 6) AS loss
+                FROM feats, w{T})"""
+        )
+        return "WITH " + ",\n".join(ctes) + f"""
+            SELECT 'intercept' AS feature, wi AS weight, loss AS final_loss FROM w{T}, lo
+            UNION ALL SELECT 'stop_ratio', ws, loss FROM w{T}, lo
+            UNION ALL SELECT 'mean_token_len', wm, loss FROM w{T}, lo
+            UNION ALL SELECT 'log_n_tokens', wl, loss FROM w{T}, lo
+        """
+
     return {
+        "doc_quality_train": _train_sql(8, 0.05),
         "emb_rp_project": f"""
             WITH m(i, j, s) AS (VALUES {_rp_values}),
             v AS (

@@ -729,3 +729,56 @@ class TestDsir:
         # broadcast side; per-doc scoring never shuffles the corpus twice
         assert "BroadcastExchange" in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---- trained quality classifier ----------------------------------------------
+
+class TestTrainQualityClassifier:
+    def test_loss_decreases_from_uniform(self, spark):
+        from kafka_graphs_spark.pipeline.classifier import train_quality_classifier
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        out = train_quality_classifier(docs, F.col("lang") == "en").collect()
+        assert len(out) == 4
+        # ln(2) = loss at w = 0; eight descent steps must improve on it
+        assert out[0]["final_loss"] < 0.693147
+
+    def test_learns_separable_signal(self, spark):
+        from kafka_graphs_spark.pipeline.classifier import (
+            featurize,
+            train_quality_classifier,
+        )
+
+        # positives are long documents, negatives short — log_n_tokens
+        # separates them perfectly
+        rows = [(i, "pos", " ".join(f"w{i}a{j}" for j in range(80)))
+                for i in range(10)] + \
+               [(100 + i, "neg", f"tiny w{i}") for i in range(10)]
+        docs = _docs(spark, rows)
+        tgt = F.col("source") == "pos"
+        w = {
+            r["feature"]: r["weight"]
+            for r in train_quality_classifier(
+                docs, tgt, n_iterations=40, lr=0.2
+            ).collect()
+        }
+        assert w["log_n_tokens"] > 0
+        # trained weights rank every positive above every negative
+        from kafka_graphs_spark.pipeline.text import quality_score_linear
+
+        probs = {
+            r["doc_id"]: r["prob"]
+            for r in quality_score_linear(docs, weights=w).collect()
+        }
+        assert min(probs[i] for i in range(10)) > max(
+            probs[100 + i] for i in range(10)
+        )
+
+    def test_deterministic(self, spark):
+        from kafka_graphs_spark.pipeline.classifier import train_quality_classifier
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        tgt = F.col("lang") == "en"
+        a = sorted(map(tuple, train_quality_classifier(docs, tgt).collect()))
+        b = sorted(map(tuple, train_quality_classifier(docs, tgt).collect()))
+        assert a == b
