@@ -2415,6 +2415,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.count(F.lit(1)).cast("long").alias("n_events")
         )
 
+    def ec_interval_join(spark, sf):
+        # interval-interval overlap join, bucketized with the canonical-
+        # bucket dedup (one copy per overlapping pair, no distinct):
+        # error windows [t, t+600] x view windows [t, t+300]
+        from kafka_graphs_spark.pipeline.events import _epoch_seconds
+        from kafka_graphs_spark.pipeline.relational import interval_join
+
+        ev = datasets.load(spark, sf, "events")
+        secs = _epoch_seconds(ev, "ts")
+        er = ev.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("error_id"),
+            secs.alias("es"),
+            (secs + F.lit(600)).alias("ee"),
+        )
+        vw = ev.filter(F.col("event_type") == "view").select(
+            F.col("event_id").alias("view_id"),
+            secs.alias("vs"),
+            (secs + F.lit(300)).alias("ve"),
+        )
+        return interval_join(
+            er, vw, "es", "ee", "vs", "ve", bucket_width=600
+        ).select("error_id", "view_id")
+
     def ec_transitions(spark, sf):
         # first-order Markov transition profile of the event stream:
         # one user-partitioned lead() window feeding a map-side count;
@@ -3167,6 +3190,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_retention": ec_retention,
         "ec_asof_attribution": ec_asof_attribution,
         "ec_range_join": ec_range_join,
+        "ec_interval_join": ec_interval_join,
         "ec_transitions": ec_transitions,
         "doc_gopher_filter": doc_gopher_filter,
         "doc_ppl_buckets": doc_ppl_buckets,
@@ -5686,6 +5710,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT cw AS cohort, w - cw AS period,
                    CAST(count(*) AS BIGINT) AS n_users
             FROM act GROUP BY 1, 2
+        """,
+        "ec_interval_join": """
+            WITH e AS (SELECT event_id, event_type,
+                              CAST(floor(epoch(ts)) AS BIGINT) AS s
+                       FROM events),
+            er AS (SELECT event_id AS error_id, s AS es, s + 600 AS ee
+                   FROM e WHERE event_type = 'error'),
+            vw AS (SELECT event_id AS view_id, s AS vs, s + 300 AS ve
+                   FROM e WHERE event_type = 'view')
+            SELECT error_id, view_id
+            FROM er JOIN vw ON er.es <= vw.ve AND vw.vs <= er.ee
         """,
         "ec_transitions": """
             WITH nxt AS (

@@ -29,7 +29,7 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join"]
+__all__ = ["asof_join", "interval_join", "range_join"]
 
 
 def asof_join(
@@ -153,3 +153,66 @@ def range_join(
         name = c + "_point" if c in icols else c
         out_cols.append(F.col(f"_pv.{c}").alias(name))
     return j.select(*out_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    l_start: str,
+    l_end: str,
+    r_start: str,
+    r_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Every (left, right) pair whose CLOSED intervals overlap
+    (``l_start <= r_end AND r_start <= l_end``) — the interval-interval
+    join, bucketized like :func:`range_join` so it never plans as a
+    nested-loop join.
+
+    Both sides explode to the time buckets their interval covers and
+    equi-join on the bucket key. A pair sharing k buckets would join k
+    times, so the join keeps exactly one copy with the canonical-bucket
+    trick: emit only in the FIRST bucket both intervals occupy,
+    ``_b == greatest(l_start div W, r_start div W)`` — every overlapping
+    pair shares that bucket (the later-starting interval's first bucket),
+    and only that one. No post-hoc distinct, so the plan stays one
+    shuffle on the bucket key plus a post-join filter.
+
+    Replication cost is ``len/W + 1`` rows per interval per side — pick
+    ``bucket_width`` near the typical interval length. Endpoints must be
+    non-negative integers in one unit (``div`` floors toward zero).
+    Output: all left columns, then right columns (collisions suffixed
+    ``_right``).
+    """
+    if bucket_width < 1:
+        raise ValueError(f"bucket_width must be >= 1, got {bucket_width}")
+    w = int(bucket_width)
+    lcols = set(left.columns)
+    l = left.select(
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lv"),
+        F.col(l_start).alias("_ls"),
+        F.col(l_end).alias("_le"),
+        F.explode(
+            F.sequence(F.expr(f"{l_start} div {w}"), F.expr(f"{l_end} div {w}"))
+        ).alias("_b"),
+    )
+    r = right.select(
+        F.struct(*[F.col(c) for c in right.columns]).alias("_rv"),
+        F.col(r_start).alias("_rs"),
+        F.col(r_end).alias("_re"),
+        F.explode(
+            F.sequence(F.expr(f"{r_start} div {w}"), F.expr(f"{r_end} div {w}"))
+        ).alias("_b"),
+    )
+    j = l.join(r, on="_b").filter(
+        (F.col("_ls") <= F.col("_re"))
+        & (F.col("_rs") <= F.col("_le"))
+        & (
+            F.col("_b")
+            == F.greatest(F.expr(f"_ls div {w}"), F.expr(f"_rs div {w}"))
+        )
+    )
+    out = [F.col(f"_lv.{c}").alias(c) for c in left.columns]
+    for c in right.columns:
+        out.append(F.col(f"_rv.{c}").alias(c + "_right" if c in lcols else c))
+    return j.select(*out)

@@ -782,3 +782,50 @@ class TestTrainQualityClassifier:
         a = sorted(map(tuple, train_quality_classifier(docs, tgt).collect()))
         b = sorted(map(tuple, train_quality_classifier(docs, tgt).collect()))
         assert a == b
+
+
+# ---- interval-interval overlap join -----------------------------------------
+
+class TestIntervalJoin:
+    def _run(self, spark, lrows, rrows, w):
+        from kafka_graphs_spark.pipeline.relational import interval_join
+
+        l = spark.createDataFrame(lrows, "lid long, ls long, le long")
+        r = spark.createDataFrame(rrows, "rid long, rs long, re long")
+        out = interval_join(l, r, "ls", "le", "rs", "re", bucket_width=w)
+        return sorted((x["lid"], x["rid"]) for x in out.collect())
+
+    def test_overlap_semantics_exact(self, spark):
+        l = [(1, 0, 10), (2, 20, 30), (3, 5, 25)]
+        r = [(10, 8, 12), (20, 28, 40), (30, 100, 110)]
+        # brute-force truth over closed intervals
+        want = sorted(
+            (a, b)
+            for (a, s1, e1) in l
+            for (b, s2, e2) in r
+            if s1 <= e2 and s2 <= e1
+        )
+        assert self._run(spark, l, r, 7) == want
+
+    def test_multi_bucket_pairs_emit_once(self, spark):
+        # both intervals span many buckets; without the canonical-bucket
+        # filter this pair would join in every shared bucket
+        got = self._run(spark, [(1, 0, 100)], [(2, 0, 100)], 5)
+        assert got == [(1, 2)]
+
+    def test_plan_is_equi_join_not_bnl(self, spark):
+        from kafka_graphs_spark.pipeline.relational import interval_join
+
+        l = spark.range(100).select(
+            F.col("id").alias("lid"),
+            (F.col("id") * 10).alias("ls"),
+            (F.col("id") * 10 + 15).alias("le"),
+        )
+        r = spark.range(100).select(
+            F.col("id").alias("rid"),
+            (F.col("id") * 7).alias("rs"),
+            (F.col("id") * 7 + 9).alias("re"),
+        )
+        out = interval_join(l, r, "ls", "le", "rs", "re", bucket_width=10)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
