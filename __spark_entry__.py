@@ -2083,6 +2083,46 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return final.select(epoch_start.alias("window_start"), "n_triangles")
 
+    def ec_window_pagerank_incr(spark, sf):
+        # INCREMENTAL windowed PageRank: per-window edge-list state, the
+        # exact delta recurrence replayed in-state on every micro-batch
+        # touching the window. On the chain graph every vertex has
+        # in-degree <= 1, so the local recurrence is bit-identical to the
+        # distributed batch run and the ec_window_pagerank closed-form
+        # oracle applies verbatim; value is monotone -> final = MAX.
+        from pyspark.sql.window import Window
+
+        from kafka_graphs_spark.streaming import pagerank_windowed_incremental
+
+        ev = datasets.load(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        edges = (
+            ev.select(
+                "user_id", "event_id", "ts",
+                F.lag("event_id").over(w).alias("prev_id"),
+            )
+            .filter(F.col("prev_id").isNotNull())
+            .select(
+                F.col("prev_id").alias("src"),
+                F.col("event_id").alias("dst"),
+                F.col("ts").alias("event_time"),
+            )
+            .repartition(4)
+        )
+        out = _run_stateful_stream(
+            spark, edges,
+            lambda s: pagerank_windowed_incremental(s, "1 hour", max_iterations=5),
+            "src long, dst long, event_time timestamp_ntz",
+            "window_start timestamp_ntz, id long, value double",
+        )
+        final = out.groupBy("window_start", "id").agg(F.max("value").alias("value"))
+        start = F.col("window_start")
+        epoch_start = (
+            F.datediff(start.cast("date"), F.lit("1970-01-01").cast("date")).cast("long") * 86400
+            + F.hour(start).cast("long") * 3600
+        )
+        return final.select(epoch_start.alias("window_start"), "id", "value")
+
     def ec_window_triangles(spark, sf):
         # per-tumbling-window exact triangles over the hourly user
         # co-occurrence graph (users sharing an event_type that hour);
@@ -3047,6 +3087,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scored — first in line for the r8 rotation) --
         "ec_window_wcc_incr": ec_window_wcc_incr,
         "ec_window_triangles_incr": ec_window_triangles_incr,
+        "ec_window_pagerank_incr": ec_window_pagerank_incr,
         "ec_stateful_heavy": ec_stateful_heavy,
         # -- beyond slot 50: NEW round-7 motif pattern finder (never
         # scored — first in line for the r8 rotation) --
@@ -3642,6 +3683,32 @@ def oracle_sql() -> dict[str, str]:
             -- DISTINCT over UNION ALL, not bare UNION: under WITH
             -- RECURSIVE DuckDB stops deduplicating UNION in
             -- non-recursive CTEs of the same WITH list
+            v AS (SELECT DISTINCT user_id, ws, id, rn FROM (
+                    SELECT user_id, ws, src AS id, arn AS rn FROM e
+                    UNION ALL
+                    SELECT user_id, ws, dst AS id, brn AS rn FROM e)),
+            pos AS (SELECT user_id, ws, id,
+                    row_number() OVER (PARTITION BY user_id, ws ORDER BY rn) - 1 AS seg
+                    FROM v)
+            SELECT ws AS window_start, id, pr.r AS value
+            FROM pos JOIN pr ON pr.j = least(pos.seg, 4)
+        """,
+        # the incremental variant replays the same recurrence in-state;
+        # on chain graphs (in-degree <= 1) emissions are bit-identical to
+        # the batch run, so the same closed form is the oracle
+        "ec_window_pagerank_incr": """
+            WITH RECURSIVE pr(j, r, d) AS (
+                SELECT 0, 0.85 * (0.15/0.85), 0.85 * (0.15/0.85)
+                UNION ALL
+                SELECT j + 1, r + 0.85 * d, (r + 0.85 * d) - r FROM pr WHERE j < 4
+            ),
+            p AS (SELECT event_id, user_id, ts,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS rn
+                  FROM events),
+            e AS (SELECT a.user_id, a.event_id AS src, b.event_id AS dst,
+                         a.rn AS arn, b.rn AS brn,
+                         (CAST(floor(epoch(b.ts)) AS BIGINT) // 3600) * 3600 AS ws
+                  FROM p a JOIN p b ON a.user_id = b.user_id AND b.rn = a.rn + 1),
             v AS (SELECT DISTINCT user_id, ws, id, rn FROM (
                     SELECT user_id, ws, src AS id, arn AS rn FROM e
                     UNION ALL

@@ -172,3 +172,102 @@ def triangles_windowed_incremental(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def pagerank_windowed_incremental(
+    edges_stream: DataFrame,
+    window_duration: str,
+    reset_probability: float = 0.15,
+    tolerance: float = 0.0001,
+    max_iterations: int = 5,
+    event_time: str = "event_time",
+) -> DataFrame:
+    """Per-tumbling-window incremental PageRank → a stream of
+    (window_start, id, value) rows re-emitted for a window whenever new
+    or late edges arrive for it.
+
+    State per window: the window's edge list (parallel edges kept — the
+    batch recurrence counts them in outDegree). Each micro-batch folds
+    the new edges in and replays the reference's exact delta recurrence
+    (library/pagerank.py: rank=0 start, init message resetProb/(1−rp),
+    rank += (1−rp)·Σ msgs, send delta·1/outdeg while delta > tolerance)
+    over the window's graph — PageRank has no edge-at-a-time fold, so
+    "incremental" here means the late edge re-runs ONLY its own window,
+    in state, with no job over any other window (the batch
+    :func:`~kafka_graphs_spark.streaming.pagerank_windowed` recomputes
+    every window). Message sums accumulate in ascending-sender order, so
+    emissions are deterministic; on in-degree ≤ 1 graphs (chains) the
+    values are bit-identical to the distributed batch run. ``value`` is
+    monotone non-decreasing across emissions (messages are non-negative),
+    so "final state" = MAX over emissions — the update-mode recipe every
+    incremental twin here uses.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = edges_stream.select(
+        F.window(F.col(event_time), window_duration)["start"].alias("ws"),
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    ts_type = dict(keyed.dtypes)["ws"]  # NTZ-mirroring, see wcc variant
+    init_msg = reset_probability / (1.0 - reset_probability)
+    damp = 1.0 - reset_probability
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            ss, dd = state.get
+            ss, dd = list(ss), list(dd)
+        else:
+            ss, dd = [], []
+        for pdf in pdfs:
+            ss.extend(int(x) for x in pdf["src"])
+            dd.extend(int(x) for x in pdf["dst"])
+        state.update((ss, dd))
+
+        outdeg: dict = {}
+        for s in ss:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        out_edges: dict = {}
+        for s, d in zip(ss, dd):
+            out_edges.setdefault(s, []).append(d)
+        verts = sorted(set(ss) | set(dd))
+
+        rank = {v: 0.0 for v in verts}
+        delta = {}
+        for v in verts:  # superstep 1: every vertex receives init_msg
+            new = rank[v] + damp * init_msg
+            delta[v] = new - rank[v]
+            rank[v] = new
+        recv = set(verts)
+        for _ in range(1, int(max_iterations)):
+            msgs: dict = {}
+            # ascending-sender order fixes the FP accumulation order
+            for u in sorted(recv):
+                if delta[u] > tolerance and u in out_edges:
+                    w = 1.0 / outdeg[u]
+                    for v in out_edges[u]:
+                        msgs[v] = msgs.get(v, 0.0) + delta[u] * w
+            if not msgs:
+                break
+            recv = set(msgs)
+            for v in msgs:
+                new = rank[v] + damp * msgs[v]
+                delta[v] = new - rank[v]
+                rank[v] = new
+        yield pd.DataFrame(
+            {
+                "window_start": [key[0]] * len(verts),
+                "id": verts,
+                "value": [rank[v] for v in verts],
+            }
+        )
+
+    return keyed.groupBy("ws").applyInPandasWithState(
+        update,
+        outputStructType=f"window_start {ts_type}, id long, value double",
+        stateStructType="ss array<long>, dd array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

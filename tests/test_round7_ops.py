@@ -829,3 +829,69 @@ class TestIntervalJoin:
         out = interval_join(l, r, "ls", "le", "rs", "re", bucket_width=10)
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+class TestIncrementalWindowedPagerank:
+    def test_matches_batch_windowed_pagerank(self, spark, tmp_path):
+        from kafka_graphs_spark.streaming import (
+            pagerank_windowed,
+            pagerank_windowed_incremental,
+        )
+
+        rows = [
+            (1, 2, "2026-01-01 00:05:00"),
+            (2, 3, "2026-01-01 00:10:00"),
+            (3, 1, "2026-01-01 00:20:00"),
+            (1, 3, "2026-01-01 00:25:00"),
+            (5, 6, "2026-01-01 01:05:00"),
+            (6, 7, "2026-01-01 01:30:00"),
+        ]
+        src = str(tmp_path / "pr")
+        _write_edges_t(spark, rows, src)
+        out = _run_incr(
+            spark,
+            lambda s: pagerank_windowed_incremental(s, "1 hour"),
+            src,
+            str(tmp_path / "ckpr"),
+            EDGE_T_SCHEMA,
+        )
+        # final emission per (window, id): value is monotone -> max
+        final = {}
+        for r in out:
+            k = (r["window_start"].hour, r["id"])
+            final[k] = max(final.get(k, 0.0), r["value"])
+        edges = spark.createDataFrame(
+            rows, "src long, dst long, event_time string"
+        ).withColumn("event_time", F.to_timestamp("event_time"))
+        batch = {
+            (r["window_start"].hour, r["id"]): r["value"]
+            for r in pagerank_windowed(edges, "1 hour").collect()
+        }
+        assert set(final) == set(batch)
+        for k in batch:
+            assert abs(final[k] - batch[k]) < 1e-9, (k, final[k], batch[k])
+
+    def test_late_edge_reruns_only_its_window(self, spark, tmp_path):
+        from kafka_graphs_spark.streaming import pagerank_windowed_incremental
+
+        src, ckpt = str(tmp_path / "e"), str(tmp_path / "ck")
+        _write_edges_t(spark, [
+            (1, 2, "2026-01-01 00:05:00"),
+            (7, 8, "2026-01-01 01:10:00"),
+        ], src)
+        op = lambda s: pagerank_windowed_incremental(s, "1 hour")
+        out1 = _run_incr(spark, op, src, ckpt, EDGE_T_SCHEMA)
+        v1 = {(r["window_start"].hour, r["id"]): r["value"] for r in out1}
+        assert (0, 2) in v1 and (1, 8) in v1
+        # rank(2) with one in-edge after 5 iters > rank(1) (source only)
+        assert v1[(0, 2)] > v1[(0, 1)]
+
+        # late edge into window 0: only window 0 re-emits, with 3's rank
+        # now fed by 2's chain
+        _write_edges_t(spark, [(2, 3, "2026-01-01 00:20:00")], src)
+        out2 = _run_incr(spark, op, src, ckpt, EDGE_T_SCHEMA)
+        assert {r["window_start"].hour for r in out2} == {0}
+        v2 = {r["id"]: r["value"] for r in out2}
+        assert v2[3] > v2[2] > v2[1]
+        # untouched ids keep their old value exactly (state was restored)
+        assert v2[1] == v1[(0, 1)] and v2[2] == v1[(0, 2)]
