@@ -2540,6 +2540,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lr=0.05,
         )
 
+    def pipeline_curate_model(spark, sf):
+        # curation with the TRAINED model gate replacing the heuristic
+        # band gate: train in-engine, keep the top half by model
+        # probability (rank cutoff, calibration-free), then the standard
+        # near-dup resolution over the survivors — the full fastText/
+        # CCNet-style curation loop, oracle-replayed end to end
+        from kafka_graphs_spark.pipeline.curate import curate
+
+        return curate(
+            datasets.load(spark, sf, "documents"),
+            model_target=F.col("lang") == "en",
+        )
+
     def doc_quality_model(spark, sf):
         # linear quality classifier (featurize → dot → sigmoid), the
         # model-based curation gate; 6-dp rounding bounds libm exp skew
@@ -3238,6 +3251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": doc_dsir_weights,
         "doc_dsir_select": doc_dsir_select,
         "doc_quality_train": doc_quality_train,
+        "pipeline_curate_model": pipeline_curate_model,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -3265,10 +3279,14 @@ def oracle_sql() -> dict[str, str]:
 
     # chained-CTE replay of train_quality_classifier's full training loop
     # (classifier.py): w{i+1} = w{i} - lr * round6(avg gradient); each
-    # iteration is two one-row CTEs, so 8 steps stay a compact query
-    def _train_sql(T: int, LR: float) -> str:
-        z = "(wi*intercept + ws*stop_ratio + wm*mean_token_len + wl*log_n_tokens)"
-        p = f"(1.0 / (1.0 + exp(-{z})))"
+    # iteration is two one-row CTEs, so 8 steps stay a compact query.
+    # MATERIALIZED everywhere: without it DuckDB inlines the weight chain
+    # and re-evaluates it exponentially (measured 63.5s -> 0.28s).
+    _TRAIN_Z = "(wi*intercept + ws*stop_ratio + wm*mean_token_len + wl*log_n_tokens)"
+    _TRAIN_P = f"(1.0 / (1.0 + exp(-{_TRAIN_Z})))"
+
+    def _train_ctes(T: int, LR: float) -> list:
+        p = _TRAIN_P
         ctes = [
             f"""t AS (SELECT doc_id, {TOKS} AS toks,
                   CAST(CAST(lang = 'en' AS INT) AS DOUBLE) AS y FROM documents)""",
@@ -3297,6 +3315,11 @@ def oracle_sql() -> dict[str, str]:
                 f"""w{i + 1} AS MATERIALIZED (SELECT wi - {LR} * gi AS wi, ws - {LR} * gs AS ws,
                     wm - {LR} * gm AS wm, wl - {LR} * gl AS wl FROM w{i}, g{i})"""
             )
+        return ctes
+
+    def _train_sql(T: int, LR: float) -> str:
+        p = _TRAIN_P
+        ctes = _train_ctes(T, LR)
         ctes.append(
             f"""lo AS (SELECT round(avg(-y * ln({p}) - (1.0 - y) * ln(1.0 - {p})), 6) AS loss
                 FROM feats, w{T})"""
@@ -3308,7 +3331,65 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'log_n_tokens', wl, loss FROM w{T}, lo
         """
 
+    # pipeline_curate with the trained-model gate: train (same CTEs),
+    # score every doc with the final weights, keep the top keep_frac by
+    # (rounded prob, doc_id) rank, then the standard shingle->Jaccard->
+    # WCC->min-id dedup chain over the survivors
+    def _curate_model_sql(T: int, LR: float, keep_frac: float) -> str:
+        p = _TRAIN_P
+        ctes = _train_ctes(T, LR)
+        ctes.append(
+            f"""sc AS MATERIALIZED (
+                SELECT doc_id, round({p}, 6) AS p6 FROM feats, w{T})"""
+        )
+        ctes.append(
+            f"""q AS MATERIALIZED (
+                SELECT doc_id FROM (
+                    SELECT doc_id,
+                           row_number() OVER (ORDER BY p6 DESC, doc_id) AS rn,
+                           count(*) OVER () AS n
+                    FROM sc)
+                WHERE rn <= floor(n * {keep_frac}))"""
+        )
+        ctes.append("kt AS (SELECT t.doc_id, t.toks FROM t JOIN q USING (doc_id))")
+        ctes.append(
+            """sh AS (SELECT DISTINCT doc_id,
+                   unnest(CASE WHEN len(toks) >= 3
+                          THEN list_transform(range(0, len(toks) - 2),
+                                              i -> array_to_string(toks[i+1:i+3], ' '))
+                          ELSE CAST([] AS VARCHAR[]) END) AS shingle
+               FROM kt)"""
+        )
+        ctes.append("sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1)")
+        ctes.append(
+            """inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2)"""
+        )
+        ctes.append(
+            """prs AS (SELECT doc_a, doc_b FROM inter
+                JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.3)"""
+        )
+        ctes.append(
+            """und AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                UNION SELECT doc_b, doc_a FROM prs)"""
+        )
+        ctes.append(
+            """reach(id, r) AS (
+                SELECT s, s FROM und
+                UNION
+                SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.id
+            )"""
+        )
+        ctes.append("keep AS (SELECT id, MIN(r) AS k FROM reach GROUP BY id)")
+        return "WITH RECURSIVE " + ",\n".join(ctes) + """
+            SELECT q.doc_id FROM q LEFT JOIN keep ON keep.id = q.doc_id
+            WHERE coalesce(keep.k, q.doc_id) = q.doc_id
+        """
+
     return {
+        "pipeline_curate_model": _curate_model_sql(8, 0.05, 0.5),
         "doc_quality_train": _train_sql(8, 0.05),
         "emb_rp_project": f"""
             WITH m(i, j, s) AS (VALUES {_rp_values}),

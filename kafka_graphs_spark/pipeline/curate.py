@@ -34,6 +34,10 @@ def curate(
     max_dup_trigram_frac: Optional[float] = None,
     max_dup_span_frac: Optional[float] = None,
     span_window: int = 8,
+    model_target=None,
+    model_keep_frac: float = 0.5,
+    model_iterations: int = 8,
+    model_lr: float = 0.05,
 ) -> DataFrame:
     """(doc_id) — documents that pass the quality gate, are not
     benchmark-contaminated (when ``benchmark`` is given), pass the
@@ -50,11 +54,51 @@ def curate(
     pair-generation input, so adding them makes the expensive stage
     cheaper, never slower.
 
+    ``model_target``: when given (a boolean Column over ``docs``), the
+    heuristic band gate is REPLACED by a model gate — a quality
+    classifier is trained in-engine against the target labels
+    (:func:`~kafka_graphs_spark.pipeline.classifier.train_quality_classifier`)
+    and the top ``model_keep_frac`` of documents by model probability
+    survive (CCNet's "keep the head of the score distribution", rank
+    cutoff rather than absolute threshold so the gate is calibration-
+    free). Rank ties break on (rounded prob, doc_id), so the keep set is
+    deterministic across engines. The exact-rank cutoff sorts the
+    (doc_id, prob) projection — 16 bytes/doc; at extreme corpus sizes
+    swap in an approximate-quantile cutoff and gate on the score instead.
+
     Filtering a corpus is ``docs.join(curate(docs), "doc_id", "left_semi")``.
     """
-    passed = quality_score(docs, text_col=text_col).filter(
-        F.col("score") >= min_score
-    ).select("doc_id")
+    if model_target is not None:
+        from pyspark.sql.window import Window
+
+        from kafka_graphs_spark.pipeline.classifier import train_quality_classifier
+        from kafka_graphs_spark.pipeline.text import quality_score_linear
+
+        trained = {
+            r["feature"]: r["weight"]
+            for r in train_quality_classifier(
+                docs, model_target, n_iterations=model_iterations, lr=model_lr,
+                text_col=text_col,
+            ).collect()
+        }
+        scored = quality_score_linear(docs, weights=trained, text_col=text_col).select(
+            "doc_id", F.round("prob", 6).alias("_p6")
+        )
+        rank_w = Window.orderBy(F.desc("_p6"), F.asc("doc_id"))
+        all_w = Window.partitionBy()
+        passed = (
+            scored.withColumn("_rn", F.row_number().over(rank_w))
+            .withColumn("_n", F.count(F.lit(1)).over(all_w))
+            .filter(
+                F.col("_rn")
+                <= F.floor(F.col("_n") * F.lit(float(model_keep_frac)))
+            )
+            .select("doc_id")
+        )
+    else:
+        passed = quality_score(docs, text_col=text_col).filter(
+            F.col("score") >= min_score
+        ).select("doc_id")
     kept = docs.join(passed, on="doc_id", how="left_semi")
     if max_pii is not None:
         noisy = pii_stats(kept, text_col=text_col).filter(

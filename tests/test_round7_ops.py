@@ -895,3 +895,44 @@ class TestIncrementalWindowedPagerank:
         assert v2[3] > v2[2] > v2[1]
         # untouched ids keep their old value exactly (state was restored)
         assert v2[1] == v1[(0, 1)] and v2[2] == v1[(0, 2)]
+
+
+class TestCurateModelGate:
+    def test_model_gate_keeps_top_fraction_and_dedups(self, spark):
+        from kafka_graphs_spark.pipeline.curate import curate
+
+        # 6 long separable docs + 2 near-duplicates + 2 short docs
+        long_docs = [
+            (i, "s", " ".join(f"tok{i}x{j}" for j in range(60)) + " the and of")
+            for i in range(6)
+        ]
+        dups = [
+            (10, "s", "alpha beta gamma delta epsilon zeta eta theta " * 5),
+            (11, "s", "alpha beta gamma delta epsilon zeta eta theta " * 5 + "iota"),
+        ]
+        shorts = [(20, "s", "tiny one"), (21, "s", "tiny two")]
+        docs = _docs(spark, long_docs + dups + shorts)
+        kept = {
+            r["doc_id"]
+            for r in curate(
+                docs,
+                model_target=F.size(F.split("text", " ")) > 30,
+                model_keep_frac=0.8,
+                model_iterations=30,
+                model_lr=0.2,
+            ).collect()
+        }
+        # rank gate keeps floor(10*0.8)=8 docs: the shorts (lowest model
+        # prob — length feature separates) fall out
+        assert 20 not in kept and 21 not in kept
+        # near-dup pair resolved to its min id
+        assert 10 in kept and 11 not in kept
+        # all separable longs survive
+        assert all(i in kept for i in range(6))
+
+    def test_without_model_gate_unchanged(self, spark):
+        from kafka_graphs_spark.pipeline.curate import curate
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        a = sorted(r["doc_id"] for r in curate(docs).collect())
+        assert a  # heuristic path still functional after the refactor
