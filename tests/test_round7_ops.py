@@ -936,3 +936,59 @@ class TestCurateModelGate:
         docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
         a = sorted(r["doc_id"] for r in curate(docs).collect())
         assert a  # heuristic path still functional after the refactor
+
+
+class TestStreamingCurationGates:
+    def test_gopher_and_model_gates_run_on_streams(self, spark, tmp_path):
+        # the curation gates are narrow (zero-shuffle) expressions, so
+        # they apply unchanged to a readStream — the production shape:
+        # train the model in batch, score the firehose in streaming
+        from kafka_graphs_spark.pipeline.classifier import train_quality_classifier
+        from kafka_graphs_spark.pipeline.text import gopher_filter, quality_score_linear
+
+        rows = [
+            (i, "s", ("the and of that have with it be to " * 8 + f"u{i}"))
+            for i in range(6)
+        ] + [(10 + i, "s", f"tiny w{i}") for i in range(4)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        src = str(tmp_path / "docs")
+        docs.coalesce(2).write.parquet(src)
+        w = {
+            r["feature"]: r["weight"]
+            for r in train_quality_classifier(
+                docs, F.length("text") > 50, n_iterations=20, lr=0.2
+            ).collect()
+        }
+
+        stream = spark.readStream.schema(
+            "doc_id long, source string, text string"
+        ).parquet(src)
+        got_flags: list = []
+        got_scores: list = []
+        q1 = (
+            gopher_filter(stream)
+            .writeStream.foreachBatch(lambda df, _b: got_flags.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck1"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q1.awaitTermination(120)
+        q2 = (
+            quality_score_linear(stream, weights=w)
+            .writeStream.foreachBatch(lambda df, _b: got_scores.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(120)
+        batch_flags = {(r["doc_id"], r["keep"]) for r in gopher_filter(docs).collect()}
+        assert {(r["doc_id"], r["keep"]) for r in got_flags} == batch_flags
+        batch_scores = {
+            (r["doc_id"], r["prob"])
+            for r in quality_score_linear(docs, weights=w).collect()
+        }
+        assert {(r["doc_id"], r["prob"]) for r in got_scores} == batch_scores
