@@ -2540,6 +2540,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lr=0.05,
         )
 
+    def emb_hard_negatives(spark, sf):
+        # contrastive hard-negative mining: nearest wrong-label vectors
+        # per query — cosine_topk's broadcast shape with the label
+        # inequality pruning wrong-label scoring before the window
+        from kafka_graphs_spark.pipeline.similarity import hard_negatives
+
+        emb = datasets.load(spark, sf, "embeddings")
+        return hard_negatives(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
     def pipeline_curate_model(spark, sf):
         # curation with the TRAINED model gate replacing the heuristic
         # band gate: train in-engine, keep the top half by model
@@ -3252,6 +3261,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_select": doc_dsir_select,
         "doc_quality_train": doc_quality_train,
         "pipeline_curate_model": pipeline_curate_model,
+        "emb_hard_negatives": emb_hard_negatives,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -4784,6 +4794,21 @@ def oracle_sql() -> dict[str, str]:
                          list_dot_product(qv, cv)
                          / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
                   FROM q, c WHERE qid <> nid),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+            SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 5
+        """,
+        "emb_hard_negatives": """
+            WITH q AS (SELECT vec_id AS qid, label AS ql,
+                              embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS nid, label AS cl,
+                         embedding::DOUBLE[] AS cv FROM embeddings),
+            s AS (SELECT qid AS query_id, nid AS neighbor_id,
+                         list_dot_product(qv, cv)
+                         / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+                  FROM q, c WHERE qid <> nid AND ql <> cl),
             r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                                ORDER BY cos DESC, neighbor_id) AS rank FROM s)
             SELECT query_id, neighbor_id, round(cos, 6) AS cos, CAST(rank AS INTEGER) AS rank

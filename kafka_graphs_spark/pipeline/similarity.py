@@ -1188,3 +1188,53 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= top)
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(query_id, neighbor_id, cos, rank) — contrastive hard-negative
+    mining: for each query vector, the ``k`` most cosine-similar corpus
+    vectors carrying a DIFFERENT label. The standard dual-encoder /
+    embedding-training recipe (in-batch negatives are easy; the negatives
+    that matter are the nearest wrong-label ones).
+
+    Same execution shape as :func:`cosine_topk` — queries broadcast, the
+    corpus never shuffles, per-query top-k window, ties broken by
+    neighbor id; the label inequality rides the join condition so
+    wrong-label scoring is pruned before the window. Swap the scoring
+    stage for :func:`ivf_topk` at corpus sizes where brute force is the
+    bottleneck and verify the recall against this exact path.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(label_col).alias("_cl"),
+        F.col(vec_col).cast("array<double>").alias("cv"),
+    ).withColumn("cn", _norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_ql"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    ).withColumn("qn", _norm(F.col("qv")))
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("_ql") != F.col("_cl")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("cos"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
+    )

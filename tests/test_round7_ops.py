@@ -992,3 +992,39 @@ class TestStreamingCurationGates:
             for r in quality_score_linear(docs, weights=w).collect()
         }
         assert {(r["doc_id"], r["prob"]) for r in got_scores} == batch_scores
+
+
+class TestHardNegatives:
+    def test_nearest_wrong_label_only(self, spark):
+        from kafka_graphs_spark.pipeline.similarity import hard_negatives
+
+        # label 0 cluster near the x-axis, label 1 cluster near y-axis,
+        # one label-1 vector sitting INSIDE the label-0 cluster: it must
+        # be every label-0 query's #1 hard negative
+        rows = [
+            (0, [1.0, 0.0], 0),
+            (1, [0.99, 0.1], 0),
+            (2, [0.98, 0.15], 0),
+            (3, [0.0, 1.0], 1),
+            (4, [0.1, 0.99], 1),
+            (5, [0.97, 0.2], 1),  # the infiltrator
+        ]
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        )
+        out = hard_negatives(emb, emb.filter(F.col("vec_id") < 3), k=2)
+        got = {(r["query_id"], r["rank"]): r["neighbor_id"] for r in out.collect()}
+        assert got[(0, 1)] == 5 and got[(1, 1)] == 5 and got[(2, 1)] == 5
+        # and never a same-label neighbor
+        labels = {i: l for (i, _, l) in rows}
+        for (q, _), n in got.items():
+            assert labels[q] != labels[n]
+
+    def test_broadcast_no_corpus_shuffle(self, spark):
+        from kafka_graphs_spark.pipeline.similarity import hard_negatives
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        out = hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
