@@ -2526,6 +2526,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             datasets.load(spark, sf, "documents"), F.col("lang") == "en", 100
         )
 
+    def doc_dsir_external(spark, sf):
+        # DSIR with an EXTERNAL target corpus (the paper's real setup):
+        # the target distribution comes from a separate DataFrame — here
+        # the src1 slice standing in for a curated reference corpus —
+        # raw counts cover the whole scored corpus, target counts only
+        # the external frame
+        from kafka_graphs_spark.pipeline.sample import dsir_weights
+
+        docs = datasets.load(spark, sf, "documents")
+        return dsir_weights(docs, docs.filter(F.col("source") == "src1"))
+
     def doc_quality_train(spark, sf):
         # distributed logistic-regression trainer: 8 full-batch GD steps,
         # each ONE map-side-combined aggregation (gradient = 4 scalars);
@@ -3262,6 +3273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality_train": doc_quality_train,
         "pipeline_curate_model": pipeline_curate_model,
         "emb_hard_negatives": emb_hard_negatives,
+        "doc_dsir_external": doc_dsir_external,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -6026,6 +6038,43 @@ def oracle_sql() -> dict[str, str]:
                              ln((c_tgt + 0.5) / (ct + 4096.0))
                              - ln((c_raw + 0.5) / (cr + 4096.0)) AS lr
                       FROM pb, tot),
+            sc AS (SELECT df.doc_id,
+                          CAST(sum(cnt) AS BIGINT) AS n_feats,
+                          round(sum(cnt * lr), 6) AS weight
+                   FROM df JOIN model ON df.bucket = model.bucket
+                   GROUP BY 1)
+            SELECT d.doc_id,
+                   COALESCE(sc.n_feats, 0) AS n_feats,
+                   COALESCE(sc.weight, 0.0) AS weight
+            FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        """,
+        # DSIR, external-target flavor: raw counts over the whole corpus,
+        # target counts over the src1 frame only; scoring joins on the
+        # raw-present buckets (left), totals aggregate each side pre-join
+        "doc_dsir_external": f"""
+            WITH t AS (SELECT doc_id, source, {TOKS} AS toks FROM documents),
+            uni AS (SELECT doc_id, source, unnest(toks) AS f FROM t),
+            bi AS (SELECT doc_id, source,
+                          unnest(CASE WHEN len(toks) >= 2
+                               THEN list_transform(range(0, len(toks) - 1),
+                                                   i -> toks[i+1] || ' ' || toks[i+2])
+                               ELSE CAST([] AS VARCHAR[]) END) AS f
+                   FROM t),
+            feats AS (SELECT doc_id, source,
+                             ('0x' || substr(md5(f), 1, 8))::BIGINT % 8192 AS bucket
+                      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+            df AS (SELECT doc_id, source, bucket, count(*) AS cnt
+                   FROM feats GROUP BY 1, 2, 3),
+            rb AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_raw
+                   FROM df GROUP BY 1),
+            tb AS (SELECT bucket, CAST(sum(cnt) AS BIGINT) AS c_tgt
+                   FROM df WHERE source = 'src1' GROUP BY 1),
+            tot AS (SELECT (SELECT CAST(sum(c_raw) AS BIGINT) FROM rb) AS cr,
+                           (SELECT CAST(sum(c_tgt) AS BIGINT) FROM tb) AS ct),
+            model AS (SELECT rb.bucket,
+                             ln((COALESCE(tb.c_tgt, 0) + 0.5) / (ct + 4096.0))
+                             - ln((rb.c_raw + 0.5) / (cr + 4096.0)) AS lr
+                      FROM rb LEFT JOIN tb ON rb.bucket = tb.bucket, tot),
             sc AS (SELECT df.doc_id,
                           CAST(sum(cnt) AS BIGINT) AS n_feats,
                           round(sum(cnt * lr), 6) AS weight

@@ -396,7 +396,7 @@ def _dsir_features(docs: DataFrame, n_buckets: int, text_col: str) -> DataFrame:
 
 def dsir_weights(
     docs: DataFrame,
-    target: Column,
+    target,
     n_buckets: int = 8192,
     k_smooth: float = 0.5,
     text_col: str = "text",
@@ -410,9 +410,13 @@ def dsir_weights(
         weight(d) = Σ_b c_d(b) · [ ln p̂_tgt(b) − ln p̂_raw(b) ],
 
     with add-k smoothed bucket estimates p̂(b) = (c(b)+k)/(C+k·B).
-    ``target`` is a boolean Column over ``docs`` marking the
+    ``target`` is either a boolean Column over ``docs`` marking the
     target-domain subset (e.g. ``F.col("lang") == "en"`` or a
-    quality-classifier verdict).
+    quality-classifier verdict) or a separate DataFrame — the paper's
+    actual setup, where the target distribution comes from an EXTERNAL
+    high-quality corpus (Wikipedia/books) rather than a slice of the
+    corpus being scored. A DataFrame target needs the same
+    (doc_id, text) shape; its documents are never scored, only counted.
 
     Scale shape: the bucket log-ratio model is B-bounded (broadcast
     join); raw/target counts are one map-side-combined aggregation over
@@ -421,16 +425,34 @@ def dsir_weights(
     order-dependent float — rounded to 6 dp (repo precedent), ties in
     downstream selection break on doc_id.
     """
-    doc_feats = _dsir_features(docs, n_buckets, text_col).join(
-        docs.select("doc_id", target.alias("_tgt")), on="doc_id"
-    )
-    per_bucket = doc_feats.groupBy("bucket").agg(
-        F.sum("cnt").alias("c_raw"),
-        F.sum(F.when(F.col("_tgt"), F.col("cnt")).otherwise(F.lit(0))).alias("c_tgt"),
-    )
-    totals = per_bucket.agg(
-        F.sum("c_raw").alias("_C_raw"), F.sum("c_tgt").alias("_C_tgt")
-    )
+    doc_feats = _dsir_features(docs, n_buckets, text_col)
+    if isinstance(target, DataFrame):
+        raw_b = doc_feats.groupBy("bucket").agg(F.sum("cnt").alias("c_raw"))
+        tgt_b = _dsir_features(target, n_buckets, text_col).groupBy("bucket").agg(
+            F.sum("cnt").alias("c_tgt")
+        )
+        # scoring only needs buckets that occur in the scored corpus
+        # (left join); totals must still cover ALL target mass, so they
+        # aggregate each side before the join
+        per_bucket = raw_b.join(tgt_b, on="bucket", how="left").select(
+            "bucket", "c_raw", F.coalesce("c_tgt", F.lit(0).cast("long")).alias("c_tgt")
+        )
+        totals = raw_b.agg(F.sum("c_raw").alias("_C_raw")).crossJoin(
+            tgt_b.agg(F.sum("c_tgt").alias("_C_tgt"))
+        )
+    else:
+        flagged = doc_feats.join(
+            docs.select("doc_id", target.alias("_tgt")), on="doc_id"
+        )
+        per_bucket = flagged.groupBy("bucket").agg(
+            F.sum("cnt").alias("c_raw"),
+            F.sum(
+                F.when(F.col("_tgt"), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("c_tgt"),
+        )
+        totals = per_bucket.agg(
+            F.sum("c_raw").alias("_C_raw"), F.sum("c_tgt").alias("_C_tgt")
+        )
     kB = float(k_smooth) * n_buckets
     model = per_bucket.crossJoin(F.broadcast(totals)).select(
         "bucket",
@@ -456,7 +478,7 @@ def dsir_weights(
 
 def dsir_select(
     docs: DataFrame,
-    target: Column,
+    target,
     n: int,
     n_buckets: int = 8192,
     k_smooth: float = 0.5,

@@ -1028,3 +1028,22 @@ class TestHardNegatives:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BroadcastExchange" in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+class TestDsirExternalTarget:
+    def test_subset_frame_equals_column_predicate(self, spark):
+        # when the external target frame IS the predicate subset, both
+        # paths must produce identical weights (same counts, same model)
+        from kafka_graphs_spark.pipeline.sample import dsir_weights
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        via_col = sorted(
+            map(tuple, dsir_weights(docs, F.col("lang") == "en").collect())
+        )
+        via_frame = sorted(
+            map(
+                tuple,
+                dsir_weights(docs, docs.filter(F.col("lang") == "en")).collect(),
+            )
+        )
+        assert via_col == via_frame
