@@ -2486,6 +2486,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return event_transitions(datasets.load(spark, sf, "events"))
 
+    def ec_session_funnel(spark, sf):
+        # funnel scoped to 12h sessions (the testdata's inter-event gap
+        # is ~10h, so 30-min sessions are singletons): each step must
+        # convert within the SAME visit — sessionize + chained
+        # min-aggregations on the (user, session) key, exact integer us
+        from kafka_graphs_spark.pipeline.sessions import session_funnel
+
+        return session_funnel(datasets.load(spark, sf, "events"), gap_minutes=720)
+
+    def ec_path_ngrams(spark, sf):
+        # journey mining: top-20 most frequent 3-step event-type paths;
+        # lead() windows + map-side count, |types|^3-bounded output
+        from kafka_graphs_spark.pipeline.events import event_path_ngrams
+
+        return event_path_ngrams(datasets.load(spark, sf, "events"))
+
     def doc_gopher_filter(spark, sf):
         # document-level Gopher quality rules (Rae et al. 2021 §A1.1) as
         # per-row boolean flags + keep conjunction — zero shuffles, every
@@ -3266,6 +3282,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_range_join": ec_range_join,
         "ec_interval_join": ec_interval_join,
         "ec_transitions": ec_transitions,
+        "ec_path_ngrams": ec_path_ngrams,
+        "ec_session_funnel": ec_session_funnel,
         "doc_gopher_filter": doc_gopher_filter,
         "doc_ppl_buckets": doc_ppl_buckets,
         "doc_dsir_weights": doc_dsir_weights,
@@ -5920,6 +5938,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n AS DOUBLE) /
                        CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
             FROM agg
+        """,
+        "ec_session_funnel": """
+            WITH s AS (
+              SELECT user_id, event_type, epoch_us(ts) AS us,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          > 43200000000 THEN 1 ELSE 0 END AS brk,
+                     ts, event_id
+              FROM events),
+            s2 AS (SELECT user_id, event_type, us,
+                          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            AS session
+                   FROM s),
+            f1 AS (SELECT user_id, session, MIN(us) AS t FROM s2
+                   WHERE event_type = 'signup' GROUP BY 1, 2),
+            f2 AS (SELECT e.user_id, e.session, MIN(e.us) AS t
+                   FROM s2 e JOIN f1 ON e.user_id = f1.user_id
+                                    AND e.session = f1.session
+                   WHERE e.event_type = 'view' AND e.us >= f1.t
+                   GROUP BY 1, 2),
+            f3 AS (SELECT e.user_id, e.session, MIN(e.us) AS t
+                   FROM s2 e JOIN f2 ON e.user_id = f2.user_id
+                                    AND e.session = f2.session
+                   WHERE e.event_type = 'purchase' AND e.us >= f2.t
+                   GROUP BY 1, 2)
+            SELECT CAST(1 AS BIGINT) AS step, 'signup' AS event_type,
+                   CAST(count(*) AS BIGINT) AS n_sessions FROM f1
+            UNION ALL
+            SELECT 2, 'view', CAST(count(*) AS BIGINT) FROM f2
+            UNION ALL
+            SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM f3
+        """,
+        "ec_path_ngrams": """
+            WITH seq AS (
+                SELECT event_type AS t0,
+                       lead(event_type, 1) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS t1,
+                       lead(event_type, 2) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id) AS t2
+                FROM events
+            ),
+            agg AS (SELECT t0 || ' > ' || t1 || ' > ' || t2 AS path,
+                           CAST(count(*) AS BIGINT) AS n_occurrences
+                    FROM seq WHERE t2 IS NOT NULL GROUP BY 1),
+            rk AS (SELECT path, n_occurrences,
+                          CAST(row_number() OVER (ORDER BY n_occurrences DESC, path)
+                               AS BIGINT) AS rank
+                   FROM agg)
+            SELECT path, n_occurrences, rank FROM rk WHERE rank <= 20
         """,
         # document-level Gopher rules: every ratio is a division of exact
         # ints (same FP discipline as doc_quality); '…' spelled chr(8230)

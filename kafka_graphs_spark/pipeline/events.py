@@ -17,7 +17,7 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["json_props", "json_props_stats", "funnel", "retention_cohorts", "event_transitions"]
+__all__ = ["json_props", "json_props_stats", "funnel", "retention_cohorts", "event_transitions", "event_path_ngrams"]
 
 
 def json_props(
@@ -193,4 +193,44 @@ def event_transitions(
         "next_type",
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wp)).alias("p"),
+    )
+
+
+def event_path_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    k: int = 20,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """(path, n_occurrences, rank) — the ``k`` most frequent length-``n``
+    event-type sequences across all user histories (journey mining /
+    funnel discovery: :func:`funnel` checks a KNOWN sequence, this finds
+    the candidates).
+
+    One window pass per offset builds the n-gram via ``lead`` (time
+    order, id tie-break), then a map-side-combined count. The ranked
+    output is |event-types|^n-bounded — tiny regardless of corpus size —
+    so the final ordering window is safe; ties break on the path string
+    for determinism.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    cols = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, int(n))
+    ]
+    paths = events.select(
+        F.concat_ws(" > ", *cols).alias("path"),
+        cols[-1].isNotNull().alias("_full"),
+    ).filter(F.col("_full"))
+    agg = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences")
+    )
+    rk = Window.orderBy(F.desc("n_occurrences"), F.asc("path"))
+    return (
+        agg.withColumn("rank", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= k)
     )

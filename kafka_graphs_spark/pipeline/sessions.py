@@ -102,3 +102,46 @@ def session_stats(
         )
         .withColumn("duration_us", F.col("end_us") - F.col("start_us"))
     )
+
+
+def session_funnel(
+    events: DataFrame,
+    steps=("signup", "view", "purchase"),
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step, event_type, n_sessions) — strict ordered funnel scoped to
+    sessions: every step must happen in the SAME session, at or after
+    the previous step's first occurrence. The session-scoped variant of
+    :func:`~kafka_graphs_spark.pipeline.events.funnel` (which scopes to
+    the whole user history) — "did the user convert within one visit".
+
+    Shape: sessionize (one shuffle on the user key), then one chained
+    min-aggregation per step on the (user, session) key — map-side
+    combined, exact integer microseconds throughout.
+    """
+    s = sessionize(events, gap_minutes, user_col, ts_col)
+    us = _micros(s, ts_col)
+    base = s.select(
+        F.col(user_col).alias("_u"), F.col("session").alias("_s"),
+        F.col(type_col).alias("_t"), us.alias("_us"),
+    )
+    out = None
+    prev = None
+    for i, step_type in enumerate(steps, start=1):
+        cur = base.filter(F.col("_t") == step_type)
+        if prev is not None:
+            cur = cur.join(prev, on=["_u", "_s"]).filter(
+                F.col("_us") >= F.col("_pt")
+            )
+        reached = cur.groupBy("_u", "_s").agg(F.min("_us").alias("_pt"))
+        c = reached.agg(F.count(F.lit(1)).cast("long").alias("n_sessions")).select(
+            F.lit(i).cast("long").alias("step"),
+            F.lit(step_type).alias("event_type"),
+            "n_sessions",
+        )
+        out = c if out is None else out.unionByName(c)
+        prev = reached
+    return out

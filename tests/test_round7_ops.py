@@ -1047,3 +1047,48 @@ class TestDsirExternalTarget:
             )
         )
         assert via_col == via_frame
+
+
+class TestEventPathsAndSessionFunnel:
+    def test_path_ngrams_exact(self, spark):
+        import datetime as dt
+
+        from kafka_graphs_spark.pipeline.events import event_path_ngrams
+
+        t0 = dt.datetime(2024, 1, 1)
+        seq = [(1, "a"), (1, "b"), (1, "c"), (1, "a"), (1, "b"), (1, "c"),
+               (2, "a"), (2, "b"), (2, "c")]
+        rows = [(i, u, ty, t0 + dt.timedelta(minutes=i)) for i, (u, ty) in enumerate(seq)]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        got = {r["path"]: (r["n_occurrences"], r["rank"])
+               for r in event_path_ngrams(ev, n=3, k=10).collect()}
+        # 'a > b > c' occurs 3x (twice for u1, once for u2), the shifted
+        # windows once each
+        assert got["a > b > c"] == (3, 1)
+        assert got["b > c > a"][0] == 1 and got["c > a > b"][0] == 1
+        assert len(got) == 3
+
+    def test_session_funnel_scopes_to_visits(self, spark):
+        import datetime as dt
+
+        from kafka_graphs_spark.pipeline.sessions import session_funnel
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            # u1 session 0: full conversion within the session
+            (0, 1, "signup", t0),
+            (1, 1, "view", t0 + dt.timedelta(minutes=5)),
+            (2, 1, "purchase", t0 + dt.timedelta(minutes=10)),
+            # u2: signup, then view only after a 2h gap (NEW session) —
+            # converts across the user history but not within a visit
+            (3, 2, "signup", t0),
+            (4, 2, "view", t0 + dt.timedelta(hours=2)),
+        ]
+        ev = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        got = {r["step"]: r["n_sessions"]
+               for r in session_funnel(ev, gap_minutes=30).collect()}
+        assert got == {1: 2, 2: 1, 3: 1}
