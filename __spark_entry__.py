@@ -2542,6 +2542,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             datasets.load(spark, sf, "documents"), F.col("lang") == "en", 100
         )
 
+    def doc_token_budget(spark, sf):
+        # token-budgeted mixture draw: per-source md5-shuffled prefix
+        # kept while the exclusive token prefix-sum stays under 600 —
+        # budget sweeps are monotone (larger budget = superset)
+        from kafka_graphs_spark.pipeline.sample import token_budget_sample
+        from kafka_graphs_spark.pipeline.text import token_count
+
+        docs = datasets.load(spark, sf, "documents")
+        sized = docs.join(token_count(docs), on="doc_id")
+        kept = token_budget_sample(
+            sized, budget=600, length_col="n_tokens", strata_col="source"
+        )
+        return kept.select("doc_id", "source", F.col("n_tokens").cast("long").alias("n_tokens"))
+
     def doc_dsir_external(spark, sf):
         # DSIR with an EXTERNAL target corpus (the paper's real setup):
         # the target distribution comes from a separate DataFrame — here
@@ -3292,6 +3306,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate_model": pipeline_curate_model,
         "emb_hard_negatives": emb_hard_negatives,
         "doc_dsir_external": doc_dsir_external,
+        "doc_token_budget": doc_token_budget,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -6114,6 +6129,22 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(sc.n_feats, 0) AS n_feats,
                    COALESCE(sc.weight, 0.0) AS weight
             FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        """,
+        "doc_token_budget": f"""
+            WITH t AS (SELECT doc_id, source,
+                              CAST(len({TOKS}) AS BIGINT) AS n_tokens
+                       FROM documents),
+            o AS (SELECT doc_id, source, n_tokens,
+                         ('0x' || substr(md5(doc_id::VARCHAR || 'budget'), 1, 8))::BIGINT
+                             / 4294967296.0 AS frac
+                  FROM t),
+            p AS (SELECT doc_id, source, n_tokens,
+                         COALESCE(SUM(n_tokens) OVER (
+                             PARTITION BY source ORDER BY frac, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                         ), 0) AS prefix
+                  FROM o)
+            SELECT doc_id, source, n_tokens FROM p WHERE prefix < 600
         """,
         # DSIR, external-target flavor: raw counts over the whole corpus,
         # target counts over the src1 frame only; scoring joins on the

@@ -529,3 +529,41 @@ def dsir_select(
         .filter(F.col("_r") <= n)
         .drop("_r")
     )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    budget: int,
+    length_col: str,
+    strata_col: str,
+    key_col: str = "doc_id",
+    salt: str = "budget",
+) -> DataFrame:
+    """Keep a deterministic subset of each stratum totalling at most
+    ``budget`` length units (tokens) — the TOKEN-budgeted mixture draw
+    (pretraining mixes are specified in tokens per source, not document
+    counts; a doc-count sample over-weights strata with long documents).
+
+    Within each stratum, documents are laid out in md5-shuffled order
+    (seeded by ``salt`` — a stable, engine-portable permutation) and kept
+    while the exclusive prefix sum of ``length_col`` stays under
+    ``budget``: the first document of a stratum is always kept, and the
+    kept set is a prefix of the shuffled order, so re-running with a
+    LARGER budget strictly extends the sample (monotone — the property
+    that makes budget sweeps reproducible).
+
+    One shuffle on the stratum key; the window is a running sum (O(1)
+    state per task). Ties in the md5 draw break on ``key_col``.
+    """
+    order_frac = hash_fraction(F.col(key_col), salt)
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(order_frac, F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum(length_col).over(w), F.lit(0))
+    return (
+        docs.withColumn("_kgs_prefix", prefix)
+        .filter(F.col("_kgs_prefix") < F.lit(int(budget)))
+        .select(*docs.columns)
+    )

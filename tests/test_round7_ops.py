@@ -1092,3 +1092,31 @@ class TestEventPathsAndSessionFunnel:
         got = {r["step"]: r["n_sessions"]
                for r in session_funnel(ev, gap_minutes=30).collect()}
         assert got == {1: 2, 2: 1, 3: 1}
+
+
+class TestTokenBudgetSample:
+    def test_budget_binds_and_is_monotone(self, spark):
+        from kafka_graphs_spark.pipeline.sample import token_budget_sample
+
+        rows = [(i, f"s{i % 2}", "text") for i in range(20)]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        ).withColumn("n_tokens", F.lit(10))
+        small = {r["doc_id"] for r in token_budget_sample(
+            docs, 35, "n_tokens", "source").collect()}
+        big = {r["doc_id"] for r in token_budget_sample(
+            docs, 75, "n_tokens", "source").collect()}
+        # exclusive-prefix < budget: 4 docs of 10 tokens per stratum at 35
+        assert len(small) == 8 and len(big) == 16
+        # larger budget strictly extends the sample (same md5 order)
+        assert small < big
+
+    def test_first_doc_always_kept(self, spark):
+        from kafka_graphs_spark.pipeline.sample import token_budget_sample
+
+        docs = spark.createDataFrame(
+            [(1, "a", 1000), (2, "a", 1000)],
+            "doc_id long, source string, n_tokens int",
+        )
+        kept = token_budget_sample(docs, 5, "n_tokens", "source").collect()
+        assert len(kept) == 1  # exclusive prefix 0 < 5 keeps exactly one
