@@ -2123,6 +2123,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return final.select(epoch_start.alias("window_start"), "id", "value")
 
+    def ec_window_lp_incr(spark, sf):
+        # INCREMENTAL windowed LP: per-window edge-list state, the exact
+        # integer LP semantics replayed in-state — bit-identical to the
+        # batch run on ANY window content, so the ec_window_lp closed
+        # form is the oracle; labels only move up, final = MAX.
+        from pyspark.sql.window import Window
+
+        from kafka_graphs_spark.streaming import lp_windowed_incremental
+
+        ev = datasets.load(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        edges = (
+            ev.select(
+                "user_id", "event_id", "ts",
+                F.lag("event_id").over(w).alias("prev_id"),
+            )
+            .filter(F.col("prev_id").isNotNull())
+            .select(
+                F.col("prev_id").alias("src"),
+                F.col("event_id").alias("dst"),
+                F.col("ts").alias("event_time"),
+            )
+            .repartition(4)
+        )
+        out = _run_stateful_stream(
+            spark, edges,
+            lambda s: lp_windowed_incremental(s, "1 hour", max_iterations=10),
+            "src long, dst long, event_time timestamp_ntz",
+            "window_start timestamp_ntz, id long, label long",
+        )
+        final = out.groupBy("window_start", "id").agg(F.max("label").alias("label"))
+        start = F.col("window_start")
+        epoch_start = (
+            F.datediff(start.cast("date"), F.lit("1970-01-01").cast("date")).cast("long") * 86400
+            + F.hour(start).cast("long") * 3600
+        )
+        return final.select(epoch_start.alias("window_start"), "id", "label")
+
     def ec_window_triangles(spark, sf):
         # per-tumbling-window exact triangles over the hourly user
         # co-occurrence graph (users sharing an event_type that hour);
@@ -3151,6 +3189,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_window_wcc_incr": ec_window_wcc_incr,
         "ec_window_triangles_incr": ec_window_triangles_incr,
         "ec_window_pagerank_incr": ec_window_pagerank_incr,
+        "ec_window_lp_incr": ec_window_lp_incr,
         "ec_stateful_heavy": ec_stateful_heavy,
         # -- beyond slot 50: NEW round-7 motif pattern finder (never
         # scored — first in line for the r8 rotation) --
@@ -5170,6 +5209,39 @@ def oracle_sql() -> dict[str, str]:
             " CAST(0 AS BIGINT) AS concat_violations, true AS nonempty"
         ),
         "ec_window_lp": """
+            WITH ch AS (
+                SELECT user_id, event_id, ts,
+                       lag(event_id) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                       ) AS prev_id
+                FROM events
+            ),
+            ed AS (
+                SELECT user_id,
+                       epoch(date_trunc('hour', ts))::BIGINT AS ws,
+                       prev_id, event_id, ts,
+                       row_number() OVER (
+                           PARTITION BY user_id, date_trunc('hour', ts)
+                           ORDER BY ts, event_id
+                       ) AS rn
+                FROM ch WHERE prev_id IS NOT NULL
+            ),
+            verts AS (
+                SELECT user_id, ws, prev_id AS id, 0 AS ord
+                FROM ed WHERE rn = 1
+                UNION ALL
+                SELECT user_id, ws, event_id, rn FROM ed
+            )
+            SELECT ws AS window_start, id,
+                   MAX(id) OVER (
+                       PARTITION BY user_id, ws ORDER BY ord
+                       ROWS BETWEEN 10 PRECEDING AND CURRENT ROW
+                   ) AS label
+            FROM verts
+        """,
+        # the incremental variant replays the exact-integer LP in-state;
+        # emissions are bit-identical to the batch run, same closed form
+        "ec_window_lp_incr": """
             WITH ch AS (
                 SELECT user_id, event_id, ts,
                        lag(event_id) OVER (

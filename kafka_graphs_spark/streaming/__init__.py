@@ -24,6 +24,7 @@ from kafka_graphs_spark.streaming.library import (
     spanner_frame,
 )
 from kafka_graphs_spark.streaming.incremental import (
+    lp_windowed_incremental,
     pagerank_windowed_incremental,
     triangles_windowed_incremental,
     wcc_windowed_incremental,
@@ -52,6 +53,7 @@ __all__ = [
     "lp_windowed",
     "pagerank_windowed",
     "triangles_windowed",
+    "lp_windowed_incremental",
     "pagerank_windowed_incremental",
     "triangles_windowed_incremental",
     "wcc_windowed",

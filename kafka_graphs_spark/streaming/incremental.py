@@ -271,3 +271,78 @@ def pagerank_windowed_incremental(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def lp_windowed_incremental(
+    edges_stream: DataFrame,
+    window_duration: str,
+    max_iterations: int = 10,
+    event_time: str = "event_time",
+) -> DataFrame:
+    """Per-tumbling-window incremental label propagation → a stream of
+    (window_start, id, label) rows re-emitted for a window whenever new
+    or late edges arrive for it. Completes the incremental quartet
+    (WCC / triangles / PageRank / LP).
+
+    State per window: the edge list. Each micro-batch folds new edges in
+    and replays the reference LP semantics over the window's graph
+    (label = own id at init; per round every vertex sends its label
+    along OUT-edges, receivers adopt the (count, label)-argmax only when
+    it exceeds their current label; exactly ``max_iterations`` rounds).
+    All arithmetic is exact integers, so emissions are bit-identical to
+    the batch :func:`~kafka_graphs_spark.streaming.lp_windowed` run on
+    the same window content — on ANY graph, not just chains.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    keyed = edges_stream.select(
+        F.window(F.col(event_time), window_duration)["start"].alias("ws"),
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    ts_type = dict(keyed.dtypes)["ws"]  # NTZ-mirroring, see wcc variant
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            ss, dd = state.get
+            ss, dd = list(ss), list(dd)
+        else:
+            ss, dd = [], []
+        for pdf in pdfs:
+            ss.extend(int(x) for x in pdf["src"])
+            dd.extend(int(x) for x in pdf["dst"])
+        state.update((ss, dd))
+
+        verts = sorted(set(ss) | set(dd))
+        label = {v: v for v in verts}
+        for _ in range(int(max_iterations)):
+            counts: dict = {}
+            for s, d in zip(ss, dd):
+                k = (d, label[s])
+                counts[k] = counts.get(k, 0) + 1
+            best: dict = {}
+            for (d, lb), c in counts.items():
+                # (count, label) argmax — ties toward the LARGER label,
+                # the reference comparator
+                if d not in best or (c, lb) > best[d]:
+                    best[d] = (c, lb)
+            for d, (_, lb) in best.items():
+                if lb > label[d]:
+                    label[d] = lb
+        yield pd.DataFrame(
+            {
+                "window_start": [key[0]] * len(verts),
+                "id": verts,
+                "label": [label[v] for v in verts],
+            }
+        )
+
+    return keyed.groupBy("ws").applyInPandasWithState(
+        update,
+        outputStructType=f"window_start {ts_type}, id long, label long",
+        stateStructType="ss array<long>, dd array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1120,3 +1120,56 @@ class TestTokenBudgetSample:
         )
         kept = token_budget_sample(docs, 5, "n_tokens", "source").collect()
         assert len(kept) == 1  # exclusive prefix 0 < 5 keeps exactly one
+
+
+class TestIncrementalWindowedLp:
+    def test_bit_exact_batch_parity_on_general_graph(self, spark, tmp_path):
+        from kafka_graphs_spark.streaming import lp_windowed, lp_windowed_incremental
+
+        rows = [
+            (1, 2, "2026-01-01 00:05:00"),
+            (2, 3, "2026-01-01 00:10:00"),
+            (3, 1, "2026-01-01 00:20:00"),  # cycle
+            (9, 2, "2026-01-01 00:25:00"),  # high label feeding in
+            (5, 6, "2026-01-01 01:05:00"),
+        ]
+        src = str(tmp_path / "lp")
+        _write_edges_t(spark, rows, src)
+        out = _run_incr(
+            spark,
+            lambda s: lp_windowed_incremental(s, "1 hour", max_iterations=10),
+            src,
+            str(tmp_path / "cklp"),
+            EDGE_T_SCHEMA,
+        )
+        final = {}
+        for r in out:  # labels only move up -> final = max
+            k = (r["window_start"].hour, r["id"])
+            final[k] = max(final.get(k, -1), r["label"])
+        edges = spark.createDataFrame(
+            rows, "src long, dst long, event_time string"
+        ).withColumn("event_time", F.to_timestamp("event_time"))
+        batch = {
+            (r["window_start"].hour, r["id"]): r["label"]
+            for r in lp_windowed(edges, "1 hour", max_iterations=10).collect()
+        }
+        assert final == batch  # exact integers: == not approx
+
+    def test_late_edge_relabels_only_its_window(self, spark, tmp_path):
+        from kafka_graphs_spark.streaming import lp_windowed_incremental
+
+        src, ckpt = str(tmp_path / "e"), str(tmp_path / "ck")
+        _write_edges_t(spark, [
+            (1, 2, "2026-01-01 00:05:00"),
+            (7, 8, "2026-01-01 01:10:00"),
+        ], src)
+        op = lambda s: lp_windowed_incremental(s, "1 hour")
+        out1 = _run_incr(spark, op, src, ckpt, EDGE_T_SCHEMA)
+        v1 = {(r["window_start"].hour, r["id"]): r["label"] for r in out1}
+        assert v1[(0, 2)] == 2  # 1->2: label 1 not > 2, keeps own id
+        # late high-label source into window 0
+        _write_edges_t(spark, [(9, 1, "2026-01-01 00:20:00")], src)
+        out2 = _run_incr(spark, op, src, ckpt, EDGE_T_SCHEMA)
+        assert {r["window_start"].hour for r in out2} == {0}
+        v2 = {r["id"]: r["label"] for r in out2}
+        assert v2[1] == 9 and v2[2] == 9 and v2[9] == 9
