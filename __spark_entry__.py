@@ -1840,6 +1840,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return text.bm25_scores(docs, q, k=10).orderBy("query_id", "rank")
 
+    def doc_retrieval_metrics(spark, sf):
+        # retrieval eval harness: BM25 top-10 runs for queries drawn from
+        # seed docs (first 5 tokens of docs 0-2), scored against
+        # SAME-SOURCE qrels — relevance is orthogonal to term frequency,
+        # so nDCG@10 actually discriminates; sorted-fold DCG both engines
+        docs = datasets.load(spark, sf, "documents")
+        seed = docs.filter(F.col("doc_id") < 3).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(text.tokens(F.col("text")), 1, 5), " "
+            ).alias("query_text"),
+            "source",
+        )
+        ranked = text.bm25_scores(
+            docs, seed.select("query_id", "query_text"), k=10
+        )
+        rels = seed.select("query_id", "source").join(
+            docs.select("doc_id", "source"), on="source"
+        ).select("query_id", "doc_id")
+        return text.retrieval_metrics(ranked, rels, k=10)
+
     def doc_tfidf_pairs(spark, sf):
         # sparse TF-IDF cosine pairs via the token inverted index
         # (threshold 0.8: the tiny 31-token synthetic vocab makes docs
@@ -3346,6 +3367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_hard_negatives": emb_hard_negatives,
         "doc_dsir_external": doc_dsir_external,
         "doc_token_budget": doc_token_budget,
+        "doc_retrieval_metrics": doc_retrieval_metrics,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -5126,6 +5148,85 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
             ORDER BY query_id, rank
+        """,
+        # retrieval eval: BM25's run (same CTEs as doc_bm25, queries from
+        # seed docs) scored vs same-source qrels; DCG folds SORTED rank
+        # lists so the float accumulation order matches Spark's
+        # sorted-array aggregate
+        "doc_retrieval_metrics": f"""
+            WITH q AS (
+                SELECT doc_id AS query_id, source,
+                       array_to_string(({TOKS})[1:5], ' ') AS query_text
+                FROM documents WHERE doc_id < 3),
+            qt AS (
+                SELECT DISTINCT query_id,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(query_text), '[^a-z0-9]+'), x -> x <> ''))
+                           AS token
+                FROM q
+            ),
+            tok AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT token, count(DISTINCT doc_id) AS df
+                    FROM tok GROUP BY 1),
+            lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+            st AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                          (SELECT avg(dl) FROM lens) AS avgdl),
+            sc AS (
+                SELECT qt.query_id, tf.doc_id,
+                       ROUND(SUM(
+                           ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                           * (tf.tf::DOUBLE * 2.2)
+                           / (tf.tf::DOUBLE
+                              + 1.2 * (0.25 + 0.75 * lens.dl::DOUBLE
+                                       / st.avgdl))
+                       ), 6) AS score
+                FROM tf
+                JOIN qt USING (token)
+                JOIN dfq USING (token)
+                JOIN lens ON tf.doc_id = lens.doc_id, st
+                GROUP BY 1, 2
+            ),
+            r AS (
+                SELECT query_id, doc_id,
+                       CAST(row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+                FROM sc
+            ),
+            rk AS (SELECT query_id, doc_id, rank FROM r WHERE rank <= 10),
+            rel AS (
+                SELECT q.query_id, d.doc_id
+                FROM q JOIN documents d ON d.source = q.source
+            ),
+            nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+                   FROM rel GROUP BY 1),
+            pq AS (
+                SELECT rk.query_id,
+                       list_sort(list(rk.rank)
+                           FILTER (WHERE rel.doc_id IS NOT NULL)) AS rr,
+                       CAST(coalesce(SUM(CASE WHEN rel.doc_id IS NOT NULL
+                                         THEN 1 ELSE 0 END), 0) AS BIGINT) AS hits
+                FROM rk LEFT JOIN rel
+                  ON rk.query_id = rel.query_id AND rk.doc_id = rel.doc_id
+                GROUP BY 1
+            ),
+            m AS (
+                SELECT pq.query_id, nr.n_rel, pq.hits,
+                       COALESCE(list_sum(list_transform(
+                           coalesce(rr, CAST([] AS BIGINT[])),
+                           x -> 0.6931471805599453 / ln(x + 1.0))), 0.0) AS dcg,
+                       COALESCE(list_sum(list_transform(
+                           range(1, least(nr.n_rel, 10) + 1),
+                           x -> 0.6931471805599453 / ln(x + 1.0))), 0.0) AS idcg
+                FROM pq JOIN nr ON pq.query_id = nr.query_id
+            )
+            SELECT query_id, n_rel, hits,
+                   round(CAST(hits AS DOUBLE) / n_rel, 6) AS recall,
+                   round(dcg, 6) AS dcg,
+                   round(idcg, 6) AS idcg,
+                   round(CASE WHEN idcg > 0 THEN dcg / idcg ELSE 0.0 END, 6) AS ndcg
+            FROM m
         """,
         "doc_tfidf_pairs": f"""
             WITH tok AS (

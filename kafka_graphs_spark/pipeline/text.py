@@ -1006,3 +1006,71 @@ def perplexity_buckets(
         .otherwise(F.lit("middle"))
         .alias("band"),
     )
+
+
+#: ln(2) literal shared with the SQL oracles — nDCG discounts are
+#: expressed as ln(2)/ln(rank+1) with this exact constant on both engines
+LN2 = 0.6931471805599453
+
+
+def retrieval_metrics(
+    ranked: DataFrame,
+    rels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, n_rel, hits, recall, dcg, idcg, ndcg) — the standard
+    retrieval evaluation harness over any ranked run (``ranked``:
+    query_id, doc_id, rank; ``rels``: query_id, doc_id — binary
+    relevance): recall@k, DCG@k with the 1/log2(rank+1) discount, ideal
+    DCG over min(k, n_rel) positions, and their ratio nDCG@k.
+
+    Evaluates the retrieval stack's own output (BM25 / TF-IDF / RRF) —
+    the loop a retrieval pipeline tunes against. Determinism: both DCG
+    sums fold SORTED rank arrays left-to-right (per-query k-bounded), so
+    the float accumulation order is fixed across engines and
+    partitionings; queries absent from ``rels`` drop (inner join — no
+    relevant documents means the metric is undefined, not zero).
+    """
+    r = ranked.filter(F.col("rank") <= k)
+    flags = rels.select("query_id", "doc_id", F.lit(True).alias("_rel"))
+    per_q = (
+        r.join(flags, on=["query_id", "doc_id"], how="left")
+        .groupBy("query_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rel"), F.col("rank")))
+            ).alias("_rr"),
+            F.sum(F.when(F.col("_rel"), 1).otherwise(0)).cast("long").alias("hits"),
+        )
+    )
+    n_rel = rels.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+
+    def _fold(arr):
+        return F.aggregate(
+            arr,
+            F.lit(0.0),
+            lambda a, x: a + F.lit(LN2) / F.log(x.cast("double") + F.lit(1.0)),
+        )
+
+    ideal_n = F.least(F.col("n_rel"), F.lit(int(k)))
+    ideal_ranks = F.when(
+        ideal_n > 0, F.sequence(F.lit(1).cast("long"), ideal_n)
+    ).otherwise(F.array().cast("array<long>"))
+    dcg = _fold(F.col("_rr"))
+    idcg = _fold(ideal_ranks)
+    return (
+        per_q.join(n_rel, on="query_id")
+        .select(
+            "query_id",
+            "n_rel",
+            "hits",
+            F.round(F.col("hits").cast("double") / F.col("n_rel"), 6).alias("recall"),
+            F.round(dcg, 6).alias("dcg"),
+            F.round(idcg, 6).alias("idcg"),
+            F.round(
+                F.when(idcg > 0, dcg / idcg).otherwise(F.lit(0.0)), 6
+            ).alias("ndcg"),
+        )
+    )

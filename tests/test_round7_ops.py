@@ -1173,3 +1173,31 @@ class TestIncrementalWindowedLp:
         assert {r["window_start"].hour for r in out2} == {0}
         v2 = {r["id"]: r["label"] for r in out2}
         assert v2[1] == 9 and v2[2] == 9 and v2[9] == 9
+
+
+class TestRetrievalMetrics:
+    def test_hand_computed_ndcg(self, spark):
+        import math
+
+        from kafka_graphs_spark.pipeline.text import retrieval_metrics
+
+        ranked = spark.createDataFrame(
+            [(1, 10, 1), (1, 11, 2), (1, 12, 3), (2, 10, 1)],
+            "query_id long, doc_id long, rank long",
+        )
+        rels = spark.createDataFrame(
+            [(1, 10), (1, 12), (1, 99), (2, 50)],
+            "query_id long, doc_id long",
+        )
+        got = {r["query_id"]: r for r in retrieval_metrics(ranked, rels, k=3).collect()}
+        r1 = got[1]
+        assert r1["n_rel"] == 3 and r1["hits"] == 2
+        dcg = 1 / math.log2(2) + 1 / math.log2(4)  # relevant at ranks 1, 3
+        idcg = 1 / math.log2(2) + 1 / math.log2(3) + 1 / math.log2(4)
+        assert abs(r1["dcg"] - dcg) < 1e-6
+        assert abs(r1["idcg"] - idcg) < 1e-6
+        assert abs(r1["ndcg"] - dcg / idcg) < 1e-6
+        assert abs(r1["recall"] - 2 / 3) < 1e-6
+        # query 2: no relevant retrieved
+        r2 = got[2]
+        assert r2["hits"] == 0 and r2["dcg"] == 0.0 and r2["ndcg"] == 0.0
