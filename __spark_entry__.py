@@ -1840,6 +1840,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return text.bm25_scores(docs, q, k=10).orderBy("query_id", "rank")
 
+    def doc_blocklist(spark, sf):
+        # C4-style blocklist gate: exact token/n-gram occurrence counts
+        # per entry, hit list, keep flag — zero-shuffle per-row flags
+        from kafka_graphs_spark.pipeline.text import blocklist_filter
+
+        return blocklist_filter(
+            datasets.load(spark, sf, "documents"),
+            ["slow", "table scan", "big query"],
+        )
+
     def doc_retrieval_metrics(spark, sf):
         # retrieval eval harness: BM25 top-10 runs for queries drawn from
         # seed docs (first 5 tokens of docs 0-2), scored against
@@ -3368,6 +3378,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_external": doc_dsir_external,
         "doc_token_budget": doc_token_budget,
         "doc_retrieval_metrics": doc_retrieval_metrics,
+        "doc_blocklist": doc_blocklist,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -5148,6 +5159,29 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
             ORDER BY query_id, rank
+        """,
+        "doc_blocklist": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            bg AS (SELECT doc_id, toks,
+                       CASE WHEN len(toks) >= 2
+                            THEN list_transform(range(0, len(toks) - 1),
+                                                i -> toks[i+1] || ' ' || toks[i+2])
+                            ELSE CAST([] AS VARCHAR[]) END AS b2
+                   FROM t),
+            c AS (SELECT doc_id,
+                      len(list_filter(toks, x -> x = 'slow')) AS c0,
+                      len(list_filter(b2, x -> x = 'table scan')) AS c1,
+                      len(list_filter(b2, x -> x = 'big query')) AS c2
+                  FROM bg)
+            SELECT doc_id,
+                   CAST(c0 + c1 + c2 AS BIGINT) AS n_blocked,
+                   list_filter([
+                       CASE WHEN c0 > 0 THEN 'slow' END,
+                       CASE WHEN c1 > 0 THEN 'table scan' END,
+                       CASE WHEN c2 > 0 THEN 'big query' END
+                   ], x -> x IS NOT NULL) AS blocked_terms,
+                   (c0 + c1 + c2) = 0 AS keep
+            FROM c
         """,
         # retrieval eval: BM25's run (same CTEs as doc_bm25, queries from
         # seed docs) scored vs same-source qrels; DCG folds SORTED rank

@@ -1074,3 +1074,61 @@ def retrieval_metrics(
             ).alias("ndcg"),
         )
     )
+
+
+def blocklist_filter(
+    docs: DataFrame,
+    phrases,
+    text_col: str = "text",
+) -> DataFrame:
+    """(doc_id, n_blocked, blocked_terms, keep) — C4-style blocklist
+    gate: count occurrences of each blocklist entry (matched on the
+    normalized token stream, so punctuation/case never hides a hit),
+    list the distinct terms that hit, and flag ``keep`` = no hits.
+
+    Single-word entries match tokens; multi-word entries match
+    consecutive token runs (overlapping occurrences all count — exact
+    n-gram equality, no substring tricks). Pure per-row array
+    expressions — zero shuffles, scan-speed like :func:`gopher_filter`;
+    the blocklist is compiled into the plan (fine for the typical
+    hundreds-of-terms list; for very large lists join a broadcast table
+    instead). Rows are never dropped — emit flags, keep rejects
+    auditable.
+    """
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    counts = []
+    for p in phrases:
+        norm = " ".join(str(p).lower().split())
+        words = norm.split()
+        k = len(words)
+        if k == 1:
+            c = F.size(F.filter(toks, lambda x: x == F.lit(norm)))
+        else:
+            ngr = F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(toks, i + j) for j in range(k)]
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+            c = F.size(F.filter(ngr, lambda x: x == F.lit(norm)))
+        counts.append((norm, c.cast("long")))
+    total = None
+    for _, c in counts:
+        total = c if total is None else total + c
+    hit_terms = F.filter(
+        F.array(*[
+            F.when(c > 0, F.lit(norm)).otherwise(F.lit(None))
+            for norm, c in counts
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    return docs.select(
+        "doc_id",
+        F.coalesce(total, F.lit(0).cast("long")).alias("n_blocked"),
+        hit_terms.alias("blocked_terms"),
+        (F.coalesce(total, F.lit(0).cast("long")) == 0).alias("keep"),
+    )

@@ -1201,3 +1201,32 @@ class TestRetrievalMetrics:
         # query 2: no relevant retrieved
         r2 = got[2]
         assert r2["hits"] == 0 and r2["dcg"] == 0.0 and r2["ndcg"] == 0.0
+
+
+class TestBlocklistFilter:
+    def test_exact_counts_including_overlaps(self, spark):
+        from kafka_graphs_spark.pipeline.text import blocklist_filter
+
+        docs = _docs(spark, [
+            (0, "s", "bad Bad, bad-thing good"),       # token 'bad' x3
+            (1, "s", "very bad thing bad thing here"), # 'bad thing' x2
+            (2, "s", "all clean words only"),
+        ])
+        got = {r["doc_id"]: r for r in blocklist_filter(
+            docs, ["bad", "bad thing"]).collect()}
+        # doc 0: 'bad' 3x ('bad-thing' tokenizes to bad, thing -> also a
+        # 'bad thing' bigram!) -> 3 + 1
+        assert got[0]["n_blocked"] == 4
+        assert got[0]["blocked_terms"] == ["bad", "bad thing"]
+        assert not got[0]["keep"]
+        assert got[1]["n_blocked"] == 2 + 2  # 'bad' twice, bigram twice
+        assert got[2]["keep"] and got[2]["n_blocked"] == 0
+        assert got[2]["blocked_terms"] == []
+
+    def test_zero_shuffle_plan(self, spark):
+        from kafka_graphs_spark.pipeline.text import blocklist_filter
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = blocklist_filter(docs, ["slow", "table scan"])._jdf \
+            .queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "BatchEvalPython" not in plan
