@@ -38,6 +38,7 @@ def curate(
     model_keep_frac: float = 0.5,
     model_iterations: int = 8,
     model_lr: float = 0.05,
+    blocklist=None,
 ) -> DataFrame:
     """(doc_id) — documents that pass the quality gate, are not
     benchmark-contaminated (when ``benchmark`` is given), pass the
@@ -53,6 +54,11 @@ def curate(
     boilerplate/mirror gate. All gates are pre-dedup: they shrink the
     pair-generation input, so adding them makes the expensive stage
     cheaper, never slower.
+
+    ``blocklist``: when given (a list of words/phrases), documents with
+    ANY blocklist hit (:func:`~kafka_graphs_spark.pipeline.text.blocklist_filter`)
+    are dropped before dedup — the C4 badwords gate, applied pre-dedup
+    like every other gate so it shrinks pair generation.
 
     ``model_target``: when given (a boolean Column over ``docs``), the
     heuristic band gate is REPLACED by a model gate — a quality
@@ -100,6 +106,13 @@ def curate(
             F.col("score") >= min_score
         ).select("doc_id")
     kept = docs.join(passed, on="doc_id", how="left_semi")
+    if blocklist:
+        from kafka_graphs_spark.pipeline.text import blocklist_filter
+
+        blocked = blocklist_filter(kept, blocklist, text_col=text_col).filter(
+            ~F.col("keep")
+        ).select("doc_id")
+        kept = kept.join(blocked, on="doc_id", how="left_anti")
     if max_pii is not None:
         noisy = pii_stats(kept, text_col=text_col).filter(
             F.col("n_pii") > max_pii

@@ -1230,3 +1230,26 @@ class TestBlocklistFilter:
         plan = blocklist_filter(docs, ["slow", "table scan"])._jdf \
             .queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
+def test_curate_blocklist_gate(spark):
+    from kafka_graphs_spark.pipeline.curate import curate
+
+    good = " ".join(
+        f"the alpha{i} bravo{i} charlie{i} delta{i} echo{i}" for i in range(8)
+    )
+    rows = [
+        (0, "s", good),
+        (1, "s", good + " forbidden term here"),
+        (2, "s", good.replace("alpha0", "alpha99")),
+    ]
+    docs = _docs(spark, rows)
+    base = {r["doc_id"] for r in curate(docs, jaccard_threshold=0.99).collect()}
+    gated = {
+        r["doc_id"]
+        for r in curate(
+            docs, jaccard_threshold=0.99, blocklist=["forbidden term"]
+        ).collect()
+    }
+    assert 1 in base and 1 not in gated
+    assert gated == base - {1}
