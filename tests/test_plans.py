@@ -535,3 +535,58 @@ class TestTemporalPathPlans:
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestRound7AdditionPlans:
+    """Scale disciplines of the round-7 curation/event/retrieval tier."""
+
+    def test_ppl_buckets_window_partitioned_by_source(self, spark, docs):
+        from kafka_graphs_spark.pipeline.text import perplexity_buckets
+
+        plan = executed_plan(perplexity_buckets(docs))
+        # the ntile window must partition by source (widest window = one
+        # group, never the corpus) and stay Python-free
+        assert "windowspecdefinition(source" in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_token_budget_window_partitioned_by_stratum(self, spark, docs):
+        from kafka_graphs_spark.pipeline.sample import token_budget_sample
+        from kafka_graphs_spark.pipeline.text import token_count
+
+        sized = docs.join(token_count(docs), on="doc_id")
+        plan = executed_plan(
+            token_budget_sample(sized, 600, "n_tokens", "source")
+        )
+        assert "windowspecdefinition(source" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_event_transitions_single_user_shuffle(self, spark):
+        from kafka_graphs_spark.pipeline.events import event_transitions
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        plan = executed_plan(event_transitions(ev))
+        # one shuffle keys the lead() window on user_id; the pair count
+        # combines map-side (partial_count before the exchange)
+        assert plan.count("Exchange hashpartitioning(user_id") == 1
+        assert "partial_count" in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_session_funnel_no_nested_loops(self, spark):
+        from kafka_graphs_spark.pipeline.sessions import session_funnel
+
+        ev = spark.read.parquet(f"{SF}/events.parquet")
+        plan = executed_plan(session_funnel(ev, gap_minutes=720))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_retrieval_metrics_kbounded_no_python(self, spark, docs):
+        from kafka_graphs_spark.pipeline.text import bm25_scores, retrieval_metrics
+
+        q = spark.createDataFrame(
+            [(0, "hash join shuffle")], "query_id long, query_text string"
+        )
+        ranked = bm25_scores(docs, q, k=10)
+        rels = docs.select(F.lit(0).cast("long").alias("query_id"), "doc_id")
+        plan = executed_plan(retrieval_metrics(ranked, rels, k=10))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
