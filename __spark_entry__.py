@@ -1312,6 +1312,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _ec_graph(spark, sf), src_vertex_id=src, max_iterations=5
         ).select("id", "value")
 
+    def ec_ppr_multi(spark, sf):
+        # multi-seed personalized PageRank: ALL 3 seeds in ONE
+        # distributed run over struct (seed, vid) keys — no per-seed
+        # jobs; per-seed semantics identical to ec_ppr5's recurrence
+        from kafka_graphs_spark.library import ppr_multi
+
+        seeds = datasets.chain_sources(spark, sf, 3)
+        return ppr_multi(
+            _ec_graph(spark, sf), seeds, max_iterations=5
+        ).select("id", "seed", "value")
+
     # ---- streaming tier (single-pass summaries; VERDICT r01 #4) ----
 
     def ec_stream_wcc(spark, sf):
@@ -3379,6 +3390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_budget": doc_token_budget,
         "doc_retrieval_metrics": doc_retrieval_metrics,
         "doc_blocklist": doc_blocklist,
+        "ec_ppr_multi": ec_ppr_multi,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -4977,6 +4989,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT pos.event_id AS id, coalesce(pr.r, 0.0) AS value
             FROM pos CROSS JOIN mu LEFT JOIN pr
               ON pr.d = pos.rn AND pos.user_id = mu.mu
+        """,
+        # multi-seed PPR: per seed, value = 0.85^position along the
+        # seed's own chain (seeds are the 3 smallest users' first
+        # events), 0 everywhere else — ec_ppr5's closed form per seed
+        "ec_ppr_multi": f"""
+            WITH RECURSIVE pr(d, r) AS (
+                SELECT 0, CAST(1.0 AS DOUBLE)
+                UNION ALL SELECT d + 1, CAST(0.85 AS DOUBLE) * r FROM pr WHERE d < 4
+            ),
+            pos AS ({EC_POS}),
+            su AS (SELECT user_id, event_id AS seed FROM pos
+                   WHERE rn = 0 ORDER BY user_id LIMIT 3)
+            SELECT pos.event_id AS id, su.seed AS seed,
+                   coalesce(pr.r, 0.0) AS value
+            FROM pos CROSS JOIN su LEFT JOIN pr
+              ON pr.d = pos.rn AND pos.user_id = su.user_id
         """,
         # streaming DisjointSet components == batch wcc restricted to
         # vertices that appear in an edge (users with ≥ 2 events)

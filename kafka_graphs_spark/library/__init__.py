@@ -38,7 +38,7 @@ from kafka_graphs_spark.library.components import (
     modularity,
 )
 from kafka_graphs_spark.library.louvain import louvain
-from kafka_graphs_spark.library.pagerank import pagerank
+from kafka_graphs_spark.library.pagerank import pagerank, ppr_multi
 from kafka_graphs_spark.library.paths import (
     bfs,
     mssp,
@@ -88,6 +88,7 @@ __all__ = [
     "conductance",
     "label_propagation",
     "pagerank",
+    "ppr_multi",
     "local_clustering_coefficient",
     "local_clustering_coefficient_pregel",
     "edge_count",

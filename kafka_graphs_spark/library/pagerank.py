@@ -38,6 +38,7 @@ def pagerank(
     src_vertex_id=None,
     max_iterations: int = 20,
     weighted: bool = False,
+    src_condition=None,
 ) -> DataFrame:
     """Returns (id, rank double, delta double) after the delta iteration.
 
@@ -51,7 +52,10 @@ def pagerank(
     silently, so the caller owns that contract (documented, not probed:
     a validation pass would cost a full scan per call).
     """
-    personalized = src_vertex_id is not None
+    # src_condition (beyond-reference): an arbitrary boolean Column over
+    # ``id`` marking the personalization source(s) — lets struct-keyed
+    # callers (ppr_multi) seed per-key sources where a literal id can't
+    personalized = src_vertex_id is not None or src_condition is not None
     init_msg = 0.0 if personalized else reset_probability / (1.0 - reset_probability)
     damp = 1.0 - reset_probability
 
@@ -80,7 +84,12 @@ def pagerank(
         "id",
         F.lit(0.0).alias("rank"),
         (
-            F.when(F.col("id") == src_vertex_id, F.lit(-INF)).otherwise(F.lit(0.0))
+            F.when(
+                src_condition
+                if src_condition is not None
+                else (F.col("id") == src_vertex_id),
+                F.lit(-INF),
+            ).otherwise(F.lit(0.0))
             if personalized
             else F.lit(0.0)
         ).alias("delta"),
@@ -142,4 +151,56 @@ def _pagerank_loop(loop, state, edges_w, init_msg, damp, tolerance, max_iteratio
         )
     return state.select("id", F.col("rank").alias("value"), "delta").localCheckpoint(
         eager=True
+    )
+
+
+def ppr_multi(
+    graph: Graph,
+    seeds,
+    tolerance: float = 0.0001,
+    reset_probability: float = 0.15,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(id, seed, value, delta) — personalized PageRank from EVERY seed in
+    ONE distributed run (the mssp batching trick applied to PPR): the
+    vertex key becomes struct(seed, vid), edges replicate per seed, and
+    the single delta iteration relaxes all personalizations at once —
+    no per-seed job submission, no driver loop over seeds.
+
+    Beyond-reference (PageRank.java personalizes one source per run).
+    Cost: |edges| x |seeds| message rows — batch seeds in groups sized to
+    the cluster; the alternative (per-seed jobs) pays the full scheduling
+    and scan cost per seed instead. Semantics per seed are IDENTICAL to
+    ``pagerank(src_vertex_id=seed)`` (same recurrence, struct keys
+    compare seed-first so personalizations never mix).
+    """
+    seeds = list(seeds)
+    if not seeds:
+        raise ValueError("ppr_multi needs at least one seed")
+    seed_arr = F.array(*[F.lit(s) for s in seeds])
+    e = graph.edges.select(
+        F.explode(seed_arr).alias("_seed"), "src", "dst", "value"
+    ).select(
+        F.struct(F.col("_seed").alias("seed"), F.col("src").alias("vid")).alias("src"),
+        F.struct(F.col("_seed").alias("seed"), F.col("dst").alias("vid")).alias("dst"),
+        "value",
+    )
+    v = graph.vertices.select(
+        F.explode(seed_arr).alias("_seed"), "id"
+    ).select(
+        F.struct(F.col("_seed").alias("seed"), F.col("id").alias("vid")).alias("id"),
+        F.lit(0.0).alias("value"),
+    )
+    out = pagerank(
+        Graph(v, e),
+        tolerance=tolerance,
+        reset_probability=reset_probability,
+        max_iterations=max_iterations,
+        src_condition=F.col("id.vid") == F.col("id.seed"),
+    )
+    return out.select(
+        F.col("id.vid").alias("id"),
+        F.col("id.seed").alias("seed"),
+        "value",
+        "delta",
     )

@@ -1253,3 +1253,28 @@ def test_curate_blocklist_gate(spark):
     }
     assert 1 in base and 1 not in gated
     assert gated == base - {1}
+
+
+class TestPprMulti:
+    def test_each_seed_matches_single_source_run(self, spark):
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import pagerank, ppr_multi
+
+        e = spark.createDataFrame(
+            [(1, 2, 1.0), (2, 3, 1.0), (3, 1, 1.0), (2, 4, 1.0), (4, 5, 1.0)],
+            "src long, dst long, value double",
+        )
+        g = Graph.from_edges(e, F.lit(0.0))
+        multi = ppr_multi(g, [1, 4], max_iterations=6)
+        for seed in (1, 4):
+            got = {
+                r["id"]: r["value"]
+                for r in multi.filter(F.col("seed") == seed).collect()
+            }
+            want = {
+                r["id"]: r["value"]
+                for r in pagerank(
+                    g, src_vertex_id=seed, max_iterations=6
+                ).collect()
+            }
+            assert got == want  # identical recurrence -> exact equality
