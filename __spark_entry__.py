@@ -2945,6 +2945,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return reciprocity(_ec_graph(spark, sf))
 
+    def hier_assortativity(spark, sf):
+        # Newman degree assortativity over the hierarchy graph — exact
+        # integer sums, DECIMAL(38) cross products, ONE float division
+        from kafka_graphs_spark.datasets import hierarchy_graph
+        from kafka_graphs_spark.library import degree_assortativity
+
+        return degree_assortativity(hierarchy_graph(spark, sf))
+
     def emb_knn_wcc(spark, sf):
         # cross-tier composite: nearest-neighbor graph of the embedding
         # table -> WCC clusters (138 components at sf0.01) — verified by a
@@ -3391,6 +3399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_retrieval_metrics": doc_retrieval_metrics,
         "doc_blocklist": doc_blocklist,
         "ec_ppr_multi": ec_ppr_multi,
+        "hier_assortativity": hier_assortativity,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -4609,6 +4618,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id AS id,
                    round(CASE WHEN rn = p THEN (n / nt) / wn ELSE 0.0 END, 6) AS value
             FROM nxt, n, nt, p WHERE wn IS NOT NULL
+        """,
+        # Newman assortativity: exact HUGEINT sums over the symmetrized
+        # simple edges, one double division — r collapses to
+        # (n·Σxy − (Σx)²)/(n·Σxx − (Σx)²) because the marginals coincide
+        "hier_assortativity": f"""
+            {HIER_UND},
+            p AS (SELECT dv.d AS dx, du.d AS dy
+                  FROM und JOIN deg dv ON dv.src = und.src
+                           JOIN deg du ON du.src = und.dst),
+            s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(dx) AS HUGEINT) AS sx,
+                         CAST(sum(dx * dx) AS HUGEINT) AS sxx,
+                         CAST(sum(dx * dy) AS HUGEINT) AS sxy
+                  FROM p)
+            SELECT CAST(n // 2 AS BIGINT) AS n_und_edges,
+                   round(CASE WHEN n * sxx - sx * sx <> 0
+                              THEN CAST(n * sxy - sx * sx AS DOUBLE)
+                                   / CAST(n * sxx - sx * sx AS DOUBLE)
+                              ELSE 0.0 END, 6) AS assortativity
+            FROM s
         """,
         "hier_jaccard": f"""
             {HIER_UND},

@@ -18,6 +18,7 @@ from kafka_graphs_spark.library.basic import (
     transitivity,
     avg_neighbor_degree,
     ppmi,
+    degree_assortativity,
     reciprocity,
     rich_club,
     triangle_motif_census,
@@ -101,6 +102,7 @@ __all__ = [
     "degree_histogram",
     "transitivity",
     "avg_neighbor_degree",
+    "degree_assortativity",
     "reciprocity",
     "vertex_count",
     "reverse_edges",

@@ -510,3 +510,54 @@ def rich_club(graph: Graph) -> "DataFrame":
             ).alias("phi"),
         )
     )
+
+
+def degree_assortativity(graph: Graph) -> "DataFrame":
+    """One row (n_und_edges, assortativity) — Newman's degree
+    assortativity coefficient r: the Pearson correlation between the
+    degrees at the two ends of an edge, computed over the symmetrized
+    simple edge list (both orientations, which makes the x/y marginals
+    equal and the classic formula collapse to
+    ``r = (n·Σxy − (Σx)²) / (n·Σxx − (Σx)²)``).
+
+    All Σ terms are exact integer aggregations (degrees are ints), and
+    the two cross products run in DECIMAL(38,0) — n·Σxy overflows a
+    64-bit long on large graphs — so the ONLY float op is the final
+    division: bit-identical across engines and partitionings. Map-side
+    combined degree count + one degree join per endpoint + one scalar
+    aggregate; regular graphs (zero variance) score 0.0 by convention.
+    """
+    from kafka_graphs_spark.library.components import _undirected_simple_edges
+
+    und = _undirected_simple_edges(graph.edges)
+    deg = und.groupBy(F.col("src").alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_d")
+    )
+    pairs = (
+        und.join(deg.select(F.col("_v").alias("src"), F.col("_d").alias("dx")), on="src")
+        .join(deg.select(F.col("_v").alias("dst"), F.col("_d").alias("dy")), on="dst")
+    )
+    sums = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+    )
+    dec = "decimal(38,0)"
+    numer = (
+        F.col("n").cast(dec) * F.col("sxy").cast(dec)
+        - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    )
+    denom = (
+        F.col("n").cast(dec) * F.col("sxx").cast(dec)
+        - F.col("sx").cast(dec) * F.col("sx").cast(dec)
+    )
+    return sums.select(
+        (F.col("n") / F.lit(2)).cast("long").alias("n_und_edges"),
+        F.round(
+            F.when(
+                denom != 0, numer.cast("double") / denom.cast("double")
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("assortativity"),
+    )

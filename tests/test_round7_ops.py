@@ -1278,3 +1278,42 @@ class TestPprMulti:
                 ).collect()
             }
             assert got == want  # identical recurrence -> exact equality
+
+
+class TestAssortativity:
+    def test_star_is_maximally_disassortative(self, spark):
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import degree_assortativity
+
+        e = spark.createDataFrame(
+            [(0, i, 1.0) for i in range(1, 6)], "src long, dst long, value double"
+        )
+        row = degree_assortativity(Graph.from_edges(e, F.lit(0.0))).collect()[0]
+        assert row["n_und_edges"] == 5
+        assert row["assortativity"] == -1.0  # hub-leaf only: perfect anticorrelation
+
+    def test_regular_graph_zero_by_convention(self, spark):
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import degree_assortativity
+
+        # 4-cycle: every degree 2 -> zero variance -> convention 0.0
+        e = spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0), (3, 0, 1.0)],
+            "src long, dst long, value double",
+        )
+        row = degree_assortativity(Graph.from_edges(e, F.lit(0.0))).collect()[0]
+        assert row["assortativity"] == 0.0
+
+    def test_matches_networkx_formula_by_hand(self, spark):
+        from kafka_graphs_spark import Graph
+        from kafka_graphs_spark.library import degree_assortativity
+
+        # path graph 0-1-2-3: degrees 1,2,2,1
+        e = spark.createDataFrame(
+            [(0, 1, 1.0), (1, 2, 1.0), (2, 3, 1.0)],
+            "src long, dst long, value double",
+        )
+        row = degree_assortativity(Graph.from_edges(e, F.lit(0.0))).collect()[0]
+        # directed pairs (dx,dy): (1,2),(2,1),(2,2),(2,2),(2,1),(1,2)
+        # n=6 sx=10 sxx=18 sxy=16 -> r=(96-100)/(108-100)=-0.5
+        assert row["assortativity"] == -0.5
