@@ -160,6 +160,7 @@ def ppr_multi(
     tolerance: float = 0.0001,
     reset_probability: float = 0.15,
     max_iterations: int = 20,
+    weighted: bool = False,
 ) -> DataFrame:
     """(id, seed, value, delta) — personalized PageRank from EVERY seed in
     ONE distributed run (the mssp batching trick applied to PPR): the
@@ -196,6 +197,7 @@ def ppr_multi(
         tolerance=tolerance,
         reset_probability=reset_probability,
         max_iterations=max_iterations,
+        weighted=weighted,
         src_condition=F.col("id.vid") == F.col("id.seed"),
     )
     return out.select(
