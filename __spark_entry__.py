@@ -1851,6 +1851,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return text.bm25_scores(docs, q, k=10).orderBy("query_id", "rank")
 
+    def dedup_containment(spark, sf):
+        # asymmetric near-duplication (Broder containment |A∩B|/|A|):
+        # catches excerpts/quotes symmetric Jaccard misses; inverted-
+        # index equi-join, exact-integer division
+        from kafka_graphs_spark.pipeline.dedup import containment_pairs
+
+        return containment_pairs(
+            datasets.load(spark, sf, "documents"), threshold=0.8
+        )
+
     def doc_blocklist(spark, sf):
         # C4-style blocklist gate: exact token/n-gram occurrence counts
         # per entry, hit list, keep flag — zero-shuffle per-row flags
@@ -3400,6 +3410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_blocklist": doc_blocklist,
         "ec_ppr_multi": ec_ppr_multi,
         "hier_assortativity": hier_assortativity,
+        "dedup_containment": dedup_containment,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -5216,6 +5227,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
             ORDER BY query_id, rank
+        """,
+        "dedup_containment": f"""
+            WITH sh AS ({SHINGLES}),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            i AS (SELECT a.doc_id AS doc_inner, b.doc_id AS doc_outer,
+                         count(*) AS i
+                  FROM sh a JOIN sh b
+                    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+                  GROUP BY 1, 2)
+            SELECT doc_inner, doc_outer,
+                   CAST(i.i AS DOUBLE) / sz.sz AS containment
+            FROM i JOIN sz ON sz.doc_id = i.doc_inner
+            WHERE CAST(i.i AS DOUBLE) / sz.sz >= 0.8
         """,
         "doc_blocklist": f"""
             WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),

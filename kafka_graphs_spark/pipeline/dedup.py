@@ -663,3 +663,47 @@ def minhash_jaccard_estimate(
             (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard"),
         )
     )
+
+
+def containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8, text_col: str = "text"
+) -> DataFrame:
+    """(doc_inner, doc_outer, containment) — ASYMMETRIC near-duplication:
+    pairs where the fraction of doc_inner's n-gram shingles that also
+    appear in doc_outer is >= threshold (Broder's containment,
+    |A∩B|/|A|). Catches what symmetric Jaccard structurally cannot: a
+    short document quoted or excerpted inside a much longer one scores
+    containment ~1 while its Jaccard stays near |A|/|B| ~ 0 — the
+    quote/mirror/boilerplate-inclusion case in corpus dedup.
+
+    Same inverted-index self-join shape as :func:`ngram_jaccard_pairs`
+    (shingle equi-join, never all-pairs); both directions of every
+    intersecting pair are evaluated and only the qualifying direction(s)
+    emit. The score is one exact-integer division — bit-identical across
+    engines, no rounding.
+    """
+    sh = shingles(docs, n=n, text_col=text_col).persist()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("doc_inner"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_outer"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("doc_inner") != F.col("doc_outer"))
+        .groupBy("doc_inner", "doc_outer")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_inner").withColumnRenamed("sz", "sz_in"),
+            on="doc_inner",
+        )
+        .select(
+            "doc_inner",
+            "doc_outer",
+            (F.col("inter").cast("double") / F.col("sz_in")).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+    result = out.localCheckpoint(eager=True)
+    sh.unpersist()
+    return result

@@ -1317,3 +1317,24 @@ class TestAssortativity:
         # directed pairs (dx,dy): (1,2),(2,1),(2,2),(2,2),(2,1),(1,2)
         # n=6 sx=10 sxx=18 sxy=16 -> r=(96-100)/(108-100)=-0.5
         assert row["assortativity"] == -0.5
+
+
+class TestContainmentPairs:
+    def test_excerpt_scores_containment_not_jaccard(self, spark):
+        from kafka_graphs_spark.pipeline.dedup import (
+            containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        long_text = " ".join(f"w{i}" for i in range(100))
+        excerpt = " ".join(f"w{i}" for i in range(20, 30))  # inside long
+        docs = _docs(spark, [(0, "s", long_text), (1, "s", excerpt),
+                             (2, "s", "totally different words here now")])
+        cont = {(r["doc_inner"], r["doc_outer"]): r["containment"]
+                for r in containment_pairs(docs, threshold=0.9).collect()}
+        # the excerpt is fully contained in the long doc...
+        assert cont[(1, 0)] == 1.0
+        # ...but not vice versa, and Jaccard misses it entirely
+        assert (0, 1) not in cont
+        jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        assert not [r for r in jac if {r["doc_a"], r["doc_b"]} == {0, 1}]
