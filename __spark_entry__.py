@@ -1851,6 +1851,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return text.bm25_scores(docs, q, k=10).orderBy("query_id", "rank")
 
+    def doc_language_mix(spark, sf):
+        # code-switch detection: per-language stopword evidence exposed
+        # (not argmax'd) + the mixed flag; zero-shuffle exact ints. The
+        # synthetic corpus carries only English stopwords, so mixed is
+        # truthfully all-false here (reciprocity-0 precedent) — the
+        # hits_*/n_langs columns carry the discriminating signal (388
+        # en-evidence docs vs 112 with none); the mixed=true path is
+        # pinned by pytest on crafted bilingual text
+        from kafka_graphs_spark.pipeline.text import language_mix
+
+        return language_mix(datasets.load(spark, sf, "documents"))
+
     def dedup_containment(spark, sf):
         # asymmetric near-duplication (Broder containment |A∩B|/|A|):
         # catches excerpts/quotes symmetric Jaccard misses; inverted-
@@ -3411,6 +3423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_ppr_multi": ec_ppr_multi,
         "hier_assortativity": hier_assortativity,
         "dedup_containment": dedup_containment,
+        "doc_language_mix": doc_language_mix,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -5227,6 +5240,28 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
             ORDER BY query_id, rank
+        """,
+        "doc_language_mix": f"""
+            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            h AS (SELECT doc_id,
+                CAST(len(list_filter(toks, x -> list_contains(
+                    ['der','die','das','und','ist','von','zu','mit','den','im','ein','eine'], x))) AS BIGINT) AS hits_de,
+                CAST(len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS BIGINT) AS hits_en,
+                CAST(len(list_filter(toks, x -> list_contains(
+                    ['el','los','las','y','que','en','un','una','es','por','con','para'], x))) AS BIGINT) AS hits_es,
+                CAST(len(list_filter(toks, x -> list_contains(
+                    ['le','la','les','et','des','un','une','est','dans','pour','sur','que'], x))) AS BIGINT) AS hits_fr
+                FROM t)
+            SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+                   CAST((CASE WHEN hits_de >= 2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN hits_en >= 2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN hits_es >= 2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN hits_fr >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_langs,
+                   ((CASE WHEN hits_de >= 2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN hits_en >= 2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN hits_es >= 2 THEN 1 ELSE 0 END)
+                  + (CASE WHEN hits_fr >= 2 THEN 1 ELSE 0 END)) >= 2 AS mixed
+            FROM h
         """,
         "dedup_containment": f"""
             WITH sh AS ({SHINGLES}),

@@ -1132,3 +1132,34 @@ def blocklist_filter(
         hit_terms.alias("blocked_terms"),
         (F.coalesce(total, F.lit(0).cast("long")) == 0).alias("keep"),
     )
+
+
+def language_mix(docs: DataFrame, min_hits: int = 2, text_col: str = "text") -> DataFrame:
+    """(doc_id, hits_de, hits_en, hits_es, hits_fr, n_langs, mixed) —
+    code-switch detection: per-language stopword hit counts (the
+    :func:`language_id` evidence, exposed instead of argmax'd), how many
+    languages clear ``min_hits``, and a mixed flag when two or more do.
+    Mixed-language documents poison monolingual training mixes and LM
+    perplexity scores — the standard practice is to flag them for
+    splitting or exclusion rather than trust the single-label argmax.
+
+    Pure per-row array expressions (zero shuffles), exact integers only.
+    """
+    toks = tokens(F.col(text_col))
+    hit_cols = []
+    for lang in sorted(STOPWORDS):
+        words = STOPWORDS[lang]
+        hit_cols.append(
+            F.size(F.filter(toks, lambda t: t.isin(words))).cast("long").alias(f"hits_{lang}")
+        )
+    out = docs.select("doc_id", *hit_cols)
+    n_langs = None
+    for lang in sorted(STOPWORDS):
+        c = F.when(F.col(f"hits_{lang}") >= min_hits, 1).otherwise(0)
+        n_langs = c if n_langs is None else n_langs + c
+    return out.select(
+        "doc_id",
+        *[f"hits_{lang}" for lang in sorted(STOPWORDS)],
+        n_langs.cast("long").alias("n_langs"),
+        (n_langs >= 2).alias("mixed"),
+    )

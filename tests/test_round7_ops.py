@@ -1338,3 +1338,17 @@ class TestContainmentPairs:
         assert (0, 1) not in cont
         jac = ngram_jaccard_pairs(docs, threshold=0.5).collect()
         assert not [r for r in jac if {r["doc_a"], r["doc_b"]} == {0, 1}]
+
+
+def test_language_mix_flags_code_switched_text(spark):
+    from kafka_graphs_spark.pipeline.text import language_mix
+
+    docs = _docs(spark, [
+        (0, "s", "the cat and the dog of it all"),            # en only
+        (1, "s", "der hund und die katze the cat and dog"),   # de + en
+        (2, "s", "xyzzy plugh quux"),                         # none
+    ])
+    got = {r["doc_id"]: r for r in language_mix(docs).collect()}
+    assert not got[0]["mixed"] and got[0]["n_langs"] == 1
+    assert got[1]["mixed"] and got[1]["hits_de"] >= 2 and got[1]["hits_en"] >= 2
+    assert got[2]["n_langs"] == 0 and not got[2]["mixed"]
