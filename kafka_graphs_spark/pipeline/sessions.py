@@ -145,3 +145,50 @@ def session_funnel(
         out = c if out is None else out.unionByName(c)
         prev = reached
     return out
+
+
+def session_stats_stream(
+    events_stream: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming session statistics via Spark's NATIVE session windows:
+    (user_id, session_start, session_end, n_events, total_value), one
+    row per closed session, emitted once its watermark passes.
+
+    The idiomatic Structured Streaming twin of :func:`session_stats` —
+    ``F.session_window`` lets the engine merge in-gap events and manage
+    session state (vs :func:`~kafka_graphs_spark.streaming.stateful.stateful_sessions`,
+    which hand-rolls the same state for update-mode running emissions;
+    this variant trades emission latency for engine-managed state and
+    append-mode exactly-once sinks). Boundary semantics: the native
+    window closes at a gap >= gap_minutes, while the batch
+    :func:`sessionize` splits only when the gap STRICTLY exceeds it —
+    events landing exactly on the boundary differ; at sub-second event
+    resolutions this never binds. Watermarks require a TIMESTAMP event
+    time (Spark rejects TIMESTAMP_NTZ) — cast NTZ sources first; gap
+    semantics are offset-invariant so the cast only shifts the reported
+    window bounds, never the grouping.
+    """
+    gap = f"{int(gap_minutes)} minutes"
+    s = events_stream.withWatermark(ts_col, watermark)
+    return (
+        s.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("_w"),
+            F.col(user_col).alias("user_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.round(F.sum(F.col(value_col).cast("double")), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("_w.start").alias("session_start"),
+            F.col("_w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1352,3 +1352,42 @@ def test_language_mix_flags_code_switched_text(spark):
     assert not got[0]["mixed"] and got[0]["n_langs"] == 1
     assert got[1]["mixed"] and got[1]["hits_de"] >= 2 and got[1]["hits_en"] >= 2
     assert got[2]["n_langs"] == 0 and not got[2]["mixed"]
+
+
+class TestNativeSessionWindows:
+    def test_sessions_emit_after_watermark(self, spark, tmp_path):
+        from kafka_graphs_spark.pipeline.sessions import session_stats_stream
+
+        src = str(tmp_path / "ev")
+        rows = [
+            (1, "2026-01-01 00:00:00", 1.0),
+            (1, "2026-01-01 00:05:00", 2.0),   # same session (5m < 30m)
+            (1, "2026-01-01 02:00:00", 4.0),   # new session
+            # fence: far-future event advances the watermark so every
+            # session above closes and emits in append mode
+            (99, "2026-01-03 00:00:00", 0.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.coalesce(1).write.parquet(src)
+
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(src)
+        out: list = []
+        q = (
+            session_stats_stream(stream, gap_minutes=30, watermark="10 minutes")
+            .writeStream.foreachBatch(lambda b, _i: out.extend(b.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r["user_id"], r["session_start"].hour): (r["n_events"], r["total_value"])
+            for r in out
+        }
+        assert got[(1, 0)] == (2, 3.0)   # merged 2-event session
+        assert got[(1, 2)] == (1, 4.0)   # the later singleton
