@@ -1851,6 +1851,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return text.bm25_scores(docs, q, k=10).orderBy("query_id", "rank")
 
+    def doc_rank_correlation(spark, sf):
+        # Kendall tau between two BM25 hyperparameter settings (k1/b) —
+        # the "did my ranking change" tuning check; exact integer
+        # concordant/discordant counts, one division per query
+        docs = datasets.load(spark, sf, "documents")
+        seed = docs.filter(F.col("doc_id") < 3).select(
+            F.col("doc_id").alias("query_id"),
+            F.array_join(
+                F.slice(text.tokens(F.col("text")), 1, 5), " "
+            ).alias("query_text"),
+        )
+        run_a = text.bm25_scores(docs, seed, k=10)
+        run_b = text.bm25_scores(docs, seed, k=10, k1=2.0, b=0.3)
+        return text.rank_correlation(run_a, run_b, k=10)
+
     def doc_language_mix(spark, sf):
         # code-switch detection: per-language stopword evidence exposed
         # (not argmax'd) + the mixed flag; zero-shuffle exact ints. The
@@ -3424,6 +3439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hier_assortativity": hier_assortativity,
         "dedup_containment": dedup_containment,
         "doc_language_mix": doc_language_mix,
+        "doc_rank_correlation": doc_rank_correlation,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -5240,6 +5256,83 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 10
             ORDER BY query_id, rank
+        """,
+        # Kendall tau between the two BM25 settings: k1=1.2/b=0.75 vs
+        # k1=2.0/b=0.3 (so tf·2.2/(tf+1.2·(0.25+0.75·dl/avgdl)) vs
+        # tf·3.0/(tf+2.0·(0.7+0.3·dl/avgdl))); exact integer pair counts
+        "doc_rank_correlation": f"""
+            WITH q AS (
+                SELECT doc_id AS query_id,
+                       array_to_string(({TOKS})[1:5], ' ') AS query_text
+                FROM documents WHERE doc_id < 3),
+            qt AS (
+                SELECT DISTINCT query_id,
+                       unnest(list_filter(regexp_split_to_array(
+                           lower(query_text), '[^a-z0-9]+'), x -> x <> ''))
+                           AS token
+                FROM q
+            ),
+            tok AS (SELECT doc_id, unnest({TOKS}) AS token FROM documents),
+            tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+            dfq AS (SELECT token, count(DISTINCT doc_id) AS df
+                    FROM tok GROUP BY 1),
+            lens AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+            st AS (SELECT (SELECT count(*)::DOUBLE FROM documents) AS n,
+                          (SELECT avg(dl) FROM lens) AS avgdl),
+            sc_a AS (
+                SELECT qt.query_id, tf.doc_id,
+                       ROUND(SUM(
+                           ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                           * (tf.tf::DOUBLE * 2.2)
+                           / (tf.tf::DOUBLE
+                              + 1.2 * (0.25 + 0.75 * lens.dl::DOUBLE / st.avgdl))
+                       ), 6) AS score
+                FROM tf JOIN qt USING (token) JOIN dfq USING (token)
+                JOIN lens ON tf.doc_id = lens.doc_id, st
+                GROUP BY 1, 2
+            ),
+            sc_b AS (
+                SELECT qt.query_id, tf.doc_id,
+                       ROUND(SUM(
+                           ln(1.0 + (st.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                           * (tf.tf::DOUBLE * 3.0)
+                           / (tf.tf::DOUBLE
+                              + 2.0 * (0.7 + 0.3 * lens.dl::DOUBLE / st.avgdl))
+                       ), 6) AS score
+                FROM tf JOIN qt USING (token) JOIN dfq USING (token)
+                JOIN lens ON tf.doc_id = lens.doc_id, st
+                GROUP BY 1, 2
+            ),
+            r_a AS (SELECT query_id, doc_id,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id) AS BIGINT) AS ra
+                    FROM sc_a QUALIFY ra <= 10),
+            r_b AS (SELECT query_id, doc_id,
+                        CAST(row_number() OVER (PARTITION BY query_id
+                             ORDER BY score DESC, doc_id) AS BIGINT) AS rb
+                    FROM sc_b QUALIFY rb <= 10),
+            c AS (SELECT r_a.query_id, r_a.doc_id, ra, rb
+                  FROM r_a JOIN r_b
+                    ON r_a.query_id = r_b.query_id AND r_a.doc_id = r_b.doc_id),
+            pr AS (SELECT x.query_id,
+                          CAST(SUM(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) > 0
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+                          CAST(SUM(CASE WHEN (x.ra - y.ra) * (x.rb - y.rb) < 0
+                                   THEN 1 ELSE 0 END) AS BIGINT) AS discordant
+                   FROM c x JOIN c y
+                     ON x.query_id = y.query_id AND x.doc_id < y.doc_id
+                   GROUP BY 1),
+            nc AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_common
+                   FROM c GROUP BY 1)
+            SELECT nc.query_id, nc.n_common,
+                   COALESCE(pr.concordant, 0) AS concordant,
+                   COALESCE(pr.discordant, 0) AS discordant,
+                   CASE WHEN nc.n_common >= 2
+                        THEN CAST(COALESCE(pr.concordant, 0)
+                                  - COALESCE(pr.discordant, 0) AS DOUBLE)
+                             / CAST(nc.n_common * (nc.n_common - 1) // 2 AS BIGINT)
+                        ELSE 0.0 END AS tau
+            FROM nc LEFT JOIN pr ON nc.query_id = pr.query_id
         """,
         "doc_language_mix": f"""
             WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),

@@ -1163,3 +1163,58 @@ def language_mix(docs: DataFrame, min_hits: int = 2, text_col: str = "text") -> 
         n_langs.cast("long").alias("n_langs"),
         (n_langs >= 2).alias("mixed"),
     )
+
+
+def rank_correlation(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """(query_id, n_common, concordant, discordant, tau) — Kendall rank
+    correlation between two ranked runs (query_id, doc_id, rank),
+    restricted to documents both runs retrieved in their top-``k``:
+    the standard "did my ranking change" check when tuning retrieval
+    hyperparameters (BM25 k1/b, fusion weights, rerankers).
+
+    Ranks within a run are distinct (row_number), so there are no ties
+    and tau = (C − D) / (n(n−1)/2) over the common documents — every
+    count an exact integer, ONE float division per query (bit-identical
+    across engines). The pair join is per-query and k-bounded (≤ k²/2
+    pairs per query), never corpus-scale; queries with < 2 common
+    documents score 0.0 by convention.
+    """
+    a = run_a.filter(F.col("rank") <= k).select(
+        "query_id", "doc_id", F.col("rank").alias("_ra")
+    )
+    b = run_b.filter(F.col("rank") <= k).select(
+        "query_id", "doc_id", F.col("rank").alias("_rb")
+    )
+    c = a.join(b, on=["query_id", "doc_id"])
+    x = c.select("query_id", F.col("doc_id").alias("_d1"),
+                 F.col("_ra").alias("_ra1"), F.col("_rb").alias("_rb1"))
+    y = c.select("query_id", F.col("doc_id").alias("_d2"),
+                 F.col("_ra").alias("_ra2"), F.col("_rb").alias("_rb2"))
+    pairs = x.join(y, on="query_id").filter(F.col("_d1") < F.col("_d2"))
+    sgn = (F.col("_ra1") - F.col("_ra2")) * (F.col("_rb1") - F.col("_rb2"))
+    agg = pairs.groupBy("query_id").agg(
+        F.sum(F.when(sgn > 0, 1).otherwise(0)).cast("long").alias("concordant"),
+        F.sum(F.when(sgn < 0, 1).otherwise(0)).cast("long").alias("discordant"),
+    )
+    n_common = c.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_common")
+    )
+    npairs = (F.col("n_common") * (F.col("n_common") - 1) / F.lit(2)).cast("long")
+    return (
+        n_common.join(agg, on="query_id", how="left")
+        .select(
+            "query_id",
+            "n_common",
+            F.coalesce("concordant", F.lit(0).cast("long")).alias("concordant"),
+            F.coalesce("discordant", F.lit(0).cast("long")).alias("discordant"),
+            F.when(
+                F.col("n_common") >= 2,
+                (F.coalesce("concordant", F.lit(0)) - F.coalesce("discordant", F.lit(0)))
+                .cast("double") / npairs,
+            ).otherwise(F.lit(0.0)).alias("tau"),
+        )
+    )

@@ -1391,3 +1391,25 @@ class TestNativeSessionWindows:
         }
         assert got[(1, 0)] == (2, 3.0)   # merged 2-event session
         assert got[(1, 2)] == (1, 4.0)   # the later singleton
+
+
+def test_rank_correlation_hand_computed(spark):
+    from kafka_graphs_spark.pipeline.text import rank_correlation
+
+    a = spark.createDataFrame(
+        [(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 13, 4)],
+        "query_id long, doc_id long, rank long",
+    )
+    # b reverses 11 and 12, drops 13, adds 99
+    b = spark.createDataFrame(
+        [(1, 10, 1), (1, 12, 2), (1, 11, 3), (1, 99, 4)],
+        "query_id long, doc_id long, rank long",
+    )
+    r = rank_correlation(a, b, k=10).collect()[0]
+    # common docs: 10,11,12 -> pairs (10,11)C,(10,12)C,(11,12)D
+    assert r["n_common"] == 3
+    assert r["concordant"] == 2 and r["discordant"] == 1
+    assert abs(r["tau"] - 1 / 3) < 1e-12
+    # identical runs -> tau 1
+    full = rank_correlation(a, a, k=10).collect()[0]
+    assert full["tau"] == 1.0
