@@ -2982,6 +2982,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return reciprocity(_ec_graph(spark, sf))
 
+    def hier_powerlaw(spark, sf):
+        # continuous-MLE power-law degree exponent (Clauset et al. 2009
+        # eq. 3.1) — ln sum folds the SORTED degree histogram, so the
+        # accumulation order is fixed on both engines
+        from kafka_graphs_spark.datasets import hierarchy_graph
+        from kafka_graphs_spark.library import powerlaw_alpha
+
+        return powerlaw_alpha(hierarchy_graph(spark, sf), d_min=2)
+
     def hier_assortativity(spark, sf):
         # Newman degree assortativity over the hierarchy graph — exact
         # integer sums, DECIMAL(38) cross products, ONE float division
@@ -3440,6 +3449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_containment": dedup_containment,
         "doc_language_mix": doc_language_mix,
         "doc_rank_correlation": doc_rank_correlation,
+        "hier_powerlaw": hier_powerlaw,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
         # and rows-only ANN variants (recall invariants above) --
         "sp_als_factors": sp_als_factors,
@@ -4658,6 +4668,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id AS id,
                    round(CASE WHEN rn = p THEN (n / nt) / wn ELSE 0.0 END, 6) AS value
             FROM nxt, n, nt, p WHERE wn IS NOT NULL
+        """,
+        # power-law MLE: lnsum folds the sorted (degree, count) histogram
+        # — same fixed accumulation order as Spark's sorted-array fold
+        "hier_powerlaw": f"""
+            {HIER_UND},
+            h AS (SELECT d, CAST(count(*) AS BIGINT) AS c
+                  FROM deg WHERE d >= 2 GROUP BY 1),
+            p AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+                         list_sort(list(struct_pack(d := d, c := c))) AS hist
+                  FROM h),
+            m AS (SELECT n,
+                         list_sum(list_transform(hist,
+                             x -> x.c * ln(x.d / 1.5))) AS lnsum
+                  FROM p)
+            SELECT CAST(2 AS BIGINT) AS d_min,
+                   COALESCE(n, 0) AS n_tail,
+                   round(CASE WHEN COALESCE(n, 0) > 0
+                              THEN 1.0 + CAST(n AS DOUBLE) / lnsum
+                              ELSE 0.0 END, 6) AS alpha
+            FROM m
         """,
         # Newman assortativity: exact HUGEINT sums over the symmetrized
         # simple edges, one double division — r collapses to

@@ -19,6 +19,7 @@ from kafka_graphs_spark.library.basic import (
     avg_neighbor_degree,
     ppmi,
     degree_assortativity,
+    powerlaw_alpha,
     reciprocity,
     rich_club,
     triangle_motif_census,
@@ -103,6 +104,7 @@ __all__ = [
     "transitivity",
     "avg_neighbor_degree",
     "degree_assortativity",
+    "powerlaw_alpha",
     "reciprocity",
     "vertex_count",
     "reverse_edges",

@@ -561,3 +561,55 @@ def degree_assortativity(graph: Graph) -> "DataFrame":
             6,
         ).alias("assortativity"),
     )
+
+
+def powerlaw_alpha(graph: Graph, d_min: int = 2) -> "DataFrame":
+    """One row (d_min, n_tail, alpha) — the continuous-MLE power-law
+    exponent of the degree distribution (Clauset/Shalizi/Newman 2009,
+    eq. 3.1): over vertices with degree >= d_min,
+
+        alpha = 1 + n / Σ ln(d / (d_min − 1/2)).
+
+    The scale-free check every large-graph report quotes (alpha in
+    [2, 3] ~ scale-free; the estimate is only meaningful above a
+    sensible d_min). Degrees come from the symmetrized simple edge
+    list; the ln sum folds the SORTED (degree, count) histogram —
+    distinct-degree sized, far smaller than the graph — so the float
+    accumulation order is fixed across engines and partitionings.
+    Empty tails (no vertex reaches d_min) score alpha 0.0.
+    """
+    from kafka_graphs_spark.library.components import _undirected_simple_edges
+
+    und = _undirected_simple_edges(graph.edges)
+    deg = und.groupBy(F.col("src").alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_d")
+    )
+    hist = (
+        deg.filter(F.col("_d") >= d_min)
+        .groupBy("_d")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    packed = hist.agg(
+        F.sum("_c").alias("_n"),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("_d"), F.col("_c")))
+        ).alias("_h"),
+    )
+    shift = float(d_min) - 0.5
+    lnsum = F.aggregate(
+        F.col("_h"),
+        F.lit(0.0),
+        lambda a, x: a
+        + x["_c"].cast("double") * F.log(x["_d"].cast("double") / F.lit(shift)),
+    )
+    return packed.select(
+        F.lit(int(d_min)).cast("long").alias("d_min"),
+        F.coalesce("_n", F.lit(0).cast("long")).alias("n_tail"),
+        F.round(
+            F.when(
+                F.coalesce("_n", F.lit(0)) > 0,
+                F.lit(1.0) + F.col("_n").cast("double") / lnsum,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("alpha"),
+    )

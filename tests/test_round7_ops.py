@@ -1413,3 +1413,25 @@ def test_rank_correlation_hand_computed(spark):
     # identical runs -> tau 1
     full = rank_correlation(a, a, k=10).collect()[0]
     assert full["tau"] == 1.0
+
+
+def test_powerlaw_alpha_hand_computed(spark):
+    import math
+
+    from kafka_graphs_spark import Graph
+    from kafka_graphs_spark.library import powerlaw_alpha
+
+    # two hubs of degree 3 and 2 leaves of degree 2 via a shared path:
+    # star 0-(1,2,3) plus edges 1-2, 2-3 -> degrees: 0:3, 1:2, 2:3, 3:2
+    e = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 1.0), (0, 3, 1.0), (1, 2, 1.0), (2, 3, 1.0)],
+        "src long, dst long, value double",
+    )
+    row = powerlaw_alpha(Graph.from_edges(e, F.lit(0.0)), d_min=2).collect()[0]
+    assert row["n_tail"] == 4
+    lnsum = 2 * math.log(3 / 1.5) + 2 * math.log(2 / 1.5)
+    assert abs(row["alpha"] - (1 + 4 / lnsum)) < 1e-6
+
+    # empty tail convention
+    empty = powerlaw_alpha(Graph.from_edges(e, F.lit(0.0)), d_min=99).collect()[0]
+    assert empty["n_tail"] == 0 and empty["alpha"] == 0.0
