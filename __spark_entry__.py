@@ -783,6 +783,98 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "src long, dst long, value double", "id long, degree long",
         )
 
+    def ec_session_stream(spark, sf):
+        # NATIVE session windows (F.session_window, append mode) under an
+        # oracle: a REAL multi-micro-batch file-source run of
+        # pipeline.sessions.session_stats_stream. Event time is rebuilt
+        # as a tz-free instant (timestamp_micros of the exact naive epoch
+        # micros), so the emitted unix_micros session bounds are
+        # engine-portable and DST-proof regardless of the session
+        # timezone. Append mode only emits a session once the watermark
+        # passes its end, so two far-future sentinel files (written with
+        # later mtimes -> read last) advance the global watermark and
+        # flush every real session: sentinel batch 1 moves the watermark
+        # past all real session ends, batch 2 triggers the emission; the
+        # sentinel's own session stays in state and never emits. Native
+        # windows split at gap >= 30 min (window end is exclusive), which
+        # the oracle mirrors exactly.
+        import shutil
+        import tempfile
+        import time as _time
+
+        from kafka_graphs_spark.pipeline.sessions import (
+            _micros,
+            session_stats_stream,
+        )
+
+        gap_us = 30 * 60 * 1_000_000
+        ev = datasets.load(spark, sf, "events")
+        mic = (
+            F.expr("ts div 1000")
+            if dict(ev.dtypes)["ts"] == "bigint"
+            else _micros(ev, "ts")
+        )
+        base = ev.select(
+            "event_id",
+            "user_id",
+            F.col("value").cast("double").alias("value"),
+            F.timestamp_micros(mic).alias("ts"),
+        ).repartition(4, "user_id")
+        src = tempfile.mkdtemp(prefix="kgs_sess_src_")
+        ckpt = tempfile.mkdtemp(prefix="kgs_sess_ckpt_")
+        try:
+            base.write.mode("overwrite").parquet(src)
+            max_us = base.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+            horizon_us = 3650 * 86400 * 1_000_000
+            for k in (1, 2):
+                _time.sleep(1.5)  # distinct mtimes: sentinels read last
+                spark.createDataFrame(
+                    [(-k, -1, 0.0)], "event_id long, user_id long, value double"
+                ).withColumn(
+                    "ts",
+                    F.timestamp_micros(
+                        F.lit(max_us + horizon_us + 50 * 86400 * 1_000_000 + k)
+                    ),
+                ).coalesce(1).write.mode("append").parquet(src)
+            rows: list = []
+
+            def sink(batch_df, _bid):
+                rows.extend(batch_df.collect())
+
+            stream = (
+                spark.readStream.schema(
+                    "event_id long, user_id long, value double, ts timestamp"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            out = session_stats_stream(
+                stream, gap_minutes=30, watermark="3650 days"
+            ).select(
+                "user_id",
+                "n_events",
+                F.unix_micros("session_start").alias("start_us"),
+                # native window end = last event + gap; subtract it back
+                (F.unix_micros("session_end") - F.lit(gap_us)).alias("end_us"),
+                "total_value",
+            )
+            q = (
+                out.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+        finally:
+            shutil.rmtree(src, ignore_errors=True)
+            shutil.rmtree(ckpt, ignore_errors=True)
+        return spark.createDataFrame(
+            rows,
+            "user_id long, n_events long, start_us long, end_us long, "
+            "total_value double",
+        ).filter(F.col("user_id") >= 0)
+
     def ec_window_sum(spark, sf):
         # tumbling-window per-vertex edge-weight sum (slice +
         # reduceOnEdges) — the KGraphWindowedStream tier under an oracle.
@@ -1869,14 +1961,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_language_mix(spark, sf):
         # code-switch detection: per-language stopword evidence exposed
         # (not argmax'd) + the mixed flag; zero-shuffle exact ints. The
-        # synthetic corpus carries only English stopwords, so mixed is
-        # truthfully all-false here (reciprocity-0 precedent) — the
-        # hits_*/n_langs columns carry the discriminating signal (388
-        # en-evidence docs vs 112 with none); the mixed=true path is
-        # pinned by pytest on crafted bilingual text
+        # synthetic corpus is en-only, so the driver row is made
+        # DISCRIMINATING (r7 verdict #5) by deterministically
+        # code-switching it: docs with doc_id%5==0 get a Spanish
+        # stopword-rich suffix, else doc_id%7==0 a French one — those
+        # with English evidence then flag mixed=true while the untouched
+        # docs keep exercising the all-English negatives
         from kafka_graphs_spark.pipeline.text import language_mix
 
-        return language_mix(datasets.load(spark, sf, "documents"))
+        docs = datasets.load(spark, sf, "documents")
+        suffix = (
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.lit(" los datos son para todos y las tablas"),
+            )
+            .when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" le rapport est dans des pages pour la version"),
+            )
+            .otherwise(F.lit(""))
+        )
+        return language_mix(
+            docs.withColumn("text", F.concat(F.col("text"), suffix))
+        )
 
     def dedup_containment(spark, sf):
         # asymmetric near-duplication (Broder containment |A∩B|/|A|):
@@ -3220,80 +3327,131 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evidence is the invariant/loss/recall twins inside the window.
     # ------------------------------------------------------------------
     return {
-        # -- ROUND-7 WINDOW ROTATION (VERDICT r6 'Next round' #1): slots 1-31
-        # are the 31 oracle-backed round-6 queries that have never received a
-        # driver-scored row; after this window scores, every oracle-backed
-        # query in the registry has at least one driver row. --
-        "emb_ivfpq_recall": emb_ivfpq_recall,
-        "emb_semantic_dedup": emb_semantic_dedup,
-        "emb_semantic_dedup_inv": emb_semantic_dedup_inv,
-        "doc_dup_spans": doc_dup_spans,
-        "doc_span_removal": doc_span_removal,
-        "doc_dedup_rate": doc_dedup_rate,
-        "doc_bpe_inv": doc_bpe_inv,
-        "doc_bpe_apply_inv": doc_bpe_apply_inv,
-        "doc_temperature_sample": doc_temperature_sample,
-        "doc_weighted_sample": doc_weighted_sample,
-        "doc_negative_samples": doc_negative_samples,
-        "doc_tfidf_pairs": doc_tfidf_pairs,
-        "doc_bm25": doc_bm25,
-        "doc_hybrid_retrieval": doc_hybrid_retrieval,
-        "doc_zipf_fit": doc_zipf_fit,
-        "doc_source_divergence": doc_source_divergence,
-        "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
-        "dedup_minhash_estimate": dedup_minhash_estimate,
-        "pipeline_curate_spans": pipeline_curate_spans,
-        "emb_rp_project": emb_rp_project,
-        "emb_neighborhood_features": emb_neighborhood_features,
-        "hier_eigenvector": hier_eigenvector,
-        "hier_avg_nbr_degree": hier_avg_nbr_degree,
-        "ec_hyperanf": ec_hyperanf,
-        "ec_effective_diameter": ec_effective_diameter,
-        "ec_window_wcc": ec_window_wcc,
-        "ec_window_lp": ec_window_lp,
-        "ec_window_triangles": ec_window_triangles,
-        "gen_betweenness_sampled": gen_betweenness_sampled,
-        "gen_random_graph": gen_random_graph,
-        "gen_wcc_random": gen_wcc_random,
-        # -- slots 32-33: NEW stateful-tier batch-parity twins (VERDICT r6 #8):
-        # real applyInPandasWithState runs, final state vs SQL twin --
-        "ec_stateful_degrees": ec_stateful_degrees,
-        "ec_stateful_sessions": ec_stateful_sessions,
-        # -- slots 34-35: rows-only paths earning a first (non-vacuous) row:
-        # near_dup_lsh now at threshold 0.3 (VERDICT r6 #2), ivfpq composed ANN --
-        "emb_near_dup_lsh": emb_near_dup_lsh,
-        "emb_ivfpq_topk": emb_ivfpq_topk,
-        # -- slots 36-37: Louvain regression guards (fused sweep landed r7) --
-        "gen_louvain_cliques": gen_louvain_cliques,
-        "ec_louvain_inv": ec_louvain_inv,
-        # -- slots 38-50: core staples named by the r6 verdict for re-confirmation --
-        "ec_mssp": ec_mssp,
-        "ec_sybilrank": ec_sybilrank,
-        "ec_ppr5": ec_ppr5,
-        "hier_adamic_adar": hier_adamic_adar,
-        "hier_jaccard": hier_jaccard,
-        "sp_in_degrees": sp_in_degrees,
-        "sp_join_vertices": sp_join_vertices,
-        "sp_join_edges": sp_join_edges,
-        "sp_join_edges_src": sp_join_edges_src,
-        "sp_join_edges_tgt": sp_join_edges_tgt,
-        "ec_stream_wcc": ec_stream_wcc,
-        "stream_bipartiteness": stream_bipartiteness,
-        "ec_spanner": ec_spanner,
-        # -- beyond slot 50: NEW round-7 incremental windowed tier (never
-        # scored — first in line for the r8 rotation) --
+        # -- ROUND-8 WINDOW (generated by scripts/rotate_window.py; r7
+        # verdict "Next round" #1+#7): slots 1-39 are every never-driver-
+        # scored query (the full round-7 cohort + doc_bpe_segments +
+        # the new ec_session_stream); slots 40-50 are the stalest-scored
+        # staples (last scored r1/r3). After this window scores, every
+        # oracle-backed query in the registry has a driver row. --
         "ec_window_wcc_incr": ec_window_wcc_incr,
         "ec_window_triangles_incr": ec_window_triangles_incr,
         "ec_window_pagerank_incr": ec_window_pagerank_incr,
         "ec_window_lp_incr": ec_window_lp_incr,
         "ec_stateful_heavy": ec_stateful_heavy,
-        # -- beyond slot 50: NEW round-7 motif pattern finder (never
-        # scored — first in line for the r8 rotation) --
         "hier_motif_find_triangle": hier_motif_find_triangle,
         "hier_motif_find_wedge_neg": hier_motif_find_wedge_neg,
         "ec_motif_find_path": ec_motif_find_path,
-        # -- beyond slot 50: oracle-backed, previously driver-scored (r1-r6);
-        # rotate back into future windows on the staple cadence --
+        "doc_bpe_segments": doc_bpe_segments,
+        "hier_rich_club": hier_rich_club,
+        "hier_conductance": hier_conductance,
+        "ec_temporal_arrival": ec_temporal_arrival,
+        "ec_temporal_departure": ec_temporal_departure,
+        "ec_funnel": ec_funnel,
+        "ec_retention": ec_retention,
+        "ec_asof_attribution": ec_asof_attribution,
+        "ec_range_join": ec_range_join,
+        "ec_interval_join": ec_interval_join,
+        "ec_transitions": ec_transitions,
+        "ec_path_ngrams": ec_path_ngrams,
+        "ec_session_funnel": ec_session_funnel,
+        "doc_gopher_filter": doc_gopher_filter,
+        "doc_ppl_buckets": doc_ppl_buckets,
+        "doc_dsir_weights": doc_dsir_weights,
+        "doc_dsir_select": doc_dsir_select,
+        "doc_quality_train": doc_quality_train,
+        "pipeline_curate_model": pipeline_curate_model,
+        "emb_hard_negatives": emb_hard_negatives,
+        "doc_dsir_external": doc_dsir_external,
+        "doc_token_budget": doc_token_budget,
+        "doc_retrieval_metrics": doc_retrieval_metrics,
+        "doc_blocklist": doc_blocklist,
+        "ec_ppr_multi": ec_ppr_multi,
+        "hier_assortativity": hier_assortativity,
+        "dedup_containment": dedup_containment,
+        "doc_language_mix": doc_language_mix,
+        "doc_rank_correlation": doc_rank_correlation,
+        "hier_powerlaw": hier_powerlaw,
+        "ec_session_stream": ec_session_stream,
+        # -- slots 40-50: stalest-scored staples (r1/r3) --
+        "emb_cosine_topk": emb_cosine_topk,
+        "multimodal_features": multimodal_features,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "emb_near_dup": emb_near_dup,
+        "hier_triangles": hier_triangles,
+        "ec_pregel_sssp": ec_pregel_sssp,
+        "ec_window_sum": ec_window_sum,
+        "sp_io_roundtrip": sp_io_roundtrip,
+        "sp_group_reduce_nbrs": sp_group_reduce_nbrs,
+        # -- beyond slot 50: previously-scored, stalest first; these
+        # rotate back into future windows on the staleness cadence --
+        "dedup_simhash_pairs": dedup_simhash_pairs,
+        "gen_complete_edges": gen_complete_edges,
+        "sp_subgraph_edges": sp_subgraph_edges,
+        "sp_filter_edges": sp_filter_edges,
+        "sp_undirected_edges": sp_undirected_edges,
+        "sp_reduce_edges_min_in": sp_reduce_edges_min_in,
+        "sp_reduce_neighbors_sum_out": sp_reduce_neighbors_sum_out,
+        "sp_group_reduce_max_out": sp_group_reduce_max_out,
+        "sp_map_vertices": sp_map_vertices,
+        "sp_map_edges": sp_map_edges,
+        "gen_grid_edges": gen_grid_edges,
+        "gen_star_edges": gen_star_edges,
+        "ec_window_sum_sliding": ec_window_sum_sliding,
+        "ec_stream_reverse": ec_stream_reverse,
+        "ec_stream_undirected": ec_stream_undirected,
+        "doc_subword_count": doc_subword_count,
+        "doc_language_id": doc_language_id,
+        "doc_quality": doc_quality,
+        "doc_fingerprint": doc_fingerprint,
+        "doc_normalize": doc_normalize,
+        "doc_vocabulary": doc_vocabulary,
+        "doc_tfidf_keywords": doc_tfidf_keywords,
+        "hier_transitivity": hier_transitivity,
+        "doc_line_dedup": doc_line_dedup,
+        "doc_bigram_logprob": doc_bigram_logprob,
+        "ec_json_props": ec_json_props,
+        "doc_quality_model": doc_quality_model,
+        "emb_pq_recall": emb_pq_recall,
+        "emb_pq_codes_inv": emb_pq_codes_inv,
+        "gen_scc": gen_scc,
+        "gen_msf_complete": gen_msf_complete,
+        "hier_msf_inv": hier_msf_inv,
+        "hier_mis_inv": hier_mis_inv,
+        "hier_coloring_inv": hier_coloring_inv,
+        "ec_sessions": ec_sessions,
+        "ec_pregel_wcc": ec_pregel_wcc,
+        "gen_harmonic_star": gen_harmonic_star,
+        "emb_knn_graph": emb_knn_graph,
+        "emb_knn_wcc": emb_knn_wcc,
+        "sp_degree_histogram": sp_degree_histogram,
+        "ec_reciprocity": ec_reciprocity,
+        "gen_topo_levels": gen_topo_levels,
+        "gen_lp_weighted": gen_lp_weighted,
+        "gen_pagerank_weighted": gen_pagerank_weighted,
+        "emb_quantize_inv": emb_quantize_inv,
+        "hier_motifs": hier_motifs,
+        "gen_motifs": gen_motifs,
+        "doc_cross_source_near_dups": doc_cross_source_near_dups,
+        "doc_unigram_logprob": doc_unigram_logprob,
+        "sp_bipartite_proj": sp_bipartite_proj,
+        "sp_ppmi": sp_ppmi,
+        "gen_diameter_path": gen_diameter_path,
+        "gen_diameter_star": gen_diameter_star,
+        "doc_chunks": doc_chunks,
+        "doc_hash_sample": doc_hash_sample,
+        "doc_pii_redact": doc_pii_redact,
+        "doc_split": doc_split,
+        "gen_ktruss_complete": gen_ktruss_complete,
+        "sp_als_loss": sp_als_loss,
+        "sp_sgd_loss": sp_sgd_loss,
+        "sp_svdpp_loss": sp_svdpp_loss,
+        "emb_kmeans_assign": emb_kmeans_assign,
+        "hier_semiclusters_inv": hier_semiclusters_inv,
+        "ec_maxbmatching_inv": ec_maxbmatching_inv,
+        "hier_kcore_inv": hier_kcore_inv,
+        "hier_lcc_pregel": hier_lcc_pregel,
         "pipeline_curate": pipeline_curate,
         "pipeline_curate_decontam": pipeline_curate_decontam,
         "pipeline_curate_gated": pipeline_curate_gated,
@@ -3343,115 +3501,58 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_stream_aggregate": ec_stream_aggregate,
         "ec_stream_global_aggregate": ec_stream_global_aggregate,
         "ec_fold_neighbors": ec_fold_neighbors,
-        "doc_bpe_segments": doc_bpe_segments,
-        "hier_triangles": hier_triangles,
-        "emb_cosine_topk": emb_cosine_topk,
-        "hier_transitivity": hier_transitivity,
-        "doc_line_dedup": doc_line_dedup,
-        "doc_bigram_logprob": doc_bigram_logprob,
-        "ec_json_props": ec_json_props,
-        "doc_quality_model": doc_quality_model,
-        "emb_pq_recall": emb_pq_recall,
-        "emb_pq_codes_inv": emb_pq_codes_inv,
-        "gen_scc": gen_scc,
-        "gen_msf_complete": gen_msf_complete,
-        "hier_msf_inv": hier_msf_inv,
-        "hier_mis_inv": hier_mis_inv,
-        "hier_coloring_inv": hier_coloring_inv,
-        "ec_sessions": ec_sessions,
-        "ec_pregel_wcc": ec_pregel_wcc,
-        "gen_harmonic_star": gen_harmonic_star,
-        "emb_knn_graph": emb_knn_graph,
-        "emb_knn_wcc": emb_knn_wcc,
-        "sp_degree_histogram": sp_degree_histogram,
-        "ec_reciprocity": ec_reciprocity,
-        "gen_topo_levels": gen_topo_levels,
-        "gen_lp_weighted": gen_lp_weighted,
-        "gen_pagerank_weighted": gen_pagerank_weighted,
-        "emb_quantize_inv": emb_quantize_inv,
-        "hier_motifs": hier_motifs,
-        "gen_motifs": gen_motifs,
-        "doc_cross_source_near_dups": doc_cross_source_near_dups,
-        "doc_unigram_logprob": doc_unigram_logprob,
-        "sp_bipartite_proj": sp_bipartite_proj,
-        "sp_ppmi": sp_ppmi,
-        "gen_diameter_path": gen_diameter_path,
-        "gen_diameter_star": gen_diameter_star,
-        "doc_chunks": doc_chunks,
-        "doc_hash_sample": doc_hash_sample,
-        "doc_pii_redact": doc_pii_redact,
-        "doc_split": doc_split,
-        "gen_ktruss_complete": gen_ktruss_complete,
-        "sp_als_loss": sp_als_loss,
-        "sp_sgd_loss": sp_sgd_loss,
-        "sp_svdpp_loss": sp_svdpp_loss,
-        "emb_kmeans_assign": emb_kmeans_assign,
-        "hier_semiclusters_inv": hier_semiclusters_inv,
-        "ec_maxbmatching_inv": ec_maxbmatching_inv,
-        "hier_kcore_inv": hier_kcore_inv,
-        "hier_lcc_pregel": hier_lcc_pregel,
-        "multimodal_features": multimodal_features,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash": dedup_minhash,
-        "dedup_simhash": dedup_simhash,
-        "emb_near_dup": emb_near_dup,
-        "ec_pregel_sssp": ec_pregel_sssp,
-        "ec_window_sum": ec_window_sum,
-        "sp_io_roundtrip": sp_io_roundtrip,
-        "sp_group_reduce_nbrs": sp_group_reduce_nbrs,
-        "dedup_simhash_pairs": dedup_simhash_pairs,
-        "gen_complete_edges": gen_complete_edges,
-        "sp_subgraph_edges": sp_subgraph_edges,
-        "sp_filter_edges": sp_filter_edges,
-        "sp_undirected_edges": sp_undirected_edges,
-        "sp_reduce_edges_min_in": sp_reduce_edges_min_in,
-        "sp_reduce_neighbors_sum_out": sp_reduce_neighbors_sum_out,
-        "sp_group_reduce_max_out": sp_group_reduce_max_out,
-        "sp_map_vertices": sp_map_vertices,
-        "sp_map_edges": sp_map_edges,
-        "gen_grid_edges": gen_grid_edges,
-        "gen_star_edges": gen_star_edges,
-        "ec_window_sum_sliding": ec_window_sum_sliding,
-        "ec_stream_reverse": ec_stream_reverse,
-        "ec_stream_undirected": ec_stream_undirected,
-        "doc_subword_count": doc_subword_count,
-        "doc_language_id": doc_language_id,
-        "doc_quality": doc_quality,
-        "doc_fingerprint": doc_fingerprint,
-        "doc_normalize": doc_normalize,
-        "doc_vocabulary": doc_vocabulary,
-        "doc_tfidf_keywords": doc_tfidf_keywords,
-        "hier_rich_club": hier_rich_club,
-        "hier_conductance": hier_conductance,
-        "ec_temporal_arrival": ec_temporal_arrival,
-        "ec_temporal_departure": ec_temporal_departure,
-        "ec_funnel": ec_funnel,
-        "ec_retention": ec_retention,
-        "ec_asof_attribution": ec_asof_attribution,
-        "ec_range_join": ec_range_join,
-        "ec_interval_join": ec_interval_join,
-        "ec_transitions": ec_transitions,
-        "ec_path_ngrams": ec_path_ngrams,
-        "ec_session_funnel": ec_session_funnel,
-        "doc_gopher_filter": doc_gopher_filter,
-        "doc_ppl_buckets": doc_ppl_buckets,
-        "doc_dsir_weights": doc_dsir_weights,
-        "doc_dsir_select": doc_dsir_select,
-        "doc_quality_train": doc_quality_train,
-        "pipeline_curate_model": pipeline_curate_model,
-        "emb_hard_negatives": emb_hard_negatives,
-        "doc_dsir_external": doc_dsir_external,
-        "doc_token_budget": doc_token_budget,
-        "doc_retrieval_metrics": doc_retrieval_metrics,
-        "doc_blocklist": doc_blocklist,
-        "ec_ppr_multi": ec_ppr_multi,
-        "hier_assortativity": hier_assortativity,
-        "dedup_containment": dedup_containment,
-        "doc_language_mix": doc_language_mix,
-        "doc_rank_correlation": doc_rank_correlation,
-        "hier_powerlaw": hier_powerlaw,
-        # -- tail: permanently-no-oracle seeded numerics (invariant twins above)
-        # and rows-only ANN variants (recall invariants above) --
+        "emb_ivfpq_recall": emb_ivfpq_recall,
+        "emb_semantic_dedup": emb_semantic_dedup,
+        "emb_semantic_dedup_inv": emb_semantic_dedup_inv,
+        "doc_dup_spans": doc_dup_spans,
+        "doc_span_removal": doc_span_removal,
+        "doc_dedup_rate": doc_dedup_rate,
+        "doc_bpe_inv": doc_bpe_inv,
+        "doc_bpe_apply_inv": doc_bpe_apply_inv,
+        "doc_temperature_sample": doc_temperature_sample,
+        "doc_weighted_sample": doc_weighted_sample,
+        "doc_negative_samples": doc_negative_samples,
+        "doc_tfidf_pairs": doc_tfidf_pairs,
+        "doc_bm25": doc_bm25,
+        "doc_hybrid_retrieval": doc_hybrid_retrieval,
+        "doc_zipf_fit": doc_zipf_fit,
+        "doc_source_divergence": doc_source_divergence,
+        "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
+        "dedup_minhash_estimate": dedup_minhash_estimate,
+        "pipeline_curate_spans": pipeline_curate_spans,
+        "emb_rp_project": emb_rp_project,
+        "emb_neighborhood_features": emb_neighborhood_features,
+        "hier_eigenvector": hier_eigenvector,
+        "hier_avg_nbr_degree": hier_avg_nbr_degree,
+        "ec_hyperanf": ec_hyperanf,
+        "ec_effective_diameter": ec_effective_diameter,
+        "ec_window_wcc": ec_window_wcc,
+        "ec_window_lp": ec_window_lp,
+        "ec_window_triangles": ec_window_triangles,
+        "gen_betweenness_sampled": gen_betweenness_sampled,
+        "gen_random_graph": gen_random_graph,
+        "gen_wcc_random": gen_wcc_random,
+        "ec_stateful_degrees": ec_stateful_degrees,
+        "ec_stateful_sessions": ec_stateful_sessions,
+        "emb_near_dup_lsh": emb_near_dup_lsh,
+        "emb_ivfpq_topk": emb_ivfpq_topk,
+        "gen_louvain_cliques": gen_louvain_cliques,
+        "ec_louvain_inv": ec_louvain_inv,
+        "ec_mssp": ec_mssp,
+        "ec_sybilrank": ec_sybilrank,
+        "ec_ppr5": ec_ppr5,
+        "hier_adamic_adar": hier_adamic_adar,
+        "hier_jaccard": hier_jaccard,
+        "sp_in_degrees": sp_in_degrees,
+        "sp_join_vertices": sp_join_vertices,
+        "sp_join_edges": sp_join_edges,
+        "sp_join_edges_src": sp_join_edges_src,
+        "sp_join_edges_tgt": sp_join_edges_tgt,
+        "ec_stream_wcc": ec_stream_wcc,
+        "stream_bipartiteness": stream_bipartiteness,
+        "ec_spanner": ec_spanner,
+        # -- tail: permanently-no-oracle seeded numerics (invariant twins
+        # inside the window) and rows-only ANN variants --
         "sp_als_factors": sp_als_factors,
         "sp_sgd_factors": sp_sgd_factors,
         "hier_semiclusters": hier_semiclusters,
@@ -3517,9 +3618,12 @@ def oracle_sql() -> dict[str, str]:
 
     def _train_sql(T: int, LR: float) -> str:
         p = _TRAIN_P
+        # same [1e-12, 1-1e-12] clamp as classifier.py's final log-loss:
+        # saturated probabilities would NULL the log and drop the row
+        pc = f"GREATEST(1e-12, LEAST({p}, 1.0 - 1e-12))"
         ctes = _train_ctes(T, LR)
         ctes.append(
-            f"""lo AS (SELECT round(avg(-y * ln({p}) - (1.0 - y) * ln(1.0 - {p})), 6) AS loss
+            f"""lo AS (SELECT round(avg(-y * ln({pc}) - (1.0 - y) * ln(1.0 - {pc})), 6) AS loss
                 FROM feats, w{T})"""
         )
         return "WITH " + ",\n".join(ctes) + f"""
@@ -3879,6 +3983,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0 AS BIGINT) AS monochrome_edges,
                    CAST(0 AS BIGINT) AS uncolored,
                    CAST(0 AS BIGINT) AS degree_violations
+        """,
+        # native F.session_window twin: split at gap >= 30 min (the
+        # native window end is exclusive, so an exactly-30-min gap starts
+        # a new session — unlike batch sessionize's strict >); bounds as
+        # exact naive epoch micros, engine-portable
+        "ec_session_stream": """
+            WITH s AS (
+              SELECT user_id, event_id, value, ts, epoch_us(ts) AS us,
+                     CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                            (PARTITION BY user_id ORDER BY ts, event_id)
+                          >= 1800000000 THEN 1 ELSE 0 END AS brk
+              FROM events),
+            s2 AS (SELECT user_id, us, value,
+                          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            AS session
+                   FROM s)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   MIN(us) AS start_us, MAX(us) AS end_us,
+                   round(SUM(value), 6) AS total_value
+            FROM s2 GROUP BY user_id, session
         """,
         "ec_sessions": """
             WITH s AS (
@@ -5365,7 +5489,16 @@ def oracle_sql() -> dict[str, str]:
             FROM nc LEFT JOIN pr ON nc.query_id = pr.query_id
         """,
         "doc_language_mix": f"""
-            WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            WITH aug AS (
+                SELECT doc_id,
+                       text || CASE
+                           WHEN doc_id % 5 = 0
+                               THEN ' los datos son para todos y las tablas'
+                           WHEN doc_id % 7 = 0
+                               THEN ' le rapport est dans des pages pour la version'
+                           ELSE '' END AS text
+                FROM documents),
+            t AS (SELECT doc_id, {TOKS} AS toks FROM aug),
             h AS (SELECT doc_id,
                 CAST(len(list_filter(toks, x -> list_contains(
                     ['der','die','das','und','ist','von','zu','mit','den','im','ein','eine'], x))) AS BIGINT) AS hits_de,
@@ -5485,14 +5618,18 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1
             ),
             m AS (
-                SELECT pq.query_id, nr.n_rel, pq.hits,
+                -- LEFT JOIN from nr: a query with relevant docs that
+                -- retrieved nothing in the top-k run scores 0, not a
+                -- dropped row (mirrors retrieval_metrics)
+                SELECT nr.query_id, nr.n_rel,
+                       CAST(coalesce(pq.hits, 0) AS BIGINT) AS hits,
                        COALESCE(list_sum(list_transform(
                            coalesce(rr, CAST([] AS BIGINT[])),
                            x -> 0.6931471805599453 / ln(x + 1.0))), 0.0) AS dcg,
                        COALESCE(list_sum(list_transform(
                            range(1, least(nr.n_rel, 10) + 1),
                            x -> 0.6931471805599453 / ln(x + 1.0))), 0.0) AS idcg
-                FROM pq JOIN nr ON pq.query_id = nr.query_id
+                FROM nr LEFT JOIN pq ON pq.query_id = nr.query_id
             )
             SELECT query_id, n_rel, hits,
                    round(CAST(hits AS DOUBLE) / n_rel, 6) AS recall,

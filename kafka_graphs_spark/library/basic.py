@@ -521,11 +521,14 @@ def degree_assortativity(graph: Graph) -> "DataFrame":
     ``r = (n·Σxy − (Σx)²) / (n·Σxx − (Σx)²)``).
 
     All Σ terms are exact integer aggregations (degrees are ints), and
-    the two cross products run in DECIMAL(38,0) — n·Σxy overflows a
-    64-bit long on large graphs — so the ONLY float op is the final
-    division: bit-identical across engines and partitionings. Map-side
-    combined degree count + one degree join per endpoint + one scalar
-    aggregate; regular graphs (zero variance) score 0.0 by convention.
+    every product runs in DECIMAL — the per-edge dx·dy / dx·dx terms are
+    cast to DECIMAL(19,0) before the sum (on hub-heavy graphs, degree
+    ~1e7 over 1e9+ edges, the long-typed inner sums would wrap past 2^63
+    silently under non-ANSI mode), and the outer n·Σxy cross products in
+    DECIMAL(38,0) — so the ONLY float op is the final division:
+    bit-identical across engines and partitionings. Map-side combined
+    degree count + one degree join per endpoint + one scalar aggregate;
+    regular graphs (zero variance) score 0.0 by convention.
     """
     from kafka_graphs_spark.library.components import _undirected_simple_edges
 
@@ -537,13 +540,14 @@ def degree_assortativity(graph: Graph) -> "DataFrame":
         und.join(deg.select(F.col("_v").alias("src"), F.col("_d").alias("dx")), on="src")
         .join(deg.select(F.col("_v").alias("dst"), F.col("_d").alias("dy")), on="dst")
     )
+    dec = "decimal(38,0)"
+    d19 = "decimal(19,0)"
     sums = pairs.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("dx").cast("long").alias("sx"),
-        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
-        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx").cast(d19) * F.col("dx").cast(d19)).cast(dec).alias("sxx"),
+        F.sum(F.col("dx").cast(d19) * F.col("dy").cast(d19)).cast(dec).alias("sxy"),
     )
-    dec = "decimal(38,0)"
     numer = (
         F.col("n").cast(dec) * F.col("sxy").cast(dec)
         - F.col("sx").cast(dec) * F.col("sx").cast(dec)

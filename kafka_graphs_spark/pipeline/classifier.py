@@ -101,7 +101,12 @@ def train_quality_classifier(
             ).collect()[0]
             for f in FEATURES:
                 w[f] = w[f] - lr * row[f"g_{f}"]
-        p = _p()
+        # clamp p away from exactly 0/1: a saturated probability makes
+        # F.log return NULL and F.avg silently drop the row, understating
+        # the reported loss on confidently-classified documents
+        p = F.greatest(
+            F.lit(1e-12), F.least(_p(), F.lit(1.0) - F.lit(1e-12))
+        )
         loss = feats.agg(
             F.round(
                 F.avg(

@@ -97,6 +97,12 @@ def funnel(
     with a map-side-combined ``min``; no window over the full event
     stream, no Python. Timestamps are only compared, never emitted, so
     any orderable ts encoding works.
+
+    Repeated step types (e.g. ``['view', 'view']``) gate on STRICTLY
+    later timestamps: with ``>=`` throughout, the single event that
+    completed the earlier occurrence of the type would satisfy the later
+    occurrence too and repeated-step funnels would overcount. The strict
+    gate means same-type events must carry distinct timestamps to chain.
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -107,10 +113,17 @@ def funnel(
     )
     out = [(1, steps[0], cur)]
     for i, step_type in enumerate(steps[1:], start=2):
+        # strict > when this type already completed an earlier step, so
+        # one event can never satisfy two occurrences of its type
+        gate = (
+            (F.col(ts_col) > F.col("_prev"))
+            if step_type in steps[: i - 1]
+            else (F.col(ts_col) >= F.col("_prev"))
+        )
         nxt = (
             events.filter(F.col(type_col) == step_type)
             .join(cur.select(user_col, F.col("_t").alias("_prev")), on=user_col)
-            .filter(F.col(ts_col) >= F.col("_prev"))
+            .filter(gate)
             .groupBy(user_col)
             .agg(F.min(ts_col).alias("_t"))
         )

@@ -1028,8 +1028,11 @@ def retrieval_metrics(
     the loop a retrieval pipeline tunes against. Determinism: both DCG
     sums fold SORTED rank arrays left-to-right (per-query k-bounded), so
     the float accumulation order is fixed across engines and
-    partitionings; queries absent from ``rels`` drop (inner join — no
-    relevant documents means the metric is undefined, not zero).
+    partitionings; queries absent from ``rels`` drop (no relevant
+    documents means the metric is undefined, not zero), while queries
+    WITH relevant documents that retrieved nothing in the top-k run
+    keep a row scoring hits/recall/dcg/ndcg 0 — dropping them would
+    inflate every macro-averaged metric.
     """
     r = ranked.filter(F.col("rank") <= k)
     flags = rels.select("query_id", "doc_id", F.lit(True).alias("_rel"))
@@ -1058,10 +1061,11 @@ def retrieval_metrics(
     ideal_ranks = F.when(
         ideal_n > 0, F.sequence(F.lit(1).cast("long"), ideal_n)
     ).otherwise(F.array().cast("array<long>"))
-    dcg = _fold(F.col("_rr"))
+    dcg = _fold(F.coalesce(F.col("_rr"), F.array().cast("array<long>")))
     idcg = _fold(ideal_ranks)
     return (
-        per_q.join(n_rel, on="query_id")
+        n_rel.join(per_q, on="query_id", how="left")
+        .withColumn("hits", F.coalesce(F.col("hits"), F.lit(0).cast("long")))
         .select(
             "query_id",
             "n_rel",
@@ -1093,8 +1097,17 @@ def blocklist_filter(
     the blocklist is compiled into the plan (fine for the typical
     hundreds-of-terms list; for very large lists join a broadcast table
     instead). Rows are never dropped — emit flags, keep rejects
-    auditable.
+    auditable. An empty blocklist is the identity gate: every row keeps
+    with n_blocked 0 and an empty hit list.
     """
+    phrases = list(phrases)
+    if not phrases:
+        return docs.select(
+            "doc_id",
+            F.lit(0).cast("long").alias("n_blocked"),
+            F.array().cast("array<string>").alias("blocked_terms"),
+            F.lit(True).alias("keep"),
+        )
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     counts = []

@@ -1,0 +1,105 @@
+"""Window-rotation planner for the driver's 50-slot correctness gate.
+
+The driver scores only the FIRST 50 entries of ``queries()`` each round
+(CORRECTNESS_r{N}.json), while the registry keeps growing — so which 50
+run is the top recurring source of evidence debt. This script replaces
+the hand-curated rotation: it reads every committed CORRECTNESS_r*.json,
+derives each query's scoring history, and emits the ordering
+
+    1. never-scored queries (registry order) — first in line for a row,
+    2. scored queries, stalest round first (ties: registry order),
+    3. the permanent no-oracle tail (seeded numerics whose correctness
+       evidence is their invariant/loss twins inside the window —
+       rotating them in would burn slots on rows the driver can only
+       mark ``no_oracle``).
+
+Usage:
+    python scripts/rotate_window.py            # print the full ordering
+    python scripts/rotate_window.py --check    # assert queries() already
+                                               # starts with the computed
+                                               # 50-slot window (CI gate)
+
+After generating, reorder the ``queries()`` dict to match and re-run
+``scripts/check_window.py`` — the rotation plan is fixed when the round
+starts; queries added mid-round go AFTER slot 50 for the next rotation.
+"""
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+#: permanently-tail queries: seeded/approximate numerics with no oracle,
+#: whose correctness evidence is the invariant/loss/recall twins that DO
+#: rotate through the window.
+PERMANENT_TAIL = [
+    "sp_als_factors",
+    "sp_sgd_factors",
+    "hier_semiclusters",
+    "emb_kmeans",
+    "ec_maxbmatching",
+    "emb_lsh_topk",
+]
+
+
+def scoring_history(repo_root: str) -> dict[str, int]:
+    """query name -> latest round whose CORRECTNESS artifact scored it."""
+    last: dict[str, int] = {}
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as f:
+            for name in json.load(f):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def compute_order(registry: list[str], last: dict[str, int]) -> list[str]:
+    tail = [q for q in PERMANENT_TAIL if q in registry]
+    body = [q for q in registry if q not in tail]
+    never = [q for q in body if q not in last]
+    scored = sorted(
+        (q for q in body if q in last),
+        key=lambda q: (last[q], registry.index(q)),
+    )
+    return never + scored + tail
+
+
+def main() -> int:
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry_mod
+
+    registry = list(entry_mod.queries().keys())
+    oracles = entry_mod.oracle_sql()
+    last = scoring_history(repo_root)
+    order = compute_order(registry, last)
+
+    if "--check" in sys.argv:
+        want, got = order[:50], registry[:50]
+        if want == got:
+            print("OK: queries() starts with the computed 50-slot window")
+            return 0
+        for i, (w, g) in enumerate(zip(want, got), 1):
+            if w != g:
+                print(f"slot {i}: want {w!r}, got {g!r}")
+        print("MISMATCH: reorder queries() to match `rotate_window.py`")
+        return 1
+
+    print(f"# registry: {len(registry)} queries; "
+          f"{sum(1 for q in registry if q not in last)} never scored; "
+          f"window = first 50 below")
+    for i, q in enumerate(order, 1):
+        mark = "" if q in oracles else "  [rows-only]"
+        hist = f"last r{last[q]}" if q in last else "NEVER SCORED"
+        bar = "  <-- window ends" if i == 50 else ""
+        print(f"{i:3d}. {q:40s} {hist}{mark}{bar}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
