@@ -84,7 +84,18 @@ def _effective_cap(edges: DataFrame, max_neighbors: Optional[int]) -> Optional[i
     return None if (row["m"] or 0) <= max_neighbors else max_neighbors
 
 
-def _gathered(edges: DataFrame, factors: DataFrame, max_neighbors: Optional[int]) -> DataFrame:
+#: per-side factor-frame row bound under which the gather join broadcasts
+#: the factors (~dim·8 bytes a row: 1M rows ≈ 64 MB at dim=8) — above it
+#: the join stays a shuffle join, the only shape that holds at 100 TB.
+BROADCAST_FACTOR_ROWS = 1_000_000
+
+
+def _gathered(
+    edges: DataFrame,
+    factors: DataFrame,
+    max_neighbors: Optional[int],
+    broadcast: bool = False,
+) -> DataFrame:
     """(id=dst, vecs array<array<double>>, ratings array<double>) sorted by sender.
 
     ``max_neighbors`` caps hub vertices BEFORE the collect_list: a
@@ -97,10 +108,18 @@ def _gathered(edges: DataFrame, factors: DataFrame, max_neighbors: Optional[int]
     """
     from pyspark.sql.window import Window
 
+    f = factors.select(F.col("id").alias("_s"), "vec")
+    if broadcast:
+        # mapInPandas output has no size stats, so without the hint this
+        # join plans as a 2-shuffle SMJ and only AQE sometimes rescues
+        # it; the caller gates the hint on the actual vertex count (an
+        # unconditional hint would OOM on billion-vertex factor sides).
+        # Results are bit-identical either way (array_sort pins order).
+        f = F.broadcast(f)
     j = (
         edges.select(F.col("src").alias("_s"), F.col("dst").alias("id"),
                      F.col("value").cast("double").alias("_r"))
-        .join(factors.select(F.col("id").alias("_s"), "vec"), on="_s")
+        .join(f, on="_s")
     )
     if max_neighbors:
         w = Window.partitionBy("id").orderBy(F.xxhash64("_s", "id"), "_s")
@@ -143,6 +162,10 @@ def als(
     users = edges.select(F.col("src").alias("id")).distinct()
     items = edges.select(F.col("dst").alias("id")).distinct()
     n_ratings = edges.count()
+    # once per call (not per iteration): gate the gather join's broadcast
+    # hint on the actual per-side factor-frame size
+    bc_users = users.count() <= BROADCAST_FACTOR_ROWS
+    bc_items = items.count() <= BROADCAST_FACTOR_ROWS
 
     def solve_batch(batches: Iterator) -> Iterator:
         import numpy as np
@@ -173,13 +196,13 @@ def als(
         for step in range(iterations):
             if step % 2 == 0:  # update items from user factors (original direction)
                 item_f, _ = loop.advance(
-                    _gathered(edges, user_f, cap_items).mapInPandas(
+                    _gathered(edges, user_f, cap_items, broadcast=bc_users).mapInPandas(
                         solve_batch, schema=_FACTORS_SCHEMA
                     )
                 )
             else:  # update users from item factors (reverse direction)
                 user_f, _ = loop.advance(
-                    _gathered(rev, item_f, cap_users).mapInPandas(
+                    _gathered(rev, item_f, cap_users, broadcast=bc_items).mapInPandas(
                         solve_batch, schema=_FACTORS_SCHEMA
                     )
                 )

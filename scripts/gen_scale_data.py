@@ -1,0 +1,180 @@
+"""True larger-SF synthetic data generator for scaling probes.
+
+The driver testdata stops at sf0.1; round-7's scaling probe replicated
+sf0.1 5x, which kept runtimes honest but corrupted OUTPUT-SIZE semantics
+(replicated docs are exact duplicates, so minhash candidates exploded
+256 -> 55,904). This generator reproduces the driver generator's
+measured distributions (TESTDATA.md shapes, seed 42) at an arbitrary SF
+so dedup-tier outputs scale under the true generative process:
+
+- lineitem: uniform (suppkey, partkey) with 10k suppliers/sf, 200k
+  parts/sf, qty uniform 1..50 — the supplier-part bipartite graph.
+- events: 1M rows/sf over a 30-day span (exponential inter-arrivals),
+  15k users/sf uniform => ~67 events/user chains (the event-chain graph
+  keeps its per-user diameter as SF grows, matching the driver data).
+- documents: 50k docs/sf, uniform 10..100 tokens drawn uniformly from
+  the driver's exact 31-word vocabulary, 20 sources, same lang weights.
+- embeddings: 20k vectors/sf, 64-dim, 10 Gaussian clusters.
+- customer/nation/region/supplier/part/orders at driver ratios.
+
+Usage: python scripts/gen_scale_data.py [SF] [OUT_DIR]
+       (default: 0.5 .scratch/sf0.5)
+
+NOT byte-compatible with the driver parquet (different RNG) — use ONLY
+for scaling probes, never for oracle parity.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "zh", "de", "es", "fr"]
+LANG_W = [0.44, 0.15, 0.14, 0.145, 0.125]
+
+
+def main() -> None:
+    sf = float(sys.argv[1]) if len(sys.argv) > 1 else 0.5
+    out = sys.argv[2] if len(sys.argv) > 2 else f".scratch/sf{sf}"
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(42)
+    k = sf / 0.1  # sizes are expressed relative to the measured sf0.1
+
+    def write(name, table):
+        pq.write_table(table, f"{out}/{name}.parquet")
+        print(f"{name}: {table.num_rows} rows")
+
+    # region / nation (fixed TPC-H dimensions)
+    write("region", pa.table({
+        "r_regionkey": pa.array(range(5), pa.int32()),
+        "r_name": [f"region{i}" for i in range(5)],
+    }))
+    nat_region = rng.integers(0, 5, 25)
+    write("nation", pa.table({
+        "n_nationkey": pa.array(range(25), pa.int32()),
+        "n_name": [f"nation{i}" for i in range(25)],
+        "n_regionkey": pa.array(nat_region, pa.int32()),
+    }))
+
+    n_cust = int(150_000 * k)
+    write("customer", pa.table({
+        "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
+        "c_name": [f"cust{i}" for i in range(n_cust)],
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust), pa.int32()),
+        "c_acctbal": np.round(rng.uniform(-999, 9999, n_cust), 2),
+        "c_mktsegment": np.array(["AUTOMOBILE", "BUILDING", "FURNITURE",
+                                  "HOUSEHOLD", "MACHINERY"])[
+            rng.integers(0, 5, n_cust)],
+    }))
+
+    n_supp = int(10_000 * k)
+    write("supplier", pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
+        "s_name": [f"supp{i}" for i in range(n_supp)],
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp), pa.int32()),
+        "s_acctbal": np.round(rng.uniform(-999, 9999, n_supp), 2),
+    }))
+
+    n_part = int(200_000 * k)
+    write("part", pa.table({
+        "p_partkey": pa.array(np.arange(n_part), pa.int64()),
+        "p_name": [f"part{i}" for i in range(n_part)],
+        "p_brand": np.array([f"Brand#{i}" for i in range(25)])[
+            rng.integers(0, 25, n_part)],
+        "p_type": np.array([f"type{i}" for i in range(30)])[
+            rng.integers(0, 30, n_part)],
+        "p_size": pa.array(rng.integers(1, 51, n_part), pa.int32()),
+        "p_retailprice": np.round(rng.uniform(900, 2000, n_part), 2),
+    }))
+
+    n_ord = int(1_500_000 * k)
+    base_day = np.datetime64("1999-01-01")
+    write("orders", pa.table({
+        "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
+        "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
+        "o_orderstatus": np.array(["F", "O", "P"])[rng.integers(0, 3, n_ord)],
+        "o_totalprice": np.round(rng.uniform(1000, 400000, n_ord), 2),
+        "o_orderdate": pa.array(
+            base_day + rng.integers(0, 2400, n_ord).astype("timedelta64[D]"),
+            pa.timestamp("us")),
+        "o_orderpriority": np.array([f"{i}-PRIO" for i in range(1, 6)])[
+            rng.integers(0, 5, n_ord)],
+    }))
+
+    n_li = int(6_000_000 * k)
+    write("lineitem", pa.table({
+        "l_orderkey": pa.array(rng.integers(0, n_ord, n_li), pa.int64()),
+        "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(0, n_supp, n_li), pa.int64()),
+        "l_linenumber": pa.array(rng.integers(1, 8, n_li), pa.int32()),
+        "l_quantity": rng.integers(1, 51, n_li).astype("float64"),
+        "l_extendedprice": np.round(rng.uniform(900, 105000, n_li), 2),
+        "l_discount": np.round(rng.uniform(0, 0.1, n_li), 2),
+        "l_tax": np.round(rng.uniform(0, 0.08, n_li), 2),
+        "l_returnflag": np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)],
+        "l_linestatus": np.array(["F", "O"])[rng.integers(0, 2, n_li)],
+        "l_shipdate": pa.array(
+            base_day + rng.integers(0, 2400, n_li).astype("timedelta64[D]"),
+            pa.timestamp("us")),
+    }))
+
+    # events: exponential inter-arrivals over a 30-day span, sorted ts
+    n_ev = int(1_000_000 * k)
+    n_users = int(15_000 * k)
+    span_us = 30 * 86400 * 1_000_000
+    gaps = rng.exponential(1.0, n_ev)
+    ts_us = (np.cumsum(gaps) / gaps.sum() * span_us).astype("int64")
+    write("events", pa.table({
+        "event_id": pa.array(np.arange(n_ev), pa.int64()),
+        "ts": pa.array(
+            np.datetime64("2024-01-01") + ts_us.astype("timedelta64[us]"),
+            pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(0, n_users, n_ev), pa.int64()),
+        "event_type": np.array(["view", "click", "purchase", "signup",
+                                "error"])[rng.integers(0, 5, n_ev)],
+        "value": np.round(rng.exponential(50.0, n_ev), 2),
+        "props": [f'{{"k": {v}}}' for v in rng.integers(0, 100, n_ev)],
+    }))
+
+    # documents: uniform 10..100 tokens from the driver's 31-word vocab
+    n_docs = int(50_000 * k)
+    lens = rng.integers(10, 101, n_docs)
+    flat = rng.integers(0, len(VOCAB), lens.sum())
+    voc = np.array(VOCAB)
+    texts = []
+    pos = 0
+    for ln in lens:
+        texts.append(" ".join(voc[flat[pos:pos + ln]]))
+        pos += ln
+    write("documents", pa.table({
+        "doc_id": pa.array(np.arange(n_docs), pa.int64()),
+        "text": texts,
+        "lang": np.array(LANGS)[rng.choice(len(LANGS), n_docs, p=LANG_W)],
+        "source": np.array([f"src{i}" for i in range(20)])[
+            rng.integers(0, 20, n_docs)],
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    }))
+
+    # embeddings: 10 Gaussian clusters in 64-d
+    n_emb = int(20_000 * k)
+    centers = rng.normal(0, 1, (10, 64))
+    labels = rng.integers(0, 10, n_emb)
+    vecs = (centers[labels] + rng.normal(0, 0.35, (n_emb, 64))).astype(
+        "float32")
+    write("embeddings", pa.table({
+        "vec_id": pa.array(np.arange(n_emb), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(labels, pa.int32()),
+    }))
+
+
+if __name__ == "__main__":
+    main()
