@@ -195,6 +195,66 @@ def _ec_temporal(spark, sf_dir):
     return vertices, sym
 
 
+def _doc_urls(spark, sf_dir):
+    """documents + a deterministic synthetic ``url`` column (the corpus
+    has no URL column, so the domain-curation tier synthesizes one the
+    same way in BOTH engines): scheme (sometimes with userinfo),
+    subdomain depth 0-2, five site names, six TLDs (two multi-label
+    public suffixes), an occasional port, and a source/doc_id path —
+    30 registered domains exercising every branch of
+    pipeline.domains.registered_domain."""
+    from kafka_graphs_spark import datasets
+
+    d = F.col("doc_id")
+    docs = datasets.load(spark, sf_dir, "documents")
+    scheme = F.when(d % 11 == 0, F.lit("https://user:pw@")).otherwise(
+        F.lit("https://")
+    )
+    sub = (
+        F.when(d % 4 == 1, F.lit("www."))
+        .when(d % 4 == 2, F.lit("cdn.assets."))
+        .when(d % 4 == 3, F.lit("a."))
+        .otherwise(F.lit(""))
+    )
+    name = (
+        F.when(d % 5 == 0, F.lit("example"))
+        .when(d % 5 == 1, F.lit("news"))
+        .when(d % 5 == 2, F.lit("blog"))
+        .when(d % 5 == 3, F.lit("shop"))
+        .otherwise(F.lit("data"))
+    )
+    tld = (
+        F.when(d % 6 == 0, F.lit(".com"))
+        .when(d % 6 == 1, F.lit(".org"))
+        .when(d % 6 == 2, F.lit(".net"))
+        .when(d % 6 == 3, F.lit(".io"))
+        .when(d % 6 == 4, F.lit(".co.uk"))
+        .otherwise(F.lit(".com.au"))
+    )
+    port = F.when(d % 13 == 0, F.lit(":8443")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme, sub, name, tld, port,
+        F.lit("/"), F.col("source"), F.lit("/"), d.cast("string"),
+    )
+    return docs.withColumn("url", url)
+
+
+#: SQL twin of _doc_urls' url expression (shared by the domain oracles)
+_URL_SQL = """(
+    CASE WHEN doc_id % 11 = 0 THEN 'https://user:pw@' ELSE 'https://' END
+    || CASE WHEN doc_id % 4 = 1 THEN 'www.'
+            WHEN doc_id % 4 = 2 THEN 'cdn.assets.'
+            WHEN doc_id % 4 = 3 THEN 'a.' ELSE '' END
+    || CASE doc_id % 5 WHEN 0 THEN 'example' WHEN 1 THEN 'news'
+            WHEN 2 THEN 'blog' WHEN 3 THEN 'shop' ELSE 'data' END
+    || CASE doc_id % 6 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+            WHEN 2 THEN '.net' WHEN 3 THEN '.io'
+            WHEN 4 THEN '.co.uk' ELSE '.com.au' END
+    || CASE WHEN doc_id % 13 = 0 THEN ':8443' ELSE '' END
+    || '/' || source || '/' || doc_id
+)"""
+
+
 # ---------------------------------------------------------------------------
 # entry: flagship query
 # ---------------------------------------------------------------------------
@@ -1985,6 +2045,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             docs.withColumn("text", F.concat(F.col("text"), suffix))
         )
 
+    def doc_domains(spark, sf):
+        # registered-domain (eTLD+1) extraction over synthetic URLs:
+        # userinfo/port stripping, case/trailing-dot normalization,
+        # multi-label public suffixes (co.uk/com.au) — zero shuffles
+        from kafka_graphs_spark.pipeline.domains import extract_domains
+
+        return extract_domains(_doc_urls(spark, sf))
+
+    def doc_domain_stats(spark, sf):
+        # per-registered-domain corpus rollup (C4/RefinedWeb-style
+        # domain concentration audit): one map-side-combined groupBy
+        from kafka_graphs_spark.pipeline.domains import domain_stats
+
+        return domain_stats(_doc_urls(spark, sf))
+
+    def doc_domain_blocklist(spark, sf):
+        # domain blocklist gate: label-boundary suffix match, subdomains
+        # blocked, most-specific entry reported; rows never dropped
+        from kafka_graphs_spark.pipeline.domains import domain_blocklist
+
+        return domain_blocklist(
+            _doc_urls(spark, sf),
+            ["shop.com", "news.co.uk", "assets.blog.net"],
+        )
+
     def dedup_containment(spark, sf):
         # asymmetric near-duplication (Broder containment |A∩B|/|A|):
         # catches excerpts/quotes symmetric Jaccard misses; inverted-
@@ -3551,6 +3636,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_stream_wcc": ec_stream_wcc,
         "stream_bipartiteness": stream_bipartiteness,
         "ec_spanner": ec_spanner,
+        # -- round-8 additions (registered AFTER slot 50; first in line
+        # for the r9 rotation): URL/domain curation tier --
+        "doc_domains": doc_domains,
+        "doc_domain_stats": doc_domain_stats,
+        "doc_domain_blocklist": doc_domain_blocklist,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins
         # inside the window) and rows-only ANN variants --
         "sp_als_factors": sp_als_factors,
@@ -3575,6 +3665,31 @@ def oracle_sql() -> dict[str, str]:
     _rp_values = ", ".join(
         f"({i + 1}, {j}, {_rp[i][j]})" for i in range(64) for j in range(16)
     )
+
+    # registered-domain extraction twin (pipeline/domains.py): host from
+    # the same regex, then the eTLD+1 rule over the same suffix set
+    from kafka_graphs_spark.pipeline.domains import MULTI_LABEL_SUFFIXES
+
+    _sfx = "[" + ", ".join(f"'{s}'" for s in sorted(set(MULTI_LABEL_SUFFIXES))) + "]"
+    _DOMAIN_CTES = f"""
+        u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
+        h AS (SELECT doc_id,
+                 regexp_replace(lower(regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)),
+                     '\\.$', '') AS host
+              FROM u),
+        hl AS (SELECT doc_id, host, string_split(host, '.') AS l,
+                      len(string_split(host, '.')) AS n
+               FROM h),
+        dom AS (SELECT doc_id, host,
+                   CASE WHEN regexp_matches(host,
+                            '^\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}$')
+                            THEN host
+                        WHEN n <= 2 THEN host
+                        WHEN list_contains({_sfx}, l[-2] || '.' || l[-1])
+                            THEN l[-3] || '.' || l[-2] || '.' || l[-1]
+                        ELSE l[-2] || '.' || l[-1] END AS domain
+                FROM hl)"""
 
     # chained-CTE replay of train_quality_classifier's full training loop
     # (classifier.py): w{i+1} = w{i} - lr * round6(avg gradient); each
@@ -5554,6 +5669,41 @@ def oracle_sql() -> dict[str, str]:
                    ], x -> x IS NOT NULL) AS blocked_terms,
                    (c0 + c1 + c2) = 0 AS keep
             FROM c
+        """,
+        "doc_domains": f"""
+            WITH {_DOMAIN_CTES}
+            SELECT doc_id, host, domain FROM dom
+        """,
+        "doc_domain_stats": f"""
+            WITH {_DOMAIN_CTES},
+            t AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS nt
+                  FROM documents)
+            SELECT domain, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens,
+                   round(count(*) / (SELECT count(*)::DOUBLE FROM documents),
+                         6) AS doc_share
+            FROM dom JOIN t USING (doc_id)
+            GROUP BY domain
+        """,
+        # most-specific blocklist entry first (same order the Spark gate
+        # compiles): assets.blog.net, news.co.uk, then shop.com
+        "doc_domain_blocklist": f"""
+            WITH {_DOMAIN_CTES},
+            m AS (SELECT doc_id, host,
+                     CASE WHEN host = 'assets.blog.net'
+                               OR ends_with(host, '.assets.blog.net')
+                              THEN 'assets.blog.net'
+                          WHEN host = 'news.co.uk'
+                               OR ends_with(host, '.news.co.uk')
+                              THEN 'news.co.uk'
+                          WHEN host = 'shop.com'
+                               OR ends_with(host, '.shop.com')
+                              THEN 'shop.com'
+                     END AS matched_domain
+                  FROM dom)
+            SELECT doc_id, host, matched_domain,
+                   matched_domain IS NULL AS keep
+            FROM m
         """,
         # retrieval eval: BM25's run (same CTEs as doc_bm25, queries from
         # seed docs) scored vs same-source qrels; DCG folds SORTED rank

@@ -15,6 +15,9 @@ First-class engine components for the 100 TB data-curation path:
   property extraction, funnel conversion, retention cohorts.
 - ``relational``: as-of join (union+window, one shuffle — no range
   theta-join, no Python).
+- ``domains``: URL host / registered-domain (eTLD+1) extraction,
+  per-domain rollups, domain blocklist gates — the C4/RefinedWeb web-
+  curation key space; pure per-row expressions.
 - ``multimodal``: opaque binary columns + typed metadata; Arrow-batched
   decode/feature plumbing with stubbed codecs.
 
@@ -27,6 +30,7 @@ from kafka_graphs_spark.pipeline import (
     bpe,
     curate,
     dedup,
+    domains,
     events,
     features,
     multimodal,
@@ -37,4 +41,4 @@ from kafka_graphs_spark.pipeline import (
     text,
 )
 
-__all__ = ["text", "dedup", "similarity", "multimodal", "curate", "sample", "sessions", "events", "bpe", "features", "relational"]
+__all__ = ["text", "dedup", "domains", "similarity", "multimodal", "curate", "sample", "sessions", "events", "bpe", "features", "relational"]

@@ -1,0 +1,166 @@
+"""URL/domain-level corpus curation — registered-domain extraction,
+per-domain rollups, and domain blocklist gates.
+
+Beyond-reference pipeline tier (C4 / RefinedWeb / Gopher-style web
+curation operates per registered domain: dedup budgets, quality priors,
+and blocklists are all keyed by eTLD+1, not by raw host). Everything
+here is built-in string/array expressions — host parsing and suffix
+matching are pure per-row Catalyst exprs (zero shuffles, scan speed);
+only the rollup aggregates shuffle, and those are map-side-combinable
+counts keyed by the ~millions-of-domains key space, never by document.
+
+Registered-domain semantics: the host's last label pair, except when
+that pair is a known multi-label public suffix (``co.uk`` and friends),
+in which case one more label is kept. The built-in suffix set is the
+pragmatic high-traffic subset of the Public Suffix List — pass
+``extra_suffixes`` to extend it (the full PSL is a data file, not an
+algorithm; production deployments broadcast-join their own copy).
+IPv4 hosts are their own registered domain.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: high-traffic multi-label public suffixes (PSL subset; extensible)
+MULTI_LABEL_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in",
+    "co.kr", "or.kr", "co.za", "org.za",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
+    "co.nz", "org.nz",
+]
+
+_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)"
+_IPV4_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
+
+
+def host_of(url: Column) -> Column:
+    """Lower-cased host of a URL (scheme required; userinfo and port
+    stripped; trailing dot normalized away)."""
+    h = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    return F.regexp_replace(h, r"\.$", "")
+
+
+def registered_domain(
+    host: Column, extra_suffixes: Optional[Iterable[str]] = None
+) -> Column:
+    """eTLD+1 of a host column (see module docstring for semantics).
+
+    Hosts with fewer than 2 labels (e.g. ``localhost``) and IPv4
+    literals return themselves.
+    """
+    suffixes = sorted(set(MULTI_LABEL_SUFFIXES) | set(extra_suffixes or []))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
+    last3 = F.concat_ws(
+        ".", F.element_at(labels, -3), F.element_at(labels, -2),
+        F.element_at(labels, -1),
+    )
+    return (
+        F.when(host.rlike(_IPV4_RE), host)
+        .when(n <= 2, host)
+        .when(last2.isin(suffixes), last3)
+        .otherwise(last2)
+    )
+
+
+def extract_domains(
+    docs: DataFrame,
+    url_col: str = "url",
+    extra_suffixes: Optional[Iterable[str]] = None,
+) -> DataFrame:
+    """(doc_id, host, domain) — host + registered domain per document.
+
+    Pure per-row expressions: at 100 TB this is scan speed, and the
+    ``domain`` column is the curation key every downstream rollup,
+    blocklist, and per-domain dedup budget groups on.
+    """
+    h = host_of(F.col(url_col))
+    return docs.select(
+        "doc_id",
+        h.alias("host"),
+        registered_domain(h, extra_suffixes).alias("domain"),
+    )
+
+
+def domain_stats(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    extra_suffixes: Optional[Iterable[str]] = None,
+) -> DataFrame:
+    """(domain, n_docs, n_tokens, doc_share) — per-registered-domain
+    corpus rollup: document count, whitespace-token total, and the
+    domain's share of all documents.
+
+    The table every web-curation report starts from (C4's per-domain
+    counts, RefinedWeb's domain concentration audit). One
+    map-side-combinable groupBy on the domain key; the share division
+    uses a broadcast scalar, not a second shuffle. Exact integers until
+    the final rounded division.
+    """
+    from kafka_graphs_spark.pipeline.text import tokens
+
+    h = host_of(F.col(url_col))
+    per = docs.select(
+        registered_domain(h, extra_suffixes).alias("domain"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("_t"),
+    )
+    agg = per.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_t").cast("long").alias("n_tokens"),
+    )
+    total = docs.select(F.count(F.lit(1)).cast("long").alias("_n"))
+    return agg.join(F.broadcast(total)).select(
+        "domain",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs").cast("double") / F.col("_n"), 6).alias(
+            "doc_share"
+        ),
+    )
+
+
+def domain_blocklist(
+    docs: DataFrame,
+    blocked: Sequence[str],
+    url_col: str = "url",
+) -> DataFrame:
+    """(doc_id, host, matched_domain, keep) — C4-style domain blocklist
+    gate: a document is blocked when its host IS a blocked domain or is
+    a subdomain of one (label-boundary suffix match, so ``news.com``
+    never blocks ``fakenews.com``). Rows are never dropped — emit
+    flags, keep rejects auditable (same contract as
+    :func:`~kafka_graphs_spark.pipeline.text.blocklist_filter`).
+
+    The blocklist is compiled into the plan (fine for the typical
+    thousands-of-domains list; for very large lists broadcast-join a
+    domain table against :func:`extract_domains` output instead). Zero
+    shuffles.
+    """
+    h = host_of(F.col(url_col))
+    matched = F.lit(None).cast("string")
+    # most-specific entry wins (label count desc, then name) so
+    # matched_domain is deterministic under overlapping blocklist entries
+    entries = sorted(
+        {str(x).lower().strip(".") for x in blocked},
+        key=lambda b: (-b.count("."), b),
+    )
+    for b in reversed(entries):
+        hit = (h == F.lit(b)) | h.endswith("." + b)
+        matched = F.when(hit, F.lit(b)).otherwise(matched)
+    return docs.select(
+        "doc_id",
+        h.alias("host"),
+        matched.alias("matched_domain"),
+        matched.isNull().alias("keep"),
+    )

@@ -80,6 +80,14 @@ def main() -> int:
     order = compute_order(registry, last)
 
     if "--check" in sys.argv:
+        # mid-round additions are registered AFTER slot 50 and wait for
+        # the next rotation (the window is fixed when the round starts),
+        # so never-scored queries beyond slot 50 are excluded before
+        # comparing — they'd otherwise jump the queue retroactively.
+        mid_round = {q for q in registry[50:] if q not in last}
+        order = compute_order(
+            [q for q in registry if q not in mid_round], last
+        )
         want, got = order[:50], registry[:50]
         if want == got:
             print("OK: queries() starts with the computed 50-slot window")
