@@ -2070,6 +2070,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ["shop.com", "news.co.uk", "assets.blog.net"],
         )
 
+    def doc_domain_cap(spark, sf):
+        # composition: registered-domain extraction -> deterministic
+        # per-domain cap (hash-ordered top-16 per domain; domain sizes are
+        # 16-17 here, so 17-doc domains cap and 16-doc domains pass through
+        # -- both branches discriminate) — the
+        # "no more than n docs from any one domain" mixture rule keyed
+        # by eTLD+1 instead of the source label
+        from kafka_graphs_spark.pipeline.domains import extract_domains
+
+        doms = extract_domains(_doc_urls(spark, sf)).select("doc_id", "domain")
+        return sample.cap_per_group(doms, "domain", 16, "doc_id")
+
     def dedup_containment(spark, sf):
         # asymmetric near-duplication (Broder containment |A∩B|/|A|):
         # catches excerpts/quotes symmetric Jaccard misses; inverted-
@@ -3641,6 +3653,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domains": doc_domains,
         "doc_domain_stats": doc_domain_stats,
         "doc_domain_blocklist": doc_domain_blocklist,
+        "doc_domain_cap": doc_domain_cap,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins
         # inside the window) and rows-only ANN variants --
         "sp_als_factors": sp_als_factors,
@@ -5704,6 +5717,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, host, matched_domain,
                    matched_domain IS NULL AS keep
             FROM m
+        """,
+        "doc_domain_cap": f"""
+            WITH {_DOMAIN_CTES},
+            r AS (SELECT doc_id, domain,
+                row_number() OVER (PARTITION BY domain
+                    ORDER BY (('0x' || substr(md5((doc_id)::VARCHAR || 'cap'), 1, 8))::BIGINT
+                              / 4294967296.0) ASC, doc_id ASC) AS rn
+              FROM dom)
+            SELECT doc_id, domain FROM r WHERE rn <= 16
         """,
         # retrieval eval: BM25's run (same CTEs as doc_bm25, queries from
         # seed docs) scored vs same-source qrels; DCG folds SORTED rank

@@ -7,14 +7,15 @@ sf0.1 5x, which kept runtimes honest but corrupted OUTPUT-SIZE semantics
 measured distributions (TESTDATA.md shapes, seed 42) at an arbitrary SF
 so dedup-tier outputs scale under the true generative process:
 
-- lineitem: uniform (suppkey, partkey) with 10k suppliers/sf, 200k
-  parts/sf, qty uniform 1..50 — the supplier-part bipartite graph.
-- events: 1M rows/sf over a 30-day span (exponential inter-arrivals),
-  15k users/sf uniform => ~67 events/user chains (the event-chain graph
-  keeps its per-user diameter as SF grows, matching the driver data).
-- documents: 50k docs/sf, uniform 10..100 tokens drawn uniformly from
-  the driver's exact 31-word vocabulary, 20 sources, same lang weights.
-- embeddings: 20k vectors/sf, 64-dim, 10 Gaussian clusters.
+- lineitem: 600k rows at sf0.1 scaling linearly; uniform (suppkey,
+  partkey) over 1k suppliers / 20k parts at sf0.1, qty uniform 1..50.
+- events: 100k rows at sf0.1 over a 30-day span (exponential
+  inter-arrivals), 1.5k users at sf0.1 uniform => ~67 events/user
+  chains (the event-chain graph keeps its per-user shape as SF grows,
+  matching the driver data).
+- documents: 5k docs at sf0.1, uniform 10..100 tokens drawn uniformly
+  from the driver's exact 31-word vocabulary, 20 sources.
+- embeddings: 2k vectors at sf0.1, 64-dim, 10 Gaussian clusters.
 - customer/nation/region/supplier/part/orders at driver ratios.
 
 Usage: python scripts/gen_scale_data.py [SF] [OUT_DIR]
@@ -64,7 +65,7 @@ def main() -> None:
         "n_regionkey": pa.array(nat_region, pa.int32()),
     }))
 
-    n_cust = int(150_000 * k)
+    n_cust = int(15_000 * k)
     write("customer", pa.table({
         "c_custkey": pa.array(np.arange(n_cust), pa.int64()),
         "c_name": [f"cust{i}" for i in range(n_cust)],
@@ -75,7 +76,7 @@ def main() -> None:
             rng.integers(0, 5, n_cust)],
     }))
 
-    n_supp = int(10_000 * k)
+    n_supp = int(1_000 * k)
     write("supplier", pa.table({
         "s_suppkey": pa.array(np.arange(n_supp), pa.int64()),
         "s_name": [f"supp{i}" for i in range(n_supp)],
@@ -83,7 +84,7 @@ def main() -> None:
         "s_acctbal": np.round(rng.uniform(-999, 9999, n_supp), 2),
     }))
 
-    n_part = int(200_000 * k)
+    n_part = int(20_000 * k)
     write("part", pa.table({
         "p_partkey": pa.array(np.arange(n_part), pa.int64()),
         "p_name": [f"part{i}" for i in range(n_part)],
@@ -95,7 +96,7 @@ def main() -> None:
         "p_retailprice": np.round(rng.uniform(900, 2000, n_part), 2),
     }))
 
-    n_ord = int(1_500_000 * k)
+    n_ord = int(150_000 * k)
     base_day = np.datetime64("1999-01-01")
     write("orders", pa.table({
         "o_orderkey": pa.array(np.arange(n_ord), pa.int64()),
@@ -109,7 +110,7 @@ def main() -> None:
             rng.integers(0, 5, n_ord)],
     }))
 
-    n_li = int(6_000_000 * k)
+    n_li = int(600_000 * k)
     write("lineitem", pa.table({
         "l_orderkey": pa.array(rng.integers(0, n_ord, n_li), pa.int64()),
         "l_partkey": pa.array(rng.integers(0, n_part, n_li), pa.int64()),
@@ -127,8 +128,8 @@ def main() -> None:
     }))
 
     # events: exponential inter-arrivals over a 30-day span, sorted ts
-    n_ev = int(1_000_000 * k)
-    n_users = int(15_000 * k)
+    n_ev = int(100_000 * k)
+    n_users = int(1_500 * k)
     span_us = 30 * 86400 * 1_000_000
     gaps = rng.exponential(1.0, n_ev)
     ts_us = (np.cumsum(gaps) / gaps.sum() * span_us).astype("int64")
@@ -145,7 +146,7 @@ def main() -> None:
     }))
 
     # documents: uniform 10..100 tokens from the driver's 31-word vocab
-    n_docs = int(50_000 * k)
+    n_docs = int(5_000 * k)
     lens = rng.integers(10, 101, n_docs)
     flat = rng.integers(0, len(VOCAB), lens.sum())
     voc = np.array(VOCAB)
@@ -164,7 +165,7 @@ def main() -> None:
     }))
 
     # embeddings: 10 Gaussian clusters in 64-d
-    n_emb = int(20_000 * k)
+    n_emb = int(2_000 * k)
     centers = rng.normal(0, 1, (10, 64))
     labels = rng.integers(0, 10, n_emb)
     vecs = (centers[labels] + rng.normal(0, 0.35, (n_emb, 64))).astype(

@@ -590,3 +590,41 @@ class TestRound7AdditionPlans:
         rels = docs.select(F.lit(0).cast("long").alias("query_id"), "doc_id")
         plan = executed_plan(retrieval_metrics(ranked, rels, k=10))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    def test_domain_extraction_zero_shuffle(self, docs):
+        from kafka_graphs_spark.pipeline.domains import (
+            domain_blocklist,
+            extract_domains,
+        )
+
+        urls = docs.select(
+            "doc_id",
+            F.concat(F.lit("https://www.site"), F.col("doc_id") % 7,
+                     F.lit(".co.uk/p")).alias("url"),
+            "text",
+        )
+        # pure per-row exprs: no Exchange, no Python anywhere
+        for df in (
+            extract_domains(urls),
+            domain_blocklist(urls, ["site1.co.uk", "site2.co.uk"]),
+        ):
+            plan = executed_plan(df)
+            assert "Exchange" not in plan
+            assert "BatchEvalPython" not in plan
+            assert "ArrowEvalPython" not in plan
+
+    def test_domain_stats_single_shuffle_partial_agg(self, docs):
+        from kafka_graphs_spark.pipeline.domains import domain_stats
+
+        urls = docs.select(
+            "doc_id",
+            F.concat(F.lit("https://www.site"), F.col("doc_id") % 7,
+                     F.lit(".co.uk/p")).alias("url"),
+            "text",
+        )
+        plan = executed_plan(domain_stats(urls))
+        # one shuffle on the domain key (plus the broadcast'd scalar);
+        # map-side partial aggregation before it
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "partial_count" in plan or "HashAggregate" in plan
+        assert "BatchEvalPython" not in plan
