@@ -39,6 +39,8 @@ def curate(
     model_iterations: int = 8,
     model_lr: float = 0.05,
     blocklist=None,
+    blocked_domains=None,
+    url_col: str = "url",
 ) -> DataFrame:
     """(doc_id) — documents that pass the quality gate, are not
     benchmark-contaminated (when ``benchmark`` is given), pass the
@@ -59,6 +61,12 @@ def curate(
     ANY blocklist hit (:func:`~kafka_graphs_spark.pipeline.text.blocklist_filter`)
     are dropped before dedup — the C4 badwords gate, applied pre-dedup
     like every other gate so it shrinks pair generation.
+
+    ``blocked_domains``: when given (a list of registered domains),
+    documents whose ``url_col`` host is one of them or a subdomain
+    thereof (:func:`~kafka_graphs_spark.pipeline.domains.domain_blocklist`)
+    are dropped pre-dedup — the C4 domain blocklist, same label-boundary
+    semantics. Requires a URL column.
 
     ``model_target``: when given (a boolean Column over ``docs``), the
     heuristic band gate is REPLACED by a model gate — a quality
@@ -113,6 +121,13 @@ def curate(
             ~F.col("keep")
         ).select("doc_id")
         kept = kept.join(blocked, on="doc_id", how="left_anti")
+    if blocked_domains:
+        from kafka_graphs_spark.pipeline.domains import domain_blocklist
+
+        bad_dom = domain_blocklist(kept, blocked_domains, url_col=url_col).filter(
+            ~F.col("keep")
+        ).select("doc_id")
+        kept = kept.join(bad_dom, on="doc_id", how="left_anti")
     if max_pii is not None:
         noisy = pii_stats(kept, text_col=text_col).filter(
             F.col("n_pii") > max_pii

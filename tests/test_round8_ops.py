@@ -190,3 +190,29 @@ class TestRotateWindow:
         assert order[:2] == ["q_new", "q_new2"]          # never-scored first
         assert order[2:5] == ["q_old_r1", "q_tail", "q_old_r5"]  # stalest first
         assert order[-1] == tail_name                     # permanent tail last
+
+
+class TestCurateDomainGate:
+    def test_blocked_domains_dropped_pre_dedup(self, spark):
+        from kafka_graphs_spark.pipeline.curate import curate
+
+        rows = [
+            # good quality text (varied words, reasonable length)
+            (i,
+             "the quick brown fox jumps over a lazy dog near the river bank "
+             + f"unique{i} token{i} more{i} words{i} here{i}",
+             f"https://{'bad' if i % 3 == 0 else 'good'}.example.com/{i}")
+            for i in range(12)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string, url string")
+        base = {r["doc_id"] for r in curate(docs, min_score=0.0,
+                                            jaccard_threshold=0.99).collect()}
+        gated = {
+            r["doc_id"]
+            for r in curate(
+                docs, min_score=0.0, jaccard_threshold=0.99,
+                blocked_domains=["bad.example.com"],
+            ).collect()
+        }
+        assert gated == {i for i in base if i % 3 != 0}
+        assert any(i % 3 == 0 for i in base)  # the gate actually removed rows
