@@ -49,7 +49,13 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
     ec = datasets.event_chain_graph(spark, sf_dir).persist()
     ec.vertices.count(), ec.edges.count()  # materialize outside the timers
     sp = datasets.supplier_part_graph(spark, sf_dir)
-    docs = datasets.load(spark, sf_dir, "documents").persist()
+    # documents.parquet at sf0.1 is a single ~2 MB row group, so every
+    # scan stage over it runs ONE task no matter how many cores exist
+    # (parquet splits at row-group granularity — maxPartitionBytes can't
+    # help). Right-size the cached input once, the same thing production
+    # data prep does with file sizing: the shingle explode then fans out
+    # across the box (minhash_lsh 8.5 -> 2.5 s at sf0.1 on local[32]).
+    docs = datasets.load(spark, sf_dir, "documents").repartition(int(CPUS)).persist()
     docs.count()
     emb = datasets.load(spark, sf_dir, "embeddings").persist()
     emb.count()
