@@ -50,7 +50,12 @@ def main() -> None:
     k = sf / 0.1  # sizes are expressed relative to the measured sf0.1
 
     def write(name, table):
-        pq.write_table(table, f"{out}/{name}.parquet")
+        # 100k-row row groups so scans SPLIT at larger SFs (parquet
+        # parallelism is row-group-granular; one giant group = one task
+        # no matter the cluster size — the layout a production writer
+        # would never ship)
+        pq.write_table(table, f"{out}/{name}.parquet",
+                       row_group_size=100_000)
         print(f"{name}: {table.num_rows} rows")
 
     # region / nation (fixed TPC-H dimensions)
