@@ -62,6 +62,7 @@ def train_quality_classifier(
     n_iterations: int = 8,
     lr: float = 0.05,
     text_col: str = "text",
+    sample_fraction: float = None,
 ) -> DataFrame:
     """(feature, weight, final_loss) — logistic-regression weights trained
     by ``n_iterations`` of full-batch gradient descent from w = 0:
@@ -82,7 +83,21 @@ def train_quality_classifier(
     prose), so keep ``lr`` small — the 0.05 default descends on every
     corpus tried; 0.5 visibly diverges. Standardize upstream if you need
     aggressive rates.
+
+    ``sample_fraction`` (None = full batch, the oracle-replayed default):
+    when set in (0, 1), each gradient step averages over a DETERMINISTIC
+    md5-hash minibatch of the featurized corpus — a fresh per-step salt
+    rotates the sample, so no document is systematically excluded. This
+    is the 100 TB refinement: the default full-batch loop reads the
+    (persisted) corpus ``n_iterations + 1`` times for 4 weights; with
+    e.g. ``sample_fraction=0.1`` each step scans the same cached frame
+    but averages a tenth of it — same O(features) gradient state, same
+    determinism contract (the hash sample and the 6-dp rounding are both
+    engine- and partitioning-independent), noisier but unbiased steps.
+    The final reported loss is always full-corpus.
     """
+    if sample_fraction is not None and not (0.0 < sample_fraction < 1.0):
+        raise ValueError("sample_fraction must be in (0, 1) or None")
     feats = featurize(docs, target, text_col).persist()
     try:
         w = {f: 0.0 for f in FEATURES}
@@ -91,14 +106,24 @@ def train_quality_classifier(
             z = sum(F.col(f) * F.lit(w[f]) for f in FEATURES)
             return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
-        for _ in range(int(n_iterations)):
+        for step in range(int(n_iterations)):
             p = _p()
-            row = feats.agg(
+            batch = feats
+            if sample_fraction is not None:
+                from kafka_graphs_spark.pipeline.sample import hash_fraction
+
+                batch = feats.filter(
+                    hash_fraction(F.col("doc_id"), f"gd{step}")
+                    < F.lit(float(sample_fraction))
+                )
+            row = batch.agg(
                 *[
                     F.round(F.avg((p - F.col("y")) * F.col(f)), 6).alias(f"g_{f}")
                     for f in FEATURES
                 ]
             ).collect()[0]
+            if row[f"g_{FEATURES[0]}"] is None:
+                continue  # empty minibatch (tiny corpus × small fraction)
             for f in FEATURES:
                 w[f] = w[f] - lr * row[f"g_{f}"]
         # clamp p away from exactly 0/1: a saturated probability makes

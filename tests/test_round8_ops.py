@@ -216,3 +216,43 @@ class TestCurateDomainGate:
         }
         assert gated == {i for i in base if i % 3 != 0}
         assert any(i % 3 == 0 for i in base)  # the gate actually removed rows
+
+
+class TestClassifierMinibatch:
+    def _docs(self, spark):
+        from pyspark.sql import functions as F
+        rows = [
+            (i,
+             ("the a and of to in is it that for " * 3 if i % 2 == 0
+              else "zxq wvu tsr qpo nml kji hgf " * 4).strip())
+            for i in range(200)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_minibatch_deterministic_and_descends(self, spark):
+        from kafka_graphs_spark.pipeline.classifier import train_quality_classifier
+
+        docs = self._docs(spark)
+        tgt = (F.col("doc_id") % 2 == 0).cast("double")
+        a = train_quality_classifier(docs, tgt, n_iterations=4,
+                                     sample_fraction=0.3).collect()
+        b = train_quality_classifier(docs, tgt, n_iterations=4,
+                                     sample_fraction=0.3).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]  # same hash batches
+        loss_mb = a[0]["final_loss"]
+        # descends from the w=0 loss ln(2)=0.6931
+        assert loss_mb < 0.6931
+        # and the full-batch path is untouched by the new parameter
+        full = train_quality_classifier(docs, tgt, n_iterations=4).collect()
+        assert full[0]["final_loss"] < 0.6931
+        assert [r["feature"] for r in full] == [
+            "intercept", "stop_ratio", "mean_token_len", "log_n_tokens"]
+
+    def test_minibatch_rejects_bad_fraction(self, spark):
+        from kafka_graphs_spark.pipeline.classifier import train_quality_classifier
+
+        with pytest.raises(ValueError):
+            train_quality_classifier(
+                self._docs(spark), F.lit(True).cast("double"),
+                sample_fraction=1.5,
+            )
