@@ -2082,6 +2082,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doms = extract_domains(_doc_urls(spark, sf)).select("doc_id", "domain")
         return sample.cap_per_group(doms, "domain", 16, "doc_id")
 
+    def doc_domain_quality(spark, sf):
+        # C4-style per-domain quality profile: registered domain x
+        # heuristic quality band -> doc counts. The score is a sum of
+        # three band constants (0/0.3/0.4/...), so grouping on it is
+        # exact in both engines; counts are exact ints.
+        from kafka_graphs_spark.pipeline.domains import extract_domains
+        from kafka_graphs_spark.pipeline.text import quality_score
+
+        urls = _doc_urls(spark, sf)
+        doms = extract_domains(urls).select("doc_id", "domain")
+        q = quality_score(urls).select("doc_id", "score")
+        return doms.join(q, on="doc_id").groupBy("domain", "score").agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs")
+        )
+
     def dedup_containment(spark, sf):
         # asymmetric near-duplication (Broder containment |A∩B|/|A|):
         # catches excerpts/quotes symmetric Jaccard misses; inverted-
@@ -3654,6 +3669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_stats": doc_domain_stats,
         "doc_domain_blocklist": doc_domain_blocklist,
         "doc_domain_cap": doc_domain_cap,
+        "doc_domain_quality": doc_domain_quality,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins
         # inside the window) and rows-only ANN variants --
         "sp_als_factors": sp_als_factors,
@@ -5717,6 +5733,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, host, matched_domain,
                    matched_domain IS NULL AS keep
             FROM m
+        """,
+        "doc_domain_quality": f"""
+            WITH {_DOMAIN_CTES},
+            t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS n_stop,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS mean_token_len
+                FROM t),
+            q AS (SELECT doc_id,
+                (CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE)/n_tokens >= 0.01
+                           AND CAST(n_stop AS DOUBLE)/n_tokens <= 0.5 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.3 ELSE 0.0 END) AS score
+                FROM s)
+            SELECT domain, score, CAST(count(*) AS BIGINT) AS n_docs
+            FROM dom JOIN q USING (doc_id)
+            GROUP BY 1, 2
         """,
         "doc_domain_cap": f"""
             WITH {_DOMAIN_CTES},
