@@ -2084,18 +2084,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def doc_domain_quality(spark, sf):
         # C4-style per-domain quality profile: registered domain x
-        # heuristic quality band -> doc counts. The score is a sum of
-        # three band constants (0/0.3/0.4/...), so grouping on it is
-        # exact in both engines; counts are exact ints.
-        from kafka_graphs_spark.pipeline.domains import extract_domains
-        from kafka_graphs_spark.pipeline.text import quality_score
+        # heuristic quality band -> doc counts, computed in ONE corpus
+        # pass (domain + score in the same projection — no self-join of
+        # two scans). Grouping on the band-constant score is exact in
+        # both engines; counts are exact ints.
+        from kafka_graphs_spark.pipeline.domains import domain_quality_profile
 
-        urls = _doc_urls(spark, sf)
-        doms = extract_domains(urls).select("doc_id", "domain")
-        q = quality_score(urls).select("doc_id", "score")
-        return doms.join(q, on="doc_id").groupBy("domain", "score").agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs")
-        )
+        return domain_quality_profile(_doc_urls(spark, sf))
 
     def dedup_containment(spark, sf):
         # asymmetric near-duplication (Broder containment |A∩B|/|A|):

@@ -130,6 +130,35 @@ def domain_stats(
     )
 
 
+def domain_quality_profile(
+    docs: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    extra_suffixes: Optional[Iterable[str]] = None,
+) -> DataFrame:
+    """(domain, score, n_docs) — per-registered-domain histogram of the
+    heuristic quality score (C4-style domain quality audit: which
+    domains ship high/low-quality text).
+
+    ONE pass: domain extraction and the quality expressions are computed
+    in the same projection (no self-join of two corpus scans), then one
+    map-side-combinable groupBy on (domain, score). The score is a sum
+    of band constants, so grouping on it is exact; counts are exact
+    ints.
+    """
+    from kafka_graphs_spark.pipeline.text import quality_exprs
+
+    h = host_of(F.col(url_col))
+    _, _, _, score = quality_exprs(text_col)
+    per = docs.select(
+        registered_domain(h, extra_suffixes).alias("domain"),
+        score.alias("score"),
+    )
+    return per.groupBy("domain", "score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
 def domain_blocklist(
     docs: DataFrame,
     blocked: Sequence[str],

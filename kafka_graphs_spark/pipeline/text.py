@@ -88,12 +88,12 @@ def language_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, n_tokens, stop_ratio, mean_token_len, score).
-
-    score = 0.4·stopword-ratio-band + 0.3·token-length-band + 0.3·size-band —
-    a deterministic heuristic in the spirit of C4/Gopher quality rules.
-    """
+def quality_exprs(text_col: str = "text"):
+    """(n_tokens, stop_ratio, mean_token_len, score) as COLUMN
+    expressions — the building blocks of :func:`quality_score`, exposed
+    so compositions (e.g. per-domain quality profiles) can compute the
+    score in the SAME single pass as their other per-row columns instead
+    of joining two projections of the corpus."""
     toks = tokens(F.col(text_col))
     en = STOPWORDS["en"]
     n_tokens = F.size(toks)
@@ -108,6 +108,16 @@ def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
         + F.when((mean_len >= 3.0) & (mean_len <= 10.0), F.lit(0.3)).otherwise(F.lit(0.0))
         + F.when((n_tokens >= 10) & (n_tokens <= 100000), F.lit(0.3)).otherwise(F.lit(0.0))
     )
+    return n_tokens, stop_ratio, mean_len, score
+
+
+def quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_tokens, stop_ratio, mean_token_len, score).
+
+    score = 0.4·stopword-ratio-band + 0.3·token-length-band + 0.3·size-band —
+    a deterministic heuristic in the spirit of C4/Gopher quality rules.
+    """
+    n_tokens, stop_ratio, mean_len, score = quality_exprs(text_col)
     # raw doubles: ratios of exact ints are bit-identical across engines
     return docs.select(
         "doc_id",

@@ -628,3 +628,18 @@ class TestRound7AdditionPlans:
         assert plan.count("Exchange hashpartitioning") == 1
         assert "partial_count" in plan or "HashAggregate" in plan
         assert "BatchEvalPython" not in plan
+
+    def test_domain_quality_profile_one_pass(self, docs):
+        from kafka_graphs_spark.pipeline.domains import domain_quality_profile
+
+        urls = docs.select(
+            "doc_id",
+            F.concat(F.lit("https://www.site"), F.col("doc_id") % 7,
+                     F.lit(".co.uk/p")).alias("url"),
+            "text",
+        )
+        plan = executed_plan(domain_quality_profile(urls))
+        # single corpus pass: exactly one agg shuffle, no join at all
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "Join" not in plan
+        assert "BatchEvalPython" not in plan
