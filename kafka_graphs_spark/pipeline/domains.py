@@ -115,16 +115,25 @@ def domain_stats(
         registered_domain(h, extra_suffixes).alias("domain"),
         F.size(tokens(F.col(text_col))).cast("long").alias("_t"),
     )
+    from pyspark.sql.window import Window
+
     agg = per.groupBy("domain").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("_t").cast("long").alias("n_tokens"),
     )
-    total = docs.select(F.count(F.lit(1)).cast("long").alias("_n"))
-    return agg.join(F.broadcast(total)).select(
+    # corpus total via a window over the ALREADY-aggregated per-domain
+    # frame: one corpus scan total (a broadcast-join formulation would
+    # re-execute the aggregation subplan — Spark does not dedupe common
+    # subtrees — and a docs.count() branch would re-scan the corpus).
+    # The unpartitioned window funnels only the per-domain rows (one row
+    # per registered domain) through one task — fine up to ~100M
+    # domains, far beyond any real web corpus.
+    total = F.sum("n_docs").over(Window.partitionBy())
+    return agg.select(
         "domain",
         "n_docs",
         "n_tokens",
-        F.round(F.col("n_docs").cast("double") / F.col("_n"), 6).alias(
+        F.round(F.col("n_docs").cast("double") / total, 6).alias(
             "doc_share"
         ),
     )
