@@ -935,6 +935,80 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "total_value double",
         ).filter(F.col("user_id") >= 0)
 
+    def ec_stream_join(spark, sf):
+        # REAL stream-stream interval join (two watermarked file
+        # streams, multiple micro-batches each): every purchase joined
+        # to the same user's clicks in the preceding 30 minutes — the
+        # attribution shape. INNER stream-stream joins emit on match
+        # (the watermark only bounds state retention), so with a
+        # huge watermark the result is exact and no sentinel flush is
+        # needed; event time is rebuilt as a tz-free instant.
+        import shutil
+        import tempfile
+
+        from kafka_graphs_spark.pipeline.sessions import _micros
+        from kafka_graphs_spark.streaming import stream_interval_join
+
+        ev = datasets.load(spark, sf, "events")
+        mic = (
+            F.expr("ts div 1000")
+            if dict(ev.dtypes)["ts"] == "bigint"
+            else _micros(ev, "ts")
+        )
+        base = ev.select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.timestamp_micros(mic).alias("ts"),
+        )
+        dirs = {}
+        try:
+            for etype in ("purchase", "click"):
+                d = tempfile.mkdtemp(prefix=f"kgs_sj_{etype}_")
+                dirs[etype] = d
+                base.filter(F.col("event_type") == etype).drop(
+                    "event_type"
+                ).repartition(3).write.mode("overwrite").parquet(d)
+            ckpt = tempfile.mkdtemp(prefix="kgs_sj_ckpt_")
+            dirs["ckpt"] = ckpt
+
+            def src(d):
+                return (
+                    spark.readStream.schema(
+                        "event_id long, user_id long, ts timestamp"
+                    )
+                    .option("maxFilesPerTrigger", 1)
+                    .parquet(d)
+                )
+
+            joined = stream_interval_join(
+                src(dirs["purchase"]).withColumnRenamed("event_id", "purchase_id"),
+                src(dirs["click"]).withColumnRenamed("event_id", "click_id"),
+                key="user_id",
+                lower_seconds=0,
+                upper_seconds=1800,
+                watermark="3650 days",
+            ).select("l.purchase_id", "l.user_id", "r.click_id")
+            rows: list = []
+
+            def sink(batch_df, _bid):
+                rows.extend(batch_df.collect())
+
+            q = (
+                joined.writeStream.foreachBatch(sink)
+                .outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(600)
+        finally:
+            for d in dirs.values():
+                shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame(
+            rows, "purchase_id long, user_id long, click_id long"
+        )
+
     def ec_window_sum(spark, sf):
         # tumbling-window per-vertex edge-weight sum (slice +
         # reduceOnEdges) — the KGraphWindowedStream tier under an oracle.
@@ -3665,6 +3739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_blocklist": doc_domain_blocklist,
         "doc_domain_cap": doc_domain_cap,
         "doc_domain_quality": doc_domain_quality,
+        "ec_stream_join": ec_stream_join,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins
         # inside the window) and rows-only ANN variants --
         "sp_als_factors": sp_als_factors,
@@ -4122,6 +4197,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(0 AS BIGINT) AS monochrome_edges,
                    CAST(0 AS BIGINT) AS uncolored,
                    CAST(0 AS BIGINT) AS degree_violations
+        """,
+        # stream-stream interval join twin: purchases x same-user clicks
+        # in the preceding 30 min, exact epoch-microsecond bounds
+        "ec_stream_join": """
+            WITH p AS (SELECT event_id AS purchase_id, user_id,
+                              epoch_us(ts) AS us
+                       FROM events WHERE event_type = 'purchase'),
+            c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS us
+                  FROM events WHERE event_type = 'click')
+            SELECT p.purchase_id, p.user_id, c.click_id
+            FROM p JOIN c ON p.user_id = c.user_id
+                 AND c.us >= p.us - 1800000000
+                 AND c.us <= p.us
         """,
         # native F.session_window twin: split at gap >= 30 min (the
         # native window end is exclusive, so an exactly-30-min gap starts

@@ -23,6 +23,7 @@ from kafka_graphs_spark.streaming.library import (
     spanner,
     spanner_frame,
 )
+from kafka_graphs_spark.streaming.joins import stream_interval_join
 from kafka_graphs_spark.streaming.incremental import (
     lp_windowed_incremental,
     pagerank_windowed_incremental,
@@ -63,6 +64,7 @@ __all__ = [
     "DisjointSet",
     "Candidates",
     "AdjacencyListGraph",
+    "stream_interval_join",
     "stateful_degrees",
     "stateful_distinct_degrees",
 ]
