@@ -256,3 +256,38 @@ class TestClassifierMinibatch:
                 self._docs(spark), F.lit(True).cast("double"),
                 sample_fraction=1.5,
             )
+
+
+class TestStreamIntervalJoin:
+    def test_batch_path_same_code(self, spark):
+        # withWatermark is a no-op on batch frames, so the operator
+        # doubles as the backfill path — verify the range semantics
+        import datetime as dt
+
+        from kafka_graphs_spark.streaming import stream_interval_join
+
+        t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+        def ts(mins):
+            return t0 + dt.timedelta(minutes=mins)
+
+        purchases = spark.createDataFrame(
+            [(1, 7, ts(60)), (2, 7, ts(120)), (3, 8, ts(60))],
+            "purchase_id long, user_id long, ts timestamp",
+        )
+        clicks = spark.createDataFrame(
+            [
+                (10, 7, ts(40)),    # 20 min before p1 -> match
+                (11, 7, ts(29)),    # 31 min before p1 -> NO (outside)
+                (12, 7, ts(60)),    # exactly at p1 -> match (lower bound 0)
+                (13, 7, ts(61)),    # after p1, 59 min before p2 -> NO
+                (14, 9, ts(55)),    # other user -> NO
+            ],
+            "click_id long, user_id long, ts timestamp",
+        )
+        out = stream_interval_join(
+            purchases, clicks, key="user_id",
+            lower_seconds=0, upper_seconds=1800,
+        ).select("l.purchase_id", "r.click_id")
+        got = sorted(tuple(r) for r in out.collect())
+        assert got == [(1, 10), (1, 12)]
