@@ -757,7 +757,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(600)
+            # never rmtree under a live query: on timeout, stop it and
+            # raise instead of deleting its source/checkpoint dirs
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError("stateful stream: query exceeded 600s")
         finally:
             # the collected rows are driver-side; the scratch stream dirs
             # have no further reader
@@ -925,7 +929,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(600)
+            # never rmtree under a live query: on timeout, stop it and
+            # raise instead of deleting its source/checkpoint dirs
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError("ec_session_stream: query exceeded 600s")
         finally:
             shutil.rmtree(src, ignore_errors=True)
             shutil.rmtree(ckpt, ignore_errors=True)
@@ -1001,7 +1009,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .trigger(availableNow=True)
                 .start()
             )
-            q.awaitTermination(600)
+            # never rmtree under a live query: on timeout, stop it and
+            # raise instead of deleting its source/checkpoint dirs
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError("ec_stream_join: query exceeded 600s")
         finally:
             for d in dirs.values():
                 shutil.rmtree(d, ignore_errors=True)
@@ -2178,12 +2190,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def doc_blocklist(spark, sf):
         # C4-style blocklist gate: exact token/n-gram occurrence counts
-        # per entry, hit list, keep flag — zero-shuffle per-row flags
+        # per entry, hit list, keep flag — zero-shuffle per-row flags.
+        # blocked_terms is ARRAY<STRING> in the library API; flatten to
+        # CSV here (repo convention: the driver canonicalizer sorts via
+        # pandas, which cannot hash list cells — r8's one red row).
         from kafka_graphs_spark.pipeline.text import blocklist_filter
 
         return blocklist_filter(
             datasets.load(spark, sf, "documents"),
             ["slow", "table scan", "big query"],
+        ).select(
+            "doc_id",
+            "n_blocked",
+            F.array_join("blocked_terms", ",").alias("blocked_terms"),
+            "keep",
         )
 
     def doc_retrieval_metrics(spark, sf):
@@ -3508,65 +3528,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evidence is the invariant/loss/recall twins inside the window.
     # ------------------------------------------------------------------
     return {
-        # -- ROUND-8 WINDOW (generated by scripts/rotate_window.py; r7
-        # verdict "Next round" #1+#7): slots 1-39 are every never-driver-
-        # scored query (the full round-7 cohort + doc_bpe_segments +
-        # the new ec_session_stream); slots 40-50 are the stalest-scored
-        # staples (last scored r1/r3). After this window scores, every
-        # oracle-backed query in the registry has a driver row. --
-        "ec_window_wcc_incr": ec_window_wcc_incr,
-        "ec_window_triangles_incr": ec_window_triangles_incr,
-        "ec_window_pagerank_incr": ec_window_pagerank_incr,
-        "ec_window_lp_incr": ec_window_lp_incr,
-        "ec_stateful_heavy": ec_stateful_heavy,
-        "hier_motif_find_triangle": hier_motif_find_triangle,
-        "hier_motif_find_wedge_neg": hier_motif_find_wedge_neg,
-        "ec_motif_find_path": ec_motif_find_path,
-        "doc_bpe_segments": doc_bpe_segments,
-        "hier_rich_club": hier_rich_club,
-        "hier_conductance": hier_conductance,
-        "ec_temporal_arrival": ec_temporal_arrival,
-        "ec_temporal_departure": ec_temporal_departure,
-        "ec_funnel": ec_funnel,
-        "ec_retention": ec_retention,
-        "ec_asof_attribution": ec_asof_attribution,
-        "ec_range_join": ec_range_join,
-        "ec_interval_join": ec_interval_join,
-        "ec_transitions": ec_transitions,
-        "ec_path_ngrams": ec_path_ngrams,
-        "ec_session_funnel": ec_session_funnel,
-        "doc_gopher_filter": doc_gopher_filter,
-        "doc_ppl_buckets": doc_ppl_buckets,
-        "doc_dsir_weights": doc_dsir_weights,
-        "doc_dsir_select": doc_dsir_select,
-        "doc_quality_train": doc_quality_train,
-        "pipeline_curate_model": pipeline_curate_model,
-        "emb_hard_negatives": emb_hard_negatives,
-        "doc_dsir_external": doc_dsir_external,
-        "doc_token_budget": doc_token_budget,
-        "doc_retrieval_metrics": doc_retrieval_metrics,
-        "doc_blocklist": doc_blocklist,
-        "ec_ppr_multi": ec_ppr_multi,
-        "hier_assortativity": hier_assortativity,
-        "dedup_containment": dedup_containment,
-        "doc_language_mix": doc_language_mix,
-        "doc_rank_correlation": doc_rank_correlation,
-        "hier_powerlaw": hier_powerlaw,
-        "ec_session_stream": ec_session_stream,
-        # -- slots 40-50: stalest-scored staples (r1/r3) --
-        "emb_cosine_topk": emb_cosine_topk,
-        "multimodal_features": multimodal_features,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash": dedup_minhash,
-        "dedup_simhash": dedup_simhash,
-        "emb_near_dup": emb_near_dup,
-        "hier_triangles": hier_triangles,
-        "ec_pregel_sssp": ec_pregel_sssp,
-        "ec_window_sum": ec_window_sum,
-        "sp_io_roundtrip": sp_io_roundtrip,
-        "sp_group_reduce_nbrs": sp_group_reduce_nbrs,
-        # -- beyond slot 50: previously-scored, stalest first; these
-        # rotate back into future windows on the staleness cadence --
+        # -- ROUND-9 WINDOW (generated by scripts/rotate_window.py; r8
+        # verdict "Next round" #3): slots 1-6 are the six never-scored
+        # round-8 additions (URL/domain curation tier + the stream-stream
+        # interval join); slots 7-50 are the stalest-scored staples (last
+        # scored r3/r5). After this window scores, EVERY oracle-backed
+        # query in the registry has a driver row at least once. --
+        "doc_domains": doc_domains,
+        "doc_domain_stats": doc_domain_stats,
+        "doc_domain_blocklist": doc_domain_blocklist,
+        "doc_domain_cap": doc_domain_cap,
+        "doc_domain_quality": doc_domain_quality,
+        "ec_stream_join": ec_stream_join,
         "dedup_simhash_pairs": dedup_simhash_pairs,
         "gen_complete_edges": gen_complete_edges,
         "sp_subgraph_edges": sp_subgraph_edges,
@@ -3611,6 +3584,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_topo_levels": gen_topo_levels,
         "gen_lp_weighted": gen_lp_weighted,
         "gen_pagerank_weighted": gen_pagerank_weighted,
+        # -- window ends (slot 50) --
+        # -- rotation body: scored queries, stalest first (registry-order
+        # ties) — recomputed each round by scripts/rotate_window.py --
         "emb_quantize_inv": emb_quantize_inv,
         "hier_motifs": hier_motifs,
         "gen_motifs": gen_motifs,
@@ -3732,14 +3708,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_stream_wcc": ec_stream_wcc,
         "stream_bipartiteness": stream_bipartiteness,
         "ec_spanner": ec_spanner,
-        # -- round-8 additions (registered AFTER slot 50; first in line
-        # for the r9 rotation): URL/domain curation tier --
-        "doc_domains": doc_domains,
-        "doc_domain_stats": doc_domain_stats,
-        "doc_domain_blocklist": doc_domain_blocklist,
-        "doc_domain_cap": doc_domain_cap,
-        "doc_domain_quality": doc_domain_quality,
-        "ec_stream_join": ec_stream_join,
+        "ec_window_wcc_incr": ec_window_wcc_incr,
+        "ec_window_triangles_incr": ec_window_triangles_incr,
+        "ec_window_pagerank_incr": ec_window_pagerank_incr,
+        "ec_window_lp_incr": ec_window_lp_incr,
+        "ec_stateful_heavy": ec_stateful_heavy,
+        "hier_motif_find_triangle": hier_motif_find_triangle,
+        "hier_motif_find_wedge_neg": hier_motif_find_wedge_neg,
+        "ec_motif_find_path": ec_motif_find_path,
+        "doc_bpe_segments": doc_bpe_segments,
+        "hier_rich_club": hier_rich_club,
+        "hier_conductance": hier_conductance,
+        "ec_temporal_arrival": ec_temporal_arrival,
+        "ec_temporal_departure": ec_temporal_departure,
+        "ec_funnel": ec_funnel,
+        "ec_retention": ec_retention,
+        "ec_asof_attribution": ec_asof_attribution,
+        "ec_range_join": ec_range_join,
+        "ec_interval_join": ec_interval_join,
+        "ec_transitions": ec_transitions,
+        "ec_path_ngrams": ec_path_ngrams,
+        "ec_session_funnel": ec_session_funnel,
+        "doc_gopher_filter": doc_gopher_filter,
+        "doc_ppl_buckets": doc_ppl_buckets,
+        "doc_dsir_weights": doc_dsir_weights,
+        "doc_dsir_select": doc_dsir_select,
+        "doc_quality_train": doc_quality_train,
+        "pipeline_curate_model": pipeline_curate_model,
+        "emb_hard_negatives": emb_hard_negatives,
+        "doc_dsir_external": doc_dsir_external,
+        "doc_token_budget": doc_token_budget,
+        "doc_retrieval_metrics": doc_retrieval_metrics,
+        "doc_blocklist": doc_blocklist,
+        "ec_ppr_multi": ec_ppr_multi,
+        "hier_assortativity": hier_assortativity,
+        "dedup_containment": dedup_containment,
+        "doc_language_mix": doc_language_mix,
+        "doc_rank_correlation": doc_rank_correlation,
+        "hier_powerlaw": hier_powerlaw,
+        "ec_session_stream": ec_session_stream,
+        "emb_cosine_topk": emb_cosine_topk,
+        "multimodal_features": multimodal_features,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "emb_near_dup": emb_near_dup,
+        "hier_triangles": hier_triangles,
+        "ec_pregel_sssp": ec_pregel_sssp,
+        "ec_window_sum": ec_window_sum,
+        "sp_io_roundtrip": sp_io_roundtrip,
+        "sp_group_reduce_nbrs": sp_group_reduce_nbrs,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins
         # inside the window) and rows-only ANN variants --
         "sp_als_factors": sp_als_factors,
@@ -5774,11 +5792,11 @@ def oracle_sql() -> dict[str, str]:
                   FROM bg)
             SELECT doc_id,
                    CAST(c0 + c1 + c2 AS BIGINT) AS n_blocked,
-                   list_filter([
+                   coalesce(array_to_string(list_filter([
                        CASE WHEN c0 > 0 THEN 'slow' END,
                        CASE WHEN c1 > 0 THEN 'table scan' END,
                        CASE WHEN c2 > 0 THEN 'big query' END
-                   ], x -> x IS NOT NULL) AS blocked_terms,
+                   ], x -> x IS NOT NULL), ','), '') AS blocked_terms,
                    (c0 + c1 + c2) = 0 AS keep
             FROM c
         """,

@@ -73,6 +73,20 @@ def main():
             if name not in oracles:
                 print(f"[{i:2d}] {name}: rows_only ({len(srows)} rows) {time.time()-t0:.1f}s")
                 continue
+            # the driver canonicalizes via pandas sort_values, which
+            # crashes on list/dict cells — reject complex top-level
+            # columns the same way the driver would (r8 doc_blocklist)
+            from pyspark.sql.types import ArrayType, MapType, StructType
+
+            complex_cols = [
+                f.name for f in df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType))
+            ]
+            if complex_cols:
+                fails.append(name)
+                print(f"[{i:2d}] {name}: COMPLEX TOP-LEVEL COLUMNS {complex_cols} "
+                      f"(driver pandas canonicalizer would crash)")
+                continue
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
             drows = res.fetchall()

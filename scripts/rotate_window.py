@@ -18,10 +18,19 @@ Usage:
     python scripts/rotate_window.py --check    # assert queries() already
                                                # starts with the computed
                                                # 50-slot window (CI gate)
+    python scripts/rotate_window.py --write-asof  # record the current max
+                                               # round in scripts/WINDOW_ASOF
 
-After generating, reorder the ``queries()`` dict to match and re-run
-``scripts/check_window.py`` — the rotation plan is fixed when the round
-starts; queries added mid-round go AFTER slot 50 for the next rotation.
+After generating, reorder the ``queries()`` dict to match, run
+``--write-asof``, and re-run ``scripts/check_window.py`` — the rotation
+plan is fixed when the round starts; queries added mid-round go AFTER
+slot 50 for the next rotation.
+
+``--check`` computes the expected window from artifacts up to the round
+recorded in ``scripts/WINDOW_ASOF`` (written when the rotation was
+applied), so committing the CURRENT round's CORRECTNESS artifact
+mid-cycle does not retroactively invalidate the ordering fixed at round
+start.
 """
 
 import glob
@@ -45,18 +54,37 @@ PERMANENT_TAIL = [
 ]
 
 
-def scoring_history(repo_root: str) -> dict[str, int]:
-    """query name -> latest round whose CORRECTNESS artifact scored it."""
+def scoring_history(repo_root: str, asof: int | None = None) -> dict[str, int]:
+    """query name -> latest round whose CORRECTNESS artifact scored it.
+
+    ``asof`` caps the rounds considered — ``--check`` passes the round
+    recorded when the current window ordering was applied, so artifacts
+    committed later in the cycle don't move the goalposts.
+    """
     last: dict[str, int] = {}
     for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
             continue
         rnd = int(m.group(1))
+        if asof is not None and rnd > asof:
+            continue
         with open(path) as f:
             for name in json.load(f):
                 last[name] = max(last.get(name, 0), rnd)
     return last
+
+
+def _asof_path(repo_root: str) -> str:
+    return os.path.join(repo_root, "scripts", "WINDOW_ASOF")
+
+
+def read_asof(repo_root: str) -> int | None:
+    try:
+        with open(_asof_path(repo_root)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return None
 
 
 def compute_order(registry: list[str], last: dict[str, int]) -> list[str]:
@@ -76,7 +104,21 @@ def main() -> int:
 
     registry = list(entry_mod.queries().keys())
     oracles = entry_mod.oracle_sql()
-    last = scoring_history(repo_root)
+
+    if "--write-asof" in sys.argv:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+        ]
+        asof = max(rounds) if rounds else 0
+        with open(_asof_path(repo_root), "w") as f:
+            f.write(f"{asof}\n")
+        print(f"wrote WINDOW_ASOF = {asof}")
+        return 0
+
+    asof = read_asof(repo_root) if "--check" in sys.argv else None
+    last = scoring_history(repo_root, asof=asof)
     order = compute_order(registry, last)
 
     if "--check" in sys.argv:

@@ -50,7 +50,31 @@ def rows_equal(r1, r2):
     return len(r1) == len(r2) and all(approx_equal(a, b) for a, b in zip(r1, r2))
 
 
+def assert_no_complex_columns(spark_df, name):
+    """Driver-canonicalizer contract: the driver hashes oracle-backed
+    results through pandas ``sort_values``, which raises ``TypeError:
+    unhashable type`` on list/dict cells (r8's one red row,
+    ``doc_blocklist``). Every oracle-backed ``queries()`` output must
+    therefore flatten ARRAY/MAP/STRUCT columns before emitting
+    (``array_join``/``posexplode``/``concat_ws`` — repo convention).
+    Rows-only entries are exempt: the driver only counts them.
+    """
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{name}: top-level complex column(s) {bad} would crash the "
+        f"driver's pandas canonicalizer — flatten with array_join/"
+        f"concat_ws/posexplode before emitting"
+    )
+
+
 def compare(spark_df, con, sql, name):
+    assert_no_complex_columns(spark_df, name)
     scols = spark_df.columns
     srows = [tuple(r) for r in spark_df.collect()]
     res = con.execute(sql)
