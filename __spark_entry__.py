@@ -207,8 +207,12 @@ def _doc_urls(spark, sf_dir):
 
     d = F.col("doc_id")
     docs = datasets.load(spark, sf_dir, "documents")
-    scheme = F.when(d % 11 == 0, F.lit("https://user:pw@")).otherwise(
-        F.lit("https://")
+    # d % 7 == 3 rows drop the scheme entirely (www.example.com/x —
+    # the real-crawl shape domains.host_of must fall back on)
+    scheme = (
+        F.when(d % 7 == 3, F.lit(""))
+        .when(d % 11 == 0, F.lit("https://user:pw@"))
+        .otherwise(F.lit("https://"))
     )
     sub = (
         F.when(d % 4 == 1, F.lit("www."))
@@ -241,7 +245,9 @@ def _doc_urls(spark, sf_dir):
 
 #: SQL twin of _doc_urls' url expression (shared by the domain oracles)
 _URL_SQL = """(
-    CASE WHEN doc_id % 11 = 0 THEN 'https://user:pw@' ELSE 'https://' END
+    CASE WHEN doc_id % 7 = 3 THEN ''
+         WHEN doc_id % 11 = 0 THEN 'https://user:pw@'
+         ELSE 'https://' END
     || CASE WHEN doc_id % 4 = 1 THEN 'www.'
             WHEN doc_id % 4 = 2 THEN 'cdn.assets.'
             WHEN doc_id % 4 = 3 THEN 'a.' ELSE '' END
@@ -3791,8 +3797,9 @@ def oracle_sql() -> dict[str, str]:
     _DOMAIN_CTES = f"""
         u AS (SELECT doc_id, {_URL_SQL} AS url FROM documents),
         h AS (SELECT doc_id,
-                 regexp_replace(lower(regexp_extract(url,
-                     '^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)),
+                 regexp_replace(lower(regexp_extract(
+                     regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://', ''),
+                     '^(?:[^/?#@]*@)?([^/:?#]+)', 1)),
                      '\\.$', '') AS host
               FROM u),
         hl AS (SELECT doc_id, host, string_split(host, '.') AS l,
@@ -5832,7 +5839,8 @@ def oracle_sql() -> dict[str, str]:
                      END AS matched_domain
                   FROM dom)
             SELECT doc_id, host, matched_domain,
-                   matched_domain IS NULL AS keep
+                   CASE WHEN host = '' THEN NULL
+                        ELSE matched_domain IS NULL END AS keep
             FROM m
         """,
         "doc_domain_quality": f"""

@@ -84,10 +84,17 @@ def _effective_cap(edges: DataFrame, max_neighbors: Optional[int]) -> Optional[i
     return None if (row["m"] or 0) <= max_neighbors else max_neighbors
 
 
-#: per-side factor-frame row bound under which the gather join broadcasts
-#: the factors (~dim·8 bytes a row: 1M rows ≈ 64 MB at dim=8) — above it
-#: the join stays a shuffle join, the only shape that holds at 100 TB.
-BROADCAST_FACTOR_ROWS = 1_000_000
+#: per-side factor-frame BYTE budget under which the gather join
+#: broadcasts the factors — sized from the actual vector width
+#: (rows × dim × 8 bytes, the payload that actually ships to every
+#: executor), not a row count: at the ``als`` default dim=50 a 1M-row
+#: side is ~400 MB, far past any sane broadcast. Above the budget the
+#: join stays a shuffle join, the only shape that holds at 100 TB.
+BROADCAST_FACTOR_BYTES = 64 * 1024 * 1024
+
+
+def _fits_broadcast(n_rows: int, dim: int) -> bool:
+    return n_rows * dim * 8 <= BROADCAST_FACTOR_BYTES
 
 
 def _gathered(
@@ -163,9 +170,9 @@ def als(
     items = edges.select(F.col("dst").alias("id")).distinct()
     n_ratings = edges.count()
     # once per call (not per iteration): gate the gather join's broadcast
-    # hint on the actual per-side factor-frame size
-    bc_users = users.count() <= BROADCAST_FACTOR_ROWS
-    bc_items = items.count() <= BROADCAST_FACTOR_ROWS
+    # hint on the actual per-side factor-frame size in BYTES (rows × dim)
+    bc_users = _fits_broadcast(users.count(), dim)
+    bc_items = _fits_broadcast(items.count(), dim)
 
     def solve_batch(batches: Iterator) -> Iterator:
         import numpy as np

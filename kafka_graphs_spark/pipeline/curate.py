@@ -124,8 +124,10 @@ def curate(
     if blocked_domains:
         from kafka_graphs_spark.pipeline.domains import domain_blocklist
 
+        # keep = NULL marks a host-less URL the gate could not check —
+        # a safety filter drops what it cannot clear, so NULL is blocked
         bad_dom = domain_blocklist(kept, blocked_domains, url_col=url_col).filter(
-            ~F.col("keep")
+            ~F.coalesce(F.col("keep"), F.lit(False))
         ).select("doc_id")
         kept = kept.join(bad_dom, on="doc_id", how="left_anti")
     if max_pii is not None:

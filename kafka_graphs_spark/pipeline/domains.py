@@ -38,14 +38,21 @@ MULTI_LABEL_SUFFIXES = [
     "co.nz", "org.nz",
 ]
 
-_HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)"
+_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://"
+_HOST_RE = r"^(?:[^/?#@]*@)?([^/:?#]+)"
 _IPV4_RE = r"^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$"
 
 
 def host_of(url: Column) -> Column:
-    """Lower-cased host of a URL (scheme required; userinfo and port
-    stripped; trailing dot normalized away)."""
-    h = F.lower(F.regexp_extract(url, _HOST_RE, 1))
+    """Lower-cased host of a URL (userinfo and port stripped; trailing
+    dot normalized away). Scheme-less input (``www.example.com/x``) is
+    treated as a bare host+path — real crawl metadata routinely drops
+    the scheme, and silently yielding ``''`` would let such rows bypass
+    every domain gate downstream. Truly host-less strings (``/path``,
+    ``://x``) still yield ``''``, which :func:`domain_blocklist` flags
+    rather than passes."""
+    stripped = F.regexp_replace(url, _SCHEME_RE, "")
+    h = F.lower(F.regexp_extract(stripped, _HOST_RE, 1))
     return F.regexp_replace(h, r"\.$", "")
 
 
@@ -180,6 +187,12 @@ def domain_blocklist(
     flags, keep rejects auditable (same contract as
     :func:`~kafka_graphs_spark.pipeline.text.blocklist_filter`).
 
+    Rows whose URL yields no host at all get ``keep = NULL`` (not
+    ``True``): a malformed URL can't be cleared by a domain gate, and a
+    safety filter must surface the bypass rather than silently pass it
+    (``curate(blocked_domains=...)`` and any boolean filter treat NULL
+    as not-keep).
+
     The blocklist is compiled into the plan (fine for the typical
     thousands-of-domains list; for very large lists broadcast-join a
     domain table against :func:`extract_domains` output instead). Zero
@@ -200,5 +213,7 @@ def domain_blocklist(
         "doc_id",
         h.alias("host"),
         matched.alias("matched_domain"),
-        matched.isNull().alias("keep"),
+        F.when(h == "", F.lit(None).cast("boolean"))
+        .otherwise(matched.isNull())
+        .alias("keep"),
     )
