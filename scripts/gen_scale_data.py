@@ -13,8 +13,19 @@ so dedup-tier outputs scale under the true generative process:
   inter-arrivals), 1.5k users at sf0.1 uniform => ~67 events/user
   chains (the event-chain graph keeps its per-user shape as SF grows,
   matching the driver data).
-- documents: 5k docs at sf0.1, uniform 10..100 tokens drawn uniformly
-  from the driver's exact 31-word vocabulary, 20 sources.
+- documents: 5k docs at sf0.1, uniform 10..100 tokens drawn from a
+  seeded ZIPFIAN 10k-word vocabulary (Zipf-Mandelbrot, s=1.07, q=2.7 —
+  the published web-text shape), 20 sources. The r8 generator used the
+  driver's 31-word vocabulary, which made jaccard>=0.05 candidate-pair
+  counts quadratic in corpus size (DuckDB-measured 285 -> 28,857 at
+  sf0.5 -> sf1.0) and drowned the dedup-tier probe in a corpus
+  artifact; with a realistic vocabulary, random doc pairs share almost
+  no shingles and candidates come only from the planted near-dup
+  fraction below, so candidate counts scale LINEARLY and the probe
+  reads the PLAN.
+- near-dups: 8% of documents are perturbed copies of an earlier doc
+  (10% of token positions resampled) — the controlled duplicate
+  structure every real crawl has; LSH candidates are ~these pairs.
 - embeddings: 2k vectors at sf0.1, 64-dim, 10 Gaussian clusters.
 - customer/nation/region/supplier/part/orders at driver ratios.
 
@@ -32,12 +43,16 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-VOCAB = [
-    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
-    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
-    "order", "part", "query", "row", "scan", "slow", "small", "sort",
-    "spark", "stream", "table", "the", "value", "vector", "window",
-]
+#: Zipf-Mandelbrot token distribution over a 10k-word vocabulary —
+#: p(rank) ∝ 1/(rank+q)^s with the classic web-text parameters.
+VOCAB_SIZE = 10_000
+ZIPF_S = 1.07
+ZIPF_Q = 2.7
+#: fraction of documents that are perturbed copies of an earlier doc
+NEAR_DUP_FRAC = 0.08
+#: fraction of token positions resampled in each near-dup copy
+MUTATE_FRAC = 0.10
+
 LANGS = ["en", "zh", "de", "es", "fr"]
 LANG_W = [0.44, 0.15, 0.14, 0.145, 0.125]
 
@@ -150,16 +165,30 @@ def main() -> None:
         "props": [f'{{"k": {v}}}' for v in rng.integers(0, 100, n_ev)],
     }))
 
-    # documents: uniform 10..100 tokens from the driver's 31-word vocab
+    # documents: uniform 10..100 tokens, Zipfian 10k-word vocabulary,
+    # plus a planted near-dup fraction (see module docstring)
     n_docs = int(5_000 * k)
     lens = rng.integers(10, 101, n_docs)
-    flat = rng.integers(0, len(VOCAB), lens.sum())
-    voc = np.array(VOCAB)
-    texts = []
+    ranks = np.arange(VOCAB_SIZE)
+    zipf_p = 1.0 / np.power(ranks + ZIPF_Q, ZIPF_S)
+    zipf_p /= zipf_p.sum()
+    voc = np.array([f"w{i}" for i in range(VOCAB_SIZE)])
+    flat = rng.choice(VOCAB_SIZE, size=int(lens.sum()), p=zipf_p)
+    tok_docs = []
     pos = 0
     for ln in lens:
-        texts.append(" ".join(voc[flat[pos:pos + ln]]))
+        tok_docs.append(flat[pos:pos + ln])
         pos += ln
+    # perturbed copies of earlier docs: realistic duplicate structure
+    n_dup = int(n_docs * NEAR_DUP_FRAC)
+    dup_ids = rng.choice(np.arange(1, n_docs), size=n_dup, replace=False)
+    for i in dup_ids:
+        src_toks = tok_docs[int(rng.integers(0, i))].copy()
+        n_mut = max(1, int(len(src_toks) * MUTATE_FRAC))
+        mut_pos = rng.choice(len(src_toks), size=n_mut, replace=False)
+        src_toks[mut_pos] = rng.choice(VOCAB_SIZE, size=n_mut, p=zipf_p)
+        tok_docs[i] = src_toks
+    texts = [" ".join(voc[t]) for t in tok_docs]
     write("documents", pa.table({
         "doc_id": pa.array(np.arange(n_docs), pa.int64()),
         "text": texts,

@@ -4,7 +4,7 @@ scaling is read under clean generative semantics (not replication
 collisions). One Spark session per SF dir, run sequentially — never
 overlap with another Spark job (BASELINE.md protocol).
 
-Usage: python scripts/scale_probe.py DIR [DIR...]
+Usage: python scripts/scale_probe.py DIR [DIR...] [--only q1,q2,...]
 """
 
 import json
@@ -18,7 +18,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
-def run_dir(sf_dir: str) -> dict:
+def run_dir(sf_dir: str, only=None) -> dict:
     spark = (
         SparkSession.builder.master("local[32]")
         .appName("scale-probe")
@@ -79,6 +79,8 @@ def run_dir(sf_dir: str) -> dict:
     }
     out = {}
     for name, fn in qs.items():
+        if only and name not in only:
+            continue
         t = time.time()
         n = fn()
         out[name] = {"sec": round(time.time() - t, 2), "rows": n}
@@ -88,10 +90,16 @@ def run_dir(sf_dir: str) -> dict:
 
 
 def main() -> None:
+    args = sys.argv[1:]
+    only = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
     results = {}
-    for d in sys.argv[1:]:
+    for d in args:
         print(f"# == {d} ==", file=sys.stderr)
-        results[d] = run_dir(d)
+        results[d] = run_dir(d, only=only)
     print(json.dumps(results, indent=1))
 
 
