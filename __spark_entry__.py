@@ -243,6 +243,92 @@ def _doc_urls(spark, sf_dir):
     return docs.withColumn("url", url)
 
 
+def _doc_urls_messy(spark, sf_dir):
+    """documents + a deterministic MESSY ``url`` column for the
+    URL-canonicalization tier: ~2.5 documents share each page identity
+    (doc_id % 200 at sf0.01), wrapped in scheme/www/path-form/tracking-
+    param/fragment variation that all collapses to ONE canonical URL
+    per (page, has-query) group — so url_dedup genuinely binds."""
+    from kafka_graphs_spark import datasets
+
+    d = F.col("doc_id")
+    p = d % 200
+    docs = datasets.load(spark, sf_dir, "documents")
+    name = (
+        F.when(p % 5 == 0, F.lit("example"))
+        .when(p % 5 == 1, F.lit("news"))
+        .when(p % 5 == 2, F.lit("blog"))
+        .when(p % 5 == 3, F.lit("shop"))
+        .otherwise(F.lit("data"))
+    )
+    tld = (
+        F.when(p % 6 == 0, F.lit(".com"))
+        .when(p % 6 == 1, F.lit(".org"))
+        .when(p % 6 == 2, F.lit(".net"))
+        .when(p % 6 == 3, F.lit(".io"))
+        .when(p % 6 == 4, F.lit(".co.uk"))
+        .otherwise(F.lit(".com.au"))
+    )
+    scheme = (
+        F.when(d % 3 == 0, F.lit("https://"))
+        .when(d % 3 == 1, F.lit("http://"))
+        .otherwise(F.lit(""))  # scheme-less mirror form
+    )
+    www = F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit(""))
+    ps = p.cast("string")
+    path = (
+        F.when(d % 4 == 0, F.concat(F.lit("/art/"), ps))
+        .when(d % 4 == 1, F.concat(F.lit("/art/"), ps, F.lit("/index.html")))
+        .when(d % 4 == 2, F.concat(F.lit("/art//"), ps))
+        .otherwise(F.concat(F.lit("/art/"), ps, F.lit("/")))
+    )
+    query = (
+        F.when(d % 5 == 0, F.concat(F.lit("?id="), ps, F.lit("&q=2")))
+        .when(d % 5 == 1, F.concat(F.lit("?q=2&id="), ps))
+        .when(d % 5 == 2, F.concat(F.lit("?utm_source=feed&id="), ps, F.lit("&q=2")))
+        .when(d % 5 == 3, F.concat(F.lit("?id="), ps, F.lit("&fbclid=abc&q=2")))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 7 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    url = F.concat(scheme, www, name, tld, path, query, frag)
+    return docs.withColumn("url", url)
+
+
+#: SQL twins of _doc_urls_messy: the url construction, and the CLOSED-
+#: FORM canonical key (derived independently from doc_id arithmetic, not
+#: by mirroring the canonicalizer — a stronger oracle)
+_MESSY_URL_CTES = """
+    b AS (SELECT doc_id, doc_id % 200 AS p FROM documents),
+    c AS (SELECT doc_id, p,
+            (CASE p % 5 WHEN 0 THEN 'example' WHEN 1 THEN 'news'
+                 WHEN 2 THEN 'blog' WHEN 3 THEN 'shop' ELSE 'data' END
+             || CASE p % 6 WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+                 WHEN 2 THEN '.net' WHEN 3 THEN '.io'
+                 WHEN 4 THEN '.co.uk' ELSE '.com.au' END) AS bh
+          FROM b),
+    u AS (SELECT doc_id, p,
+            (CASE doc_id % 3 WHEN 0 THEN 'https://'
+                 WHEN 1 THEN 'http://' ELSE '' END
+             || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+             || bh
+             || CASE doc_id % 4
+                    WHEN 0 THEN '/art/' || p
+                    WHEN 1 THEN '/art/' || p || '/index.html'
+                    WHEN 2 THEN '/art//' || p
+                    ELSE '/art/' || p || '/' END
+             || CASE doc_id % 5
+                    WHEN 0 THEN '?id=' || p || '&q=2'
+                    WHEN 1 THEN '?q=2&id=' || p
+                    WHEN 2 THEN '?utm_source=feed&id=' || p || '&q=2'
+                    WHEN 3 THEN '?id=' || p || '&fbclid=abc&q=2'
+                    ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url,
+            (bh || '/art/' || p
+             || CASE WHEN doc_id % 5 <> 4
+                     THEN '?id=' || p || '&q=2' ELSE '' END) AS canon
+          FROM c)"""
+
+
 #: SQL twin of _doc_urls' url expression (shared by the domain oracles)
 _URL_SQL = """(
     CASE WHEN doc_id % 7 = 3 THEN ''
@@ -3523,6 +3609,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ev = datasets.load(spark, sf, "events")
         return session_stats(ev, gap_minutes=30)
 
+    # ---- round-9 additions: URL canonicalization tier + corpus datasheet ----
+
+    def doc_url_canonical(spark, sf):
+        # fuzzy URL canonicalization (C4/RefinedWeb pre-content-dedup
+        # key): scheme/www/port/fragment/index-page dropped, tracking
+        # params stripped, surviving params sorted — pure per-row
+        # Catalyst exprs, zero shuffles. Oracle derives the canonical
+        # key in CLOSED FORM from doc_id arithmetic (independent of the
+        # canonicalizer), so a parser regression cannot hide.
+        from kafka_graphs_spark.pipeline.domains import canonicalize_urls
+
+        return canonicalize_urls(_doc_urls_messy(spark, sf))
+
+    def doc_url_dedup(spark, sf):
+        # URL-level dedup: one survivor (min doc_id) per canonical URL
+        # — the cheap gate that runs BEFORE shingle-based content dedup
+        # at 100 TB. One map-side-combinable min-agg + equi-join back.
+        from kafka_graphs_spark.pipeline.domains import url_dedup
+
+        return url_dedup(_doc_urls_messy(spark, sf))
+
+    def doc_datasheet(spark, sf):
+        # corpus data card: language mix, source mix, quality histogram,
+        # overall totals — ONE corpus pass (a single GROUPING SETS
+        # aggregate; every section map-side-combines in the same
+        # shuffle). Exact ints until the two final share divisions.
+        from kafka_graphs_spark.pipeline.datasheet import corpus_datasheet
+
+        return corpus_datasheet(datasets.load(spark, sf, "documents"))
+
     # ------------------------------------------------------------------
     # ORDERING POLICY (the driver's correctness gate checks dict entries
     # 1-50 only): slots 1-50 hold oracle-backed queries, prioritising
@@ -3764,6 +3880,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_window_sum": ec_window_sum,
         "sp_io_roundtrip": sp_io_roundtrip,
         "sp_group_reduce_nbrs": sp_group_reduce_nbrs,
+        # -- round-9 additions (registered AFTER slot 50; first in line
+        # for the r10 rotation): URL canonicalization tier + datasheet --
+        "doc_url_canonical": doc_url_canonical,
+        "doc_url_dedup": doc_url_dedup,
+        "doc_datasheet": doc_datasheet,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins
         # inside the window) and rows-only ANN variants --
         "sp_als_factors": sp_als_factors,
@@ -5871,6 +5992,52 @@ def oracle_sql() -> dict[str, str]:
                               / 4294967296.0) ASC, doc_id ASC) AS rn
               FROM dom)
             SELECT doc_id, domain FROM r WHERE rn <= 16
+        """,
+        # canonical key derived in CLOSED FORM from the fixture's doc_id
+        # arithmetic — independent of the Spark canonicalizer's parsing
+        "doc_url_canonical": f"""
+            WITH {_MESSY_URL_CTES}
+            SELECT doc_id, url, canon AS canonical_url FROM u
+        """,
+        "doc_url_dedup": f"""
+            WITH {_MESSY_URL_CTES}
+            SELECT doc_id, canon AS canonical_url,
+                   doc_id = min(doc_id) OVER (PARTITION BY canon) AS keep
+            FROM u
+        """,
+        "doc_datasheet": f"""
+            WITH t AS (SELECT lang, source, {TOKS} AS toks FROM documents),
+            s AS (SELECT lang, source,
+                CAST(len(toks) AS BIGINT) AS nt,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS n_stop,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS mean_token_len
+                FROM t),
+            q AS (SELECT lang, source, nt,
+                CAST(CAST(round(
+                (CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE)/n_tokens >= 0.01
+                           AND CAST(n_stop AS DOUBLE)/n_tokens <= 0.5 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.3 ELSE 0.0 END
+                ) * 10, 0) AS INTEGER) AS VARCHAR) AS band
+                FROM s),
+            g AS (SELECT
+                CASE WHEN GROUPING(lang) = 0 THEN 'language'
+                     WHEN GROUPING(source) = 0 THEN 'source'
+                     WHEN GROUPING(band) = 0 THEN 'quality_band'
+                     ELSE 'overall' END AS section,
+                coalesce(lang, source, band, 'all') AS key,
+                CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(nt) AS BIGINT) AS n_tokens
+                FROM q GROUP BY GROUPING SETS ((), (lang), (source), (band)))
+            SELECT section, key, n_docs, n_tokens,
+                round(CAST(n_docs AS DOUBLE)
+                      / sum(n_docs) OVER (PARTITION BY section), 6) AS doc_share,
+                round(CAST(n_tokens AS DOUBLE)
+                      / sum(n_tokens) OVER (PARTITION BY section), 6) AS token_share
+            FROM g
         """,
         # retrieval eval: BM25's run (same CTEs as doc_bm25, queries from
         # seed docs) scored vs same-source qrels; DCG folds SORTED rank

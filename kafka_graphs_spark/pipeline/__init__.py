@@ -29,6 +29,7 @@ because md5 is the one hash both engines compute identically.
 from kafka_graphs_spark.pipeline import (
     bpe,
     curate,
+    datasheet,
     dedup,
     domains,
     events,
@@ -41,4 +42,4 @@ from kafka_graphs_spark.pipeline import (
     text,
 )
 
-__all__ = ["text", "dedup", "domains", "similarity", "multimodal", "curate", "sample", "sessions", "events", "bpe", "features", "relational"]
+__all__ = ["text", "dedup", "domains", "similarity", "multimodal", "curate", "sample", "sessions", "events", "bpe", "features", "relational", "datasheet"]

@@ -1,0 +1,92 @@
+"""Corpus datasheet — the data-card rollup every training-data pipeline
+publishes (datasheet-for-datasets / Dolma-style corpus reports):
+language mix, source mix, quality-score histogram, and overall totals,
+all computed in ONE corpus pass.
+
+Beyond-reference pipeline tier. The whole artifact is a single
+GROUPING SETS aggregate over one projection of the corpus — per-row
+expressions compute (lang, source, quality band, token count) once, and
+Spark's partial aggregation map-side-combines every grouping set in the
+same shuffle. At 100 TB that is one scan + one shuffle keyed by the
+tiny (section, key) space; the alternative (a union of one groupBy per
+section) would re-scan the corpus per section.
+
+Values stay exact integers until the two final share divisions —
+int/int division is IEEE-exact, so the output is engine-portable
+without rounding tricks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def corpus_datasheet(
+    docs: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """(section, key, n_docs, n_tokens, doc_share, token_share) — the
+    corpus data card in long form.
+
+    Sections: ``overall`` (key ``all``), ``language`` (key = lang),
+    ``source`` (key = source), ``quality_band`` (key = the heuristic
+    quality score ×10 as an integer string — ``0``/``3``/``4``/``7``/
+    ``10``). Shares are within-section (each section sums to 1), from
+    the already-aggregated rows via an unpartitioned window — one row
+    per section/key, never a second corpus scan.
+    """
+    from kafka_graphs_spark.pipeline.text import quality_exprs
+
+    from pyspark.sql.window import Window
+
+    n_tokens, _, _, score = quality_exprs(text_col)
+    band = F.round(score * 10).cast("int").cast("string")
+    per = docs.select(
+        F.col(lang_col).alias("lang"),
+        F.col(source_col).alias("source"),
+        band.alias("band"),
+        n_tokens.cast("long").alias("_t"),
+    )
+    gs = per.groupingSets(
+        [[], [F.col("lang")], [F.col("source")], [F.col("band")]],
+        "lang", "source", "band",
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("_t").cast("long").alias("n_tokens"),
+        # grouping() flags inside the agg (Spark requires them here)
+        F.grouping("lang").alias("_gl"),
+        F.grouping("source").alias("_gs"),
+        F.grouping("band").alias("_gb"),
+    )
+    section = (
+        F.when(F.col("_gl") == 0, F.lit("language"))
+        .when(F.col("_gs") == 0, F.lit("source"))
+        .when(F.col("_gb") == 0, F.lit("quality_band"))
+        .otherwise(F.lit("overall"))
+    )
+    key = F.coalesce("lang", "source", "band", F.lit("all"))
+    w = Window.partitionBy("section")
+    return (
+        gs.select(
+            section.alias("section"),
+            key.alias("key"),
+            "n_docs",
+            "n_tokens",
+        )
+        .withColumn(
+            "doc_share",
+            F.round(
+                F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6
+            ),
+        )
+        .withColumn(
+            "token_share",
+            F.round(
+                F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w),
+                6,
+            ),
+        )
+    )

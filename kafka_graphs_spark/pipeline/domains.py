@@ -175,6 +175,118 @@ def domain_quality_profile(
     )
 
 
+#: query parameters that never change page content — the C4/RefinedWeb
+#: canonicalization strip set (prefix-matched for the ``utm_`` family)
+TRACKING_PARAMS = [
+    "gclid", "fbclid", "msclkid", "dclid", "igshid", "mc_cid", "mc_eid",
+    "ref", "ref_src", "referrer", "source", "spm", "yclid", "_ga",
+]
+
+
+def canonical_url(url: Column, extra_params: Optional[Iterable[str]] = None) -> Column:
+    """Canonical form of a URL for URL-level deduplication — the
+    pre-content-dedup key C4/RefinedWeb-style pipelines group on before
+    any shingling happens (URL dedup removes the bulk of crawl
+    duplicates at scan cost; content dedup then only pays for what's
+    left).
+
+    Rules (all pure per-row Catalyst expressions — zero shuffles):
+
+    - scheme dropped (``http``/``https`` mirrors collapse), userinfo and
+      port dropped, host lower-cased, one leading ``www.`` stripped;
+    - fragment dropped; trailing ``index.html``/``index.htm``/
+      ``index.php``/``default.asp(x)`` dropped; duplicate slashes
+      collapsed; trailing slash dropped;
+    - tracking parameters removed — the ``utm_*`` family by prefix plus
+      :data:`TRACKING_PARAMS` (extend with ``extra_params``) — and the
+      surviving query parameters SORTED so ``?a=1&b=2`` and ``?b=2&a=1``
+      collapse; an emptied query string drops its ``?``.
+
+    Path case is preserved (paths are case-sensitive; hosts aren't).
+    Host-less input canonicalizes to ``''`` — feed it to
+    :func:`url_dedup`, which refuses to merge host-less rows.
+    """
+    drop = {str(p).lower() for p in TRACKING_PARAMS}
+    drop |= {str(p).lower() for p in (extra_params or [])}
+    stripped = F.regexp_replace(url, _SCHEME_RE, "")
+    host = F.regexp_replace(host_of(url), r"^www\.", "")
+    # everything after the authority, fragment dropped
+    rest = F.regexp_replace(stripped, r"^[^/?#]*", "")
+    rest = F.regexp_replace(rest, r"#.*$", "")
+    path = F.regexp_extract(rest, r"^([^?]*)", 1)
+    query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
+    path = F.regexp_replace(path, r"/{2,}", "/")
+    path = F.regexp_replace(
+        path, r"/(index\.html?|index\.php|default\.aspx?)$", "/"
+    )
+    path = F.regexp_replace(path, r"/$", "")
+    params = F.filter(
+        F.split(query, "&"),
+        lambda kv: (kv != "")
+        & ~F.lower(F.regexp_extract(kv, r"^([^=]*)", 1)).startswith("utm_")
+        & ~F.lower(F.regexp_extract(kv, r"^([^=]*)", 1)).isin(sorted(drop)),
+    )
+    canon_q = F.array_join(F.array_sort(params), "&")
+    return F.when(host == "", F.lit("")).otherwise(
+        F.concat(
+            host,
+            path,
+            F.when(canon_q == "", F.lit("")).otherwise(
+                F.concat(F.lit("?"), canon_q)
+            ),
+        )
+    )
+
+
+def canonicalize_urls(
+    docs: DataFrame,
+    url_col: str = "url",
+    extra_params: Optional[Iterable[str]] = None,
+) -> DataFrame:
+    """(doc_id, url, canonical_url) — per-document canonical URL key."""
+    return docs.select(
+        "doc_id",
+        F.col(url_col).alias("url"),
+        canonical_url(F.col(url_col), extra_params).alias("canonical_url"),
+    )
+
+
+def url_dedup(
+    docs: DataFrame,
+    url_col: str = "url",
+    extra_params: Optional[Iterable[str]] = None,
+) -> DataFrame:
+    """(doc_id, canonical_url, keep) — URL-level deduplication: one
+    document survives per canonical URL (the lowest doc_id — stable,
+    engine-portable tie-break), the rest are flagged ``keep = false``.
+    Host-less rows (canonical key ``''``) are never merged with each
+    other: an unparseable URL is no evidence two documents are the same
+    page, so each keeps itself.
+
+    ONE shuffle keyed by canonical URL (a min-aggregate with map-side
+    combine, then an equi-join back) — at 100 TB this is the cheap gate
+    that runs BEFORE shingle-based content dedup and typically removes
+    the bulk of crawl duplicates at a fraction of the cost.
+    """
+    canon = canonicalize_urls(docs, url_col, extra_params)
+    winners = (
+        canon.filter(F.col("canonical_url") != "")
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("_keep_id"))
+    )
+    return (
+        canon.join(winners, on="canonical_url", how="left")
+        .select(
+            "doc_id",
+            "canonical_url",
+            (
+                F.col("_keep_id").isNull()  # host-less: keeps itself
+                | (F.col("doc_id") == F.col("_keep_id"))
+            ).alias("keep"),
+        )
+    )
+
+
 def domain_blocklist(
     docs: DataFrame,
     blocked: Sequence[str],

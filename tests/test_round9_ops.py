@@ -67,6 +67,78 @@ class TestSchemelessHosts:
         assert ids == {1}
 
 
+class TestUrlCanonicalization:
+    def test_mirror_forms_collapse(self, spark):
+        from kafka_graphs_spark.pipeline.domains import canonicalize_urls
+
+        rows = [
+            (1, "https://www.Example.com:443/a/b/index.html?utm_source=x&b=2&a=1#frag", "t"),
+            (2, "http://example.com/a/b?a=1&b=2", "t"),
+            (3, "https://example.com/a/b/?fbclid=zzz&a=1&b=2", "t"),
+            (4, "example.com/a/b?a=1&b=2", "t"),          # scheme-less
+            (5, "https://example.com/a/b?a=1&b=3", "t"),  # different value
+            (6, "/no/host?x=1", "t"),                     # host-less
+            (7, "https://news.co.uk//double//slash/", "t"),
+            (8, "https://shop.io/Case/Sensitive/Path", "t"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+        out = {r["doc_id"]: r["canonical_url"] for r in canonicalize_urls(docs).collect()}
+        assert out[1] == out[2] == out[3] == out[4] == "example.com/a/b?a=1&b=2"
+        assert out[5] == "example.com/a/b?a=1&b=3"
+        assert out[6] == ""
+        assert out[7] == "news.co.uk/double/slash"
+        assert out[8] == "shop.io/Case/Sensitive/Path"  # path case preserved
+
+    def test_url_dedup_min_doc_id_wins_and_hostless_never_merge(self, spark):
+        from kafka_graphs_spark.pipeline.domains import url_dedup
+
+        rows = [
+            (10, "https://example.com/x", "t"),
+            (3, "http://www.example.com/x/", "t"),   # same page, lower id
+            (7, "/broken", "t"),                     # host-less
+            (8, "/also-broken", "t"),                # host-less
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+        out = {r["doc_id"]: r["keep"] for r in url_dedup(docs).collect()}
+        assert out == {3: True, 10: False, 7: True, 8: True}
+
+    def test_extra_params_stripped(self, spark):
+        from kafka_graphs_spark.pipeline.domains import canonicalize_urls
+
+        rows = [(1, "https://a.com/x?session=9&id=1", "t")]
+        docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+        out = canonicalize_urls(docs, extra_params=["session"]).collect()[0]
+        assert out["canonical_url"] == "a.com/x?id=1"
+
+
+class TestCorpusDatasheet:
+    def test_sections_and_single_pass(self, spark):
+        from kafka_graphs_spark.pipeline.datasheet import corpus_datasheet
+
+        rows = [
+            (i, "the quick brown fox jumps over the lazy dog again",
+             ["en", "de"][i % 2], f"src{i % 3}")
+            for i in range(12)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+        out = corpus_datasheet(docs)
+        rows_out = out.collect()
+        by_sec = {}
+        for r in rows_out:
+            by_sec.setdefault(r["section"], []).append(r)
+        assert set(by_sec) == {"overall", "language", "source", "quality_band"}
+        assert by_sec["overall"][0]["n_docs"] == 12
+        assert by_sec["overall"][0]["doc_share"] == 1.0
+        for sec, recs in by_sec.items():
+            assert sum(r["doc_share"] for r in recs) == pytest.approx(1.0, abs=1e-5)
+        # ONE corpus pass: grouping sets compile to a single Expand over
+        # one scan — the plan must not contain a Union of scans
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" in plan and "Union" not in plan
+
+
 class TestBroadcastGateBytes:
     def test_gate_scales_with_dim(self):
         from kafka_graphs_spark.library.cf import (
