@@ -3630,6 +3630,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return url_dedup(_doc_urls_messy(spark, sf))
 
+    def pipeline_curate_url(spark, sf):
+        # curation with URL-level dedup FIRST (one survivor per
+        # canonical URL, then quality gate -> shingle dedup on the
+        # survivors) — the C4/RefinedWeb gate order: the cheap URL key
+        # removes the bulk of crawl duplicates before pair generation
+        # ever runs.
+        from kafka_graphs_spark.pipeline.curate import curate
+
+        return curate(
+            _doc_urls_messy(spark, sf),
+            min_score=0.6, n=3, jaccard_threshold=0.05,
+            url_dedup_first=True,
+        )
+
     def doc_datasheet(spark, sf):
         # corpus data card: language mix, source mix, quality histogram,
         # overall totals — ONE corpus pass (a single GROUPING SETS
@@ -3884,6 +3898,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # for the r10 rotation): URL canonicalization tier + datasheet --
         "doc_url_canonical": doc_url_canonical,
         "doc_url_dedup": doc_url_dedup,
+        "pipeline_curate_url": pipeline_curate_url,
         "doc_datasheet": doc_datasheet,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins
         # inside the window) and rows-only ANN variants --
@@ -6646,6 +6661,56 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s, s FROM und
                 UNION
                 SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.id
+            ),
+            keep AS (SELECT id, MIN(r) AS k FROM reach GROUP BY id)
+            SELECT q.doc_id FROM q LEFT JOIN keep ON keep.id = q.doc_id
+            WHERE coalesce(keep.k, q.doc_id) = q.doc_id
+        """,
+        # pipeline_curate with URL-level dedup FIRST: the closed-form
+        # canonical key (messy fixture arithmetic) picks min-doc_id
+        # survivors, then the same quality -> pairs -> resolution chain
+        # runs on the survivor subset only
+        "pipeline_curate_url": f"""
+            WITH RECURSIVE {_MESSY_URL_CTES},
+            uw AS (SELECT doc_id FROM
+                     (SELECT doc_id,
+                             doc_id = min(doc_id) OVER (PARTITION BY canon) AS k
+                      FROM u) WHERE k),
+            t AS (SELECT doc_id, {TOKS} AS toks
+                  FROM documents JOIN uw USING (doc_id)),
+            s AS (SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS n_stop,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS mtl
+                FROM t),
+            q AS (SELECT doc_id FROM s WHERE
+                (CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE)/n_tokens >= 0.01
+                           AND CAST(n_stop AS DOUBLE)/n_tokens <= 0.5 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.3 ELSE 0.0 END)
+                >= 0.6),
+            kt AS (SELECT t.doc_id, t.toks FROM t JOIN q USING (doc_id)),
+            sh AS (SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) >= 3
+                              THEN list_transform(range(0, len(toks) - 2),
+                                                  i -> array_to_string(toks[i+1:i+3], ' '))
+                              ELSE CAST([] AS VARCHAR[]) END) AS shingle
+                   FROM kt),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            prs AS (SELECT doc_a, doc_b FROM inter
+                    JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05),
+            und AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                    UNION SELECT doc_b, doc_a FROM prs),
+            reach(id, r) AS (
+                SELECT s, s FROM und
+                UNION
+                SELECT u2.d, reach.r FROM reach JOIN und u2 ON u2.s = reach.id
             ),
             keep AS (SELECT id, MIN(r) AS k FROM reach GROUP BY id)
             SELECT q.doc_id FROM q LEFT JOIN keep ON keep.id = q.doc_id

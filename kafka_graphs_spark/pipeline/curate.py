@@ -40,6 +40,7 @@ def curate(
     model_lr: float = 0.05,
     blocklist=None,
     blocked_domains=None,
+    url_dedup_first: bool = False,
     url_col: str = "url",
 ) -> DataFrame:
     """(doc_id) — documents that pass the quality gate, are not
@@ -68,6 +69,14 @@ def curate(
     are dropped pre-dedup — the C4 domain blocklist, same label-boundary
     semantics. Requires a URL column.
 
+    ``url_dedup_first``: when True, URL-level deduplication
+    (:func:`~kafka_graphs_spark.pipeline.domains.url_dedup` — one
+    survivor per canonical URL) runs FIRST, before every other gate:
+    at crawl scale it removes the bulk of duplicates at a fraction of
+    shingle-dedup's cost, so everything downstream — including the
+    expensive pair generation — sees a smaller corpus. Requires a URL
+    column.
+
     ``model_target``: when given (a boolean Column over ``docs``), the
     heuristic band gate is REPLACED by a model gate — a quality
     classifier is trained in-engine against the target labels
@@ -82,6 +91,13 @@ def curate(
 
     Filtering a corpus is ``docs.join(curate(docs), "doc_id", "left_semi")``.
     """
+    if url_dedup_first:
+        from kafka_graphs_spark.pipeline.domains import url_dedup
+
+        url_survivors = url_dedup(docs, url_col=url_col).filter(
+            F.col("keep")
+        ).select("doc_id")
+        docs = docs.join(url_survivors, on="doc_id", how="left_semi")
     if model_target is not None:
         from pyspark.sql.window import Window
 
