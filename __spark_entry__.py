@@ -3644,6 +3644,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             url_dedup_first=True,
         )
 
+    def doc_shards(spark, sf):
+        # deterministic fixed-token-budget shard packing (two-level
+        # exact cumsum — bounded partitions at any source size); the
+        # oracle recomputes the cumsum as ONE flat window, a different
+        # formulation of the same arithmetic
+        from kafka_graphs_spark.pipeline.shards import assign_shards
+
+        return assign_shards(
+            datasets.load(spark, sf, "documents"),
+            tokens_per_shard=500, bucket_size=100,
+        )
+
+    def doc_shard_manifest(spark, sf):
+        # shard-level manifest (doc/token counts + doc_id range per
+        # shard) — the writer-job artifact
+        from kafka_graphs_spark.pipeline.shards import (
+            assign_shards,
+            shard_manifest,
+        )
+
+        return shard_manifest(assign_shards(
+            datasets.load(spark, sf, "documents"),
+            tokens_per_shard=500, bucket_size=100,
+        ))
+
+    def doc_mixture_plan(spark, sf):
+        # mixture table: per-source availability vs target weights ->
+        # target tokens, epochs, oversampling flags (binding: budget
+        # chosen so some sources need >1 epoch and some don't)
+        from kafka_graphs_spark.pipeline.shards import mixture_plan
+
+        return mixture_plan(
+            datasets.load(spark, sf, "documents"),
+            weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+            budget_tokens=6000,
+        )
+
     def doc_datasheet(spark, sf):
         # corpus data card: language mix, source mix, quality histogram,
         # overall totals — ONE corpus pass (a single GROUPING SETS
@@ -3900,6 +3937,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_url_dedup": doc_url_dedup,
         "pipeline_curate_url": pipeline_curate_url,
         "doc_datasheet": doc_datasheet,
+        "doc_shards": doc_shards,
+        "doc_shard_manifest": doc_shard_manifest,
+        "doc_mixture_plan": doc_mixture_plan,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins
         # inside the window) and rows-only ANN variants --
         "sp_als_factors": sp_als_factors,
@@ -6019,6 +6059,60 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, canon AS canonical_url,
                    doc_id = min(doc_id) OVER (PARTITION BY canon) AS keep
             FROM u
+        """,
+        # shard packing oracle: the two-level cumsum recomputed as ONE
+        # flat window over (source, doc_id) — same arithmetic, different
+        # formulation
+        "doc_shards": f"""
+            WITH t AS (SELECT doc_id, source,
+                           CAST(len({TOKS}) AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, source, n_tokens,
+                     coalesce(sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cb
+                  FROM t)
+            SELECT doc_id, source, n_tokens,
+                   CAST(cb // 500 AS BIGINT) AS shard
+            FROM c
+        """,
+        "doc_shard_manifest": f"""
+            WITH t AS (SELECT doc_id, source,
+                           CAST(len({TOKS}) AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, source, n_tokens,
+                     coalesce(sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cb
+                  FROM t),
+            a AS (SELECT doc_id, source, n_tokens,
+                     CAST(cb // 500 AS BIGINT) AS shard FROM c)
+            SELECT source, shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   min(doc_id) AS first_doc_id,
+                   max(doc_id) AS last_doc_id
+            FROM a GROUP BY 1, 2
+        """,
+        "doc_mixture_plan": f"""
+            WITH a AS (SELECT source,
+                          CAST(sum(len({TOKS})) AS BIGINT) AS available_tokens
+                       FROM documents GROUP BY source),
+            w AS (SELECT source, available_tokens,
+                     CAST(CASE source WHEN 'src0' THEN 0.5
+                          WHEN 'src1' THEN 0.3
+                          WHEN 'src2' THEN 0.2 ELSE 0.0 END AS DOUBLE) AS wt
+                  FROM a)
+            SELECT source, available_tokens,
+                   round(wt, 6) AS weight,
+                   CAST(floor(wt * 6000) AS BIGINT) AS target_tokens,
+                   round(CAST(floor(wt * 6000) AS BIGINT)::DOUBLE
+                         / available_tokens, 6) AS epochs,
+                   round(CAST(floor(wt * 6000) AS BIGINT)::DOUBLE
+                         / available_tokens, 6) > 1.0 AS oversampled
+            FROM w
         """,
         "doc_datasheet": f"""
             WITH t AS (SELECT lang, source, {TOKS} AS toks FROM documents),

@@ -38,8 +38,9 @@ from kafka_graphs_spark.pipeline import (
     relational,
     sample,
     sessions,
+    shards,
     similarity,
     text,
 )
 
-__all__ = ["text", "dedup", "domains", "similarity", "multimodal", "curate", "sample", "sessions", "events", "bpe", "features", "relational", "datasheet"]
+__all__ = ["text", "dedup", "domains", "similarity", "multimodal", "curate", "sample", "sessions", "events", "bpe", "features", "relational", "datasheet", "shards"]

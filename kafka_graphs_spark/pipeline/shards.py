@@ -1,0 +1,155 @@
+"""Training-shard packing — assign documents to fixed-token-budget
+output shards, the layout every large-scale training run reads.
+
+Beyond-reference pipeline tier. A 100 TB corpus ships as millions of
+size-bounded shard files (so the data loader can shuffle/stripe them);
+the assignment must be DETERMINISTIC (re-runs produce the same shards)
+and computable without funnelling a whole source through one task.
+
+``assign_shards`` packs greedily in (group, doc_id) order: a document's
+shard index is ``floor(tokens_before_it / tokens_per_shard)`` — shards
+overflow rather than split documents, matching how text shards are
+actually written (a doc never spans files; a shard closes once its
+budget is met or exceeded).
+
+Scale note: the naive formulation is one window cumsum partitioned by
+source — which puts an entire source in ONE task (TBs for a big crawl
+source). This implementation is the standard two-level exact cumsum:
+documents are bucketed by ``doc_id div bucket_size``; per-bucket token
+totals (tiny — one row per bucket) get a running offset via a window
+over the bucket table, and the per-document cumsum runs WITHIN each
+bucket only, shifted by its bucket offset. Identical result, bounded
+partition sizes, two map-side-combinable shuffles.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def assign_shards(
+    docs: DataFrame,
+    tokens_per_shard: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    bucket_size: int = 100_000,
+) -> DataFrame:
+    """(doc_id, <group_col>, n_tokens, shard) — deterministic
+    fixed-budget shard assignment per group (see module docstring).
+
+    ``shard`` is 0-based within its group. Exact integer arithmetic
+    end-to-end; ties are impossible (doc_id is the total order).
+    """
+    from kafka_graphs_spark.pipeline.text import tokens
+
+    per = docs.select(
+        "doc_id",
+        F.col(group_col).alias("_g"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+        (F.col("doc_id").cast("long") / F.lit(int(bucket_size)))
+        .cast("long")
+        .alias("_b"),
+    )
+    # level 1: one row per (group, bucket) — running offset over the
+    # tiny bucket table (the unpartitioned-per-group window touches
+    # #buckets rows, never #docs)
+    bucket_w = (
+        Window.partitionBy("_g")
+        .orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        per.groupBy("_g", "_b")
+        .agg(F.sum("n_tokens").alias("_bt"))
+        .select(
+            "_g",
+            "_b",
+            F.coalesce(F.sum("_bt").over(bucket_w), F.lit(0)).alias("_off"),
+        )
+    )
+    # level 2: per-document cumsum WITHIN the bucket, shifted by the
+    # bucket offset — partitions are bounded by bucket_size docs
+    doc_w = (
+        Window.partitionBy("_g", "_b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per.join(offsets, on=["_g", "_b"])
+        .select(
+            "doc_id",
+            F.col("_g").alias(group_col),
+            "n_tokens",
+            (
+                (
+                    F.col("_off")
+                    + F.coalesce(F.sum("n_tokens").over(doc_w), F.lit(0))
+                )
+                / F.lit(int(tokens_per_shard))
+            )
+            .cast("long")
+            .alias("shard"),
+        )
+    )
+
+
+def shard_manifest(assigned: DataFrame, group_col: str = "source") -> DataFrame:
+    """(<group_col>, shard, n_docs, n_tokens, first_doc_id, last_doc_id)
+    — the shard-level manifest a writer job would emit next to the
+    files. One map-side-combinable groupBy on the (group, shard) key."""
+    return assigned.groupBy(group_col, "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+        F.max("doc_id").alias("last_doc_id"),
+    )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    weights: dict,
+    budget_tokens: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """(source, available_tokens, weight, target_tokens, epochs,
+    oversampled) — the mixture table every training run publishes:
+    given target mixture ``weights`` (source -> fraction of the token
+    budget) and the measured per-source availability, how many tokens
+    each source contributes and how many epochs (passes) that implies.
+
+    ``epochs > 1`` means the source must be upsampled (flagged
+    ``oversampled`` — the datasheet-level warning for low-resource
+    sources). Sources absent from ``weights`` get weight 0. One
+    map-side-combinable aggregate over the corpus; the plan itself is
+    one row per source.
+    """
+    from kafka_graphs_spark.pipeline.text import tokens
+
+    avail = (
+        docs.select(
+            F.col(group_col).alias("source"),
+            F.size(tokens(F.col(text_col))).cast("long").alias("_t"),
+        )
+        .groupBy("source")
+        .agg(F.sum("_t").alias("available_tokens"))
+    )
+    w = F.lit(0.0)
+    for src, frac in sorted(weights.items()):
+        w = F.when(F.col("source") == src, F.lit(float(frac))).otherwise(w)
+    target = F.floor(w * F.lit(int(budget_tokens))).cast("long")
+    epochs = F.round(
+        target.cast("double") / F.col("available_tokens"), 6
+    )
+    return avail.select(
+        "source",
+        "available_tokens",
+        F.round(w, 6).alias("weight"),
+        target.alias("target_tokens"),
+        epochs.alias("epochs"),
+        (epochs > 1.0).alias("oversampled"),
+    )

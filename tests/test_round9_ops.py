@@ -155,6 +155,79 @@ class TestBroadcastGateBytes:
         assert _fits_broadcast(BROADCAST_FACTOR_BYTES // (50 * 8), 50)
 
 
+class TestShardPacking:
+    def _docs(self, spark, n=60, sources=3):
+        rows = [
+            (i, " ".join(f"tok{j}" for j in range((i % 7) + 2)), f"s{i % sources}")
+            for i in range(n)
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def test_two_level_cumsum_equals_naive(self, spark):
+        from pyspark.sql.window import Window
+
+        from kafka_graphs_spark.pipeline.shards import assign_shards
+        from kafka_graphs_spark.pipeline.text import tokens
+
+        docs = self._docs(spark)
+        # tiny bucket_size forces many buckets -> exercises level 1
+        got = {
+            r["doc_id"]: r["shard"]
+            for r in assign_shards(
+                docs, tokens_per_shard=10, bucket_size=4
+            ).collect()
+        }
+        w = (
+            Window.partitionBy("source").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        naive = {
+            r["doc_id"]: r["shard"]
+            for r in docs.select(
+                "doc_id",
+                F.floor(
+                    F.coalesce(
+                        F.sum(F.size(tokens(F.col("text")))).over(w), F.lit(0)
+                    ) / 10
+                ).alias("shard"),
+            ).collect()
+        }
+        assert got == naive
+
+    def test_shards_never_split_docs_and_manifest_sums(self, spark):
+        from kafka_graphs_spark.pipeline.shards import assign_shards, shard_manifest
+
+        docs = self._docs(spark)
+        a = assign_shards(docs, tokens_per_shard=10, bucket_size=4)
+        m = shard_manifest(a).collect()
+        # every doc in exactly one shard; manifest totals reconcile
+        assert sum(r["n_docs"] for r in m) == 60
+        assert sum(r["n_tokens"] for r in m) == sum(
+            r["n_tokens"] for r in a.collect()
+        )
+        # shard indices are contiguous from 0 within each source
+        per_src = {}
+        for r in m:
+            per_src.setdefault(r["source"], set()).add(r["shard"])
+        for shards in per_src.values():
+            assert shards == set(range(len(shards)))
+
+    def test_mixture_plan_flags(self, spark):
+        from kafka_graphs_spark.pipeline.shards import mixture_plan
+
+        docs = self._docs(spark)
+        out = {
+            r["source"]: r
+            for r in mixture_plan(
+                docs, weights={"s0": 0.9, "s1": 0.1}, budget_tokens=200
+            ).collect()
+        }
+        assert out["s0"]["target_tokens"] == 180
+        assert out["s0"]["oversampled"] is True      # 180 > ~110 available
+        assert out["s1"]["oversampled"] is False
+        assert out["s2"]["weight"] == 0.0 and out["s2"]["target_tokens"] == 0
+
+
 class TestNoComplexTopLevelColumns:
     """The driver hashes oracle-backed outputs through pandas
     sort_values, which crashes on list/dict cells (r8 doc_blocklist).
