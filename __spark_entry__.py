@@ -3644,6 +3644,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             url_dedup_first=True,
         )
 
+    def doc_calibration(spark, sf):
+        # classifier reliability table: train the quality classifier
+        # (bit-exact GD loop, as doc_quality_train), score every doc,
+        # bin 6-dp probs, per-bin mean prob vs observed label rate —
+        # the model-quality artifact beside the datasheet. The target
+        # (token count >= 40) is separable by log_n_tokens, so the
+        # probabilities spread across 7+ bins and calibration structure
+        # is visible (overconfident low bins, calibrated top).
+        from kafka_graphs_spark.pipeline.classifier import calibration_report
+
+        return calibration_report(
+            datasets.load(spark, sf, "documents"),
+            F.size(text.tokens(F.col("text"))) >= 40,
+            n_iterations=40, lr=0.2, bins=10,
+        )
+
     def doc_shards(spark, sf):
         # deterministic fixed-token-budget shard packing (two-level
         # exact cumsum — bounded partitions at any source size); the
@@ -3940,6 +3956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shards": doc_shards,
         "doc_shard_manifest": doc_shard_manifest,
         "doc_mixture_plan": doc_mixture_plan,
+        "doc_calibration": doc_calibration,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins
         # inside the window) and rows-only ANN variants --
         "sp_als_factors": sp_als_factors,
@@ -3999,11 +4016,13 @@ def oracle_sql() -> dict[str, str]:
     _TRAIN_Z = "(wi*intercept + ws*stop_ratio + wm*mean_token_len + wl*log_n_tokens)"
     _TRAIN_P = f"(1.0 / (1.0 + exp(-{_TRAIN_Z})))"
 
-    def _train_ctes(T: int, LR: float) -> list:
+    def _train_ctes(T: int, LR: float, ylabel: str = None) -> list:
         p = _TRAIN_P
+        if ylabel is None:
+            ylabel = "CAST(CAST(lang = 'en' AS INT) AS DOUBLE)"
         ctes = [
             f"""t AS (SELECT doc_id, {TOKS} AS toks,
-                  CAST(CAST(lang = 'en' AS INT) AS DOUBLE) AS y FROM documents)""",
+                  {ylabel} AS y FROM documents)""",
             f"""feats AS (SELECT doc_id, y,
                   1.0 AS intercept,
                   CASE WHEN len(toks) > 0
@@ -4046,6 +4065,33 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT 'stop_ratio', ws, loss FROM w{T}, lo
             UNION ALL SELECT 'mean_token_len', wm, loss FROM w{T}, lo
             UNION ALL SELECT 'log_n_tokens', wl, loss FROM w{T}, lo
+        """
+
+    # calibration report: train (same chained CTEs), score every doc,
+    # bin the 6-dp prob into equal-width bins, per-bin mean prob vs
+    # observed label rate
+    def _calibration_sql(T: int, LR: float, bins: int) -> str:
+        p = _TRAIN_P
+        # token-count label (len >= 40): separable by log_n_tokens, so
+        # the probabilities SPREAD and the reliability table actually
+        # has structure (the lang label clusters every doc in one bin)
+        ctes = _train_ctes(
+            T, LR,
+            ylabel=f"CAST(CAST(len({TOKS}) >= 40 AS INT) AS DOUBLE)",
+        )
+        ctes.append(
+            f"""sc AS MATERIALIZED (
+                SELECT doc_id, y, round({p}, 6) AS p6 FROM feats, w{T})"""
+        )
+        return "WITH " + ",\n".join(ctes) + f"""
+            SELECT bin, n, mean_prob, label_rate,
+                   round(abs(mean_prob - label_rate), 6) AS gap
+            FROM (
+                SELECT CAST(least(floor(p6 * {bins}), {bins - 1}) AS BIGINT) AS bin,
+                       CAST(count(*) AS BIGINT) AS n,
+                       round(avg(p6), 6) AS mean_prob,
+                       round(sum(y) / count(*), 6) AS label_rate
+                FROM sc GROUP BY 1)
         """
 
     # pipeline_curate with the trained-model gate: train (same CTEs),
@@ -4108,6 +4154,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pipeline_curate_model": _curate_model_sql(8, 0.05, 0.5),
         "doc_quality_train": _train_sql(8, 0.05),
+        "doc_calibration": _calibration_sql(40, 0.2, 10),
         "emb_rp_project": f"""
             WITH m(i, j, s) AS (VALUES {_rp_values}),
             v AS (

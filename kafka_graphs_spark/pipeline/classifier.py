@@ -148,3 +148,58 @@ def train_quality_classifier(
         [(f, float(w[f]), float(loss)) for f in FEATURES],
         "feature string, weight double, final_loss double",
     )
+
+
+def calibration_report(
+    docs: DataFrame,
+    target: Column,
+    n_iterations: int = 8,
+    lr: float = 0.05,
+    bins: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """(bin, n, mean_prob, label_rate, gap) — reliability table for the
+    trained quality classifier: train (same deterministic GD loop as
+    :func:`train_quality_classifier`), score every document, bin the
+    6-dp-rounded probability into ``bins`` equal-width bins (the last
+    bin is closed, so p=1.0 lands in bin ``bins-1``), and compare the
+    mean predicted probability against the observed label rate per bin.
+
+    The model-quality artifact every classifier-gated curation pipeline
+    publishes next to its datasheet: a well-calibrated gate has
+    ``gap ≈ 0`` everywhere; systematic over/under-confidence shows as
+    signed structure across bins (here reported as the absolute gap of
+    the two 6-dp-rounded quantities, so the column is engine-portable).
+
+    Scale: training is the O(features)-state loop documented on the
+    trainer; scoring + binning is one scan + ONE map-side-combinable
+    groupBy on the ≤``bins`` key space. Label sums are exact integers;
+    the only float aggregate (mean_prob) averages 6-dp-rounded values
+    and is itself rounded to 6 dp (repo float-sum convention).
+    """
+    from kafka_graphs_spark.pipeline.text import quality_score_linear
+
+    trained = {
+        r["feature"]: r["weight"]
+        for r in train_quality_classifier(
+            docs, target, n_iterations=n_iterations, lr=lr, text_col=text_col
+        ).collect()
+    }
+    scored = quality_score_linear(docs, weights=trained, text_col=text_col)
+    labeled = docs.select(
+        "doc_id", target.cast("int").alias("_y")
+    ).join(scored.select("doc_id", F.round("prob", 6).alias("_p6")), on="doc_id")
+    b = F.least(
+        F.floor(F.col("_p6") * bins), F.lit(bins - 1)
+    ).cast("long")
+    agg = labeled.select(b.alias("bin"), "_p6", "_y").groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("_p6"), 6).alias("mean_prob"),
+        F.round(
+            F.sum("_y").cast("double") / F.count(F.lit(1)), 6
+        ).alias("label_rate"),
+    )
+    return agg.select(
+        "bin", "n", "mean_prob", "label_rate",
+        F.round(F.abs(F.col("mean_prob") - F.col("label_rate")), 6).alias("gap"),
+    )
