@@ -1575,8 +1575,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
     def emb_near_dup(spark, sf):
-        emb = datasets.load(spark, sf, "embeddings")
-        return similarity.embedding_near_duplicates(emb, threshold=0.8)
+        # the synthetic embeddings have NO organic near-duplicates (the
+        # 10 Gaussian clusters top out at cos ~0.46), so threshold-0.8
+        # output was structurally empty — a vacuous green row. Plant 40
+        # deterministic near-copies (vec_id+1e6, first coordinate +0.1
+        # on the unit-norm vectors — cos ~0.995, identical arithmetic in
+        # both engines): the exact pair join must find EXACTLY those 40
+        # planted pairs at cos >= 0.9.
+        emb = datasets.load(spark, sf, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        planted = emb.filter(F.col("vec_id") < 40).select(
+            (F.col("vec_id") + 1000000).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x + F.lit(0.1)).otherwise(x),
+            ).alias("embedding"),
+        )
+        return similarity.embedding_near_duplicates(
+            emb.unionByName(planted), threshold=0.9
+        )
 
     def emb_lsh_topk(spark, sf):
         # approximate scale path — no SQL oracle (rows-only check).
@@ -3644,6 +3662,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             url_dedup_first=True,
         )
 
+    def pipeline_curate_domain(spark, sf):
+        # curation with the C4 domain blocklist gate: quality gate ->
+        # drop blocked registered domains (subdomains included) ->
+        # shingle dedup on the survivors — the composite the r8 verdict
+        # marked weak for lack of a driver row
+        from kafka_graphs_spark.pipeline.curate import curate
+
+        return curate(
+            _doc_urls(spark, sf),
+            min_score=0.6, n=3, jaccard_threshold=0.05,
+            blocked_domains=["shop.com", "news.co.uk"],
+        )
+
     def doc_calibration(spark, sf):
         # classifier reliability table: train the quality classifier
         # (bit-exact GD loop, as doc_quality_train), score every doc,
@@ -3957,6 +3988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shard_manifest": doc_shard_manifest,
         "doc_mixture_plan": doc_mixture_plan,
         "doc_calibration": doc_calibration,
+        "pipeline_curate_domain": pipeline_curate_domain,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins
         # inside the window) and rows-only ANN variants --
         "sp_als_factors": sp_als_factors,
@@ -5658,12 +5690,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT id, bench_id, cos FROM best WHERE rn = 1
         """,
         "emb_near_dup": """
-            WITH v AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+            WITH base AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+            pl AS (SELECT id + 1000000 AS id,
+                       list_transform(range(1, len(v) + 1),
+                           i -> CASE WHEN i = 1 THEN v[1] + 0.1 ELSE v[i] END) AS v
+                   FROM base WHERE id < 40),
+            u AS (SELECT * FROM base UNION ALL SELECT * FROM pl),
             s AS (SELECT a.id AS id_a, b.id AS id_b,
                          list_dot_product(a.v, b.v)
                          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) AS cos
-                  FROM v a JOIN v b ON a.id < b.id)
-            SELECT id_a, id_b, round(cos, 6) AS cos FROM s WHERE round(cos, 6) >= 0.8
+                  FROM u a JOIN u b ON a.id < b.id)
+            SELECT id_a, id_b, round(cos, 6) AS cos FROM s WHERE round(cos, 6) >= 0.9
         """,
         "multimodal_features": """
             WITH m AS (SELECT doc_id AS media_id, md5(text) AS hx FROM documents),
@@ -6802,6 +6839,54 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s, s FROM und
                 UNION
                 SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.id
+            ),
+            keep AS (SELECT id, MIN(r) AS k FROM reach GROUP BY id)
+            SELECT q.doc_id FROM q LEFT JOIN keep ON keep.id = q.doc_id
+            WHERE coalesce(keep.k, q.doc_id) = q.doc_id
+        """,
+        # pipeline_curate with the domain blocklist gate: quality pass
+        # minus blocked registered domains (label-boundary suffix match),
+        # then the standard dedup chain over the survivors
+        "pipeline_curate_domain": f"""
+            WITH RECURSIVE {_DOMAIN_CTES},
+            blk AS (SELECT doc_id FROM dom
+                    WHERE host = 'shop.com' OR ends_with(host, '.shop.com')
+                       OR host = 'news.co.uk' OR ends_with(host, '.news.co.uk')),
+            t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS n_stop,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS mtl
+                FROM t),
+            q AS (SELECT doc_id FROM s WHERE
+                (CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE)/n_tokens >= 0.01
+                           AND CAST(n_stop AS DOUBLE)/n_tokens <= 0.5 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.3 ELSE 0.0 END)
+                >= 0.6
+                AND doc_id NOT IN (SELECT doc_id FROM blk)),
+            kt AS (SELECT t.doc_id, t.toks FROM t JOIN q USING (doc_id)),
+            sh AS (SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) >= 3
+                              THEN list_transform(range(0, len(toks) - 2),
+                                                  i -> array_to_string(toks[i+1:i+3], ' '))
+                              ELSE CAST([] AS VARCHAR[]) END) AS shingle
+                   FROM kt),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            prs AS (SELECT doc_a, doc_b FROM inter
+                    JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05),
+            und AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                    UNION SELECT doc_b, doc_a FROM prs),
+            reach(id, r) AS (
+                SELECT s, s FROM und
+                UNION
+                SELECT u2.d, reach.r FROM reach JOIN und u2 ON u2.s = reach.id
             ),
             keep AS (SELECT id, MIN(r) AS k FROM reach GROUP BY id)
             SELECT q.doc_id FROM q LEFT JOIN keep ON keep.id = q.doc_id
