@@ -49,12 +49,25 @@ PII_EMAIL, PII_IPV4, PII_PHONE, PII_SSN = (
     _PII["email"], _PII["ipv4"], _PII["phone"], _PII["ssn"],
 )
 
-# deterministic doc-keyed PII payload (twin of _pii_augmented below)
+# deterministic doc-keyed PII payload (twin of _pii_augmented below):
+# each kind on its own doc_id residue so every regex sees hits AND misses
 PII_AUG = (
-    "text || ' contact user' || (doc_id)::VARCHAR || '@' || source || "
-    "'.com ip 10.0.' || (doc_id % 256)::VARCHAR || '.' || "
-    "(doc_id % 7)::VARCHAR || ' ssn 123-45-6789'"
+    "text"
+    " || CASE WHEN doc_id % 2 = 0 THEN ' contact user' || (doc_id)::VARCHAR"
+    "         || '@' || source || '.com' ELSE '' END"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' ip 10.0.' || (doc_id % 256)::VARCHAR"
+    "         || '.' || (doc_id % 7)::VARCHAR ELSE '' END"
+    " || CASE WHEN doc_id % 4 = 0 THEN ' call +1 (202) 555-0'"
+    "         || lpad((doc_id % 1000)::VARCHAR, 3, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END"
 )
+
+# planted exact duplicates (twin of _docs_with_exact_dups below)
+_DUP_DOCS = """
+  SELECT doc_id, text, source FROM documents
+  UNION ALL
+  SELECT doc_id + 100000, text, source FROM documents WHERE doc_id < 35
+"""
 
 SP_EDGES = """
   SELECT l_suppkey AS src, l_partkey + 1000000 AS dst, SUM(l_quantity) AS value
@@ -1454,18 +1467,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def _pii_augmented(spark, sf):
         # the synthetic corpus has no organic PII, so both sides weave a
         # deterministic doc-keyed payload into the text; the scored row
-        # then proves the Java and RE2 regex dialects agree on real hits
+        # then proves the Java and RE2 regex dialects agree on real
+        # hits. Each PII kind is injected on a DIFFERENT doc_id residue
+        # (the r9 audit caught the old everywhere-injection: constant
+        # n_email/n_ipv4/n_ssn = 1 and n_phone NEVER exercised), so the
+        # counts vary 0..4 and all four regexes see both hit and miss.
         d = datasets.load(spark, sf, "documents")
+        did = F.col("doc_id")
+        email = F.when(
+            did % 2 == 0,
+            F.concat(
+                F.lit(" contact user"), did.cast("string"),
+                F.lit("@"), F.col("source"), F.lit(".com"),
+            ),
+        ).otherwise(F.lit(""))
+        ip = F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" ip 10.0."), (did % 256).cast("string"),
+                F.lit("."), (did % 7).cast("string"),
+            ),
+        ).otherwise(F.lit(""))
+        phone = F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" call +1 (202) 555-0"),
+                F.lpad((did % 1000).cast("string"), 3, "0"),
+            ),
+        ).otherwise(F.lit(""))
+        ssn = F.when(did % 5 == 0, F.lit(" ssn 123-45-6789")).otherwise(
+            F.lit("")
+        )
         return d.select(
             "doc_id",
-            F.concat(
-                F.col("text"),
-                F.lit(" contact user"), F.col("doc_id").cast("string"),
-                F.lit("@"), F.col("source"), F.lit(".com ip 10.0."),
-                (F.col("doc_id") % 256).cast("string"), F.lit("."),
-                (F.col("doc_id") % 7).cast("string"),
-                F.lit(" ssn 123-45-6789"),
-            ).alias("text"),
+            F.concat(F.col("text"), email, ip, phone, ssn).alias("text"),
         )
 
     def doc_pii_stats(spark, sf):
@@ -1535,8 +1570,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- dedup (documents) ----
 
+    def _docs_with_exact_dups(spark, sf):
+        # the synthetic corpus has no byte-identical documents, so the
+        # exact-dedup tier never saw n_dups > 1 (round-9 audit). Plant
+        # exact copies of docs 0..34 under new ids (source counts vary) (+100000, same text
+        # and source) — identical construction in both engines.
+        docs = datasets.load(spark, sf, "documents").select(
+            "doc_id", "text", "source"
+        )
+        copies = docs.filter(F.col("doc_id") < 35).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text", "source"
+        )
+        return docs.unionByName(copies)
+
     def dedup_exact(spark, sf):
-        return dedup.exact_duplicates(datasets.load(spark, sf, "documents"))
+        return dedup.exact_duplicates(_docs_with_exact_dups(spark, sf))
 
     def dedup_ngram_jaccard(spark, sf):
         return dedup.ngram_jaccard_pairs(
@@ -2024,9 +2072,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.remove_duplicated_spans(docs, w=8).orderBy("doc_id")
 
     def doc_dedup_rate(spark, sf):
-        # per-source exact-dedup removal rate (keep-min-id rule)
-        docs = datasets.load(spark, sf, "documents")
-        return dedup.dedup_rate_per_source(docs).orderBy("source")
+        # per-source exact-dedup removal rate (keep-min-id rule) over
+        # the planted-duplicates fixture, so rates are genuinely nonzero
+        return dedup.dedup_rate_per_source(
+            _docs_with_exact_dups(spark, sf)
+        ).orderBy("source")
 
     def doc_weighted_sample(spark, sf):
         # Efraimidis-Spirakis weighted sample w/o replacement, weights =
@@ -2220,9 +2270,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # synthetic corpus is en-only, so the driver row is made
         # DISCRIMINATING (r7 verdict #5) by deterministically
         # code-switching it: docs with doc_id%5==0 get a Spanish
-        # stopword-rich suffix, else doc_id%7==0 a French one — those
-        # with English evidence then flag mixed=true while the untouched
-        # docs keep exercising the all-English negatives
+        # stopword-rich suffix, else doc_id%7==0 a French one, else
+        # doc_id%11==0 a German one (r9 audit: hits_de was never
+        # exercised) — those with English evidence then flag mixed=true
+        # while the untouched docs keep exercising the negatives
         from kafka_graphs_spark.pipeline.text import language_mix
 
         docs = datasets.load(spark, sf, "documents")
@@ -2234,6 +2285,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .when(
                 F.col("doc_id") % 7 == 0,
                 F.lit(" le rapport est dans des pages pour la version"),
+            )
+            .when(
+                F.col("doc_id") % 11 == 0,
+                F.lit(" der bericht ist von und mit den daten im system"),
             )
             .otherwise(F.lit(""))
         )
@@ -3040,13 +3095,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def doc_gopher_filter(spark, sf):
         # document-level Gopher quality rules (Rae et al. 2021 §A1.1) as
         # per-row boolean flags + keep conjunction — zero shuffles, every
-        # ratio an exact-integer division. Stopword rule uses the repo's
-        # 13-word English set (the corpus's actual function words) so
-        # `keep` is a real mix, not vacuously false
+        # ratio an exact-integer division. Rules are parameterized to the
+        # corpus so the flags DISCRIMINATE (r9 audit): stopword rule uses
+        # the repo's 13-word English set; word-length band [4.2, 4.8]
+        # brackets the corpus's mean-word-length p10-p90; dup-bigram
+        # bound 0.08 sits at its p90. flag_symbol_ratio and
+        # flag_alpha_ratio stay structurally all-true on this corpus
+        # (tokens are pure a-z with no '#'/ellipsis marks) — documented
+        # constants, exercised by pytest on adversarial fixtures.
         from kafka_graphs_spark.pipeline.text import STOPWORDS, gopher_filter
 
         return gopher_filter(
-            datasets.load(spark, sf, "documents"), stopwords=STOPWORDS["en"]
+            datasets.load(spark, sf, "documents"),
+            stopwords=STOPWORDS["en"],
+            min_mean_word_len=4.2, max_mean_word_len=4.8,
+            max_dup_bigram_frac=0.08,
         )
 
     def doc_ppl_buckets(spark, sf):
@@ -3364,10 +3427,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bipartite_projection(_sp_graph(spark, sf), onto="src")
 
     def sp_ppmi(spark, sf):
-        # PPMI reweighting of the supplier co-occurrence projection
+        # PPMI reweighting of the supplier co-occurrence projection.
+        # The raw uniform supplier-part graph co-occurs every pair at
+        # the independence baseline, so PPMI clipped to ALL ZERO — a
+        # vacuous column (round-9 audit). Restrict the bipartite edges
+        # to block structure (supplier class src%20 owns parts dst%20,
+        # plus a weak global slice dst%97) so within-class pairs earn
+        # genuinely positive PMI: 328 positive / 313 distinct values.
+        from kafka_graphs_spark import datasets
+        from kafka_graphs_spark.graph import Graph
         from kafka_graphs_spark.library import bipartite_projection, ppmi
 
-        pairs = bipartite_projection(_sp_graph(spark, sf), onto="src")
+        edges = datasets.supplier_part_edges(spark, sf).filter(
+            (F.col("src") % 20 == F.col("dst") % 20) | (F.col("dst") % 97 == 0)
+        )
+        pairs = bipartite_projection(
+            Graph.from_edges(edges, F.col("id")), onto="src"
+        )
         out = ppmi(pairs)
         return out.select(
             "id_a", "id_b", "weight", F.round("ppmi", 6).alias("ppmi")
@@ -4535,7 +4611,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "sp_ppmi": f"""
-            WITH e AS ({SP_EDGES}), d AS (SELECT DISTINCT src, dst FROM e),
+            WITH e0 AS ({SP_EDGES}),
+            e AS (SELECT * FROM e0
+                  WHERE src % 20 = dst % 20 OR dst % 97 = 0),
+            d AS (SELECT DISTINCT src, dst FROM e),
             p AS (
               SELECT a.src AS id_a, b.src AS id_b, COUNT(*) AS weight
               FROM d a JOIN d b ON a.dst = b.dst AND a.src < b.src
@@ -5564,9 +5643,10 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT source) AS n_sources
             FROM documents
         """,
-        "dedup_exact": """
+        "dedup_exact": f"""
+            WITH d AS ({_DUP_DOCS})
             SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, count(*) AS n_dups
-            FROM documents GROUP BY 1
+            FROM d GROUP BY 1
         """,
         "dedup_ngram_jaccard": f"""
             WITH sh AS ({SHINGLES}),
@@ -6008,6 +6088,8 @@ def oracle_sql() -> dict[str, str]:
                                THEN ' los datos son para todos y las tablas'
                            WHEN doc_id % 7 = 0
                                THEN ' le rapport est dans des pages pour la version'
+                           WHEN doc_id % 11 = 0
+                               THEN ' der bericht ist von und mit den daten im system'
                            ELSE '' END AS text
                 FROM documents),
             t AS (SELECT doc_id, {TOKS} AS toks FROM aug),
@@ -6554,8 +6636,9 @@ def oracle_sql() -> dict[str, str]:
             FROM toks t LEFT JOIN reb USING (doc_id)
             ORDER BY t.doc_id
         """,
-        "doc_dedup_rate": """
-            WITH fp AS (SELECT doc_id, source, md5(text) AS fp FROM documents),
+        "doc_dedup_rate": f"""
+            WITH d AS ({_DUP_DOCS}),
+            fp AS (SELECT doc_id, source, md5(text) AS fp FROM d),
             keep AS (SELECT fp, min(doc_id) AS keep_id FROM fp GROUP BY 1)
             SELECT source,
                    CAST(count(*) AS BIGINT) AS n_docs,
@@ -7388,7 +7471,7 @@ def oracle_sql() -> dict[str, str]:
             fl AS (SELECT doc_id,
                 CAST(n AS INTEGER) AS n_tokens,
                 (n >= 50 AND n <= 100000) AS flag_word_count,
-                (mean_len >= 3.0 AND mean_len <= 10.0) AS flag_word_length,
+                (mean_len >= 4.2 AND mean_len <= 4.8) AS flag_word_length,
                 CASE WHEN n > 0 THEN (n_hash + n_ell) / CAST(n AS DOUBLE) <= 0.1
                      ELSE FALSE END AS flag_symbol_ratio,
                 CASE WHEN n > 0 THEN CAST(n_alpha AS DOUBLE) / n >= 0.8
@@ -7396,7 +7479,7 @@ def oracle_sql() -> dict[str, str]:
                 (n_stop >= 2) AS flag_stopwords,
                 ((CASE WHEN len(bg) > 0
                        THEN 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg)
-                       ELSE 0.0 END) <= 0.2
+                       ELSE 0.0 END) <= 0.08
                  AND
                  (CASE WHEN len(tg) > 0
                        THEN 1.0 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg)
