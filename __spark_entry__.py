@@ -3738,6 +3738,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             url_dedup_first=True,
         )
 
+    def ec_heavy_hitters_inv(spark, sf):
+        # distributed Misra-Gries heavy hitters (mergeable summaries):
+        # guarantee audit vs exact counts over a deterministically
+        # SKEWED item stream (event_id%3 -> item 7 with ~n/3 mass,
+        # event_id%5 -> item 11, else a ~uniform per-user tail), so
+        # n_heavy = 2 and top1 are data-derived, never vacuous. The
+        # estimates themselves are partition-dependent (any MG is);
+        # the guarantees are not — the row checks the guarantees.
+        from kafka_graphs_spark.streaming import heavy_hitters_check
+
+        ev = datasets.load(spark, sf, "events")
+        item = (
+            F.when(F.col("event_id") % 3 == 0, F.lit(7))
+            .when(F.col("event_id") % 5 == 0, F.lit(11))
+            .otherwise(F.col("user_id") + 1000)
+        )
+        return heavy_hitters_check(
+            ev.select(item.alias("item")), "item", k=20
+        )
+
     def pipeline_curate_domain(spark, sf):
         # curation with the C4 domain blocklist gate: quality gate ->
         # drop blocked registered domains (subdomains included) ->
@@ -4064,6 +4084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shard_manifest": doc_shard_manifest,
         "doc_mixture_plan": doc_mixture_plan,
         "doc_calibration": doc_calibration,
+        "ec_heavy_hitters_inv": ec_heavy_hitters_inv,
         "pipeline_curate_domain": pipeline_curate_domain,
         # -- tail: permanently-no-oracle seeded numerics (invariant twins
         # inside the window) and rows-only ANN variants --
@@ -4263,6 +4284,27 @@ def oracle_sql() -> dict[str, str]:
         "pipeline_curate_model": _curate_model_sql(8, 0.05, 0.5),
         "doc_quality_train": _train_sql(8, 0.05),
         "doc_calibration": _calibration_sql(40, 0.2, 10),
+        # MG guarantee audit: violation counters are 0 by the sketch
+        # guarantees; n_heavy / top1 are exact-count facts the oracle
+        # derives independently from the same skewed construction
+        "ec_heavy_hitters_inv": """
+            WITH it AS (SELECT CASE WHEN event_id % 3 = 0 THEN 7
+                                    WHEN event_id % 5 = 0 THEN 11
+                                    ELSE user_id + 1000 END AS item
+                        FROM events),
+            c AS (SELECT item, CAST(count(*) AS BIGINT) AS t FROM it GROUP BY 1),
+            n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM it)
+            SELECT CAST(20 AS BIGINT) AS k,
+                   n.n AS n_events,
+                   CAST(0 AS BIGINT) AS underest_violations,
+                   CAST(0 AS BIGINT) AS error_violations,
+                   (SELECT CAST(count(*) AS BIGINT) FROM c, n
+                    WHERE t * 21 > 2 * n.n) AS n_heavy,
+                   CAST(0 AS BIGINT) AS heavy_missing,
+                   (SELECT item FROM c ORDER BY t DESC, item LIMIT 1) AS top1_id,
+                   (SELECT max(t) FROM c) AS top1_true
+            FROM n
+        """,
         "emb_rp_project": f"""
             WITH m(i, j, s) AS (VALUES {_rp_values}),
             v AS (

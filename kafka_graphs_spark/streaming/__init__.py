@@ -24,6 +24,10 @@ from kafka_graphs_spark.streaming.library import (
     spanner_frame,
 )
 from kafka_graphs_spark.streaming.joins import stream_interval_join
+from kafka_graphs_spark.streaming.sketches import (
+    heavy_hitters_check,
+    misra_gries,
+)
 from kafka_graphs_spark.streaming.incremental import (
     lp_windowed_incremental,
     pagerank_windowed_incremental,
@@ -65,6 +69,8 @@ __all__ = [
     "Candidates",
     "AdjacencyListGraph",
     "stream_interval_join",
+    "misra_gries",
+    "heavy_hitters_check",
     "stateful_degrees",
     "stateful_distinct_degrees",
 ]

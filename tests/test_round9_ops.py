@@ -228,6 +228,52 @@ class TestShardPacking:
         assert out["s2"]["weight"] == 0.0 and out["s2"]["target_tokens"] == 0
 
 
+class TestMisraGries:
+    def test_exact_when_items_fit(self, spark):
+        from kafka_graphs_spark.streaming import misra_gries
+
+        rows = [(i % 5,) for i in range(100)]
+        df = spark.createDataFrame(rows, "item long")
+        out = {r["item"]: r["est_count"] for r in misra_gries(df, "item", 10).collect()}
+        assert out == {i: 20 for i in range(5)}  # <= k items: exact
+
+    def test_guarantees_on_skewed_stream(self, spark):
+        from kafka_graphs_spark.streaming import misra_gries
+
+        # heavy item 0 with half the mass + a long uniform tail
+        rows = [(0,) for _ in range(500)] + [(1000 + i % 200,) for i in range(500)]
+        df = spark.createDataFrame(rows, "item long").repartition(8)
+        k = 10
+        mg = {r["item"]: r["est_count"] for r in misra_gries(df, "item", k).collect()}
+        assert len(mg) <= k
+        true = {0: 500}
+        for i in range(200):
+            true[1000 + i] = true.get(1000 + i, 0) + (3 if i < 100 else 2)
+        n = 1000
+        bound = 2 * n / (k + 1)
+        for item, est in mg.items():
+            assert est <= true[item]                       # never overestimates
+            assert true[item] - est <= bound
+        # every heavy item reported
+        for item, t in true.items():
+            if t > bound:
+                assert item in mg
+        assert 0 in mg  # the one genuinely heavy item
+
+    def test_check_frame_clean(self, spark):
+        from kafka_graphs_spark.streaming import heavy_hitters_check
+
+        rows = [(0 if i % 2 == 0 else 100 + i,) for i in range(300)]
+        df = spark.createDataFrame(rows, "item long")
+        # item 0 holds half the mass (150 > bound 2n/(k+1) = 100)
+        row = heavy_hitters_check(df, "item", k=5).collect()[0]
+        assert row["underest_violations"] == 0
+        assert row["error_violations"] == 0
+        assert row["heavy_missing"] == 0
+        assert row["n_heavy"] == 1
+        assert row["top1_id"] == 0 and row["top1_true"] == 150
+
+
 class TestNoComplexTopLevelColumns:
     """The driver hashes oracle-backed outputs through pandas
     sort_values, which crashes on list/dict cells (r8 doc_blocklist).
