@@ -3844,12 +3844,193 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evidence is the invariant/loss/recall twins inside the window.
     # ------------------------------------------------------------------
     return {
-        # -- ROUND-9 WINDOW (generated by scripts/rotate_window.py; r8
-        # verdict "Next round" #3): slots 1-6 are the six never-scored
-        # round-8 additions (URL/domain curation tier + the stream-stream
-        # interval join); slots 7-50 are the stalest-scored staples (last
-        # scored r3/r5). After this window scores, EVERY oracle-backed
-        # query in the registry has a driver row at least once. --
+        # -- ROUND-10 WINDOW (generated by scripts/rotate_window.py, now
+        # red-aware per the r9 verdict: latest-score-not-green ranks in
+        # tier 1 with never-scored). Slot 1 is doc_blocklist — the only
+        # red row in project history, fixed in r9 source but never
+        # re-scored; slots 2-11 are the ten never-scored round-9
+        # additions; slots 12-50 are the stalest-scored staples (r5/r6).
+        # After this window scores, EVERY oracle-backed query in the
+        # registry has a hash-green driver row at least once. --
+        "doc_blocklist": doc_blocklist,
+        "doc_url_canonical": doc_url_canonical,
+        "doc_url_dedup": doc_url_dedup,
+        "pipeline_curate_url": pipeline_curate_url,
+        "doc_datasheet": doc_datasheet,
+        "doc_shards": doc_shards,
+        "doc_shard_manifest": doc_shard_manifest,
+        "doc_mixture_plan": doc_mixture_plan,
+        "doc_calibration": doc_calibration,
+        "ec_heavy_hitters_inv": ec_heavy_hitters_inv,
+        "pipeline_curate_domain": pipeline_curate_domain,
+        "emb_quantize_inv": emb_quantize_inv,
+        "hier_motifs": hier_motifs,
+        "gen_motifs": gen_motifs,
+        "doc_cross_source_near_dups": doc_cross_source_near_dups,
+        "doc_unigram_logprob": doc_unigram_logprob,
+        "sp_bipartite_proj": sp_bipartite_proj,
+        "sp_ppmi": sp_ppmi,
+        "gen_diameter_path": gen_diameter_path,
+        "gen_diameter_star": gen_diameter_star,
+        "doc_chunks": doc_chunks,
+        "doc_hash_sample": doc_hash_sample,
+        "doc_pii_redact": doc_pii_redact,
+        "doc_split": doc_split,
+        "gen_ktruss_complete": gen_ktruss_complete,
+        "sp_als_loss": sp_als_loss,
+        "sp_sgd_loss": sp_sgd_loss,
+        "sp_svdpp_loss": sp_svdpp_loss,
+        "emb_kmeans_assign": emb_kmeans_assign,
+        "hier_semiclusters_inv": hier_semiclusters_inv,
+        "ec_maxbmatching_inv": ec_maxbmatching_inv,
+        "hier_kcore_inv": hier_kcore_inv,
+        "hier_lcc_pregel": hier_lcc_pregel,
+        "pipeline_curate": pipeline_curate,
+        "pipeline_curate_decontam": pipeline_curate_decontam,
+        "pipeline_curate_gated": pipeline_curate_gated,
+        "dedup_resolve": dedup_resolve,
+        "doc_contamination": doc_contamination,
+        "emb_decontamination": emb_decontamination,
+        "emb_ivf_recall": emb_ivf_recall,
+        "emb_lsh_recall": emb_lsh_recall,
+        "emb_near_dup_lsh_inv": emb_near_dup_lsh_inv,
+        "ec_stream_distinct": ec_stream_distinct,
+        "ec_stream_union": ec_stream_union,
+        "gen_betweenness_star": gen_betweenness_star,
+        "gen_betweenness_path": gen_betweenness_path,
+        "gen_closeness_star": gen_closeness_star,
+        "sp_katz": sp_katz,
+        "sp_hits": sp_hits,
+        "sp_walks": sp_walks,
+        # -- window ends (slot 50) --
+        # -- rotation body: scored-green queries, stalest first
+        # (registry-order ties) — recomputed each round by
+        # scripts/rotate_window.py --
+        "hier_n2v_walks": hier_n2v_walks,
+        "ec_modularity": ec_modularity,
+        "hier_ktruss3": hier_ktruss3,
+        "hier_graph_stats": hier_graph_stats,
+        "doc_bigrams": doc_bigrams,
+        "doc_repetition": doc_repetition,
+        "doc_language_stats": doc_language_stats,
+        "doc_sketch_inv": doc_sketch_inv,
+        "doc_source_profile": doc_source_profile,
+        "doc_pii_stats": doc_pii_stats,
+        "doc_mixture_sample": doc_mixture_sample,
+        "doc_pack_sequences": doc_pack_sequences,
+        "doc_cap_per_source": doc_cap_per_source,
+        "ec_pagerank5": ec_pagerank5,
+        "ec_wcc": ec_wcc,
+        "ec_sssp": ec_sssp,
+        "ec_bfs": ec_bfs,
+        "sp_out_degrees": sp_out_degrees,
+        "dedup_exact": dedup_exact,
+        "doc_token_count": doc_token_count,
+        "ec_lp10": ec_lp10,
+        "hier_lcc": hier_lcc,
+        "ec_window_pagerank": ec_window_pagerank,
+        "ec_stream_degrees": ec_stream_degrees,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "ec_stream_edge_count": ec_stream_edge_count,
+        "ec_stream_vertex_count": ec_stream_vertex_count,
+        "ec_stream_aggregate": ec_stream_aggregate,
+        "ec_stream_global_aggregate": ec_stream_global_aggregate,
+        "ec_fold_neighbors": ec_fold_neighbors,
+        "emb_ivfpq_recall": emb_ivfpq_recall,
+        "emb_semantic_dedup_inv": emb_semantic_dedup_inv,
+        "doc_dup_spans": doc_dup_spans,
+        "doc_span_removal": doc_span_removal,
+        "doc_dedup_rate": doc_dedup_rate,
+        "doc_bpe_inv": doc_bpe_inv,
+        "doc_bpe_apply_inv": doc_bpe_apply_inv,
+        "doc_temperature_sample": doc_temperature_sample,
+        "doc_weighted_sample": doc_weighted_sample,
+        "doc_negative_samples": doc_negative_samples,
+        "doc_tfidf_pairs": doc_tfidf_pairs,
+        "doc_bm25": doc_bm25,
+        "doc_hybrid_retrieval": doc_hybrid_retrieval,
+        "doc_zipf_fit": doc_zipf_fit,
+        "doc_source_divergence": doc_source_divergence,
+        "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
+        "dedup_minhash_estimate": dedup_minhash_estimate,
+        "pipeline_curate_spans": pipeline_curate_spans,
+        "emb_rp_project": emb_rp_project,
+        "emb_neighborhood_features": emb_neighborhood_features,
+        "hier_eigenvector": hier_eigenvector,
+        "hier_avg_nbr_degree": hier_avg_nbr_degree,
+        "ec_hyperanf": ec_hyperanf,
+        "ec_effective_diameter": ec_effective_diameter,
+        "ec_window_wcc": ec_window_wcc,
+        "ec_window_lp": ec_window_lp,
+        "ec_window_triangles": ec_window_triangles,
+        "gen_betweenness_sampled": gen_betweenness_sampled,
+        "gen_random_graph": gen_random_graph,
+        "gen_wcc_random": gen_wcc_random,
+        "ec_stateful_degrees": ec_stateful_degrees,
+        "ec_stateful_sessions": ec_stateful_sessions,
+        "gen_louvain_cliques": gen_louvain_cliques,
+        "ec_louvain_inv": ec_louvain_inv,
+        "ec_mssp": ec_mssp,
+        "ec_sybilrank": ec_sybilrank,
+        "ec_ppr5": ec_ppr5,
+        "hier_adamic_adar": hier_adamic_adar,
+        "hier_jaccard": hier_jaccard,
+        "sp_in_degrees": sp_in_degrees,
+        "sp_join_vertices": sp_join_vertices,
+        "sp_join_edges": sp_join_edges,
+        "sp_join_edges_src": sp_join_edges_src,
+        "sp_join_edges_tgt": sp_join_edges_tgt,
+        "ec_stream_wcc": ec_stream_wcc,
+        "stream_bipartiteness": stream_bipartiteness,
+        "ec_spanner": ec_spanner,
+        "ec_window_wcc_incr": ec_window_wcc_incr,
+        "ec_window_triangles_incr": ec_window_triangles_incr,
+        "ec_window_pagerank_incr": ec_window_pagerank_incr,
+        "ec_window_lp_incr": ec_window_lp_incr,
+        "ec_stateful_heavy": ec_stateful_heavy,
+        "hier_motif_find_triangle": hier_motif_find_triangle,
+        "hier_motif_find_wedge_neg": hier_motif_find_wedge_neg,
+        "ec_motif_find_path": ec_motif_find_path,
+        "hier_rich_club": hier_rich_club,
+        "hier_conductance": hier_conductance,
+        "ec_temporal_arrival": ec_temporal_arrival,
+        "ec_temporal_departure": ec_temporal_departure,
+        "ec_funnel": ec_funnel,
+        "ec_retention": ec_retention,
+        "ec_asof_attribution": ec_asof_attribution,
+        "ec_range_join": ec_range_join,
+        "ec_interval_join": ec_interval_join,
+        "ec_transitions": ec_transitions,
+        "ec_path_ngrams": ec_path_ngrams,
+        "ec_session_funnel": ec_session_funnel,
+        "doc_gopher_filter": doc_gopher_filter,
+        "doc_ppl_buckets": doc_ppl_buckets,
+        "doc_dsir_weights": doc_dsir_weights,
+        "doc_dsir_select": doc_dsir_select,
+        "doc_quality_train": doc_quality_train,
+        "pipeline_curate_model": pipeline_curate_model,
+        "emb_hard_negatives": emb_hard_negatives,
+        "doc_dsir_external": doc_dsir_external,
+        "doc_token_budget": doc_token_budget,
+        "doc_retrieval_metrics": doc_retrieval_metrics,
+        "ec_ppr_multi": ec_ppr_multi,
+        "hier_assortativity": hier_assortativity,
+        "dedup_containment": dedup_containment,
+        "doc_language_mix": doc_language_mix,
+        "doc_rank_correlation": doc_rank_correlation,
+        "hier_powerlaw": hier_powerlaw,
+        "ec_session_stream": ec_session_stream,
+        "emb_cosine_topk": emb_cosine_topk,
+        "multimodal_features": multimodal_features,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "emb_near_dup": emb_near_dup,
+        "hier_triangles": hier_triangles,
+        "ec_pregel_sssp": ec_pregel_sssp,
+        "ec_window_sum": ec_window_sum,
+        "sp_io_roundtrip": sp_io_roundtrip,
+        "sp_group_reduce_nbrs": sp_group_reduce_nbrs,
         "doc_domains": doc_domains,
         "doc_domain_stats": doc_domain_stats,
         "doc_domain_blocklist": doc_domain_blocklist,
@@ -3900,200 +4081,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_topo_levels": gen_topo_levels,
         "gen_lp_weighted": gen_lp_weighted,
         "gen_pagerank_weighted": gen_pagerank_weighted,
-        # -- window ends (slot 50) --
-        # -- rotation body: scored queries, stalest first (registry-order
-        # ties) — recomputed each round by scripts/rotate_window.py --
-        "emb_quantize_inv": emb_quantize_inv,
-        "hier_motifs": hier_motifs,
-        "gen_motifs": gen_motifs,
-        "doc_cross_source_near_dups": doc_cross_source_near_dups,
-        "doc_unigram_logprob": doc_unigram_logprob,
-        "sp_bipartite_proj": sp_bipartite_proj,
-        "sp_ppmi": sp_ppmi,
-        "gen_diameter_path": gen_diameter_path,
-        "gen_diameter_star": gen_diameter_star,
-        "doc_chunks": doc_chunks,
-        "doc_hash_sample": doc_hash_sample,
-        "doc_pii_redact": doc_pii_redact,
-        "doc_split": doc_split,
-        "gen_ktruss_complete": gen_ktruss_complete,
-        "sp_als_loss": sp_als_loss,
-        "sp_sgd_loss": sp_sgd_loss,
-        "sp_svdpp_loss": sp_svdpp_loss,
-        "emb_kmeans_assign": emb_kmeans_assign,
-        "hier_semiclusters_inv": hier_semiclusters_inv,
-        "ec_maxbmatching_inv": ec_maxbmatching_inv,
-        "hier_kcore_inv": hier_kcore_inv,
-        "hier_lcc_pregel": hier_lcc_pregel,
-        "pipeline_curate": pipeline_curate,
-        "pipeline_curate_decontam": pipeline_curate_decontam,
-        "pipeline_curate_gated": pipeline_curate_gated,
-        "dedup_resolve": dedup_resolve,
-        "doc_contamination": doc_contamination,
-        "emb_decontamination": emb_decontamination,
-        "emb_ivf_topk": emb_ivf_topk,
-        "emb_ivf_recall": emb_ivf_recall,
-        "emb_lsh_recall": emb_lsh_recall,
-        "emb_near_dup_lsh_inv": emb_near_dup_lsh_inv,
-        "ec_stream_distinct": ec_stream_distinct,
-        "ec_stream_union": ec_stream_union,
-        "gen_betweenness_star": gen_betweenness_star,
-        "gen_betweenness_path": gen_betweenness_path,
-        "gen_closeness_star": gen_closeness_star,
-        "sp_katz": sp_katz,
-        "sp_hits": sp_hits,
-        "sp_walks": sp_walks,
-        "hier_n2v_walks": hier_n2v_walks,
-        "ec_modularity": ec_modularity,
-        "hier_ktruss3": hier_ktruss3,
-        "hier_graph_stats": hier_graph_stats,
-        "doc_bigrams": doc_bigrams,
-        "doc_repetition": doc_repetition,
-        "doc_language_stats": doc_language_stats,
-        "doc_sketch_inv": doc_sketch_inv,
-        "doc_source_profile": doc_source_profile,
-        "doc_pii_stats": doc_pii_stats,
-        "doc_mixture_sample": doc_mixture_sample,
-        "doc_pack_sequences": doc_pack_sequences,
-        "doc_cap_per_source": doc_cap_per_source,
-        "sp_svdpp_factors": sp_svdpp_factors,
-        "ec_pagerank5": ec_pagerank5,
-        "ec_wcc": ec_wcc,
-        "ec_sssp": ec_sssp,
-        "ec_bfs": ec_bfs,
-        "sp_out_degrees": sp_out_degrees,
-        "dedup_exact": dedup_exact,
-        "doc_token_count": doc_token_count,
-        "ec_lp10": ec_lp10,
-        "hier_lcc": hier_lcc,
-        "ec_window_pagerank": ec_window_pagerank,
-        "ec_stream_degrees": ec_stream_degrees,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "ec_stream_edge_count": ec_stream_edge_count,
-        "ec_stream_vertex_count": ec_stream_vertex_count,
-        "ec_stream_aggregate": ec_stream_aggregate,
-        "ec_stream_global_aggregate": ec_stream_global_aggregate,
-        "ec_fold_neighbors": ec_fold_neighbors,
-        "emb_ivfpq_recall": emb_ivfpq_recall,
-        "emb_semantic_dedup": emb_semantic_dedup,
-        "emb_semantic_dedup_inv": emb_semantic_dedup_inv,
-        "doc_dup_spans": doc_dup_spans,
-        "doc_span_removal": doc_span_removal,
-        "doc_dedup_rate": doc_dedup_rate,
-        "doc_bpe_inv": doc_bpe_inv,
-        "doc_bpe_apply_inv": doc_bpe_apply_inv,
-        "doc_temperature_sample": doc_temperature_sample,
-        "doc_weighted_sample": doc_weighted_sample,
-        "doc_negative_samples": doc_negative_samples,
-        "doc_tfidf_pairs": doc_tfidf_pairs,
-        "doc_bm25": doc_bm25,
-        "doc_hybrid_retrieval": doc_hybrid_retrieval,
-        "doc_zipf_fit": doc_zipf_fit,
-        "doc_source_divergence": doc_source_divergence,
-        "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
-        "dedup_minhash_estimate": dedup_minhash_estimate,
-        "pipeline_curate_spans": pipeline_curate_spans,
-        "emb_rp_project": emb_rp_project,
-        "emb_neighborhood_features": emb_neighborhood_features,
-        "hier_eigenvector": hier_eigenvector,
-        "hier_avg_nbr_degree": hier_avg_nbr_degree,
-        "ec_hyperanf": ec_hyperanf,
-        "ec_effective_diameter": ec_effective_diameter,
-        "ec_window_wcc": ec_window_wcc,
-        "ec_window_lp": ec_window_lp,
-        "ec_window_triangles": ec_window_triangles,
-        "gen_betweenness_sampled": gen_betweenness_sampled,
-        "gen_random_graph": gen_random_graph,
-        "gen_wcc_random": gen_wcc_random,
-        "ec_stateful_degrees": ec_stateful_degrees,
-        "ec_stateful_sessions": ec_stateful_sessions,
-        "emb_near_dup_lsh": emb_near_dup_lsh,
-        "emb_ivfpq_topk": emb_ivfpq_topk,
-        "gen_louvain_cliques": gen_louvain_cliques,
-        "ec_louvain_inv": ec_louvain_inv,
-        "ec_mssp": ec_mssp,
-        "ec_sybilrank": ec_sybilrank,
-        "ec_ppr5": ec_ppr5,
-        "hier_adamic_adar": hier_adamic_adar,
-        "hier_jaccard": hier_jaccard,
-        "sp_in_degrees": sp_in_degrees,
-        "sp_join_vertices": sp_join_vertices,
-        "sp_join_edges": sp_join_edges,
-        "sp_join_edges_src": sp_join_edges_src,
-        "sp_join_edges_tgt": sp_join_edges_tgt,
-        "ec_stream_wcc": ec_stream_wcc,
-        "stream_bipartiteness": stream_bipartiteness,
-        "ec_spanner": ec_spanner,
-        "ec_window_wcc_incr": ec_window_wcc_incr,
-        "ec_window_triangles_incr": ec_window_triangles_incr,
-        "ec_window_pagerank_incr": ec_window_pagerank_incr,
-        "ec_window_lp_incr": ec_window_lp_incr,
-        "ec_stateful_heavy": ec_stateful_heavy,
-        "hier_motif_find_triangle": hier_motif_find_triangle,
-        "hier_motif_find_wedge_neg": hier_motif_find_wedge_neg,
-        "ec_motif_find_path": ec_motif_find_path,
-        "doc_bpe_segments": doc_bpe_segments,
-        "hier_rich_club": hier_rich_club,
-        "hier_conductance": hier_conductance,
-        "ec_temporal_arrival": ec_temporal_arrival,
-        "ec_temporal_departure": ec_temporal_departure,
-        "ec_funnel": ec_funnel,
-        "ec_retention": ec_retention,
-        "ec_asof_attribution": ec_asof_attribution,
-        "ec_range_join": ec_range_join,
-        "ec_interval_join": ec_interval_join,
-        "ec_transitions": ec_transitions,
-        "ec_path_ngrams": ec_path_ngrams,
-        "ec_session_funnel": ec_session_funnel,
-        "doc_gopher_filter": doc_gopher_filter,
-        "doc_ppl_buckets": doc_ppl_buckets,
-        "doc_dsir_weights": doc_dsir_weights,
-        "doc_dsir_select": doc_dsir_select,
-        "doc_quality_train": doc_quality_train,
-        "pipeline_curate_model": pipeline_curate_model,
-        "emb_hard_negatives": emb_hard_negatives,
-        "doc_dsir_external": doc_dsir_external,
-        "doc_token_budget": doc_token_budget,
-        "doc_retrieval_metrics": doc_retrieval_metrics,
-        "doc_blocklist": doc_blocklist,
-        "ec_ppr_multi": ec_ppr_multi,
-        "hier_assortativity": hier_assortativity,
-        "dedup_containment": dedup_containment,
-        "doc_language_mix": doc_language_mix,
-        "doc_rank_correlation": doc_rank_correlation,
-        "hier_powerlaw": hier_powerlaw,
-        "ec_session_stream": ec_session_stream,
-        "emb_cosine_topk": emb_cosine_topk,
-        "multimodal_features": multimodal_features,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "dedup_minhash": dedup_minhash,
-        "dedup_simhash": dedup_simhash,
-        "emb_near_dup": emb_near_dup,
-        "hier_triangles": hier_triangles,
-        "ec_pregel_sssp": ec_pregel_sssp,
-        "ec_window_sum": ec_window_sum,
-        "sp_io_roundtrip": sp_io_roundtrip,
-        "sp_group_reduce_nbrs": sp_group_reduce_nbrs,
-        # -- round-9 additions (registered AFTER slot 50; first in line
-        # for the r10 rotation): URL canonicalization tier + datasheet --
-        "doc_url_canonical": doc_url_canonical,
-        "doc_url_dedup": doc_url_dedup,
-        "pipeline_curate_url": pipeline_curate_url,
-        "doc_datasheet": doc_datasheet,
-        "doc_shards": doc_shards,
-        "doc_shard_manifest": doc_shard_manifest,
-        "doc_mixture_plan": doc_mixture_plan,
-        "doc_calibration": doc_calibration,
-        "ec_heavy_hitters_inv": ec_heavy_hitters_inv,
-        "pipeline_curate_domain": pipeline_curate_domain,
-        # -- tail: permanently-no-oracle seeded numerics (invariant twins
-        # inside the window) and rows-only ANN variants --
+        # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL,
+        # extended r10 to all 12 structurally no-oracle queries per
+        # r9 verdict #4): seeded numerics + rows-only ANN variants
+        # whose evidence is their invariant/loss/recall twins --
         "sp_als_factors": sp_als_factors,
         "sp_sgd_factors": sp_sgd_factors,
         "hier_semiclusters": hier_semiclusters,
         "emb_kmeans": emb_kmeans,
         "ec_maxbmatching": ec_maxbmatching,
         "emb_lsh_topk": emb_lsh_topk,
+        "emb_ivf_topk": emb_ivf_topk,
+        "emb_near_dup_lsh": emb_near_dup_lsh,
+        "emb_ivfpq_topk": emb_ivfpq_topk,
+        "emb_semantic_dedup": emb_semantic_dedup,
+        "sp_svdpp_factors": sp_svdpp_factors,
+        "doc_bpe_segments": doc_bpe_segments,
     }
 
 
@@ -6265,6 +6268,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_url_dedup": f"""
             WITH {_MESSY_URL_CTES}
             SELECT doc_id, canon AS canonical_url,
+                   canon = '' OR
                    doc_id = min(doc_id) OVER (PARTITION BY canon) AS keep
             FROM u
         """,
@@ -7025,6 +7029,7 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE {_MESSY_URL_CTES},
             uw AS (SELECT doc_id FROM
                      (SELECT doc_id,
+                             canon = '' OR
                              doc_id = min(doc_id) OVER (PARTITION BY canon) AS k
                       FROM u) WHERE k),
             t AS (SELECT doc_id, {TOKS} AS toks

@@ -211,8 +211,11 @@ def als(
                     R[j, :k, 0] = np.asarray(all_rat[i], dtype="float64")
                 Pt = P.transpose(0, 2, 1)
                 A = Pt @ P + lambda_ * ns[:, None, None] * eye
-                V = (Pt @ R)[:, :, 0]
-                X = np.linalg.solve(A, V)
+                V = Pt @ R  # (b, dim, 1) — explicit matrix RHS so the
+                # batched solve is unambiguous under NumPy 1.x AND 2.x
+                # (solve(A, V) with V of shape (b, dim) is the 1.x-only
+                # stack-of-vectors form; it errors or mis-broadcasts on 2.x)
+                X = np.linalg.solve(A, V)[:, :, 0]
                 for j, i in enumerate(idx):
                     vec_out[int(i)] = X[j].tolist()
             yield pd.DataFrame({"id": pdf["id"], "vec": vec_out})

@@ -50,9 +50,9 @@ def assign_shards(
         "doc_id",
         F.col(group_col).alias("_g"),
         F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
-        (F.col("doc_id").cast("long") / F.lit(int(bucket_size)))
-        .cast("long")
-        .alias("_b"),
+        # `div` = integer division on longs — double arithmetic would
+        # silently misassign once values pass 2^53
+        F.expr(f"cast(doc_id as long) div {int(bucket_size)}").alias("_b"),
     )
     # level 1: one row per (group, bucket) — running offset over the
     # tiny bucket table (the unpartitioned-per-group window touches
@@ -85,15 +85,17 @@ def assign_shards(
             F.col("_g").alias(group_col),
             "n_tokens",
             (
-                (
-                    F.col("_off")
-                    + F.coalesce(F.sum("n_tokens").over(doc_w), F.lit(0))
-                )
-                / F.lit(int(tokens_per_shard))
+                F.col("_off")
+                + F.coalesce(F.sum("n_tokens").over(doc_w), F.lit(0))
             )
             .cast("long")
-            .alias("shard"),
+            .alias("_cum"),
         )
+        # integer `div`, not double `/` + cast: exact past 2^53 tokens
+        .withColumn(
+            "shard", F.expr(f"_cum div {int(tokens_per_shard)}")
+        )
+        .drop("_cum")
     )
 
 

@@ -44,7 +44,10 @@ def misra_gries(df: DataFrame, item_col: str, k: int) -> DataFrame:
 
     ``item_col`` must be integer-typed (cast strings to a surrogate id
     upstream — the sketch itself is type-agnostic, the fixed Arrow
-    schema here is not).
+    schema here is not). NULL items (e.g. a failed cast) are excluded
+    from the stream up front — pandas ``value_counts`` silently drops
+    NaN, so without the explicit filter the sketch would lose NULL mass
+    while an exact count kept it, breaking the n-based guarantees.
     """
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -68,8 +71,10 @@ def misra_gries(df: DataFrame, item_col: str, k: int) -> DataFrame:
             }
         )
 
-    parts = df.select(F.col(item_col).cast("long").alias("item")).mapInPandas(
-        summarize, schema="item long, est_count long"
+    parts = (
+        df.select(F.col(item_col).cast("long").alias("item"))
+        .filter(F.col("item").isNotNull())
+        .mapInPandas(summarize, schema="item long, est_count long")
     )
     summed = parts.groupBy("item").agg(F.sum("est_count").alias("est_count"))
     # final clip via an unpartitioned window over the ALREADY-summed
@@ -100,8 +105,16 @@ def heavy_hitters_check(df: DataFrame, item_col: str, k: int) -> DataFrame:
     ``n_heavy`` (items with ``true > 2n/(k+1)``) and the exact top-1 are
     data-derived, so the row is not vacuous. Arithmetic stays in exact
     integers: the bound test is ``(true - est) * (k+1) > 2 * n``.
+
+    ``top1_id``/``top1_true`` come from the EXACT side over ALL items
+    (argmax of true counts, min-item tie-break) — deriving them from
+    reported items only would coincide with the true top-1 only when it
+    is heavy, flipping the audit red on mild skew for a non-bug. NULL
+    items are excluded, mirroring :func:`misra_gries`.
     """
-    items = df.select(F.col(item_col).cast("long").alias("item"))
+    items = df.select(F.col(item_col).cast("long").alias("item")).filter(
+        F.col("item").isNotNull()
+    )
     mg = misra_gries(items, "item", k)
     exact = items.groupBy("item").agg(
         F.count(F.lit(1)).cast("long").alias("true_count")
@@ -137,14 +150,9 @@ def heavy_hitters_check(df: DataFrame, item_col: str, k: int) -> DataFrame:
             F.when(heavy & ~F.col("reported"), 1).otherwise(0)
         ).cast("long").alias("heavy_missing"),
         F.max(
-            F.when(
-                F.col("reported"),
-                F.struct("true_count", (-F.col("item")).alias("_ni")),
-            )
+            F.struct("true_count", (-F.col("item")).alias("_ni"))
         )["_ni"].cast("long").alias("_neg_top1"),
-        F.max(
-            F.when(F.col("reported"), F.col("true_count"))
-        ).alias("top1_true"),
+        F.max("true_count").alias("top1_true"),
     ).select(
         "k",
         "n_events",

@@ -6,9 +6,13 @@ run is the top recurring source of evidence debt. This script replaces
 the hand-curated rotation: it reads every committed CORRECTNESS_r*.json,
 derives each query's scoring history, and emits the ordering
 
-    1. never-scored queries (registry order) — first in line for a row,
-    2. scored queries, stalest round first (ties: registry order),
-    3. the permanent no-oracle tail (seeded numerics whose correctness
+    1. queries whose LATEST score was not green (red or errored,
+       registry order) — a fixed bug is worthless until re-scored, so
+       these outrank everything (round-9 lesson: ``doc_blocklist`` was
+       fixed but ranked as "freshly scored" and escaped re-scoring),
+    2. never-scored queries (registry order) — first in line for a row,
+    3. scored-green queries, stalest round first (ties: registry order),
+    4. the permanent no-oracle tail (seeded numerics whose correctness
        evidence is their invariant/loss twins inside the window —
        rotating them in would burn slots on rows the driver can only
        mark ``no_oracle``).
@@ -51,17 +55,31 @@ PERMANENT_TAIL = [
     "emb_kmeans",
     "ec_maxbmatching",
     "emb_lsh_topk",
+    "emb_ivf_topk",
+    "emb_near_dup_lsh",
+    "emb_ivfpq_topk",
+    "emb_semantic_dedup",
+    "sp_svdpp_factors",
+    "doc_bpe_segments",
 ]
 
 
-def scoring_history(repo_root: str, asof: int | None = None) -> dict[str, int]:
-    """query name -> latest round whose CORRECTNESS artifact scored it.
+def scoring_history(
+    repo_root: str, asof: int | None = None
+) -> tuple[dict[str, int], dict[str, bool]]:
+    """(query -> latest scored round, query -> latest score was green).
+
+    Green = ``hash_match is True`` for oracle-backed rows, or a non-None
+    ``spark_rows`` for rows-only checks. A query's green status is taken
+    from its LATEST artifact row — an old red superseded by a newer
+    green row stays green.
 
     ``asof`` caps the rounds considered — ``--check`` passes the round
     recorded when the current window ordering was applied, so artifacts
     committed later in the cycle don't move the goalposts.
     """
     last: dict[str, int] = {}
+    green: dict[str, bool] = {}
     for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m:
@@ -70,9 +88,21 @@ def scoring_history(repo_root: str, asof: int | None = None) -> dict[str, int]:
         if asof is not None and rnd > asof:
             continue
         with open(path) as f:
-            for name in json.load(f):
-                last[name] = max(last.get(name, 0), rnd)
-    return last
+            for name, row in json.load(f).items():
+                if rnd >= last.get(name, 0):
+                    last[name] = rnd
+                    if isinstance(row, dict):
+                        green[name] = (
+                            row.get("hash_match") is True
+                            or (
+                                row.get("hash_match") is None
+                                and row.get("spark_rows") is not None
+                                and not row.get("err")
+                            )
+                        )
+                    else:
+                        green[name] = False
+    return last, green
 
 
 def _asof_path(repo_root: str) -> str:
@@ -87,15 +117,18 @@ def read_asof(repo_root: str) -> int | None:
         return None
 
 
-def compute_order(registry: list[str], last: dict[str, int]) -> list[str]:
+def compute_order(
+    registry: list[str], last: dict[str, int], green: dict[str, bool]
+) -> list[str]:
     tail = [q for q in PERMANENT_TAIL if q in registry]
     body = [q for q in registry if q not in tail]
+    red = [q for q in body if q in last and not green.get(q, False)]
     never = [q for q in body if q not in last]
     scored = sorted(
-        (q for q in body if q in last),
+        (q for q in body if q in last and green.get(q, False)),
         key=lambda q: (last[q], registry.index(q)),
     )
-    return never + scored + tail
+    return red + never + scored + tail
 
 
 def main() -> int:
@@ -118,17 +151,31 @@ def main() -> int:
         return 0
 
     asof = read_asof(repo_root) if "--check" in sys.argv else None
-    last = scoring_history(repo_root, asof=asof)
-    order = compute_order(registry, last)
+    last, green = scoring_history(repo_root, asof=asof)
+    order = compute_order(registry, last, green)
 
     if "--check" in sys.argv:
+        # invariant: a query whose LATEST score was red/errored must be
+        # inside the window — a fixed bug is worthless until re-scored
+        # (round-9 lesson: doc_blocklist escaped re-scoring this way).
+        window = set(registry[:50])
+        stranded_red = [
+            q for q in registry
+            if q in last and not green.get(q, False)
+            and q not in PERMANENT_TAIL and q not in window
+        ]
+        if stranded_red:
+            print(f"RED OUTSIDE WINDOW: {stranded_red} — these queries' "
+                  "latest score was not green; re-rotate them into the "
+                  "first 50 slots so the driver re-scores them")
+            return 1
         # mid-round additions are registered AFTER slot 50 and wait for
         # the next rotation (the window is fixed when the round starts),
         # so never-scored queries beyond slot 50 are excluded before
         # comparing — they'd otherwise jump the queue retroactively.
         mid_round = {q for q in registry[50:] if q not in last}
         order = compute_order(
-            [q for q in registry if q not in mid_round], last
+            [q for q in registry if q not in mid_round], last, green
         )
         want, got = order[:50], registry[:50]
         if want == got:
@@ -142,10 +189,15 @@ def main() -> int:
 
     print(f"# registry: {len(registry)} queries; "
           f"{sum(1 for q in registry if q not in last)} never scored; "
+          f"{sum(1 for q in registry if q in last and not green.get(q, False) and q not in PERMANENT_TAIL)} latest-red; "
           f"window = first 50 below")
     for i, q in enumerate(order, 1):
         mark = "" if q in oracles else "  [rows-only]"
-        hist = f"last r{last[q]}" if q in last else "NEVER SCORED"
+        if q in last:
+            status = "" if green.get(q, False) else "  ** LATEST NOT GREEN **"
+            hist = f"last r{last[q]}{status}"
+        else:
+            hist = "NEVER SCORED"
         bar = "  <-- window ends" if i == 50 else ""
         print(f"{i:3d}. {q:40s} {hist}{mark}{bar}")
     return 0
