@@ -1616,6 +1616,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n=3,
         )
 
+    def doc_bloom_contamination(spark, sf):
+        # Bloom-filter decontamination gate (fixed-size-filter broadcast
+        # — the 100 TB form of the benchmark blocklist) audited against
+        # the exact gate on the same train/benchmark split as
+        # doc_contamination: false_neg_violations MUST be 0 (structural),
+        # fp stays within the analytic (1-e^{-kn/m})^k bound, and the
+        # exact-side counts are data-derived so the row is not vacuous.
+        from kafka_graphs_spark.pipeline.bloom import bloom_contamination_check
+
+        docs = datasets.load(spark, sf, "documents")
+        return bloom_contamination_check(
+            docs.filter(F.col("doc_id") >= 50),
+            docs.filter(F.col("doc_id") < 50),
+            n=3,
+        )
+
     # ---- similarity search (embeddings) ----
 
     def emb_cosine_topk(spark, sf):

@@ -103,7 +103,17 @@ def _gathered(
     max_neighbors: Optional[int],
     broadcast: bool = False,
 ) -> DataFrame:
-    """(id=dst, vecs array<array<double>>, ratings array<double>) sorted by sender.
+    """(id=dst, fvecs array<double>, ratings array<double>) sorted by sender.
+
+    ``fvecs`` is the neighbor factor matrix FLATTENED row-major (k
+    neighbors × dim — consumers reshape with the dim they already
+    know). The r9 sf1.0 profile attributed the ~12 s steady-state
+    half-step cost to Arrow serialization of the nested
+    ``array<array<double>>`` gather column (~48M doubles); one flat
+    ``array<double>`` per row carries the same doubles through one less
+    list layer JVM-side and lands in pandas as ONE contiguous numpy
+    array per row instead of k small ones (bit-identical values —
+    flatten preserves the sender-sorted order, reshape restores it).
 
     ``max_neighbors`` caps hub vertices BEFORE the collect_list: a
     row_number window partitioned on the SAME key as the groupBy (the
@@ -139,9 +149,65 @@ def _gathered(
         F.collect_list(F.struct(F.col("_s").alias("s"), F.col("vec").alias("v"), F.col("_r").alias("r")))
     )
     return j.groupBy("id").agg(
-        F.transform(pairs, lambda p: p["v"]).alias("vecs"),
+        F.flatten(F.transform(pairs, lambda p: p["v"])).alias("fvecs"),
         F.transform(pairs, lambda p: p["r"]).alias("ratings"),
     )
+
+
+def _make_solve_batch(dim: int, lambda_: float):
+    """mapInPandas fn over :func:`_gathered` rows solving the ALS
+    normal equations ``(MᵀM + λ·N·I)·x = MᵀR`` per vertex.
+
+    Batched: rows are sorted by rating count and padded into ~1k-row
+    chunks so A = Σ v·vᵀ and the dim×dim solves run as ONE LAPACK call
+    per chunk instead of a per-vertex Python loop (measured
+    ~240 µs/solve → the sf1.0 profile showed the per-row loop was ~90%
+    of ALS runtime). Zero padding contributes nothing to the sums;
+    sorting keeps hub rows in their own chunks so padding waste stays
+    small. Deterministic: same chunking and summation every run.
+    """
+
+    def solve_batch(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        eye = np.eye(dim)
+        for pdf in batches:
+            n_rows = len(pdf)
+            all_vecs = pdf["fvecs"].to_numpy()
+            all_rat = pdf["ratings"].to_numpy()
+            vec_out: list = [None] * n_rows
+            lens = np.fromiter(
+                (len(r) for r in all_rat), dtype="int64", count=n_rows
+            )
+            order = np.argsort(lens, kind="stable")
+            CHUNK = 1024
+            for start in range(0, n_rows, CHUNK):
+                idx = order[start:start + CHUNK]
+                ns = lens[idx]
+                b, n_max = len(idx), int(ns.max()) if len(idx) else 0
+                P = np.zeros((b, n_max, dim))
+                R = np.zeros((b, n_max, 1))
+                for j, i in enumerate(idx):
+                    k = ns[j]
+                    # flat gather: one contiguous reshape per row, no
+                    # per-neighbor list conversion
+                    P[j, :k, :] = np.asarray(
+                        all_vecs[i], dtype="float64"
+                    ).reshape(k, dim)
+                    R[j, :k, 0] = np.asarray(all_rat[i], dtype="float64")
+                Pt = P.transpose(0, 2, 1)
+                A = Pt @ P + lambda_ * ns[:, None, None] * eye
+                V = Pt @ R  # (b, dim, 1) — explicit matrix RHS so the
+                # batched solve is unambiguous under NumPy 1.x AND 2.x
+                # (solve(A, V) with V of shape (b, dim) is the 1.x-only
+                # stack-of-vectors form; it errors or mis-broadcasts on 2.x)
+                X = np.linalg.solve(A, V)[:, :, 0]
+                for j, i in enumerate(idx):
+                    vec_out[int(i)] = X[j].tolist()
+            yield pd.DataFrame({"id": pdf["id"], "vec": vec_out})
+
+    return solve_batch
 
 
 def als(
@@ -174,51 +240,7 @@ def als(
     bc_users = _fits_broadcast(users.count(), dim)
     bc_items = _fits_broadcast(items.count(), dim)
 
-    def solve_batch(batches: Iterator) -> Iterator:
-        # batched normal-equation solves: rows are sorted by rating
-        # count and padded into ~1k-row chunks so A = Σ v·vᵀ and the
-        # dim×dim solves run as ONE LAPACK call per chunk instead of a
-        # per-vertex Python loop (measured ~240 µs/solve -> the sf1.0
-        # profile showed the per-row loop was ~90% of ALS runtime).
-        # Zero padding contributes nothing to the sums; sorting keeps
-        # hub rows in their own chunks so padding waste stays small.
-        # Deterministic: same chunking and summation every run.
-        import numpy as np
-        import pandas as pd
-
-        eye = np.eye(dim)
-        for pdf in batches:
-            n_rows = len(pdf)
-            all_vecs = pdf["vecs"].to_numpy()
-            all_rat = pdf["ratings"].to_numpy()
-            vec_out: list = [None] * n_rows
-            lens = np.fromiter(
-                (len(r) for r in all_rat), dtype="int64", count=n_rows
-            )
-            order = np.argsort(lens, kind="stable")
-            CHUNK = 1024
-            for start in range(0, n_rows, CHUNK):
-                idx = order[start:start + CHUNK]
-                ns = lens[idx]
-                b, n_max = len(idx), int(ns.max()) if len(idx) else 0
-                P = np.zeros((b, n_max, dim))
-                R = np.zeros((b, n_max, 1))
-                for j, i in enumerate(idx):
-                    k = ns[j]
-                    P[j, :k, :] = np.asarray(
-                        list(all_vecs[i]), dtype="float64"
-                    )
-                    R[j, :k, 0] = np.asarray(all_rat[i], dtype="float64")
-                Pt = P.transpose(0, 2, 1)
-                A = Pt @ P + lambda_ * ns[:, None, None] * eye
-                V = Pt @ R  # (b, dim, 1) — explicit matrix RHS so the
-                # batched solve is unambiguous under NumPy 1.x AND 2.x
-                # (solve(A, V) with V of shape (b, dim) is the 1.x-only
-                # stack-of-vectors form; it errors or mis-broadcasts on 2.x)
-                X = np.linalg.solve(A, V)[:, :, 0]
-                for j, i in enumerate(idx):
-                    vec_out[int(i)] = X[j].tolist()
-            yield pd.DataFrame({"id": pdf["id"], "vec": vec_out})
+    solve_batch = _make_solve_batch(dim, lambda_)
 
     loop = ChainLoop()
     try:
@@ -306,10 +328,10 @@ def sgd(
 
         for pdf in batches:
             out = []
-            for own, vecs, ratings in zip(pdf["own"], pdf["vecs"], pdf["ratings"]):
+            for own, fvecs, ratings in zip(pdf["own"], pdf["fvecs"], pdf["ratings"]):
                 v = np.asarray(own, dtype="float64").copy()
-                for u, r in zip(vecs, ratings):
-                    u = np.asarray(u, dtype="float64")
+                nbrs = np.asarray(fvecs, dtype="float64").reshape(-1, dim)
+                for u, r in zip(nbrs, ratings):
                     pred = min(max(float(v @ u), min_rating), max_rating)
                     err = pred - r
                     v -= gamma * (lambda_ * v + err * u)

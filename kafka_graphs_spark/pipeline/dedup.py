@@ -42,7 +42,24 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
-    """(doc_id, shingle) — distinct word n-grams joined by single spaces."""
+    """(doc_id, shingle) — distinct word n-grams joined by single spaces.
+
+    Parallelism floor: the explode fans each document out ~|tokens|×,
+    and parquet splits at row-group granularity — a corpus written as a
+    few large row groups would run the whole shingle stage on a few
+    tasks no matter how many cores exist (measured at the 10× scale
+    probe: the 2-row-group documents file pinned minhash signatures at
+    ~41 s on local[32]; the same aggregation at 32 partitions is
+    ~0.6 s — the hash family was irrelevant, the layout was
+    everything). When the input has fewer partitions than the session's
+    default parallelism, repartition by doc_id BEFORE the explode —
+    at real scale (many splits) the condition is false and this is a
+    no-op; results are identical either way (everything downstream is
+    keyed aggregation).
+    """
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target, "doc_id")
     toks = tokens(F.col(text_col))
     # n-gram i..i+n-1 for i in 0..len-n (empty when len < n)
     grams = F.when(

@@ -847,10 +847,11 @@ class TestCFNeighborCap:
         users = edges.select(F.col("src").alias("id")).distinct()
         f = _init_factors(users, 2, seed=1)
         row = _gathered(edges, f, max_neighbors=10).collect()[0]
-        assert len(row["vecs"]) == 10 and len(row["ratings"]) == 10
+        # fvecs is flattened (k neighbors x dim=2)
+        assert len(row["fvecs"]) == 10 * 2 and len(row["ratings"]) == 10
         # under the cap nothing is dropped and sender-sort order holds
         full = _gathered(edges, f, max_neighbors=100).collect()[0]
-        assert len(full["vecs"]) == 50
+        assert len(full["fvecs"]) == 50 * 2
 
     def test_als_hub_completes_with_default_cap(self, spark):
         from kafka_graphs_spark.library import als
