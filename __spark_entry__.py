@@ -2349,6 +2349,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         doms = extract_domains(_doc_urls(spark, sf)).select("doc_id", "domain")
         return sample.cap_per_group(doms, "domain", 16, "doc_id")
 
+    def doc_domain_token_budget(spark, sf):
+        # RefinedWeb-style per-domain TOKEN budget (r10): hash-ordered
+        # exclusive cumsum per registered domain, keep while the
+        # preceding mass stays under 400 tokens. Domains carry ~900
+        # tokens across 16-17 docs here, so both keep branches and the
+        # cum_before audit column discriminate on every domain.
+        from kafka_graphs_spark.pipeline.domains import domain_token_budget
+
+        return domain_token_budget(_doc_urls(spark, sf), max_tokens=400)
+
     def doc_domain_quality(spark, sf):
         # C4-style per-domain quality profile: registered domain x
         # heuristic quality band -> doc counts, computed in ONE corpus
@@ -3787,6 +3797,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             blocked_domains=["shop.com", "news.co.uk"],
         )
 
+    def pipeline_curate_domcap(spark, sf):
+        # curation with BOTH per-domain budgets (r10): quality gate ->
+        # hash-ordered doc cap (12/domain; post-gate domains hold ~14-15
+        # docs, so the cap bites) -> token budget (400/domain over cap
+        # survivors, ~54 tokens/doc -> ~7-8 survive) -> shingle dedup.
+        # The RefinedWeb "no domain dominates" rule applied at curation
+        # time, both by doc count and by token mass.
+        from kafka_graphs_spark.pipeline.curate import curate
+
+        return curate(
+            _doc_urls(spark, sf),
+            min_score=0.6, n=3, jaccard_threshold=0.05,
+            max_docs_per_domain=12, max_tokens_per_domain=400,
+        )
+
     def doc_calibration(spark, sf):
         # classifier reliability table: train the quality classifier
         # (bit-exact GD loop, as doc_quality_train), score every doc,
@@ -4097,6 +4122,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_topo_levels": gen_topo_levels,
         "gen_lp_weighted": gen_lp_weighted,
         "gen_pagerank_weighted": gen_pagerank_weighted,
+        # -- round-10 additions (registered after slot 50 per protocol;
+        # next rotation pulls them into the scored window) --
+        "doc_bloom_contamination": doc_bloom_contamination,
+        "doc_domain_token_budget": doc_domain_token_budget,
+        "pipeline_curate_domcap": pipeline_curate_domcap,
         # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL,
         # extended r10 to all 12 structurally no-oracle queries per
         # r9 verdict #4): seeded numerics + rows-only ANN variants
@@ -7752,6 +7782,104 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id AS id,
                    COALESCE(dep.d, -9223372036854775808) AS value
             FROM events e LEFT JOIN dep ON e.event_id = dep.id
+        """,
+        # Bloom gate audit: the exact-side columns (n_docs,
+        # n_bench_shingles, contaminated_exact) are recomputed from the
+        # same train/benchmark split; the two guarantee columns are the
+        # sketch's structural contract (no false negatives; fp within
+        # the analytic bound), same adjudication as ec_heavy_hitters_inv
+        "doc_bloom_contamination": f"""
+            WITH sh AS ({SHINGLES}),
+            tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 50),
+            bn AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 50)
+            SELECT (SELECT count(DISTINCT doc_id) FROM tr) AS n_docs,
+                   (SELECT CAST(count(*) AS BIGINT) FROM bn) AS n_bench_shingles,
+                   (SELECT CAST(count(*) AS BIGINT) FROM tr
+                    WHERE shingle IN (SELECT shingle FROM bn)) AS contaminated_exact,
+                   CAST(0 AS BIGINT) AS false_neg_violations,
+                   true AS fp_within_bound
+        """,
+        # per-domain token budget: hash-ordered exclusive cumsum within
+        # each registered domain (closed-form domain key), keep while
+        # the preceding mass is under the budget
+        "doc_domain_token_budget": f"""
+            WITH {_DOMAIN_CTES},
+            t AS (SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens
+                  FROM documents),
+            o AS (SELECT dom.doc_id, dom.domain, t.n_tokens,
+                     coalesce(sum(t.n_tokens) OVER (PARTITION BY dom.domain
+                         ORDER BY (('0x' || substr(md5((dom.doc_id)::VARCHAR || 'dombudget'), 1, 8))::BIGINT
+                                   / 4294967296.0) ASC, dom.doc_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS cum_before
+                  FROM dom JOIN t USING (doc_id))
+            SELECT doc_id, domain, n_tokens, cum_before,
+                   (domain = '' OR cum_before < 400) AS keep
+            FROM o
+        """,
+        # curate with BOTH per-domain budgets: quality gate -> hash-
+        # ordered doc cap (12/domain, salt 'cap') -> token budget
+        # (400/domain over cap survivors, salt 'dombudget') -> the same
+        # shingle-dedup tail as every curate composite
+        "pipeline_curate_domcap": f"""
+            WITH RECURSIVE {_DOMAIN_CTES},
+            t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS n_stop,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS mtl
+                FROM t),
+            q AS (SELECT doc_id FROM s WHERE
+                (CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE)/n_tokens >= 0.01
+                           AND CAST(n_stop AS DOUBLE)/n_tokens <= 0.5 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.3 ELSE 0.0 END)
+                >= 0.6),
+            qd AS (SELECT q.doc_id, dom.domain FROM q JOIN dom USING (doc_id)),
+            r AS (SELECT doc_id, domain,
+                     row_number() OVER (PARTITION BY domain
+                         ORDER BY (('0x' || substr(md5((doc_id)::VARCHAR || 'cap'), 1, 8))::BIGINT
+                                   / 4294967296.0) ASC, doc_id ASC) AS rn
+                  FROM qd),
+            cap AS (SELECT doc_id, domain FROM r
+                    WHERE rn <= 12 OR domain = ''),
+            b AS (SELECT cap.doc_id, cap.domain,
+                     CAST(len(t.toks) AS BIGINT) AS nt
+                  FROM cap JOIN t USING (doc_id)),
+            o AS (SELECT doc_id, domain,
+                     coalesce(sum(nt) OVER (PARTITION BY domain
+                         ORDER BY (('0x' || substr(md5((doc_id)::VARCHAR || 'dombudget'), 1, 8))::BIGINT
+                                   / 4294967296.0) ASC, doc_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS cb
+                  FROM b),
+            k0 AS (SELECT doc_id FROM o WHERE domain = '' OR cb < 400),
+            kt AS (SELECT t.doc_id, t.toks FROM t JOIN k0 USING (doc_id)),
+            shg AS (SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) >= 3
+                              THEN list_transform(range(0, len(toks) - 2),
+                                                  i -> array_to_string(toks[i+1:i+3], ' '))
+                              ELSE CAST([] AS VARCHAR[]) END) AS shingle
+                   FROM kt),
+            sz AS (SELECT doc_id, count(*) AS sz FROM shg GROUP BY 1),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM shg a JOIN shg b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            prs AS (SELECT doc_a, doc_b FROM inter
+                    JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05),
+            und AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                    UNION SELECT doc_b, doc_a FROM prs),
+            reach(id, rr) AS (
+                SELECT s, s FROM und
+                UNION
+                SELECT u2.d, reach.rr FROM reach JOIN und u2 ON u2.s = reach.id
+            ),
+            keep AS (SELECT id, MIN(rr) AS k FROM reach GROUP BY id)
+            SELECT k0.doc_id FROM k0 LEFT JOIN keep ON keep.id = k0.doc_id
+            WHERE coalesce(keep.k, k0.doc_id) = k0.doc_id
         """,
         # trained-model-beats-baseline invariants (loss is a gradient chain
         # with no SQL twin; the boolean IS the checkable contract)

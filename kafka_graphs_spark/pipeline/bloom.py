@@ -92,7 +92,11 @@ def build_bloom_filter(
         distinct.select(pos)
         .select(
             F.expr("p div 64").alias("w"),
-            F.shiftleft(F.lit(1).cast("long"), (F.col("p") % 64).cast("int")).alias("b"),
+            # F.shiftleft's numBits is a Python int; the per-row shift
+            # needs the SQL function, which takes a column
+            F.call_function(
+                "shiftleft", F.lit(1).cast("long"), (F.col("p") % 64).cast("int")
+            ).alias("b"),
         )
         .groupBy("w")
         .agg(F.bit_or("b").alias("bits"))
@@ -118,7 +122,15 @@ def bloom_probe(col: Column, m_bits: int, k: int, bloom_col: Column) -> Column:
         p = F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(m_bits))
         word = F.floor(p / 64).cast("int") + 1  # element_at is 1-based
         bit = (p % 64).cast("int")
-        return F.shiftright(F.element_at(bloom_col, word), bit) % 2 == 1
+        # per-row shift amount is a column → SQL shiftright via
+        # call_function (F.shiftright only takes a Python int). The
+        # shift is ARITHMETIC: a word with its sign bit set shifts to a
+        # negative value, whose `% 2` is -1 — mask with `& 1` instead.
+        return (
+            F.call_function("shiftright", F.element_at(bloom_col, word), bit)
+            .bitwiseAND(F.lit(1))
+            == 1
+        )
 
     return reduce(lambda a, b: a & b, [test(i) for i in range(k)])
 

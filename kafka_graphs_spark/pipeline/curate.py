@@ -42,6 +42,8 @@ def curate(
     blocked_domains=None,
     url_dedup_first: bool = False,
     url_col: str = "url",
+    max_docs_per_domain: Optional[int] = None,
+    max_tokens_per_domain: Optional[int] = None,
 ) -> DataFrame:
     """(doc_id) — documents that pass the quality gate, are not
     benchmark-contaminated (when ``benchmark`` is given), pass the
@@ -68,6 +70,20 @@ def curate(
     thereof (:func:`~kafka_graphs_spark.pipeline.domains.domain_blocklist`)
     are dropped pre-dedup — the C4 domain blocklist, same label-boundary
     semantics. Requires a URL column.
+
+    ``max_docs_per_domain`` / ``max_tokens_per_domain``: RefinedWeb-style
+    per-registered-domain budgets, applied to the quality/blocklist
+    survivors BEFORE the expensive pair stage (like every other gate,
+    they shrink pair generation). The doc cap keeps a deterministic
+    hash-ordered top-n per domain
+    (:func:`~kafka_graphs_spark.pipeline.sample.cap_per_group` keyed by
+    eTLD+1); the token budget keeps hash-ordered documents while the
+    preceding kept-candidates' token mass stays under the budget
+    (:func:`~kafka_graphs_spark.pipeline.domains.domain_token_budget`).
+    When both are given the doc cap runs first (it is the cheaper gate)
+    and the token budget sees only cap survivors. Host-less documents
+    (registered domain ``''``) pass both budgets unconditionally. Both
+    require a URL column.
 
     ``url_dedup_first``: when True, URL-level deduplication
     (:func:`~kafka_graphs_spark.pipeline.domains.url_dedup` — one
@@ -146,6 +162,31 @@ def curate(
             ~F.coalesce(F.col("keep"), F.lit(False))
         ).select("doc_id")
         kept = kept.join(bad_dom, on="doc_id", how="left_anti")
+    if max_docs_per_domain is not None:
+        from kafka_graphs_spark.pipeline.domains import extract_domains
+        from kafka_graphs_spark.pipeline.sample import cap_per_group
+
+        doms = extract_domains(kept, url_col=url_col).select(
+            "doc_id", "domain"
+        )
+        # host-less rows (domain '') are not attributable to a domain —
+        # they bypass the cap, mirroring domain_token_budget's policy
+        capped = cap_per_group(
+            doms.filter(F.col("domain") != ""),
+            "domain",
+            max_docs_per_domain,
+            "doc_id",
+        ).select("doc_id").union(
+            doms.filter(F.col("domain") == "").select("doc_id")
+        )
+        kept = kept.join(capped, on="doc_id", how="left_semi")
+    if max_tokens_per_domain is not None:
+        from kafka_graphs_spark.pipeline.domains import domain_token_budget
+
+        in_budget = domain_token_budget(
+            kept, max_tokens_per_domain, url_col=url_col, text_col=text_col
+        ).filter(F.col("keep")).select("doc_id")
+        kept = kept.join(in_budget, on="doc_id", how="left_semi")
     if max_pii is not None:
         noisy = pii_stats(kept, text_col=text_col).filter(
             F.col("n_pii") > max_pii

@@ -329,3 +329,68 @@ def domain_blocklist(
         .otherwise(matched.isNull())
         .alias("keep"),
     )
+
+
+def domain_token_budget(
+    docs: DataFrame,
+    max_tokens: int,
+    url_col: str = "url",
+    text_col: str = "text",
+    salt: str = "dombudget",
+    extra_suffixes: Optional[Iterable[str]] = None,
+) -> DataFrame:
+    """(doc_id, domain, n_tokens, cum_before, keep) — RefinedWeb-style
+    per-registered-domain token budget: within each domain, documents
+    are ranked in deterministic hash order (engine-portable
+    ``hash_fraction``, ties by doc_id) and kept while the token mass of
+    the PRECEDING kept-candidates stays under ``max_tokens``
+    (``keep = cum_before < max_tokens``). The exclusive cumsum means
+    every domain keeps at least one document and overshoots the budget
+    by at most one document — the "no domain dominates the mixture"
+    rule keyed by eTLD+1 instead of the source label, applied by token
+    mass rather than document count (a domain of a few huge pages caps
+    the same as one of many small pages).
+
+    Host-less documents (registered domain ``''``) are kept
+    unconditionally — an unparseable URL attributes no token mass to
+    any domain (the :func:`url_dedup` host-less policy). Rows are never
+    dropped: flags + the audit columns come back for every input row.
+
+    Scale shape: per-row domain extraction + token count at scan speed,
+    then ONE shuffle keyed by domain; the window carries a running sum
+    only (O(1) state per task). A single pathologically hot domain
+    sorts within one task — the same honest bound as
+    :func:`~kafka_graphs_spark.pipeline.sample.cap_per_group`; a corpus
+    that is mostly ONE domain should budget it with the two-level
+    cumsum of :func:`~kafka_graphs_spark.pipeline.shards.assign_shards`
+    instead.
+    """
+    from pyspark.sql.window import Window
+
+    from kafka_graphs_spark.pipeline.sample import hash_fraction
+    from kafka_graphs_spark.pipeline.text import tokens
+
+    if max_tokens < 1:
+        raise ValueError("max_tokens must be >= 1")
+    h = host_of(F.col(url_col))
+    per = docs.select(
+        "doc_id",
+        registered_domain(h, extra_suffixes).alias("domain"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("domain")
+        .orderBy(hash_fraction(F.col("doc_id"), salt).asc(), F.col("doc_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return per.select(
+        "doc_id",
+        "domain",
+        "n_tokens",
+        cum_before.alias("cum_before"),
+        (
+            (F.col("domain") == "")
+            | (cum_before < F.lit(int(max_tokens)))
+        ).alias("keep"),
+    )

@@ -186,3 +186,163 @@ class TestShardIntegerArithmetic:
             expect = cum.get(r["source"], 0) // 100
             assert r["shard"] == expect, r
             cum[r["source"]] = cum.get(r["source"], 0) + r["n_tokens"]
+
+
+class TestDomainTokenBudget:
+    """pipeline/domains.py — per-registered-domain token budget."""
+
+    def urls_frame(self, spark, rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, url string, text string"
+        )
+
+    def test_budget_keeps_prefix_of_hash_order(self, spark):
+        from kafka_graphs_spark.pipeline.domains import domain_token_budget
+        from kafka_graphs_spark.pipeline.sample import hash_fraction
+
+        # one domain, 6 docs x 10 tokens; budget 30 -> exactly the first
+        # 3 docs of the hash order survive (exclusive cumsum < 30)
+        rows = [
+            (i, "https://a.example.com/x", " ".join(["tok"] * 10))
+            for i in range(6)
+        ]
+        out = domain_token_budget(
+            self.urls_frame(spark, rows), max_tokens=30
+        ).collect()
+        assert all(r["domain"] == "example.com" for r in out)
+        kept = sorted(r["doc_id"] for r in out if r["keep"])
+        order = [
+            r["doc_id"]
+            for r in spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+            .select("doc_id", hash_fraction(F.col("doc_id"), "dombudget").alias("h"))
+            .orderBy("h", "doc_id")
+            .collect()
+        ]
+        assert kept == sorted(order[:3])
+        # cum_before is the exclusive cumsum in hash order
+        by_id = {r["doc_id"]: r for r in out}
+        assert [by_id[d]["cum_before"] for d in order] == [0, 10, 20, 30, 40, 50]
+
+    def test_every_domain_keeps_at_least_one(self, spark):
+        from kafka_graphs_spark.pipeline.domains import domain_token_budget
+
+        # every doc alone blows the budget, but the exclusive cumsum
+        # always admits the first doc of each domain
+        rows = [
+            (i, f"https://site{i % 3}.net/p", " ".join(["w"] * 50))
+            for i in range(9)
+        ]
+        out = domain_token_budget(
+            self.urls_frame(spark, rows), max_tokens=10
+        ).collect()
+        kept_by_domain = {}
+        for r in out:
+            kept_by_domain.setdefault(r["domain"], 0)
+            kept_by_domain[r["domain"]] += int(r["keep"])
+        assert set(kept_by_domain) == {"site0.net", "site1.net", "site2.net"}
+        assert all(v == 1 for v in kept_by_domain.values())
+
+    def test_hostless_rows_bypass_budget(self, spark):
+        from kafka_graphs_spark.pipeline.domains import domain_token_budget
+
+        rows = [(1, "", "a b c"), (2, "", "d e f"), (3, "http://x.org/p", "g h")]
+        out = {r["doc_id"]: r for r in domain_token_budget(
+            self.urls_frame(spark, rows), max_tokens=1
+        ).collect()}
+        assert out[1]["keep"] and out[2]["keep"]  # '' domain: unconditional
+        assert out[3]["keep"]  # first (only) doc of x.org
+
+    def test_rejects_bad_budget(self, spark):
+        from kafka_graphs_spark.pipeline.domains import domain_token_budget
+
+        with pytest.raises(ValueError):
+            domain_token_budget(self.urls_frame(spark, []), max_tokens=0)
+
+
+class TestCurateDomainBudgets:
+    """curate() with max_docs_per_domain / max_tokens_per_domain."""
+
+    def corpus(self, spark):
+        # 3 domains x 8 good docs, unique texts (no near-dups), all pass
+        # the heuristic quality gate (stopwords + mid-length tokens)
+        rows = []
+        for d in range(3):
+            for i in range(8):
+                doc_id = d * 8 + i
+                text = (
+                    f"the quick brown fox jumps over the lazy dog number{doc_id} "
+                    f"and the story continues with details part{doc_id} here"
+                )
+                rows.append((doc_id, f"https://host{d}.com/p{i}", text))
+        return spark.createDataFrame(
+            rows, "doc_id long, url string, text string"
+        )
+
+    def test_doc_cap_matches_cap_per_group(self, spark):
+        from kafka_graphs_spark.pipeline.curate import curate
+        from kafka_graphs_spark.pipeline.domains import extract_domains
+        from kafka_graphs_spark.pipeline.sample import cap_per_group
+
+        docs = self.corpus(spark)
+        out = sorted(
+            r["doc_id"]
+            for r in curate(
+                docs, min_score=0.6, jaccard_threshold=0.9,
+                max_docs_per_domain=3,
+            ).collect()
+        )
+        expected = sorted(
+            r["doc_id"]
+            for r in cap_per_group(
+                extract_domains(docs).select("doc_id", "domain"),
+                "domain", 3, "doc_id",
+            ).collect()
+        )
+        assert out == expected and len(out) == 9
+
+    def test_token_budget_composes_after_cap(self, spark):
+        from kafka_graphs_spark.pipeline.curate import curate
+        from kafka_graphs_spark.pipeline.domains import (
+            domain_token_budget,
+            extract_domains,
+        )
+        from kafka_graphs_spark.pipeline.sample import cap_per_group
+
+        docs = self.corpus(spark)
+        out = sorted(
+            r["doc_id"]
+            for r in curate(
+                docs, min_score=0.6, jaccard_threshold=0.9,
+                max_docs_per_domain=4, max_tokens_per_domain=40,
+            ).collect()
+        )
+        capped = cap_per_group(
+            extract_domains(docs).select("doc_id", "domain"),
+            "domain", 4, "doc_id",
+        ).select("doc_id")
+        survivors = docs.join(capped, "doc_id", "left_semi")
+        expected = sorted(
+            r["doc_id"]
+            for r in domain_token_budget(survivors, 40)
+            .filter(F.col("keep")).collect()
+        )
+        assert out == expected
+        # 19-token docs, budget 40 -> cumsum admits 3 docs per domain
+        assert len(out) == 9
+
+    def test_hostless_docs_survive_budgets(self, spark):
+        from kafka_graphs_spark.pipeline.curate import curate
+
+        rows = [
+            (i, "", (
+                "the quick brown fox jumps over the lazy dog "
+                f"unique{i} words fill the rest of this line out"
+            ))
+            for i in range(5)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, url string, text string")
+        out = curate(
+            docs, min_score=0.6, jaccard_threshold=0.9,
+            max_docs_per_domain=1, max_tokens_per_domain=1,
+        ).collect()
+        assert len(out) == 5
