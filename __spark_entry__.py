@@ -3874,6 +3874,86 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return corpus_datasheet(datasets.load(spark, sf, "documents"))
 
+    def doc_datasheet_stream(spark, sf):
+        # REAL streaming data card (r10): documents replayed as a
+        # 3-file stream (maxFilesPerTrigger=1 -> multiple micro-batches),
+        # synthetic event time doc_id minutes -> one card per 1h
+        # tumbling window, update mode; counts are monotone across
+        # re-emissions so the final card is the per-key max. Late docs
+        # would update only their own window's card — the streaming
+        # complement of doc_datasheet, via the incremental-tier recipe.
+        import shutil
+        import tempfile
+
+        from kafka_graphs_spark.pipeline.datasheet import (
+            corpus_datasheet_stream,
+        )
+
+        base = datasets.load(spark, sf, "documents").select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            F.timestamp_micros(F.col("doc_id") * 60_000_000).alias(
+                "event_time"
+            ),
+        )
+        dirs = {}
+        rows: list = []
+        try:
+            d = tempfile.mkdtemp(prefix="kgs_ds_src_")
+            dirs["src"] = d
+            base.repartition(3).write.mode("overwrite").parquet(d)
+            ckpt = tempfile.mkdtemp(prefix="kgs_ds_ckpt_")
+            dirs["ckpt"] = ckpt
+            stream = (
+                spark.readStream.schema(
+                    "doc_id long, text string, lang string, source string,"
+                    " event_time timestamp"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+            card = corpus_datasheet_stream(
+                stream, "1 hour", watermark="3650 days"
+            ).select(
+                # timestamp -> epoch seconds: tz-free, engine-portable
+                F.col("window_start").cast("long").alias("window_start"),
+                "section",
+                "key",
+                "n_docs",
+                "n_tokens",
+            )
+
+            def sink(batch_df, _bid):
+                rows.extend(batch_df.collect())
+
+            q = (
+                card.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            # never rmtree under a live query (see ec_stream_join)
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError("doc_datasheet_stream: query exceeded 600s")
+        finally:
+            for p in dirs.values():
+                shutil.rmtree(p, ignore_errors=True)
+        final: dict = {}
+        for r in rows:
+            k = (r["window_start"], r["section"], r["key"])
+            v = (r["n_docs"], r["n_tokens"])
+            if k not in final or v > final[k]:
+                final[k] = v
+        return spark.createDataFrame(
+            [k + v for k, v in final.items()],
+            "window_start long, section string, key string,"
+            " n_docs long, n_tokens long",
+        )
+
     # ------------------------------------------------------------------
     # ORDERING POLICY (the driver's correctness gate checks dict entries
     # 1-50 only): slots 1-50 hold oracle-backed queries, prioritising
@@ -4127,6 +4207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bloom_contamination": doc_bloom_contamination,
         "doc_domain_token_budget": doc_domain_token_budget,
         "pipeline_curate_domcap": pipeline_curate_domcap,
+        "doc_datasheet_stream": doc_datasheet_stream,
         # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL,
         # extended r10 to all 12 structurally no-oracle queries per
         # r9 verdict #4): seeded numerics + rows-only ANN variants
@@ -7880,6 +7961,43 @@ def oracle_sql() -> dict[str, str]:
             keep AS (SELECT id, MIN(rr) AS k FROM reach GROUP BY id)
             SELECT k0.doc_id FROM k0 LEFT JOIN keep ON keep.id = k0.doc_id
             WHERE coalesce(keep.k, k0.doc_id) = k0.doc_id
+        """,
+        # streaming data card: event time is doc_id minutes, so the 1h
+        # window start is (doc_id // 60) * 3600 epoch seconds in closed
+        # form; the four sections are the GROUPING SETS unpivoted as a
+        # UNION ALL (the Expand shape the stream computes per row)
+        "doc_datasheet_stream": f"""
+            WITH t AS (SELECT doc_id, lang, source, {TOKS} AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, lang, source,
+                CAST(len(toks) AS BIGINT) AS nt,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS n_stop,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS mean_token_len
+                FROM t),
+            q AS (SELECT (doc_id // 60) * 3600 AS window_start,
+                lang, source, nt,
+                CAST(CAST(round(
+                (CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE)/n_tokens >= 0.01
+                           AND CAST(n_stop AS DOUBLE)/n_tokens <= 0.5 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN mean_token_len >= 3.0 AND mean_token_len <= 10.0 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.3 ELSE 0.0 END
+                ) * 10, 0) AS INTEGER) AS VARCHAR) AS band
+                FROM s),
+            u AS (
+                SELECT window_start, 'overall' AS section, 'all' AS key, nt FROM q
+                UNION ALL
+                SELECT window_start, 'language', lang, nt FROM q
+                UNION ALL
+                SELECT window_start, 'source', source, nt FROM q
+                UNION ALL
+                SELECT window_start, 'quality_band', band, nt FROM q)
+            SELECT window_start, section, key,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(nt) AS BIGINT) AS n_tokens
+            FROM u GROUP BY 1, 2, 3
         """,
         # trained-model-beats-baseline invariants (loss is a gradient chain
         # with no SQL twin; the boolean IS the checkable contract)

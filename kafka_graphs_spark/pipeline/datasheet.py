@@ -90,3 +90,83 @@ def corpus_datasheet(
             ),
         )
     )
+
+
+def corpus_datasheet_stream(
+    docs_stream: DataFrame,
+    window_duration: str,
+    event_time: str = "event_time",
+    watermark: str | None = None,
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> DataFrame:
+    """(window_start, section, key, n_docs, n_tokens) — the data card of
+    :func:`corpus_datasheet` maintained continuously over a document
+    STREAM, one card per tumbling event-time window (the "what is the
+    crawler feeding us this hour" dashboard; late documents update only
+    their own window's card).
+
+    Streaming aggregation cannot GROUPING SETS, so each document
+    explodes into its four (section, key) rows up front — the same
+    Expand-shape Catalyst compiles GROUPING SETS to — and ONE windowed
+    ``groupBy(window, section, key)`` with map-side partial aggregation
+    does the rest. State is one counter row per (window, section, key):
+    bounded by the tiny section/key space per window, not by corpus
+    size, and a ``watermark`` bound evicts closed windows. Counts are
+    exact integers; re-emissions in update mode are monotone
+    non-decreasing, so "final card" = max per key (shares, being two
+    divisions over ≤ a few dozen rows per card, are display-time work —
+    exactly as the batch datasheet computes them from already-aggregated
+    rows).
+
+    Works identically on a batch frame (one "micro-batch") — the oracle
+    twin's recipe, as with every incremental-tier operator.
+    """
+    from kafka_graphs_spark.pipeline.text import quality_exprs
+
+    n_tokens, _, _, score = quality_exprs(text_col)
+    band = F.round(score * 10).cast("int").cast("string")
+    if watermark:
+        docs_stream = docs_stream.withWatermark(event_time, watermark)
+    pairs = F.array(
+        F.struct(
+            F.lit("overall").alias("section"), F.lit("all").alias("key")
+        ),
+        F.struct(
+            F.lit("language").alias("section"),
+            F.col(lang_col).cast("string").alias("key"),
+        ),
+        F.struct(
+            F.lit("source").alias("section"),
+            F.col(source_col).cast("string").alias("key"),
+        ),
+        F.struct(
+            F.lit("quality_band").alias("section"), band.alias("key")
+        ),
+    )
+    per = docs_stream.select(
+        F.col(event_time).alias("_et"),
+        F.explode(pairs).alias("_sk"),
+        n_tokens.cast("long").alias("_t"),
+    )
+    # group by the full window struct (the streaming-planner-supported
+    # shape for watermark tracking); project start afterwards
+    return (
+        per.groupBy(
+            F.window("_et", window_duration).alias("_w"),
+            F.col("_sk.section").alias("section"),
+            F.col("_sk.key").alias("key"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("_t").cast("long").alias("n_tokens"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            "section",
+            "key",
+            "n_docs",
+            "n_tokens",
+        )
+    )

@@ -346,3 +346,104 @@ class TestCurateDomainBudgets:
             max_docs_per_domain=1, max_tokens_per_domain=1,
         ).collect()
         assert len(out) == 5
+
+
+class TestDatasheetStream:
+    """pipeline/datasheet.py — windowed streaming data card."""
+
+    def docs(self, spark):
+        rows = []
+        for i in range(40):
+            lang = ["en", "de", "fr"][i % 3]
+            source = ["web", "books"][i % 2]
+            text = "the quick brown fox jumps over the lazy dog " + " ".join(
+                f"w{i}x{j}" for j in range(i % 5)
+            )
+            rows.append((i, text, lang, source))
+        return spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string"
+        )
+
+    def with_time(self, df):
+        # one doc per minute -> '1 hour' windows of 60 docs
+        return df.withColumn(
+            "event_time", F.timestamp_micros(F.col("doc_id") * 60_000_000)
+        )
+
+    def batch_expected(self, spark, df):
+        from kafka_graphs_spark.pipeline.datasheet import corpus_datasheet
+
+        out = {}
+        for ws in [r["w"] for r in df.select(
+            ((F.col("doc_id") / 60).cast("long") * 3600).alias("w")
+        ).distinct().collect()]:
+            sub = df.filter(
+                ((F.col("doc_id") / 60).cast("long") * 3600) == ws
+            )
+            for r in corpus_datasheet(sub).collect():
+                out[(ws, r["section"], r["key"])] = (r["n_docs"], r["n_tokens"])
+        return out
+
+    def test_batch_frame_matches_grouping_sets(self, spark):
+        from kafka_graphs_spark.pipeline.datasheet import corpus_datasheet_stream
+
+        df = self.docs(spark)
+        got = {
+            (int(r["window_start"].timestamp()), r["section"], r["key"]):
+                (r["n_docs"], r["n_tokens"])
+            for r in corpus_datasheet_stream(
+                self.with_time(df), "1 hour"
+            ).collect()
+        }
+        assert got == self.batch_expected(spark, df)
+        # every section present
+        assert {k[1] for k in got} == {
+            "overall", "language", "source", "quality_band"
+        }
+
+    def test_real_stream_multi_batch(self, spark, tmp_path):
+        from kafka_graphs_spark.pipeline.datasheet import corpus_datasheet_stream
+
+        df = self.with_time(self.docs(spark))
+        src_dir = str(tmp_path / "src")
+        ckpt = str(tmp_path / "ckpt")
+        df.repartition(3).write.parquet(src_dir)
+        stream = (
+            spark.readStream.schema(
+                "doc_id long, text string, lang string, source string,"
+                " event_time timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src_dir)
+        )
+        card = corpus_datasheet_stream(
+            stream, "1 hour", watermark="3650 days"
+        ).select(
+            F.col("window_start").cast("long").alias("ws"),
+            "section", "key", "n_docs", "n_tokens",
+        )
+        rows = []
+
+        def sink(batch_df, _bid):
+            rows.extend(batch_df.collect())
+
+        q = (
+            card.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+        # update mode re-emits a key whenever a later batch grows it:
+        # counts are monotone, final card = max per key
+        final = {}
+        for r in rows:
+            k = (r["ws"], r["section"], r["key"])
+            v = (r["n_docs"], r["n_tokens"])
+            if k not in final or v > final[k]:
+                final[k] = v
+        assert final == self.batch_expected(spark, self.docs(spark))
+        # multi-batch actually happened (3 files -> >= 2 emissions of
+        # some key, so raw rows exceed the final card)
+        assert len(rows) > len(final)
