@@ -3874,6 +3874,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return corpus_datasheet(datasets.load(spark, sf, "documents"))
 
+    def doc_quantile_sketch_inv(spark, sf):
+        # deterministic mergeable quantile summary (r10 — the order-
+        # statistics sibling of ec_heavy_hitters_inv): per-probe audit
+        # of the block-max summary against exact order statistics over
+        # documents.n_chars. target_rank / n_values / true_value are
+        # exact and data-derived; within_bound checks the sketch's rank
+        # contract (estimates themselves are partition-dependent, as
+        # any deterministic summary's are — the guarantees are not).
+        from kafka_graphs_spark.streaming import quantile_sketch_check
+
+        return quantile_sketch_check(
+            datasets.load(spark, sf, "documents"),
+            "n_chars",
+            k=32,
+            probes=[0.1, 0.25, 0.5, 0.75, 0.9, 0.99],
+        )
+
     def doc_datasheet_stream(spark, sf):
         # REAL streaming data card (r10): documents replayed as a
         # 3-file stream (maxFilesPerTrigger=1 -> multiple micro-batches),
@@ -4208,6 +4225,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_domain_token_budget": doc_domain_token_budget,
         "pipeline_curate_domcap": pipeline_curate_domcap,
         "doc_datasheet_stream": doc_datasheet_stream,
+        "doc_quantile_sketch_inv": doc_quantile_sketch_inv,
         # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL,
         # extended r10 to all 12 structurally no-oracle queries per
         # r9 verdict #4): seeded numerics + rows-only ANN variants
@@ -7961,6 +7979,24 @@ def oracle_sql() -> dict[str, str]:
             keep AS (SELECT id, MIN(rr) AS k FROM reach GROUP BY id)
             SELECT k0.doc_id FROM k0 LEFT JOIN keep ON keep.id = k0.doc_id
             WHERE coalesce(keep.k, k0.doc_id) = k0.doc_id
+        """,
+        # quantile-summary audit: exact lower quantiles (value at sorted
+        # rank ceil(q*n)) recomputed by rank; within_bound is the sketch
+        # contract (must hold on any partitioning), same adjudication as
+        # ec_heavy_hitters_inv / doc_bloom_contamination
+        "doc_quantile_sketch_inv": """
+            WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents
+                       WHERE n_chars IS NOT NULL),
+            nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+            r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM v),
+            p AS (SELECT unnest([0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS q)
+            SELECT p.q,
+                   CAST(ceil(p.q * nn.n) AS BIGINT) AS target_rank,
+                   nn.n AS n_values,
+                   (SELECT x FROM r
+                    WHERE rn = CAST(ceil(p.q * nn.n) AS BIGINT)) AS true_value,
+                   true AS within_bound
+            FROM p, nn
         """,
         # streaming data card: event time is doc_id minutes, so the 1h
         # window start is (doc_id // 60) * 3600 epoch seconds in closed

@@ -27,6 +27,9 @@ from kafka_graphs_spark.streaming.joins import stream_interval_join
 from kafka_graphs_spark.streaming.sketches import (
     heavy_hitters_check,
     misra_gries,
+    quantile_estimates,
+    quantile_sketch_check,
+    quantile_summary,
 )
 from kafka_graphs_spark.streaming.incremental import (
     lp_windowed_incremental,
@@ -71,6 +74,9 @@ __all__ = [
     "stream_interval_join",
     "misra_gries",
     "heavy_hitters_check",
+    "quantile_summary",
+    "quantile_estimates",
+    "quantile_sketch_check",
     "stateful_degrees",
     "stateful_distinct_degrees",
 ]

@@ -163,3 +163,170 @@ def heavy_hitters_check(df: DataFrame, item_col: str, k: int) -> DataFrame:
         (-F.col("_neg_top1")).alias("top1_id"),
         "top1_true",
     )
+
+
+def quantile_summary(df: DataFrame, value_col: str, k: int) -> DataFrame:
+    """(value, weight, err) — a deterministic MERGEABLE quantile summary
+    (the block-max summary of Manku-Rajagopalan-Lindsay-style
+    deterministic sketches, one level, mergeable-summaries style like
+    :func:`misra_gries`).
+
+    Each partition sorts its ``n_p`` values once and emits one entry
+    per block of ``b_p = ceil(n_p/k)`` consecutive values: the block
+    MAX with the block size as ``weight``. For any query value ``x``,
+    the weight-sum of entries with ``value <= x`` UNDER-estimates the
+    true ``count(<= x)`` by at most ``b_p - 1`` per partition (only the
+    one straddling block can hide values ``<= x`` behind a larger
+    block max); that per-partition slack is carried in ``err`` (on one
+    row per partition, 0 elsewhere), so the merged summary's total
+    rank slack is exactly ``sum(err)`` — summaries merge by plain
+    UNION, the mergeable-summaries property.
+
+    Scale shape: one in-memory sort per partition (the partition
+    already fits an executor by construction), output <= (k+1) rows
+    per partition, NO shuffle here at all — callers aggregate the tiny
+    merged frame. NULLs are excluded (same contract as
+    :func:`misra_gries`).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def summarize(batches):
+        import numpy as np
+        import pandas as pd
+
+        chunks = [pdf["x"].to_numpy(dtype="float64") for pdf in batches]
+        if not chunks:
+            return
+        v = np.sort(np.concatenate(chunks))
+        n_p = len(v)
+        if n_p == 0:
+            return
+        b = -(-n_p // k)  # ceil(n_p / k)
+        idx = np.arange(b - 1, n_p, b)
+        if idx[-1] != n_p - 1:  # short final block keeps the global max
+            idx = np.append(idx, n_p - 1)
+        weights = np.diff(np.append(np.int64(-1), idx))
+        out = pd.DataFrame(
+            {"value": v[idx], "weight": weights, "err": np.int64(0)}
+        )
+        out.loc[0, "err"] = b - 1
+        yield out
+
+    return (
+        df.select(F.col(value_col).cast("double").alias("x"))
+        .filter(F.col("x").isNotNull())
+        .mapInPandas(summarize, schema="value double, weight long, err long")
+    )
+
+
+def quantile_estimates(
+    df: DataFrame, value_col: str, k: int, probes
+) -> DataFrame:
+    """(q, est) — lower-quantile estimates from :func:`quantile_summary`:
+    ``est(q)`` is the smallest summary value whose cumulative weight
+    reaches ``ceil(q * n)``. The estimate's true rank satisfies
+    ``ceil(q*n) <= count(<= est) <= ceil(q*n) + max_weight + sum(err)``
+    (see :func:`quantile_sketch_check`, which verifies exactly that).
+
+    The cumulative-weight window runs over the ALREADY-summarized frame
+    (<= (k+1) x partitions rows — one task, no re-scan; the same shape
+    as :func:`misra_gries`'s final clip).
+    """
+    parts = quantile_summary(df, value_col, k)
+    n = F.sum("weight").over(Window.partitionBy())
+    cum = F.sum("weight").over(
+        Window.orderBy(F.asc("value")).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    ranked = parts.select(
+        "value", cum.alias("_cum"), n.alias("_n")
+    )
+    spark = df.sparkSession
+    pf = spark.createDataFrame(
+        [(float(q),) for q in probes], "q double"
+    )
+    return (
+        ranked.join(F.broadcast(pf))
+        .filter(F.col("_cum") >= F.ceil(F.col("q") * F.col("_n")))
+        .groupBy("q")
+        .agg(F.min("value").alias("est"))
+    )
+
+
+def quantile_sketch_check(
+    df: DataFrame, value_col: str, k: int, probes
+) -> DataFrame:
+    """Per-probe guarantee audit of the quantile summary against the
+    exact order statistics: (q, target_rank, n_values, true_value,
+    within_bound).
+
+    ``true_value`` is the EXACT lower q-quantile (the value at sorted
+    rank ``ceil(q*n)``) and ``target_rank``/``n_values`` are exact —
+    all data-derived, so the row is never vacuous. ``within_bound``
+    verifies the sketch contract on the estimate's true rank:
+    ``target_rank <= count(<= est) <= target_rank + max_weight +
+    sum(err)``; it must be true for every probe on any input and any
+    partitioning (the estimates themselves are partition-dependent —
+    any deterministic summary's are — so they are checked, not
+    emitted). The exact side is one global sort of the value column —
+    the audit's cost, exactly like :func:`heavy_hitters_check`'s exact
+    groupBy.
+    """
+    vals = (
+        df.select(F.col(value_col).cast("double").alias("x"))
+        .filter(F.col("x").isNotNull())
+    )
+    parts = quantile_summary(df, value_col, k)
+    slack = parts.agg(
+        (F.max("weight") + F.sum("err")).cast("long").alias("_slack")
+    )
+
+    est = quantile_estimates(df, value_col, k, probes)
+
+    # exact side: rank every value once, join each probe to its target
+    rn = F.row_number().over(Window.orderBy(F.asc("x")))
+    n = F.count(F.lit(1)).over(Window.partitionBy())
+    ranked = vals.select("x", rn.alias("_rn"), n.alias("_n"))
+    spark = df.sparkSession
+    pf = spark.createDataFrame([(float(q),) for q in probes], "q double")
+    exact = (
+        ranked.join(F.broadcast(pf))
+        .filter(
+            F.col("_rn") == F.ceil(F.col("q") * F.col("_n")).cast("long")
+        )
+        .select(
+            "q",
+            F.col("_rn").alias("target_rank"),
+            F.col("_n").cast("long").alias("n_values"),
+            F.col("x").alias("true_value"),
+        )
+    )
+    # true rank of each estimate, in one conditional aggregate pass
+    c_est = (
+        vals.join(F.broadcast(est))
+        .groupBy("q", "est")
+        .agg(
+            F.sum(F.when(F.col("x") <= F.col("est"), 1).otherwise(0))
+            .cast("long")
+            .alias("_c_est")
+        )
+    )
+    return (
+        exact.join(c_est, on="q", how="left")
+        .join(F.broadcast(slack))
+        .select(
+            "q",
+            "target_rank",
+            "n_values",
+            "true_value",
+            (
+                (F.col("_c_est") >= F.col("target_rank"))
+                & (
+                    F.col("_c_est")
+                    <= F.col("target_rank") + F.col("_slack")
+                )
+            ).alias("within_bound"),
+        )
+    )

@@ -447,3 +447,84 @@ class TestDatasheetStream:
         # multi-batch actually happened (3 files -> >= 2 emissions of
         # some key, so raw rows exceed the final card)
         assert len(rows) > len(final)
+
+
+class TestQuantileSketch:
+    """streaming/sketches.py — deterministic mergeable quantile summary."""
+
+    PROBES = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+    def test_summary_weights_cover_stream(self, spark):
+        from kafka_graphs_spark.streaming import quantile_summary
+
+        df = spark.range(0, 1000, 1, 8).select(
+            ((F.col("id") * 7919) % 997).alias("v")
+        )
+        parts = quantile_summary(df, "v", k=16).collect()
+        assert sum(r["weight"] for r in parts) == 1000
+        # <= k+1 entries per partition, err set once per partition
+        assert sum(1 for r in parts if r["err"] > 0) <= 8
+        assert all(r["weight"] >= 1 for r in parts)
+
+    def test_estimates_within_bound_multiple_layouts(self, spark):
+        from kafka_graphs_spark.streaming import quantile_sketch_check
+
+        for n_parts in (1, 4, 32):
+            df = spark.range(0, 2000, 1, n_parts).select(
+                ((F.col("id") * 48271) % 10007).alias("v")
+            )
+            rows = quantile_sketch_check(
+                df, "v", k=32, probes=self.PROBES
+            ).collect()
+            assert len(rows) == len(self.PROBES)
+            assert all(r["within_bound"] for r in rows), (n_parts, rows)
+            assert all(r["n_values"] == 2000 for r in rows)
+
+    def test_exact_when_k_exceeds_n(self, spark):
+        from kafka_graphs_spark.streaming import quantile_estimates
+
+        df = spark.range(0, 50, 1, 2).select(F.col("id").alias("v"))
+        est = {
+            r["q"]: r["est"]
+            for r in quantile_estimates(
+                df, "v", k=64, probes=[0.5, 0.9]
+            ).collect()
+        }
+        # every block is a single value -> estimates are exact lower
+        # quantiles: rank ceil(0.5*50)=25 -> value 24 (0-based ids)
+        assert est[0.5] == 24.0
+        assert est[0.9] == 44.0
+
+    def test_true_value_is_exact_order_statistic(self, spark):
+        from kafka_graphs_spark.streaming import quantile_sketch_check
+        import math
+
+        vals = [(i, float((i * 31) % 101)) for i in range(200)]
+        df = spark.createDataFrame(vals, "id long, v double")
+        rows = {
+            r["q"]: r
+            for r in quantile_sketch_check(
+                df, "v", k=8, probes=[0.25, 0.75]
+            ).collect()
+        }
+        s = sorted(v for _, v in vals)
+        for q in (0.25, 0.75):
+            target = math.ceil(q * 200)
+            assert rows[q]["target_rank"] == target
+            assert rows[q]["true_value"] == s[target - 1]
+
+    def test_nulls_excluded(self, spark):
+        from kafka_graphs_spark.streaming import quantile_sketch_check
+
+        df = spark.createDataFrame(
+            [(float(i),) for i in range(100)] + [(None,)] * 20, "v double"
+        )
+        rows = quantile_sketch_check(df, "v", k=10, probes=[0.5]).collect()
+        assert rows[0]["n_values"] == 100
+        assert rows[0]["within_bound"]
+
+    def test_rejects_bad_k(self, spark):
+        from kafka_graphs_spark.streaming import quantile_summary
+
+        with pytest.raises(ValueError):
+            quantile_summary(spark.range(5), "id", 0)
