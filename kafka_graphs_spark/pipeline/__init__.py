@@ -27,7 +27,9 @@ because md5 is the one hash both engines compute identically.
 """
 
 from kafka_graphs_spark.pipeline import (
+    bloom,
     bpe,
+    classifier,
     curate,
     datasheet,
     dedup,
@@ -43,4 +45,4 @@ from kafka_graphs_spark.pipeline import (
     text,
 )
 
-__all__ = ["text", "dedup", "domains", "similarity", "multimodal", "curate", "sample", "sessions", "events", "bpe", "features", "relational", "datasheet", "shards"]
+__all__ = ["text", "dedup", "domains", "similarity", "multimodal", "curate", "sample", "sessions", "events", "bpe", "features", "relational", "datasheet", "shards", "classifier", "bloom"]

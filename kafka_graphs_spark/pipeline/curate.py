@@ -30,6 +30,7 @@ def curate(
     text_col: str = "text",
     benchmark: Optional[DataFrame] = None,
     max_contamination: float = 0.5,
+    contamination_gate: str = "exact",
     max_pii: Optional[int] = None,
     max_dup_trigram_frac: Optional[float] = None,
     max_dup_span_frac: Optional[float] = None,
@@ -70,6 +71,13 @@ def curate(
     thereof (:func:`~kafka_graphs_spark.pipeline.domains.domain_blocklist`)
     are dropped pre-dedup — the C4 domain blocklist, same label-boundary
     semantics. Requires a URL column.
+
+    ``contamination_gate``: ``"exact"`` (default — broadcast the
+    benchmark's distinct-shingle set) or ``"bloom"`` (fixed-size Bloom
+    filter, :mod:`~kafka_graphs_spark.pipeline.bloom`): zero false
+    negatives either way; the Bloom gate may over-drop a bounded
+    fraction of clean documents in exchange for a broadcast that stays
+    fixed-size no matter how large the benchmark suite grows.
 
     ``max_docs_per_domain`` / ``max_tokens_per_domain``: RefinedWeb-style
     per-registered-domain budgets, applied to the quality/blocklist
@@ -205,9 +213,26 @@ def curate(
         ).select("doc_id")
         kept = kept.join(spanny, on="doc_id", how="left_anti")
     if benchmark is not None:
-        dirty = ngram_contamination(
-            kept, benchmark, n=n, text_col=text_col
-        ).filter(F.col("rate") > max_contamination).select("doc_id")
+        # "bloom": the fixed-size-filter gate (pipeline.bloom) — same
+        # (doc_id, rate) contract, bounded over-flagging, no false
+        # negatives; the 100 TB form when the benchmark's distinct-
+        # shingle set outgrows a broadcast. "exact" joins the exact set.
+        if contamination_gate == "bloom":
+            from kafka_graphs_spark.pipeline.bloom import bloom_contamination
+
+            scored = bloom_contamination(
+                kept, benchmark, n=n, text_col=text_col
+            ).withColumnRenamed("flagged", "contaminated")
+        elif contamination_gate == "exact":
+            scored = ngram_contamination(kept, benchmark, n=n, text_col=text_col)
+        else:
+            raise ValueError(
+                f"contamination_gate must be 'exact' or 'bloom', got"
+                f" {contamination_gate!r}"
+            )
+        dirty = scored.filter(
+            F.col("rate") > max_contamination
+        ).select("doc_id")
         kept = kept.join(dirty, on="doc_id", how="left_anti")
     resolved = resolve_duplicates(
         kept, n=n, threshold=jaccard_threshold, text_col=text_col

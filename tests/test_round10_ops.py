@@ -528,3 +528,44 @@ class TestQuantileSketch:
 
         with pytest.raises(ValueError):
             quantile_summary(spark.range(5), "id", 0)
+
+
+class TestCurateBloomGate:
+    """curate(contamination_gate='bloom') — fixed-size decontamination."""
+
+    def test_bloom_gate_drops_superset_of_exact(self, spark):
+        from kafka_graphs_spark.pipeline.curate import curate
+
+        # 10 clean docs + 5 docs copying the benchmark text verbatim
+        bench_text = (
+            "the secret benchmark question about ancient rivers flows here"
+        )
+        rows = [
+            (i, (
+                "the quick brown fox jumps over the lazy dog "
+                f"unique{i} filler words to pass the quality gate fine"
+            ))
+            for i in range(10)
+        ] + [(10 + j, bench_text + f" trailer{j}") for j in range(5)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+        kw = dict(
+            min_score=0.6, n=3, jaccard_threshold=0.9,
+            benchmark=bench, max_contamination=0.3,
+        )
+        exact = {r["doc_id"] for r in curate(docs, **kw).collect()}
+        bloom = {r["doc_id"] for r in curate(
+            docs, contamination_gate="bloom", **kw
+        ).collect()}
+        # contaminated docs are gone under BOTH gates (no false negatives)
+        assert not ({10, 11, 12, 13, 14} & exact)
+        assert not ({10, 11, 12, 13, 14} & bloom)
+        # bloom survivors are a subset of exact survivors (over-flag only)
+        assert bloom <= exact
+
+    def test_rejects_unknown_gate(self, spark):
+        from kafka_graphs_spark.pipeline.curate import curate
+
+        docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            curate(docs, benchmark=docs, contamination_gate="bogus").collect()
