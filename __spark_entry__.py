@@ -3874,6 +3874,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return corpus_datasheet(datasets.load(spark, sf, "documents"))
 
+    def doc_incremental_dedup(spark, sf):
+        # crawl-increment dedup (r10): the last 100 documents arrive as
+        # a new snapshot and deduplicate against the first 400 (the
+        # already-curated corpus), then within themselves — the
+        # daily-ingest shape. Exact inverted-index path (the oracle
+        # path; the banded-LSH method is the scale twin, verified exact
+        # either way). threshold 0.05 mirrors the curate composites'
+        # operating point, where the corpus has real cluster structure.
+        from kafka_graphs_spark.pipeline.dedup import incremental_dedup
+
+        docs = datasets.load(spark, sf, "documents")
+        return incremental_dedup(
+            docs.filter(F.col("doc_id") >= 400),
+            docs.filter(F.col("doc_id") < 400),
+            n=3,
+            threshold=0.05,
+        )
+
     def doc_quantile_sketch_inv(spark, sf):
         # deterministic mergeable quantile summary (r10 — the order-
         # statistics sibling of ec_heavy_hitters_inv): per-probe audit
@@ -4226,6 +4244,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_curate_domcap": pipeline_curate_domcap,
         "doc_datasheet_stream": doc_datasheet_stream,
         "doc_quantile_sketch_inv": doc_quantile_sketch_inv,
+        "doc_incremental_dedup": doc_incremental_dedup,
         # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL,
         # extended r10 to all 12 structurally no-oracle queries per
         # r9 verdict #4): seeded numerics + rows-only ANN variants
@@ -7979,6 +7998,49 @@ def oracle_sql() -> dict[str, str]:
             keep AS (SELECT id, MIN(rr) AS k FROM reach GROUP BY id)
             SELECT k0.doc_id FROM k0 LEFT JOIN keep ON keep.id = k0.doc_id
             WHERE coalesce(keep.k, k0.doc_id) = k0.doc_id
+        """,
+        # incremental ingest dedup: new = doc_id >= 400, corpus < 400;
+        # dup_of_corpus by exact Jaccard vs any corpus doc; resolution
+        # (recursive closure, min-id keep) over the corpus-SURVIVING
+        # new docs only
+        "doc_incremental_dedup": f"""
+            WITH RECURSIVE sh AS ({SHINGLES}),
+            szs AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            ci AS (SELECT a.doc_id AS na, b.doc_id AS ob, count(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle
+                   WHERE a.doc_id >= 400 AND b.doc_id < 400
+                   GROUP BY 1, 2),
+            dup AS (SELECT DISTINCT na AS doc_id FROM ci
+                    JOIN szs sa ON sa.doc_id = na
+                    JOIN szs sb ON sb.doc_id = ob
+                    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05),
+            surv AS (SELECT doc_id FROM documents
+                     WHERE doc_id >= 400
+                       AND doc_id NOT IN (SELECT doc_id FROM dup)),
+            ni AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.shingle = b.shingle
+                       AND a.doc_id < b.doc_id
+                   WHERE a.doc_id IN (SELECT doc_id FROM surv)
+                     AND b.doc_id IN (SELECT doc_id FROM surv)
+                   GROUP BY 1, 2),
+            prs AS (SELECT doc_a, doc_b FROM ni
+                    JOIN szs sa ON sa.doc_id = doc_a
+                    JOIN szs sb ON sb.doc_id = doc_b
+                    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05),
+            und AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                    UNION SELECT doc_b, doc_a FROM prs),
+            reach(id, r) AS (
+                SELECT s, s FROM und
+                UNION
+                SELECT u2.d, reach.r FROM reach JOIN und u2 ON u2.s = reach.id
+            ),
+            keep AS (SELECT id, MIN(r) AS k FROM reach GROUP BY id)
+            SELECT d.doc_id,
+                   d.doc_id IN (SELECT doc_id FROM dup) AS dup_of_corpus,
+                   d.doc_id NOT IN (SELECT doc_id FROM dup)
+                   AND coalesce(keep.k, d.doc_id) = d.doc_id AS keep
+            FROM documents d LEFT JOIN keep ON keep.id = d.doc_id
+            WHERE d.doc_id >= 400
         """,
         # quantile-summary audit: exact lower quantiles (value at sorted
         # rank ceil(q*n)) recomputed by rank; within_bound is the sketch

@@ -724,3 +724,156 @@ def containment_pairs(
     result = out.localCheckpoint(eager=True)
     sh.unpersist()
     return result
+
+
+def _jaccard_pairs_between(
+    sh_a: DataFrame,
+    sh_b: DataFrame,
+    threshold: float,
+    candidates: DataFrame = None,
+) -> DataFrame:
+    """(doc_a, doc_b, jaccard) across two DISTINCT shingle frames
+    ``(doc_a, shingle)`` / ``(doc_b, shingle)`` — the cross-corpus form
+    of :func:`ngram_jaccard_pairs`'s inverted-index join. When
+    ``candidates`` (doc_a, doc_b) is given, only those pairs are
+    verified (the LSH scale path: the shingle join still computes
+    intersections shingle-keyed, then a semi-join keeps candidate rows
+    before sizes attach)."""
+    sizes_a = sh_a.groupBy("doc_a").agg(F.count(F.lit(1)).alias("_sza"))
+    sizes_b = sh_b.groupBy("doc_b").agg(F.count(F.lit(1)).alias("_szb"))
+    inter = (
+        sh_a.join(sh_b, on="shingle")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+    return (
+        inter.join(sizes_a, on="doc_a")
+        .join(sizes_b, on="doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("_i").cast("double")
+                / (F.col("_sza") + F.col("_szb") - F.col("_i"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def incremental_dedup(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    method: str = "exact",
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(doc_id, dup_of_corpus, keep) for every NEW document — the
+    daily-ingest shape: a crawl increment deduplicates against the
+    already-curated CORPUS first, then within itself.
+
+    - ``dup_of_corpus``: the new document's n-gram Jaccard against some
+      corpus document reaches ``threshold`` — it adds nothing, drop it.
+    - ``keep``: not a corpus duplicate AND the canonical (min doc_id)
+      member of its near-dup cluster among the corpus-surviving new
+      documents (resolution runs on survivors only, so a corpus-dup
+      never bridges two otherwise-distinct new clusters).
+
+    ``method="exact"`` generates pairs with the inverted-index shingle
+    join (the oracle path); ``method="lsh"`` generates candidates with
+    the banded MinHash join on BOTH sides — verification is exact
+    Jaccard either way, so LSH can only MISS pairs, never invent them.
+    At 100 TB the increment is small and the corpus huge: every join
+    here is keyed by shingle / band bucket (never all-pairs), the
+    corpus side reduces to its shingle or signature projection (which a
+    production pipeline persists between ingests), and the resolution
+    WCC touches only the increment's candidate-pair graph.
+    """
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"method must be 'exact' or 'lsh', got {method!r}")
+    from kafka_graphs_spark.graph import Graph
+    from kafka_graphs_spark.library.components import connected_components
+
+    sh_new = shingles(new_docs, n=n, text_col=text_col)
+    sh_old = shingles(corpus, n=n, text_col=text_col)
+    a_new = sh_new.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_old = sh_old.select(F.col("doc_id").alias("doc_b"), "shingle")
+
+    cand_cross = cand_new = None
+    if method == "lsh":
+        rows_per_band = num_hashes // bands
+
+        def banded(docs_df):
+            sig = minhash_signatures(
+                docs_df, num_hashes=num_hashes, n=n, text_col=text_col
+            )
+            return sig.select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+                F.array_join(
+                    F.slice(
+                        "sig", F.col("band") * rows_per_band + 1, rows_per_band
+                    ),
+                    "|",
+                ).alias("bucket"),
+            )
+
+        bn, bo = banded(new_docs), banded(corpus)
+        cand_cross = (
+            bn.select(F.col("doc_id").alias("doc_a"), "band", "bucket")
+            .join(
+                bo.select(F.col("doc_id").alias("doc_b"), "band", "bucket"),
+                on=["band", "bucket"],
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        cand_new = minhash_lsh_candidates(
+            new_docs, num_hashes=num_hashes, bands=bands, n=n, text_col=text_col
+        )
+
+    dup_ids = (
+        _jaccard_pairs_between(a_new, b_old, threshold, cand_cross)
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+    )
+    surv_sh = sh_new.join(dup_ids, on="doc_id", how="left_anti")
+    new_pairs = _jaccard_pairs_between(
+        surv_sh.select(F.col("doc_id").alias("doc_a"), "shingle"),
+        surv_sh.select(F.col("doc_id").alias("doc_b"), "shingle"),
+        threshold,
+        cand_new,
+    ).filter(F.col("doc_a") < F.col("doc_b"))
+    comp = connected_components(
+        Graph.from_edges(
+            new_pairs.select(
+                F.col("doc_a").alias("src"),
+                F.col("doc_b").alias("dst"),
+                F.lit(1.0).alias("value"),
+            ),
+            F.col("id"),
+        ),
+        max_iterations=max_iterations,
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(dup_ids.withColumn("_dup", F.lit(True)), on="doc_id", how="left")
+        .join(comp.withColumnRenamed("id", "doc_id"), on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce("_dup", F.lit(False)).alias("dup_of_corpus"),
+            (
+                ~F.coalesce("_dup", F.lit(False))
+                & (
+                    F.coalesce(F.col("value"), F.col("doc_id"))
+                    == F.col("doc_id")
+                )
+            ).alias("keep"),
+        )
+    )

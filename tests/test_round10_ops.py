@@ -569,3 +569,107 @@ class TestCurateBloomGate:
         docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
         with pytest.raises(ValueError):
             curate(docs, benchmark=docs, contamination_gate="bogus").collect()
+
+
+class TestIncrementalDedup:
+    """dedup.incremental_dedup — crawl-increment vs curated-corpus."""
+
+    def frames(self, spark):
+        base = "the quick brown fox jumps over the lazy dog and keeps going"
+        corpus = spark.createDataFrame(
+            [
+                (0, base + " corpus zero original text body"),
+                (1, "completely different corpus material about rivers and "
+                    "mountains with many unique terms"),
+            ],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [
+                # 10: near-copy of corpus doc 0 -> dup_of_corpus
+                (10, base + " corpus zero original text body extra"),
+                # 11 & 12: near-copies of each other, unseen in corpus
+                (11, "fresh new material about galaxies stars and nebulae "
+                     "spinning in the deep void tonight"),
+                (12, "fresh new material about galaxies stars and nebulae "
+                     "spinning in the deep void today"),
+                # 13: unique
+                (13, "entirely unrelated text regarding cooking pasta with "
+                     "garlic butter and fresh basil leaves"),
+            ],
+            "doc_id long, text string",
+        )
+        return new, corpus
+
+    def test_exact_semantics(self, spark):
+        from kafka_graphs_spark.pipeline.dedup import incremental_dedup
+
+        new, corpus = self.frames(spark)
+        out = {
+            r["doc_id"]: r
+            for r in incremental_dedup(
+                new, corpus, n=3, threshold=0.5
+            ).collect()
+        }
+        assert set(out) == {10, 11, 12, 13}
+        assert out[10]["dup_of_corpus"] and not out[10]["keep"]
+        assert not out[11]["dup_of_corpus"] and out[11]["keep"]  # cluster min
+        assert not out[12]["dup_of_corpus"] and not out[12]["keep"]
+        assert not out[13]["dup_of_corpus"] and out[13]["keep"]
+
+    def test_lsh_verification_is_exact(self, spark):
+        from kafka_graphs_spark.pipeline.dedup import incremental_dedup
+
+        new, corpus = self.frames(spark)
+        exact = {
+            (r["doc_id"], r["dup_of_corpus"], r["keep"])
+            for r in incremental_dedup(new, corpus, n=3, threshold=0.5).collect()
+        }
+        lsh = {
+            (r["doc_id"], r["dup_of_corpus"], r["keep"])
+            for r in incremental_dedup(
+                new, corpus, n=3, threshold=0.5, method="lsh",
+                num_hashes=16, bands=8,
+            ).collect()
+        }
+        # LSH can only miss pairs; on this fixture (high-sim dups) it
+        # finds them all, so the outputs agree exactly
+        assert lsh == exact
+
+    def test_corpus_dup_never_bridges_new_clusters(self, spark):
+        from kafka_graphs_spark.pipeline.dedup import incremental_dedup
+
+        # A = K+L+R dups the corpus doc K+X via segment K (J=10/34);
+        # B = L+U and C = R+V each near-dup A via segments the corpus
+        # LACKS (J=8/38 each) and share nothing with each other or the
+        # corpus. At threshold 0.2 only A is a corpus dup. If
+        # resolution ran on ALL new docs, B~A~C would be one cluster
+        # and one of B/C would lose; survivors-only resolution keeps
+        # both.
+        K = "kernel alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+        X = "plus corpus trailing bits"
+        L = "left wing segment portal quartz ember violet marble canyon drift"
+        R = "right branch harbor falcon meadow copper lantern breeze summit glacier"
+        UB = "bravo pencil ocean ladder trumpet willow saffron comet"
+        UC = "charlie anchor engine pebble nimbus forest tundra quill"
+        corpus = spark.createDataFrame(
+            [(0, f"{K} {X}")], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(20, f"{K} {L} {R}"), (21, f"{L} {UB}"), (22, f"{R} {UC}")],
+            "doc_id long, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in incremental_dedup(new, corpus, n=3, threshold=0.2).collect()
+        }
+        assert out[20]["dup_of_corpus"] and not out[20]["keep"]
+        assert out[21]["keep"] and out[22]["keep"], out
+        assert not out[21]["dup_of_corpus"] and not out[22]["dup_of_corpus"]
+
+    def test_rejects_unknown_method(self, spark):
+        from kafka_graphs_spark.pipeline.dedup import incremental_dedup
+
+        new, corpus = self.frames(spark)
+        with pytest.raises(ValueError):
+            incremental_dedup(new, corpus, method="fuzzy")
