@@ -3892,6 +3892,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=0.05,
         )
 
+    def emb_incremental_dedup(spark, sf):
+        # embedding-space ingest dedup (r10 — the SemDeDup twin of
+        # doc_incremental_dedup). The synthetic embeddings have no
+        # organic near-dups (clusters top out at cos ~0.46), so the
+        # increment is PLANTED with deterministic structure: 40
+        # perturbed corpus copies (dup_of_corpus), 20 NEGATED-vector
+        # pairs (a tight new cluster each — negation keeps them far
+        # from every corpus vector, cos ~-1 vs ~0.99 within the pair),
+        # and 20 negated singletons. Expected: 40 dups, 40 keeps
+        # (20 pair-minima + 20 singletons), 20 cluster losers.
+        emb = datasets.load(spark, sf, "embeddings").select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("embedding"),
+        )
+
+        def shifted(pred, neg, coord, offset):
+            def f(x, i):
+                base = -x if neg else x
+                return F.when(i == coord, base + F.lit(0.1)).otherwise(base)
+
+            return emb.filter(pred).select(
+                (F.col("vec_id") + offset).alias("vec_id"),
+                F.transform("embedding", f).alias("embedding"),
+            )
+
+        lo40 = F.col("vec_id") < 40
+        mid = (F.col("vec_id") >= 40) & (F.col("vec_id") < 60)
+        hi = (F.col("vec_id") >= 60) & (F.col("vec_id") < 80)
+        new = (
+            shifted(lo40, False, 0, 1000000)
+            .unionByName(shifted(mid, True, 0, 2000000))
+            .unionByName(shifted(mid, True, 1, 3000000))
+            .unionByName(shifted(hi, True, 2, 4000000))
+        )
+        return similarity.incremental_embedding_dedup(
+            new, emb, threshold=0.9
+        )
+
     def doc_quantile_sketch_inv(spark, sf):
         # deterministic mergeable quantile summary (r10 — the order-
         # statistics sibling of ec_heavy_hitters_inv): per-probe audit
@@ -4245,6 +4283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_datasheet_stream": doc_datasheet_stream,
         "doc_quantile_sketch_inv": doc_quantile_sketch_inv,
         "doc_incremental_dedup": doc_incremental_dedup,
+        "emb_incremental_dedup": emb_incremental_dedup,
         # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL,
         # extended r10 to all 12 structurally no-oracle queries per
         # r9 verdict #4): seeded numerics + rows-only ANN variants
@@ -7998,6 +8037,56 @@ def oracle_sql() -> dict[str, str]:
             keep AS (SELECT id, MIN(rr) AS k FROM reach GROUP BY id)
             SELECT k0.doc_id FROM k0 LEFT JOIN keep ON keep.id = k0.doc_id
             WHERE coalesce(keep.k, k0.doc_id) = k0.doc_id
+        """,
+        # embedding-space ingest dedup: the planted increment (40
+        # perturbed copies / 20 negated pairs / 20 negated singletons)
+        # rebuilt in closed form, then the GENERIC semantics — corpus
+        # gate by exact cosine, survivors-only transitive resolution
+        "emb_incremental_dedup": """
+            WITH RECURSIVE base AS (
+                SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+            pl AS (SELECT id + 1000000 AS id,
+                       list_transform(range(1, len(v) + 1),
+                           i -> CASE WHEN i = 1 THEN v[1] + 0.1 ELSE v[i] END) AS v
+                   FROM base WHERE id < 40),
+            na AS (SELECT id + 2000000 AS id,
+                       list_transform(range(1, len(v) + 1),
+                           i -> CASE WHEN i = 1 THEN -v[1] + 0.1 ELSE -v[i] END) AS v
+                   FROM base WHERE id >= 40 AND id < 60),
+            nb AS (SELECT id + 3000000 AS id,
+                       list_transform(range(1, len(v) + 1),
+                           i -> CASE WHEN i = 2 THEN -v[2] + 0.1 ELSE -v[i] END) AS v
+                   FROM base WHERE id >= 40 AND id < 60),
+            ns AS (SELECT id + 4000000 AS id,
+                       list_transform(range(1, len(v) + 1),
+                           i -> CASE WHEN i = 3 THEN -v[3] + 0.1 ELSE -v[i] END) AS v
+                   FROM base WHERE id >= 60 AND id < 80),
+            newv AS (SELECT * FROM pl UNION ALL SELECT * FROM na
+                     UNION ALL SELECT * FROM nb UNION ALL SELECT * FROM ns),
+            dup AS (SELECT DISTINCT n.id FROM newv n JOIN base c
+                    ON round(list_dot_product(n.v, c.v)
+                       / (sqrt(list_dot_product(n.v, n.v))
+                          * sqrt(list_dot_product(c.v, c.v))), 6) >= 0.9),
+            surv AS (SELECT * FROM newv
+                     WHERE id NOT IN (SELECT id FROM dup)),
+            prs AS (SELECT a.id AS ia, b.id AS ib FROM surv a JOIN surv b
+                    ON a.id < b.id
+                    AND round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9),
+            und AS (SELECT ia AS s, ib AS d FROM prs
+                    UNION SELECT ib, ia FROM prs),
+            reach(id, r) AS (
+                SELECT s, s FROM und
+                UNION
+                SELECT u2.d, reach.r FROM reach JOIN und u2 ON u2.s = reach.id
+            ),
+            keep AS (SELECT id, MIN(r) AS k FROM reach GROUP BY id)
+            SELECT n.id,
+                   n.id IN (SELECT id FROM dup) AS dup_of_corpus,
+                   n.id NOT IN (SELECT id FROM dup)
+                   AND coalesce(keep.k, n.id) = n.id AS keep
+            FROM newv n LEFT JOIN keep ON keep.id = n.id
         """,
         # incremental ingest dedup: new = doc_id >= 400, corpus < 400;
         # dup_of_corpus by exact Jaccard vs any corpus doc; resolution

@@ -1238,3 +1238,109 @@ def hard_negatives(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+def incremental_embedding_dedup(
+    new_vectors: DataFrame,
+    corpus_vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: Optional[int] = None,
+    seed: int = 42,
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(id, dup_of_corpus, keep) for every NEW vector — SemDeDup at
+    ingest time, the embedding-space twin of
+    :func:`~kafka_graphs_spark.pipeline.dedup.incremental_dedup`: a
+    snapshot of new embeddings deduplicates against the already-curated
+    corpus first (``dup_of_corpus`` = within ``threshold`` cosine of ANY
+    corpus vector), then within itself (``keep`` = not a corpus dup AND
+    the min-id member of its near-dup cluster among corpus-survivors —
+    survivors-only resolution, so a corpus dup never bridges two
+    otherwise-distinct new clusters).
+
+    ``method="exact"`` compares the increment against the BROADCAST
+    corpus projection — the verification baseline, sane only while the
+    corpus side fits a broadcast. ``method="lsh"`` hashes BOTH sides
+    into shared random-hyperplane tables and candidates come from the
+    plain (table, bucket) equi-join — a shuffle join, no broadcast of
+    either side, the 100 TB shape; the cosine filter verifies every
+    candidate exactly, so LSH can only miss barely-over-threshold
+    pairs, never invent them.
+    """
+    if method not in ("exact", "lsh"):
+        raise ValueError(f"unknown method: {method!r} (expected 'exact' or 'lsh')")
+    from kafka_graphs_spark.graph import Graph
+    from kafka_graphs_spark.library.components import connected_components
+
+    nv = new_vectors.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("n", _norm(F.col("v")))
+    cv = corpus_vectors.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    if method == "exact":
+        cand = nv.join(F.broadcast(cv))
+    else:
+        if dim is None:
+            dim = len(new_vectors.select(vec_col).first()[0])
+        tb = bb = None
+        for tab in range(n_tables):
+            ht = nv.select(
+                "id", "v", "n", F.lit(tab).alias("table"),
+                _bucket_expr(F.col("v"), dim, n_planes, tab, seed).alias("bucket"),
+            )
+            hc = cv.select(
+                "cid", "cv", "cn", F.lit(tab).alias("table"),
+                _bucket_expr(F.col("cv"), dim, n_planes, tab, seed).alias("bucket"),
+            )
+            tb = ht if tb is None else tb.unionByName(ht)
+            bb = hc if bb is None else bb.unionByName(hc)
+        cand = tb.join(bb, on=["table", "bucket"]).dropDuplicates(["id", "cid"])
+    dup = (
+        cand.select(
+            "id",
+            F.round(
+                _dot(F.col("v"), F.col("cv")) / (F.col("n") * F.col("cn")), 6
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .select("id")
+        .distinct()
+    )
+    surv = new_vectors.join(
+        dup.withColumnRenamed("id", id_col), on=id_col, how="left_anti"
+    )
+    pairs = embedding_near_duplicates(
+        surv, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        method=method, n_planes=n_planes, n_tables=n_tables, dim=dim,
+        seed=seed,
+    )
+    comp = connected_components(
+        Graph.from_edges(
+            pairs.select(
+                F.col("id_a").alias("src"),
+                F.col("id_b").alias("dst"),
+                F.lit(1.0).alias("value"),
+            ),
+            F.col("id"),
+        ),
+        max_iterations=max_iterations,
+    )
+    return (
+        new_vectors.select(F.col(id_col).alias("id"))
+        .join(dup.withColumn("_dup", F.lit(True)), on="id", how="left")
+        .join(comp.withColumnRenamed("value", "_comp"), on="id", how="left")
+        .select(
+            "id",
+            F.coalesce("_dup", F.lit(False)).alias("dup_of_corpus"),
+            (
+                ~F.coalesce("_dup", F.lit(False))
+                & (F.coalesce(F.col("_comp"), F.col("id")) == F.col("id"))
+            ).alias("keep"),
+        )
+    )

@@ -673,3 +673,79 @@ class TestIncrementalDedup:
         new, corpus = self.frames(spark)
         with pytest.raises(ValueError):
             incremental_dedup(new, corpus, method="fuzzy")
+
+
+class TestIncrementalEmbeddingDedup:
+    """similarity.incremental_embedding_dedup — SemDeDup at ingest."""
+
+    def frames(self, spark):
+        import math
+
+        def unit(theta):
+            return [math.cos(theta), math.sin(theta), 0.0, 0.0]
+
+        corpus = spark.createDataFrame(
+            [(0, unit(0.0)), (1, unit(1.2)), (2, unit(2.4))],
+            "vec_id long, embedding array<double>",
+        )
+        new = spark.createDataFrame(
+            [
+                # 10: ~copy of corpus 0 (cos ~0.9995)
+                (10, unit(0.03)),
+                # 11 & 12: a tight new cluster far from every corpus vec
+                (11, unit(4.0)),
+                (12, unit(4.03)),
+                # 13: singleton far from everything
+                (13, unit(5.5)),
+            ],
+            "vec_id long, embedding array<double>",
+        )
+        return new, corpus
+
+    def test_exact_semantics(self, spark):
+        from kafka_graphs_spark.pipeline.similarity import (
+            incremental_embedding_dedup,
+        )
+
+        new, corpus = self.frames(spark)
+        out = {
+            r["id"]: r
+            for r in incremental_embedding_dedup(
+                new, corpus, threshold=0.99
+            ).collect()
+        }
+        assert set(out) == {10, 11, 12, 13}
+        assert out[10]["dup_of_corpus"] and not out[10]["keep"]
+        assert not out[11]["dup_of_corpus"] and out[11]["keep"]
+        assert not out[12]["dup_of_corpus"] and not out[12]["keep"]
+        assert out[13]["keep"]
+
+    def test_lsh_agrees_on_tight_dups(self, spark):
+        from kafka_graphs_spark.pipeline.similarity import (
+            incremental_embedding_dedup,
+        )
+
+        new, corpus = self.frames(spark)
+        exact = {
+            (r["id"], r["dup_of_corpus"], r["keep"])
+            for r in incremental_embedding_dedup(
+                new, corpus, threshold=0.99
+            ).collect()
+        }
+        lsh = {
+            (r["id"], r["dup_of_corpus"], r["keep"])
+            for r in incremental_embedding_dedup(
+                new, corpus, threshold=0.99, method="lsh",
+                n_planes=4, n_tables=8, dim=4,
+            ).collect()
+        }
+        assert lsh == exact
+
+    def test_rejects_unknown_method(self, spark):
+        from kafka_graphs_spark.pipeline.similarity import (
+            incremental_embedding_dedup,
+        )
+
+        new, corpus = self.frames(spark)
+        with pytest.raises(ValueError):
+            incremental_embedding_dedup(new, corpus, method="cosine-ish")
