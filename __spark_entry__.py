@@ -3892,6 +3892,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             threshold=0.05,
         )
 
+    def doc_shard_roundtrip(spark, sf):
+        # shard WRITER path (r10): assign -> write the partitioned
+        # (source, shard) layout + manifest to disk -> return the
+        # manifest RE-READ from parquet. Same oracle arithmetic as
+        # doc_shard_manifest — green means the on-disk artifact carries
+        # the exact planned assignment through the writer and back.
+        import shutil
+        import tempfile
+
+        from kafka_graphs_spark.pipeline.shards import (
+            assign_shards,
+            write_shards,
+        )
+
+        d = tempfile.mkdtemp(prefix="kgs_shards_")
+        try:
+            manifest = write_shards(
+                assign_shards(
+                    datasets.load(spark, sf, "documents"),
+                    tokens_per_shard=500,
+                    bucket_size=100,
+                ),
+                d,
+            )
+            rows = manifest.collect()
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+        return spark.createDataFrame(
+            rows,
+            "source string, shard long, n_docs long, n_tokens long,"
+            " first_doc_id long, last_doc_id long",
+        )
+
     def emb_incremental_dedup(spark, sf):
         # embedding-space ingest dedup (r10 — the SemDeDup twin of
         # doc_incremental_dedup). The synthetic embeddings have no
@@ -4284,6 +4317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quantile_sketch_inv": doc_quantile_sketch_inv,
         "doc_incremental_dedup": doc_incremental_dedup,
         "emb_incremental_dedup": emb_incremental_dedup,
+        "doc_shard_roundtrip": doc_shard_roundtrip,
         # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL,
         # extended r10 to all 12 structurally no-oracle queries per
         # r9 verdict #4): seeded numerics + rows-only ANN variants
@@ -6493,6 +6527,27 @@ def oracle_sql() -> dict[str, str]:
             FROM c
         """,
         "doc_shard_manifest": f"""
+            WITH t AS (SELECT doc_id, source,
+                           CAST(len({TOKS}) AS BIGINT) AS n_tokens
+                       FROM documents),
+            c AS (SELECT doc_id, source, n_tokens,
+                     coalesce(sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cb
+                  FROM t),
+            a AS (SELECT doc_id, source, n_tokens,
+                     CAST(cb // 500 AS BIGINT) AS shard FROM c)
+            SELECT source, shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   min(doc_id) AS first_doc_id,
+                   max(doc_id) AS last_doc_id
+            FROM a GROUP BY 1, 2
+        """,
+        # shard writer roundtrip: same arithmetic as doc_shard_manifest
+        # (the entry returns the manifest re-read from the written files)
+        "doc_shard_roundtrip": f"""
             WITH t AS (SELECT doc_id, source,
                            CAST(len({TOKS}) AS BIGINT) AS n_tokens
                        FROM documents),

@@ -155,3 +155,36 @@ def mixture_plan(
         epochs.alias("epochs"),
         (epochs > 1.0).alias("oversampled"),
     )
+
+
+def write_shards(
+    assigned: DataFrame,
+    path: str,
+    group_col: str = "source",
+    mode: str = "overwrite",
+) -> DataFrame:
+    """Materialize a shard assignment as the on-disk layout a data
+    loader reads: ``<path>/data`` partitioned by (group, shard) — one
+    directory per shard, prunable by partition filters — plus the
+    :func:`shard_manifest` at ``<path>/_manifest``. Returns the
+    manifest RE-READ from disk, so the caller's checks run against
+    what was actually written, not the in-memory plan.
+
+    Rows are repartitioned BY the partition keys before the write, so
+    each shard's documents land co-located and each partition
+    directory holds one file per writing task that owns it (without
+    this, ``partitionBy`` fans every input task across every shard
+    directory — tasks × shards tiny files, the classic small-files
+    failure at scale). At 100 TB pair this with
+    ``spark.sql.files.maxRecordsPerFile`` to bound single-file size.
+    """
+    (
+        assigned.repartition(F.col(group_col), F.col("shard"))
+        .write.mode(mode)
+        .partitionBy(group_col, "shard")
+        .parquet(f"{path}/data")
+    )
+    shard_manifest(assigned, group_col=group_col).write.mode(mode).parquet(
+        f"{path}/_manifest"
+    )
+    return assigned.sparkSession.read.parquet(f"{path}/_manifest")

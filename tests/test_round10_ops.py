@@ -749,3 +749,50 @@ class TestIncrementalEmbeddingDedup:
         new, corpus = self.frames(spark)
         with pytest.raises(ValueError):
             incremental_embedding_dedup(new, corpus, method="cosine-ish")
+
+
+class TestWriteShards:
+    """shards.write_shards — on-disk shard layout + manifest roundtrip."""
+
+    def test_roundtrip_and_pruning(self, spark, tmp_path):
+        from kafka_graphs_spark.pipeline.shards import (
+            assign_shards,
+            shard_manifest,
+            write_shards,
+        )
+
+        rows = [
+            (i, "s" + str(i % 2), " ".join(["w"] * (5 + i % 7)))
+            for i in range(200)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        assigned = assign_shards(docs, tokens_per_shard=120, bucket_size=50)
+        out = str(tmp_path / "shards")
+        manifest = write_shards(assigned, out)
+        # manifest on disk == manifest recomputed
+        got = {
+            (r["source"], r["shard"]): (r["n_docs"], r["n_tokens"])
+            for r in manifest.collect()
+        }
+        want = {
+            (r["source"], r["shard"]): (r["n_docs"], r["n_tokens"])
+            for r in shard_manifest(assigned).collect()
+        }
+        assert got == want and len(got) >= 4
+        # data roundtrip: every doc lands in its assigned shard dir
+        data = spark.read.parquet(f"{out}/data")
+        back = {
+            r["doc_id"]: (r["source"], r["shard"]) for r in data.collect()
+        }
+        for r in assigned.collect():
+            assert back[r["doc_id"]] == (r["source"], r["shard"])
+        # partition pruning reaches the scan when filtering one shard
+        plan = (
+            data.filter((F.col("source") == "s0") & (F.col("shard") == 0))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "PartitionFilters: [" in plan and "source" in plan.split(
+            "PartitionFilters"
+        )[1][:200]
