@@ -3925,6 +3925,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             " first_doc_id long, last_doc_id long",
         )
 
+    def doc_fix_text(spark, sf):
+        # encoding-artifact repair (r10, ftfy-lite). The corpus is pure
+        # ASCII, so artifacts are INJECTED in closed form per doc_id
+        # (mojibake prefix chosen by doc_id % 5 + a trailing zero-width
+        # char), then repaired; the oracle rebuilds the expected clean
+        # form directly (mapped prefix + whitespace-collapsed text) —
+        # independent of the repair chain's implementation.
+        from kafka_graphs_spark.pipeline.text import fix_text
+
+        moji = ["\u00e2\u20ac\u2122", "\u00e2\u20ac\u0153",
+                "\u00e2\u20ac\u009d", "\u00e2\u20ac\u201c",
+                "\u00e2\u20ac\u00a6"]
+        docs = datasets.load(spark, sf, "documents")
+        injected = docs.select(
+            "doc_id",
+            F.concat(
+                F.element_at(
+                    F.array(*[F.lit(m) for m in moji]),
+                    (F.col("doc_id") % 5).cast("int") + 1,
+                ),
+                F.lit(" "),
+                F.col("text"),
+                F.lit("\u200b"),
+            ).alias("text"),
+        )
+        return fix_text(injected)
+
     def emb_incremental_dedup(spark, sf):
         # embedding-space ingest dedup (r10 — the SemDeDup twin of
         # doc_incremental_dedup). The synthetic embeddings have no
@@ -4318,6 +4345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_incremental_dedup": doc_incremental_dedup,
         "emb_incremental_dedup": emb_incremental_dedup,
         "doc_shard_roundtrip": doc_shard_roundtrip,
+        "doc_fix_text": doc_fix_text,
         # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL,
         # extended r10 to all 12 structurally no-oracle queries per
         # r9 verdict #4): seeded numerics + rows-only ANN variants
@@ -8093,6 +8121,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT k0.doc_id FROM k0 LEFT JOIN keep ON keep.id = k0.doc_id
             WHERE coalesce(keep.k, k0.doc_id) = k0.doc_id
         """,
+        # fix_text: expected clean form rebuilt directly — the mapped
+        # ASCII for each injected mojibake prefix, then the same
+        # whitespace collapse the repair chain ends with
+        "doc_fix_text": '''
+            SELECT doc_id,
+                   (CASE doc_id % 5 WHEN 0 THEN chr(39)
+                        WHEN 1 THEN '"' WHEN 2 THEN '"'
+                        WHEN 3 THEN '-' ELSE '...' END)
+                   || ' ' || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                   AS fixed_text
+            FROM documents
+        ''',
         # embedding-space ingest dedup: the planted increment (40
         # perturbed copies / 20 negated pairs / 20 negated singletons)
         # rebuilt in closed form, then the GENERIC semantics — corpus

@@ -796,3 +796,55 @@ class TestWriteShards:
         assert "PartitionFilters: [" in plan and "source" in plan.split(
             "PartitionFilters"
         )[1][:200]
+
+
+class TestFixText:
+    """text.fix_text — encoding-artifact repair (ftfy-lite)."""
+
+    def test_mojibake_and_punct_folds(self, spark):
+        from kafka_graphs_spark.pipeline.text import fix_text
+
+        docs = spark.createDataFrame(
+            [
+                (1, "it\u00e2\u20ac\u2122s a \u00e2\u20ac\u0153test\u00e2\u20ac\u009d"),
+                (2, "caf\u00c3\u00a9 \u00e2\u20ac\u201c nice"),
+                (3, "\u2018quoted\u2019 \u201cand\u201d \u2013 dashed \u2026"),
+                (4, "plain ascii stays put"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["fixed_text"] for r in fix_text(docs).collect()}
+        assert out[1] == "it\'s a \"test\""
+        assert out[2] == "caf\u00e9 - nice"
+        assert out[3] == "\'quoted\' \"and\" - dashed ..."
+        assert out[4] == "plain ascii stays put"
+
+    def test_zero_width_and_whitespace(self, spark):
+        from kafka_graphs_spark.pipeline.text import fix_text
+
+        docs = spark.createDataFrame(
+            [(1, "zero\u200bwidth\u00adgone"),
+             (2, "  runs \t of\n whitespace  ")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["fixed_text"] for r in fix_text(docs).collect()}
+        assert out[1] == "zerowidthgone"
+        assert out[2] == "runs of whitespace"
+
+    def test_idempotent(self, spark):
+        from kafka_graphs_spark.pipeline.text import fix_text
+
+        docs = spark.createDataFrame(
+            [(1, "it\u00e2\u20ac\u2122s   fixed\u2026")],
+            "doc_id long, text string",
+        )
+        once = fix_text(docs).withColumnRenamed("fixed_text", "text")
+        twice = {r["doc_id"]: r["fixed_text"] for r in fix_text(once).collect()}
+        assert twice[1] == "it\'s fixed..."
+
+    def test_plan_is_pure_codegen(self, spark):
+        from kafka_graphs_spark.pipeline.text import fix_text
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = fix_text(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
