@@ -3952,6 +3952,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return fix_text(injected)
 
+    def doc_strip_markup(spark, sf):
+        # HTML residue removal (r10): tags + entities injected in
+        # closed form per doc_id over the pure-ASCII corpus (tag name
+        # by doc_id % 4, attribute, entity tail), stripped, checked
+        # against an oracle that rebuilds the expected clean form
+        # DIRECTLY (collapsed text + decoded tail) — independent of the
+        # stripper's implementation.
+        from kafka_graphs_spark.pipeline.text import strip_markup
+
+        docs = datasets.load(spark, sf, "documents")
+        tag = F.element_at(
+            F.array(F.lit("p"), F.lit("div"), F.lit("span"), F.lit("a")),
+            (F.col("doc_id") % 4).cast("int") + 1,
+        )
+        injected = docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("<"), tag, F.lit(' class="x">'),
+                F.col("text"),
+                F.lit("</"), tag, F.lit("> &amp; tail&nbsp;end"),
+            ).alias("text"),
+        )
+        return strip_markup(injected)
+
     def emb_incremental_dedup(spark, sf):
         # embedding-space ingest dedup (r10 — the SemDeDup twin of
         # doc_incremental_dedup). The synthetic embeddings have no
@@ -4346,6 +4370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_incremental_dedup": emb_incremental_dedup,
         "doc_shard_roundtrip": doc_shard_roundtrip,
         "doc_fix_text": doc_fix_text,
+        "doc_strip_markup": doc_strip_markup,
         # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL,
         # extended r10 to all 12 structurally no-oracle queries per
         # r9 verdict #4): seeded numerics + rows-only ANN variants
@@ -8131,6 +8156,14 @@ def oracle_sql() -> dict[str, str]:
                         WHEN 3 THEN '-' ELSE '...' END)
                    || ' ' || trim(regexp_replace(text, '\\s+', ' ', 'g'))
                    AS fixed_text
+            FROM documents
+        ''',
+        # strip_markup: expected clean form rebuilt directly — the
+        # injected wrapper reduces to collapsed text + decoded tail
+        "doc_strip_markup": '''
+            SELECT doc_id,
+                   trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                   || ' & tail end' AS stripped_text
             FROM documents
         ''',
         # embedding-space ingest dedup: the planted increment (40

@@ -63,6 +63,17 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
     # loop machinery (codegen, Arrow workers) so the first timed query
     # measures the engine, not JVM warm-up
     pagerank(ec, max_iterations=1).count()
+    # ... and one 2-edge ALS iteration JITs the Arrow writer for the
+    # flat array<double> factor schema (schema-specific codegen: the
+    # pagerank warm-up does not touch it) — als4 then measures ALS, not
+    # the first-ever Arrow serialization of that schema
+    from kafka_graphs_spark.graph import Graph as _G
+    from kafka_graphs_spark.library import als as _als
+
+    _tiny = spark.createDataFrame(
+        [(0, 1000000, 1.0), (1, 1000001, 2.0)], "src long, dst long, value double"
+    )
+    _als(_G.from_edges(_tiny, F.lit(0.0)), dim=8, iterations=1, seed=11).count()
 
     def src():
         return datasets.chain_sources(spark, sf_dir, 1)[0]

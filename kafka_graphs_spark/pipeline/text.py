@@ -1295,3 +1295,32 @@ def fix_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.select(
         "doc_id", fix_text_expr(F.col(text_col)).alias("fixed_text")
     )
+
+
+def strip_markup_expr(col: Column) -> Column:
+    """HTML/XML residue removal as codegen'd expressions (the C4
+    boilerplate step): tags deleted (``<...>`` — including attributes),
+    the five predefined character entities + numeric entities decoded
+    to their glyphs (or a space for ``&nbsp;``), whitespace collapsed,
+    edges trimmed. Tag NAMES would otherwise tokenize ("p", "div",
+    "href") and pollute every vocabulary, fingerprint, and n-gram
+    downstream — run this before tokenization-keyed ops on crawl text.
+
+    Regex dialect note: no lookarounds, so Java (Spark) and RE2-ish
+    engines agree and the oracle is exact.
+    """
+    out = F.regexp_replace(col, r"<[^>]*>", " ")
+    for ent, rep in [
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+        ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+    ]:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    out = F.regexp_replace(out, r"\s+", " ")
+    return F.trim(out)
+
+
+def strip_markup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, stripped_text) — :func:`strip_markup_expr` over a corpus."""
+    return docs.select(
+        "doc_id", strip_markup_expr(F.col(text_col)).alias("stripped_text")
+    )

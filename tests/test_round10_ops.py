@@ -848,3 +848,48 @@ class TestFixText:
         docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         plan = fix_text(docs)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
+
+
+class TestStripMarkup:
+    """text.strip_markup — HTML residue removal."""
+
+    def test_tags_entities_whitespace(self, spark):
+        from kafka_graphs_spark.pipeline.text import strip_markup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "<p>hello <b>world</b></p>"),
+                (2, 'x <a href="u?a=1&amp;b=2">link</a> y'),
+                (3, "tom &amp; jerry &lt;3 &quot;quoted&quot; &#39;s"),
+                (4, "a&nbsp;b"),
+                (5, "no markup at all"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["stripped_text"] for r in strip_markup(docs).collect()}
+        assert out[1] == "hello world"
+        assert out[2] == "x link y"
+        assert out[3] == 'tom & jerry <3 "quoted" \'s'
+        assert out[4] == "a b"
+        assert out[5] == "no markup at all"
+
+    def test_tokens_change_after_strip(self, spark):
+        from kafka_graphs_spark.pipeline.text import strip_markup, tokens
+
+        docs = spark.createDataFrame(
+            [(1, "<div class=main>body text</div>")],
+            "doc_id long, text string",
+        )
+        raw = docs.select(tokens(F.col("text")).alias("t")).collect()[0]["t"]
+        stripped = strip_markup(docs).select(
+            tokens(F.col("stripped_text")).alias("t")
+        ).collect()[0]["t"]
+        assert "div" in raw and "class" in raw  # tags pollute raw tokens
+        assert stripped == ["body", "text"]
+
+    def test_plan_is_pure_codegen(self, spark):
+        from kafka_graphs_spark.pipeline.text import strip_markup
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = strip_markup(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
