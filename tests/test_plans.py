@@ -643,3 +643,69 @@ class TestRound7AdditionPlans:
         assert plan.count("Exchange hashpartitioning") == 1
         assert "Join" not in plan
         assert "BatchEvalPython" not in plan
+
+
+class TestRound10Plans:
+    """Plan audits for the round-10 operators."""
+
+    def test_domain_token_budget_single_shuffle(self, docs):
+        from kafka_graphs_spark.pipeline.domains import domain_token_budget
+
+        d = docs.withColumn(
+            "url",
+            F.concat(F.lit("https://s"), (F.col("doc_id") % 5).cast("string"),
+                     F.lit(".com/p")),
+        )
+        plan = executed_plan(domain_token_budget(d, 500))
+        # exactly one exchange: the window partitioning on the domain key
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "BatchEvalPython" not in plan
+
+    def test_quantile_summary_no_shuffle(self, docs):
+        from kafka_graphs_spark.streaming import quantile_summary
+
+        plan = executed_plan(quantile_summary(docs, "n_chars", 16))
+        assert "Exchange" not in plan  # per-partition summaries only
+
+    def test_bloom_probe_stays_jvm_side(self, spark, docs):
+        from kafka_graphs_spark.pipeline.bloom import bloom_contamination
+
+        out = bloom_contamination(
+            docs.filter(F.col("doc_id") >= 50),
+            docs.filter(F.col("doc_id") < 50),
+        )
+        plan = executed_plan(out)
+        assert "BatchEvalPython" not in plan
+        assert "xxhash64" in plan.lower()  # the codegen'd probe hashes
+
+    def test_incremental_dedup_joins_are_keyed(self, docs):
+        from kafka_graphs_spark.pipeline.dedup import incremental_dedup
+
+        out = incremental_dedup(
+            docs.filter(F.col("doc_id") >= 400),
+            docs.filter(F.col("doc_id") < 400),
+            threshold=0.05,
+        )
+        plan = executed_plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_fix_text_is_scan_speed(self, docs):
+        from kafka_graphs_spark.pipeline.text import fix_text, strip_markup
+
+        for op in (fix_text, strip_markup):
+            plan = executed_plan(op(docs))
+            assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+    def test_datasheet_stream_partial_aggregation(self, docs):
+        from kafka_graphs_spark.pipeline.datasheet import (
+            corpus_datasheet_stream,
+        )
+
+        d = docs.withColumn(
+            "event_time", F.timestamp_micros(F.col("doc_id") * 60_000_000)
+        )
+        plan = executed_plan(corpus_datasheet_stream(d, "1 hour"))
+        # two HashAggregates around one exchange = map-side combine
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert plan.count("HashAggregate") >= 2
