@@ -155,8 +155,9 @@ class TestSketchNulls:
         assert row["underest_violations"] == 0
         assert row["error_violations"] == 0
         assert row["heavy_missing"] == 0
-        # top1 comes from the EXACT side over all items
-        assert row["top1_id"] == 7 and row["top1_true"] == 30
+        # top1 comes from the EXACT side over all items (item 7 counts
+        # 30 from the hot block + 1 from the range(10) tail = 31)
+        assert row["top1_id"] == 7 and row["top1_true"] == 31
 
     def test_top1_from_exact_side_even_when_not_reported(self, spark):
         from kafka_graphs_spark.streaming.sketches import heavy_hitters_check
