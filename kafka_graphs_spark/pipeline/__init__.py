@@ -20,6 +20,14 @@ First-class engine components for the 100 TB data-curation path:
   curation key space; pure per-row expressions.
 - ``multimodal``: opaque binary columns + typed metadata; Arrow-batched
   decode/feature plumbing with stubbed codecs.
+- ``classifier``: distributed trained quality classifier (bit-exact
+  full-batch logistic regression) + reliability-table calibration.
+- ``bloom``: fixed-size Bloom-filter decontamination gate (distributed
+  bit_or build, codegen'd probes, zero false negatives).
+- ``datasheet``: corpus data card in ONE GROUPING SETS pass, plus the
+  streaming per-window form.
+- ``shards``: deterministic fixed-token-budget shard packing (two-level
+  exact cumsum), manifests, mixture plans, and the partitioned writer.
 
 Every operator is deterministic and (where SQL-expressible) ships with a
 DuckDB oracle in ``__spark_entry__.py``; hashing primitives are md5-based
