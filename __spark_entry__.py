@@ -3976,6 +3976,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return strip_markup(injected)
 
+    def ec_hot_keys(spark, sf):
+        # join-key skew audit (r10): top-10 heaviest keys of the same
+        # deterministically skewed item stream ec_heavy_hitters_inv
+        # sketches (item 7 ~ n/3, item 11 ~ 2n/15, then a ~uniform user
+        # tail) — ranks, counts, and shares all data-derived with real
+        # spread. The report a pipeline runs BEFORE keying a 100 TB
+        # shuffle on a column.
+        from kafka_graphs_spark.pipeline.datasheet import hot_keys
+
+        ev = datasets.load(spark, sf, "events")
+        item = (
+            F.when(F.col("event_id") % 3 == 0, F.lit(7))
+            .when(F.col("event_id") % 5 == 0, F.lit(11))
+            .otherwise(F.col("user_id") + 1000)
+        )
+        return hot_keys(ev.select(item.alias("item")), "item", k=10)
+
     def emb_incremental_dedup(spark, sf):
         # embedding-space ingest dedup (r10 — the SemDeDup twin of
         # doc_incremental_dedup). The synthetic embeddings have no
@@ -4371,6 +4388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shard_roundtrip": doc_shard_roundtrip,
         "doc_fix_text": doc_fix_text,
         "doc_strip_markup": doc_strip_markup,
+        "ec_hot_keys": ec_hot_keys,
         # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL,
         # extended r10 to all 12 structurally no-oracle queries per
         # r9 verdict #4): seeded numerics + rows-only ANN variants
@@ -8165,6 +8183,21 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(text, '\\s+', ' ', 'g'))
                    || ' & tail end' AS stripped_text
             FROM documents
+        ''',
+        # hot-key skew audit over the skewed item stream (closed-form
+        # item construction; rank ties by key asc, nulls first)
+        "ec_hot_keys": '''
+            WITH it AS (SELECT CASE WHEN event_id % 3 = 0 THEN 7
+                                    WHEN event_id % 5 = 0 THEN 11
+                                    ELSE user_id + 1000 END AS key
+                        FROM events),
+            a AS (SELECT key, CAST(count(*) AS BIGINT) AS n_rows
+                  FROM it GROUP BY key),
+            t AS (SELECT key, n_rows,
+                     round(n_rows / (SELECT CAST(sum(n_rows) AS DOUBLE) FROM a), 6) AS share,
+                     CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC NULLS FIRST) AS BIGINT) AS rank
+                  FROM a)
+            SELECT key, n_rows, share, rank FROM t WHERE rank <= 10
         ''',
         # embedding-space ingest dedup: the planted increment (40
         # perturbed copies / 20 negated pairs / 20 negated singletons)

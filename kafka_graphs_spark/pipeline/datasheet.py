@@ -170,3 +170,30 @@ def corpus_datasheet_stream(
             "n_tokens",
         )
     )
+
+
+def hot_keys(df: DataFrame, key_col: str, k: int = 10) -> DataFrame:
+    """(key, n_rows, share, rank) — the ``k`` heaviest values of a
+    would-be join/aggregation key, with their share of all rows: the
+    skew audit run BEFORE keying a 100 TB shuffle on a column (a key
+    holding >1% of a petabyte funnels through one task; this report is
+    how you find out in advance and decide to salt or broadcast).
+
+    One map-side-combinable groupBy on the key; the ranking window runs
+    over the AGGREGATED per-key frame (|distinct keys| rows, never the
+    corpus), and the share division uses the window total — one scan,
+    one shuffle. NULL keys count as a key (NULL skew is the most common
+    real-world case).
+    """
+    from pyspark.sql.window import Window
+
+    agg = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    total = F.sum("n_rows").over(Window.partitionBy())
+    w = Window.orderBy(F.desc("n_rows"), F.asc_nulls_first("key"))
+    return (
+        agg.withColumn("share", F.round(F.col("n_rows") / total, 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

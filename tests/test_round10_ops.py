@@ -894,3 +894,27 @@ class TestStripMarkup:
         docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
         plan = strip_markup(docs)._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
+
+
+class TestHotKeys:
+    """datasheet.hot_keys — join-key skew audit."""
+
+    def test_topk_shares_and_null_key(self, spark):
+        from kafka_graphs_spark.pipeline.datasheet import hot_keys
+
+        rows = [(7,)] * 50 + [(None,)] * 30 + [(1,)] * 15 + [(2,)] * 5
+        df = spark.createDataFrame(rows, "k int")
+        out = {r["rank"]: r for r in hot_keys(df, "k", k=3).collect()}
+        assert len(out) == 3
+        assert out[1]["key"] == 7 and out[1]["n_rows"] == 50
+        assert out[1]["share"] == 0.5
+        assert out[2]["key"] is None and out[2]["n_rows"] == 30
+        assert out[3]["key"] == 1 and out[3]["n_rows"] == 15
+
+    def test_single_shuffle_plan(self, spark):
+        from kafka_graphs_spark.pipeline.datasheet import hot_keys
+
+        df = spark.range(0, 1000, 1, 8).select((F.col("id") % 37).alias("k"))
+        plan = hot_keys(df, "k")._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "BatchEvalPython" not in plan
