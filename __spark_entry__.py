@@ -3993,6 +3993,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return hot_keys(ev.select(item.alias("item")), "item", k=10)
 
+    def doc_curate_report(spark, sf):
+        # gate-by-gate curation funnel (r10): quality 0.7 (drops the 47
+        # score-0.6 docs), blocklist ['dup'] (25 docs carry the token,
+        # some already quality-dropped), then dedup resolution at the
+        # curate composites' 0.05 operating point — every n_in /
+        # n_dropped / n_out data-derived, reconciling exactly with the
+        # chained-CTE oracle's stage counts.
+        from kafka_graphs_spark.pipeline.curate import curate_report
+
+        return curate_report(
+            datasets.load(spark, sf, "documents"),
+            min_score=0.7, n=3, jaccard_threshold=0.05,
+            blocklist=["dup"],
+        )
+
     def emb_incremental_dedup(spark, sf):
         # embedding-space ingest dedup (r10 — the SemDeDup twin of
         # doc_incremental_dedup). The synthetic embeddings have no
@@ -4389,6 +4404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fix_text": doc_fix_text,
         "doc_strip_markup": doc_strip_markup,
         "ec_hot_keys": ec_hot_keys,
+        "doc_curate_report": doc_curate_report,
         # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL,
         # extended r10 to all 12 structurally no-oracle queries per
         # r9 verdict #4): seeded numerics + rows-only ANN variants
@@ -8198,6 +8214,63 @@ def oracle_sql() -> dict[str, str]:
                      CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC NULLS FIRST) AS BIGINT) AS rank
                   FROM a)
             SELECT key, n_rows, share, rank FROM t WHERE rank <= 10
+        ''',
+        # curation funnel: the same quality/blocklist/dedup chain as the
+        # curate composites, but emitting per-stage counts (n_in of a
+        # stage = n_out of the previous)
+        "doc_curate_report": f'''
+            WITH RECURSIVE t AS (SELECT doc_id, {TOKS} AS toks FROM documents),
+            s AS (SELECT doc_id, toks,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS n_stop,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS mtl
+                FROM t),
+            q AS (SELECT doc_id, toks FROM s WHERE
+                (CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE)/n_tokens >= 0.01
+                           AND CAST(n_stop AS DOUBLE)/n_tokens <= 0.5 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.3 ELSE 0.0 END)
+                >= 0.7),
+            b AS (SELECT doc_id, toks FROM q
+                  WHERE NOT list_contains(toks, 'dup')),
+            shx AS (SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) >= 3
+                              THEN list_transform(range(0, len(toks) - 2),
+                                                  i -> array_to_string(toks[i+1:i+3], ' '))
+                              ELSE CAST([] AS VARCHAR[]) END) AS shingle
+                   FROM b),
+            sz AS (SELECT doc_id, count(*) AS sz FROM shx GROUP BY 1),
+            inter AS (SELECT a.doc_id AS doc_a, bb.doc_id AS doc_b, count(*) AS i
+                      FROM shx a JOIN shx bb ON a.shingle = bb.shingle AND a.doc_id < bb.doc_id
+                      GROUP BY 1, 2),
+            prs AS (SELECT doc_a, doc_b FROM inter
+                    JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05),
+            und AS (SELECT doc_a AS s2, doc_b AS d2 FROM prs
+                    UNION SELECT doc_b, doc_a FROM prs),
+            reach(id, r) AS (
+                SELECT s2, s2 FROM und
+                UNION
+                SELECT u2.d2, reach.r FROM reach JOIN und u2 ON u2.s2 = reach.id
+            ),
+            keepm AS (SELECT id, MIN(r) AS k FROM reach GROUP BY id),
+            dd AS (SELECT b.doc_id FROM b LEFT JOIN keepm ON keepm.id = b.doc_id
+                   WHERE coalesce(keepm.k, b.doc_id) = b.doc_id),
+            c0 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+            c1 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+            c2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b),
+            c3 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM dd)
+            SELECT CAST(1 AS BIGINT) AS stage_idx, 'quality_gate' AS stage,
+                   c0.n AS n_in, c0.n - c1.n AS n_dropped, c1.n AS n_out
+            FROM c0, c1
+            UNION ALL
+            SELECT CAST(2 AS BIGINT), 'blocklist', c1.n, c1.n - c2.n, c2.n
+            FROM c1, c2
+            UNION ALL
+            SELECT CAST(3 AS BIGINT), 'dedup_resolve', c2.n, c2.n - c3.n, c3.n
+            FROM c2, c3
         ''',
         # embedding-space ingest dedup: the planted increment (40
         # perturbed copies / 20 negated pairs / 20 negated singletons)

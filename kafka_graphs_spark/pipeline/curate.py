@@ -238,3 +238,89 @@ def curate(
         kept, n=n, threshold=jaccard_threshold, text_col=text_col
     )
     return resolved.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id")
+
+
+def curate_report(
+    docs: DataFrame,
+    min_score: float = 0.6,
+    n: int = 3,
+    jaccard_threshold: float = 0.3,
+    text_col: str = "text",
+    blocklist=None,
+    max_pii=None,
+    max_dup_trigram_frac=None,
+) -> DataFrame:
+    """(stage_idx, stage, n_in, n_dropped, n_out) — the gate-by-gate
+    funnel of a :func:`curate` run: how many documents each gate
+    received, dropped, and passed on, in the exact order curate applies
+    them (quality → blocklist → pii → repetition → dedup resolution).
+    The accounting artifact every production curation job publishes
+    next to its keep list — "which gate is eating my corpus".
+
+    Same gate semantics as :func:`curate` (each stage filters the
+    previous stage's survivors). All stage counts evaluate in ONE
+    action as a union of one-row aggregates; shared chain prefixes may
+    recompute across branches — this is the audit artifact, run it at
+    report time, not per batch.
+    """
+    from kafka_graphs_spark.pipeline.text import (
+        blocklist_filter,
+        pii_stats,
+        quality_score,
+        repetition_stats,
+    )
+
+    stages = [("input", docs)]
+    passed = quality_score(docs, text_col=text_col).filter(
+        F.col("score") >= min_score
+    ).select("doc_id")
+    cur = docs.join(passed, on="doc_id", how="left_semi")
+    stages.append(("quality_gate", cur))
+    if blocklist:
+        blocked = blocklist_filter(cur, blocklist, text_col=text_col).filter(
+            ~F.col("keep")
+        ).select("doc_id")
+        cur = cur.join(blocked, on="doc_id", how="left_anti")
+        stages.append(("blocklist", cur))
+    if max_pii is not None:
+        noisy = pii_stats(cur, text_col=text_col).filter(
+            F.col("n_pii") > max_pii
+        ).select("doc_id")
+        cur = cur.join(noisy, on="doc_id", how="left_anti")
+        stages.append(("pii_gate", cur))
+    if max_dup_trigram_frac is not None:
+        repetitive = repetition_stats(cur, text_col=text_col).filter(
+            F.col("dup_trigram_frac") > max_dup_trigram_frac
+        ).select("doc_id")
+        cur = cur.join(repetitive, on="doc_id", how="left_anti")
+        stages.append(("repetition_gate", cur))
+    resolved = resolve_duplicates(
+        cur, n=n, threshold=jaccard_threshold, text_col=text_col
+    )
+    final = cur.join(
+        resolved.filter(F.col("doc_id") == F.col("keep_id")).select("doc_id"),
+        on="doc_id",
+        how="left_semi",
+    )
+    stages.append(("dedup_resolve", final))
+
+    from pyspark.sql.window import Window
+
+    counts = None
+    for idx, (name, frame) in enumerate(stages):
+        one = frame.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(idx).alias("_i"), F.lit(name).alias("stage"), "n"
+        )
+        counts = one if counts is None else counts.unionByName(one)
+    w = Window.orderBy("_i")
+    return (
+        counts.withColumn("n_in", F.lag("n").over(w))
+        .filter(F.col("_i") > 0)
+        .select(
+            F.col("_i").cast("long").alias("stage_idx"),
+            "stage",
+            F.col("n_in").alias("n_in"),
+            (F.col("n_in") - F.col("n")).alias("n_dropped"),
+            F.col("n").alias("n_out"),
+        )
+    )

@@ -918,3 +918,69 @@ class TestHotKeys:
         plan = hot_keys(df, "k")._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
         assert "BatchEvalPython" not in plan
+
+
+class TestCurateReport:
+    """curate.curate_report — gate-by-gate funnel accounting."""
+
+    def corpus(self, spark):
+        rows = []
+        import random
+
+        rng = random.Random(7)
+        for i in range(12):
+            # 0-9 pass quality with mostly-distinct bodies; 10-11 are
+            # too short (score < 0.7)
+            if i < 10:
+                body = " ".join(
+                    f"w{i}x{rng.randrange(10000)}" for _ in range(12)
+                )
+                text = f"the quick brown fox number{i} " + body
+            else:
+                text = "tiny"
+            rows.append((i, text))
+        # 20/21: blocklisted word; 30/31: exact near-dups of each other
+        rows += [
+            (20, "the quick brown fox says badword and the rest is fine "
+                 "with unique20 filler tokens all around here"),
+            (21, "the quick brown fox says badword too but differently "
+                 "with unique21 filler tokens all around here"),
+            (30, "identical near duplicate content block shared by this "
+                 "pair of documents exactly and completely"),
+            (31, "identical near duplicate content block shared by this "
+                 "pair of documents exactly and completely"),
+        ]
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_funnel_accounting(self, spark):
+        from kafka_graphs_spark.pipeline.curate import curate, curate_report
+
+        docs = self.corpus(spark)
+        rep = {
+            r["stage"]: r
+            for r in curate_report(
+                docs, min_score=0.7, jaccard_threshold=0.6,
+                blocklist=["badword"],
+            ).collect()
+        }
+        assert list(rep) == ["quality_gate", "blocklist", "dedup_resolve"]
+        q = rep["quality_gate"]
+        assert q["n_in"] == 16 and q["n_dropped"] == 2 and q["n_out"] == 14
+        b = rep["blocklist"]
+        assert b["n_in"] == 14 and b["n_dropped"] == 2 and b["n_out"] == 12
+        d = rep["dedup_resolve"]
+        assert d["n_in"] == 12 and d["n_dropped"] == 1 and d["n_out"] == 11
+        # funnel output count == curate() keep-set size, same config
+        kept = curate(
+            docs, min_score=0.7, jaccard_threshold=0.6, blocklist=["badword"]
+        ).count()
+        assert kept == d["n_out"]
+
+    def test_inactive_gates_absent(self, spark):
+        from kafka_graphs_spark.pipeline.curate import curate_report
+
+        docs = self.corpus(spark)
+        stages = [
+            r["stage"] for r in curate_report(docs, min_score=0.7).collect()
+        ]
+        assert stages == ["quality_gate", "dedup_resolve"]
