@@ -186,10 +186,17 @@ class TestRotateWindow:
         tail_name = PERMANENT_TAIL[0]
         registry.append(tail_name)
         last = {"q_old_r1": 1, "q_old_r5": 5, "q_tail": 3}
-        order = compute_order(registry, last)
+        green = {"q_old_r1": True, "q_old_r5": True, "q_tail": True}
+        order = compute_order(registry, last, green)
         assert order[:2] == ["q_new", "q_new2"]          # never-scored first
         assert order[2:5] == ["q_old_r1", "q_tail", "q_old_r5"]  # stalest first
         assert order[-1] == tail_name                     # permanent tail last
+        # red-aware (r9 verdict #1): a scored-but-not-green query
+        # outranks everything, including never-scored
+        green["q_tail"] = False
+        order = compute_order(registry, last, green)
+        assert order[0] == "q_tail"
+        assert order[1:3] == ["q_new", "q_new2"]
 
 
 class TestCurateDomainGate:
