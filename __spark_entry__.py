@@ -3893,11 +3893,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def doc_shard_roundtrip(spark, sf):
-        # shard WRITER path (r10): assign -> write the partitioned
-        # (source, shard) layout + manifest to disk -> return the
-        # manifest RE-READ from parquet. Same oracle arithmetic as
-        # doc_shard_manifest — green means the on-disk artifact carries
-        # the exact planned assignment through the writer and back.
+        # shard WRITER path (r10; r11 hardened): assign -> write the
+        # partitioned (source, shard) layout + manifest to disk ->
+        # return the manifest RECOMPUTED from the re-read DATA files
+        # (partition dirs included). Same oracle arithmetic as
+        # doc_shard_manifest — green means the data files themselves
+        # carry the exact planned assignment through the writer and
+        # back, not merely that the manifest artifact round-tripped.
         import shutil
         import tempfile
 
@@ -3953,12 +3955,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return fix_text(injected)
 
     def doc_strip_markup(spark, sf):
-        # HTML residue removal (r10): tags + entities injected in
-        # closed form per doc_id over the pure-ASCII corpus (tag name
-        # by doc_id % 4, attribute, entity tail), stripped, checked
-        # against an oracle that rebuilds the expected clean form
-        # DIRECTLY (collapsed text + decoded tail) — independent of the
-        # stripper's implementation.
+        # HTML residue removal (r10; r11 hardened): tags + entities
+        # injected in closed form per doc_id over the pure-ASCII corpus
+        # (tag name by doc_id % 4, attribute, entity tail). The tail
+        # now includes the ESCAPED entity '&amp;lt;', which must decode
+        # to the literal '&lt;' — not '<' — i.e. '&amp;' decodes LAST
+        # (the r11 ADVICE fix). Checked against an oracle that rebuilds
+        # the expected clean form DIRECTLY (collapsed text + decoded
+        # tail) — independent of the stripper's implementation.
         from kafka_graphs_spark.pipeline.text import strip_markup
 
         docs = datasets.load(spark, sf, "documents")
@@ -3971,7 +3975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.concat(
                 F.lit("<"), tag, F.lit(' class="x">'),
                 F.col("text"),
-                F.lit("</"), tag, F.lit("> &amp; tail&nbsp;end"),
+                F.lit("</"), tag,
+                F.lit("> x &amp;lt; y &amp; tail&nbsp;end"),
             ).alias("text"),
         )
         return strip_markup(injected)
@@ -6633,7 +6638,8 @@ def oracle_sql() -> dict[str, str]:
             FROM a GROUP BY 1, 2
         """,
         # shard writer roundtrip: same arithmetic as doc_shard_manifest
-        # (the entry returns the manifest re-read from the written files)
+        # (the entry returns the manifest recomputed from the re-read
+        # DATA files, so this oracle checks the written data itself)
         "doc_shard_roundtrip": f"""
             WITH t AS (SELECT doc_id, source,
                            CAST(len({TOKS}) AS BIGINT) AS n_tokens
@@ -8182,22 +8188,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         # fix_text: expected clean form rebuilt directly — the mapped
         # ASCII for each injected mojibake prefix, then the same
-        # whitespace collapse the repair chain ends with
+        # whitespace collapse the repair chain ends with. The OUTER
+        # trim mirrors Spark's trim-of-the-whole-string, so the oracle
+        # stays exact even for empty/whitespace-only document text
+        # (r11 ADVICE fix — previously safe only by corpus invariant).
         "doc_fix_text": '''
             SELECT doc_id,
-                   (CASE doc_id % 5 WHEN 0 THEN chr(39)
+                   trim((CASE doc_id % 5 WHEN 0 THEN chr(39)
                         WHEN 1 THEN '"' WHEN 2 THEN '"'
                         WHEN 3 THEN '-' ELSE '...' END)
-                   || ' ' || trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                   || ' ' || trim(regexp_replace(text, '\\s+', ' ', 'g')))
                    AS fixed_text
             FROM documents
         ''',
         # strip_markup: expected clean form rebuilt directly — the
-        # injected wrapper reduces to collapsed text + decoded tail
+        # injected wrapper reduces to collapsed text + decoded tail.
+        # '&amp;lt;' decodes to the LITERAL '&lt;' (amp decoded last);
+        # outer trim = the empty-text fix as in doc_fix_text above.
         "doc_strip_markup": '''
             SELECT doc_id,
-                   trim(regexp_replace(text, '\\s+', ' ', 'g'))
-                   || ' & tail end' AS stripped_text
+                   trim(trim(regexp_replace(text, '\\s+', ' ', 'g'))
+                   || ' x &lt; y & tail end') AS stripped_text
             FROM documents
         ''',
         # hot-key skew audit over the skewed item stream (closed-form

@@ -167,8 +167,11 @@ def write_shards(
     loader reads: ``<path>/data`` partitioned by (group, shard) — one
     directory per shard, prunable by partition filters — plus the
     :func:`shard_manifest` at ``<path>/_manifest``. Returns the
-    manifest RE-READ from disk, so the caller's checks run against
-    what was actually written, not the in-memory plan.
+    manifest RECOMPUTED from the re-read DATA files (partition columns
+    included), so the caller's checks cover what the data files
+    actually carry — not just the manifest artifact, and not the
+    in-memory plan (r11 ADVICE fix: the previous manifest-only
+    roundtrip verified the artifact, not the data).
 
     Rows are repartitioned BY the partition keys before the write, so
     each shard's documents land co-located and each partition
@@ -187,4 +190,12 @@ def write_shards(
     shard_manifest(assigned, group_col=group_col).write.mode(mode).parquet(
         f"{path}/_manifest"
     )
-    return assigned.sparkSession.read.parquet(f"{path}/_manifest")
+    # verification path: re-read the partitioned DATA and rebuild the
+    # manifest from it. Partition-column types come back from directory
+    # names (group as string, shard as int) — cast shard back to long
+    # so the observed manifest's schema matches the written artifact.
+    data = assigned.sparkSession.read.parquet(f"{path}/data")
+    return shard_manifest(
+        data.withColumn("shard", F.col("shard").cast("long")),
+        group_col=group_col,
+    )

@@ -1308,11 +1308,16 @@ def strip_markup_expr(col: Column) -> Column:
 
     Regex dialect note: no lookarounds, so Java (Spark) and RE2-ish
     engines agree and the oracle is exact.
+
+    Decoding order matters: ``&amp;`` is decoded LAST (the standard
+    entity-decoding order), so escaped entities stay literal — crawl
+    HTML commonly carries ``&amp;lt;`` (code samples, query strings),
+    which must become the literal text ``&lt;``, not ``<``.
     """
     out = F.regexp_replace(col, r"<[^>]*>", " ")
     for ent, rep in [
-        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-        ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'"),
+        ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&"),
     ]:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     out = F.regexp_replace(out, r"\s+", " ")

@@ -874,6 +874,27 @@ class TestStripMarkup:
         assert out[4] == "a b"
         assert out[5] == "no markup at all"
 
+    def test_escaped_entities_stay_literal(self, spark):
+        # r11 ADVICE fix: '&amp;' decodes LAST, so escaped entities
+        # ('&amp;lt;' etc. — common in crawl HTML code samples / query
+        # strings) become the literal entity text, never double-decode.
+        from kafka_graphs_spark.pipeline.text import strip_markup
+
+        docs = spark.createDataFrame(
+            [
+                (1, "a &amp;lt; b"),
+                (2, "x &amp;gt; y &amp;quot;z&amp;quot;"),
+                (3, "&amp;amp; stays one level"),
+                (4, "url?a=1&amp;amp;b=2"),
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r["stripped_text"] for r in strip_markup(docs).collect()}
+        assert out[1] == "a &lt; b"
+        assert out[2] == "x &gt; y &quot;z&quot;"
+        assert out[3] == "&amp; stays one level"
+        assert out[4] == "url?a=1&amp;b=2"
+
     def test_tokens_change_after_strip(self, spark):
         from kafka_graphs_spark.pipeline.text import strip_markup, tokens
 
