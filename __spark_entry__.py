@@ -4159,68 +4159,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evidence is the invariant/loss/recall twins inside the window.
     # ------------------------------------------------------------------
     return {
-        # -- ROUND-10 WINDOW (generated by scripts/rotate_window.py, now
-        # red-aware per the r9 verdict: latest-score-not-green ranks in
-        # tier 1 with never-scored). Slot 1 is doc_blocklist — the only
-        # red row in project history, fixed in r9 source but never
-        # re-scored; slots 2-11 are the ten never-scored round-9
-        # additions; slots 12-50 are the stalest-scored staples (r5/r6).
-        # After this window scores, EVERY oracle-backed query in the
-        # registry has a hash-green driver row at least once. --
-        "doc_blocklist": doc_blocklist,
-        "doc_url_canonical": doc_url_canonical,
-        "doc_url_dedup": doc_url_dedup,
-        "pipeline_curate_url": pipeline_curate_url,
-        "doc_datasheet": doc_datasheet,
-        "doc_shards": doc_shards,
-        "doc_shard_manifest": doc_shard_manifest,
-        "doc_mixture_plan": doc_mixture_plan,
-        "doc_calibration": doc_calibration,
-        "ec_heavy_hitters_inv": ec_heavy_hitters_inv,
-        "pipeline_curate_domain": pipeline_curate_domain,
-        "emb_quantize_inv": emb_quantize_inv,
-        "hier_motifs": hier_motifs,
-        "gen_motifs": gen_motifs,
-        "doc_cross_source_near_dups": doc_cross_source_near_dups,
-        "doc_unigram_logprob": doc_unigram_logprob,
-        "sp_bipartite_proj": sp_bipartite_proj,
-        "sp_ppmi": sp_ppmi,
-        "gen_diameter_path": gen_diameter_path,
-        "gen_diameter_star": gen_diameter_star,
-        "doc_chunks": doc_chunks,
-        "doc_hash_sample": doc_hash_sample,
-        "doc_pii_redact": doc_pii_redact,
-        "doc_split": doc_split,
-        "gen_ktruss_complete": gen_ktruss_complete,
-        "sp_als_loss": sp_als_loss,
-        "sp_sgd_loss": sp_sgd_loss,
-        "sp_svdpp_loss": sp_svdpp_loss,
-        "emb_kmeans_assign": emb_kmeans_assign,
-        "hier_semiclusters_inv": hier_semiclusters_inv,
-        "ec_maxbmatching_inv": ec_maxbmatching_inv,
-        "hier_kcore_inv": hier_kcore_inv,
-        "hier_lcc_pregel": hier_lcc_pregel,
-        "pipeline_curate": pipeline_curate,
-        "pipeline_curate_decontam": pipeline_curate_decontam,
-        "pipeline_curate_gated": pipeline_curate_gated,
-        "dedup_resolve": dedup_resolve,
-        "doc_contamination": doc_contamination,
-        "emb_decontamination": emb_decontamination,
-        "emb_ivf_recall": emb_ivf_recall,
-        "emb_lsh_recall": emb_lsh_recall,
-        "emb_near_dup_lsh_inv": emb_near_dup_lsh_inv,
-        "ec_stream_distinct": ec_stream_distinct,
-        "ec_stream_union": ec_stream_union,
-        "gen_betweenness_star": gen_betweenness_star,
-        "gen_betweenness_path": gen_betweenness_path,
-        "gen_closeness_star": gen_closeness_star,
-        "sp_katz": sp_katz,
-        "sp_hits": sp_hits,
-        "sp_walks": sp_walks,
-        # -- window ends (slot 50) --
-        # -- rotation body: scored-green queries, stalest first
-        # (registry-order ties) — recomputed each round by
-        # scripts/rotate_window.py --
+        # -- ROUND-11 WINDOW (generated by scripts/rotate_window.py):
+        # slots 1-12 are the twelve never-scored round-10 additions
+        # (bloom gate, domain budgets, streaming datasheet, quantile
+        # sketch, incremental dedup x2, shard writer, fix/strip text,
+        # hot_keys, curate_report, domcap composite); slots 13-50 are
+        # the stalest-scored greens (the r6 staple cohort, then r7).
+        # After this window scores, every oracle-backed query in the
+        # 249-registry has a hash-green driver row at least once. --
+        "doc_bloom_contamination": doc_bloom_contamination,
+        "doc_domain_token_budget": doc_domain_token_budget,
+        "pipeline_curate_domcap": pipeline_curate_domcap,
+        "doc_datasheet_stream": doc_datasheet_stream,
+        "doc_quantile_sketch_inv": doc_quantile_sketch_inv,
+        "doc_incremental_dedup": doc_incremental_dedup,
+        "emb_incremental_dedup": emb_incremental_dedup,
+        "doc_shard_roundtrip": doc_shard_roundtrip,
+        "doc_fix_text": doc_fix_text,
+        "doc_strip_markup": doc_strip_markup,
+        "ec_hot_keys": ec_hot_keys,
+        "doc_curate_report": doc_curate_report,
         "hier_n2v_walks": hier_n2v_walks,
         "ec_modularity": ec_modularity,
         "hier_ktruss3": hier_ktruss3,
@@ -4259,6 +4217,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_inv": doc_bpe_inv,
         "doc_bpe_apply_inv": doc_bpe_apply_inv,
         "doc_temperature_sample": doc_temperature_sample,
+        # -- window ends (slot 50) --
+        # -- rotation body: scored-green queries, stalest first
+        # (registry-order ties) — recomputed each round by
+        # scripts/rotate_window.py --
         "doc_weighted_sample": doc_weighted_sample,
         "doc_negative_samples": doc_negative_samples,
         "doc_tfidf_pairs": doc_tfidf_pairs,
@@ -4396,24 +4358,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gen_topo_levels": gen_topo_levels,
         "gen_lp_weighted": gen_lp_weighted,
         "gen_pagerank_weighted": gen_pagerank_weighted,
-        # -- round-10 additions (registered after slot 50 per protocol;
-        # next rotation pulls them into the scored window) --
-        "doc_bloom_contamination": doc_bloom_contamination,
-        "doc_domain_token_budget": doc_domain_token_budget,
-        "pipeline_curate_domcap": pipeline_curate_domcap,
-        "doc_datasheet_stream": doc_datasheet_stream,
-        "doc_quantile_sketch_inv": doc_quantile_sketch_inv,
-        "doc_incremental_dedup": doc_incremental_dedup,
-        "emb_incremental_dedup": emb_incremental_dedup,
-        "doc_shard_roundtrip": doc_shard_roundtrip,
-        "doc_fix_text": doc_fix_text,
-        "doc_strip_markup": doc_strip_markup,
-        "ec_hot_keys": ec_hot_keys,
-        "doc_curate_report": doc_curate_report,
-        # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL,
-        # extended r10 to all 12 structurally no-oracle queries per
-        # r9 verdict #4): seeded numerics + rows-only ANN variants
-        # whose evidence is their invariant/loss/recall twins --
+        "doc_blocklist": doc_blocklist,
+        "doc_url_canonical": doc_url_canonical,
+        "doc_url_dedup": doc_url_dedup,
+        "pipeline_curate_url": pipeline_curate_url,
+        "doc_datasheet": doc_datasheet,
+        "doc_shards": doc_shards,
+        "doc_shard_manifest": doc_shard_manifest,
+        "doc_mixture_plan": doc_mixture_plan,
+        "doc_calibration": doc_calibration,
+        "ec_heavy_hitters_inv": ec_heavy_hitters_inv,
+        "pipeline_curate_domain": pipeline_curate_domain,
+        "emb_quantize_inv": emb_quantize_inv,
+        "hier_motifs": hier_motifs,
+        "gen_motifs": gen_motifs,
+        "doc_cross_source_near_dups": doc_cross_source_near_dups,
+        "doc_unigram_logprob": doc_unigram_logprob,
+        "sp_bipartite_proj": sp_bipartite_proj,
+        "sp_ppmi": sp_ppmi,
+        "gen_diameter_path": gen_diameter_path,
+        "gen_diameter_star": gen_diameter_star,
+        "doc_chunks": doc_chunks,
+        "doc_hash_sample": doc_hash_sample,
+        "doc_pii_redact": doc_pii_redact,
+        "doc_split": doc_split,
+        "gen_ktruss_complete": gen_ktruss_complete,
+        "sp_als_loss": sp_als_loss,
+        "sp_sgd_loss": sp_sgd_loss,
+        "sp_svdpp_loss": sp_svdpp_loss,
+        "emb_kmeans_assign": emb_kmeans_assign,
+        "hier_semiclusters_inv": hier_semiclusters_inv,
+        "ec_maxbmatching_inv": ec_maxbmatching_inv,
+        "hier_kcore_inv": hier_kcore_inv,
+        "hier_lcc_pregel": hier_lcc_pregel,
+        "pipeline_curate": pipeline_curate,
+        "pipeline_curate_decontam": pipeline_curate_decontam,
+        "pipeline_curate_gated": pipeline_curate_gated,
+        "dedup_resolve": dedup_resolve,
+        "doc_contamination": doc_contamination,
+        "emb_decontamination": emb_decontamination,
+        "emb_ivf_recall": emb_ivf_recall,
+        "emb_lsh_recall": emb_lsh_recall,
+        "emb_near_dup_lsh_inv": emb_near_dup_lsh_inv,
+        "ec_stream_distinct": ec_stream_distinct,
+        "ec_stream_union": ec_stream_union,
+        "gen_betweenness_star": gen_betweenness_star,
+        "gen_betweenness_path": gen_betweenness_path,
+        "gen_closeness_star": gen_closeness_star,
+        "sp_katz": sp_katz,
+        "sp_hits": sp_hits,
+        "sp_walks": sp_walks,
+        # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL):
+        # seeded numerics + rows-only ANN variants whose evidence is
+        # their invariant/loss/recall twins inside the window --
         "sp_als_factors": sp_als_factors,
         "sp_sgd_factors": sp_sgd_factors,
         "hier_semiclusters": hier_semiclusters,
