@@ -47,11 +47,31 @@ from kafka_graphs_spark.library._loop import ChainLoop, sized_cache
 _FACTORS_SCHEMA = "id long, vec array<double>"
 
 
-def _init_factors(vertices: DataFrame, dim: int, seed: int) -> DataFrame:
+def _factors_schema(dtype: str) -> str:
+    """Factor-frame schema for the carried representation.
+
+    ``float32`` halves the bytes of everything that moves per
+    half-step — the broadcast/shuffled factor frame AND the flattened
+    ``fvecs`` gather column through Arrow (the dominant ALS cost in the
+    sf1.0 profile, BASELINE.md round 9). The normal-equation solve
+    still runs in float64 inside numpy either way; only the carried
+    factors are rounded once per half-step.
+    """
+    if dtype == "float64":
+        return _FACTORS_SCHEMA
+    if dtype == "float32":
+        return "id long, vec array<float>"
+    raise ValueError(f"dtype must be 'float64' or 'float32', got {dtype!r}")
+
+
+def _init_factors(
+    vertices: DataFrame, dim: int, seed: int, dtype: str = "float64"
+) -> DataFrame:
     """0.01·uniform(dim) per vertex, deterministic per (seed, id).
 
     Reference: Als.java InitUsersComputation (0.01f * rand float).
     """
+    schema = _factors_schema(dtype)
 
     def gen(batches: Iterator) -> Iterator:
         import numpy as np
@@ -59,12 +79,14 @@ def _init_factors(vertices: DataFrame, dim: int, seed: int) -> DataFrame:
 
         for pdf in batches:
             vecs = [
-                (0.01 * np.random.RandomState((seed + int(i)) & 0x7FFFFFFF).rand(dim)).tolist()
+                (0.01 * np.random.RandomState((seed + int(i)) & 0x7FFFFFFF).rand(dim))
+                .astype(dtype)
+                .tolist()
                 for i in pdf["id"]
             ]
             yield pd.DataFrame({"id": pdf["id"], "vec": vecs})
 
-    return vertices.select("id").mapInPandas(gen, schema=_FACTORS_SCHEMA)
+    return vertices.select("id").mapInPandas(gen, schema=schema)
 
 
 def _effective_cap(edges: DataFrame, max_neighbors: Optional[int]) -> Optional[int]:
@@ -93,8 +115,8 @@ def _effective_cap(edges: DataFrame, max_neighbors: Optional[int]) -> Optional[i
 BROADCAST_FACTOR_BYTES = 64 * 1024 * 1024
 
 
-def _fits_broadcast(n_rows: int, dim: int) -> bool:
-    return n_rows * dim * 8 <= BROADCAST_FACTOR_BYTES
+def _fits_broadcast(n_rows: int, dim: int, bytes_per: int = 8) -> bool:
+    return n_rows * dim * bytes_per <= BROADCAST_FACTOR_BYTES
 
 
 def _gathered(
@@ -154,7 +176,7 @@ def _gathered(
     )
 
 
-def _make_solve_batch(dim: int, lambda_: float):
+def _make_solve_batch(dim: int, lambda_: float, dtype: str = "float64"):
     """mapInPandas fn over :func:`_gathered` rows solving the ALS
     normal equations ``(MᵀM + λ·N·I)·x = MᵀR`` per vertex.
 
@@ -203,6 +225,10 @@ def _make_solve_batch(dim: int, lambda_: float):
                 # (solve(A, V) with V of shape (b, dim) is the 1.x-only
                 # stack-of-vectors form; it errors or mis-broadcasts on 2.x)
                 X = np.linalg.solve(A, V)[:, :, 0]
+                if dtype != "float64":
+                    # round ONCE per half-step to the carried width; the
+                    # solve above stayed float64
+                    X = X.astype(dtype)
                 for j, i in enumerate(idx):
                     vec_out[int(i)] = X[j].tolist()
             yield pd.DataFrame({"id": pdf["id"], "vec": vec_out})
@@ -218,14 +244,28 @@ def als(
     rmse_target: Optional[float] = None,
     seed: int = 42,
     max_neighbors: Optional[int] = 1000,
+    dtype: str = "float64",
 ) -> DataFrame:
-    """Alternating least squares → (id, vec array<double>) for users ∪ items.
+    """Alternating least squares → (id, vec array<double|float>) for
+    users ∪ items.
 
     ``graph.edges``: (src=user, dst=item, value=rating); id spaces must be
     disjoint (the reference's CfLongId type byte becomes an id-space
     convention). ``iterations`` counts half-steps (one side updated per
     step, items first), matching the reference's superstep alternation.
+
+    ``dtype='float32'`` carries the factor frames as ``array<float>`` —
+    half the bytes through every per-half-step Arrow transfer and
+    factor shuffle/broadcast, the dominant ALS cost at scale (sf1.0
+    profile, BASELINE.md rounds 9–11). The normal-equation solve stays
+    float64 inside numpy; factors are rounded once per half-step.
+    Reference parity note: the reference's jblas ``FloatMatrix``
+    factors ARE float32 (Als.java:36 uses FloatMatrix throughout), so
+    float32 is the reference-faithful width; float64 stays the default
+    for byte-stability of the existing goldens/loss twins.
     """
+    factors_schema = _factors_schema(dtype)
+    bytes_per = 4 if dtype == "float32" else 8
     edges, release_edges = sized_cache(
         graph.edges.select("src", "dst", F.col("value").cast("double").alias("value"))
     )
@@ -237,14 +277,14 @@ def als(
     n_ratings = edges.count()
     # once per call (not per iteration): gate the gather join's broadcast
     # hint on the actual per-side factor-frame size in BYTES (rows × dim)
-    bc_users = _fits_broadcast(users.count(), dim)
-    bc_items = _fits_broadcast(items.count(), dim)
+    bc_users = _fits_broadcast(users.count(), dim, bytes_per)
+    bc_items = _fits_broadcast(items.count(), dim, bytes_per)
 
-    solve_batch = _make_solve_batch(dim, lambda_)
+    solve_batch = _make_solve_batch(dim, lambda_, dtype)
 
     loop = ChainLoop()
     try:
-        user_f, _ = loop.advance(_init_factors(users, dim, seed))
+        user_f, _ = loop.advance(_init_factors(users, dim, seed, dtype))
         item_f = None
 
         dot = F.aggregate(
@@ -258,13 +298,13 @@ def als(
             if step % 2 == 0:  # update items from user factors (original direction)
                 item_f, _ = loop.advance(
                     _gathered(edges, user_f, cap_items, broadcast=bc_users).mapInPandas(
-                        solve_batch, schema=_FACTORS_SCHEMA
+                        solve_batch, schema=factors_schema
                     )
                 )
             else:  # update users from item factors (reverse direction)
                 user_f, _ = loop.advance(
                     _gathered(rev, item_f, cap_users, broadcast=bc_items).mapInPandas(
-                        solve_batch, schema=_FACTORS_SCHEMA
+                        solve_batch, schema=factors_schema
                     )
                 )
             if rmse_target is not None and item_f is not None:

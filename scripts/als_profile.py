@@ -52,6 +52,8 @@ def main():
 
     user_f = _init_factors(users, dim, 11).persist()
     user_f.count()
+    user_f32 = _init_factors(users, dim, 11, dtype="float32").persist()
+    user_f32.count()
 
     # isolate the gather+solve half-step (items side), warm, reps times,
     # in BOTH representations: the pre-r10 nested array<array<double>>
@@ -99,6 +101,8 @@ def main():
                     vec_out[int(i)] = X[j].tolist()
             yield pd.DataFrame({"id": pdf["id"], "vec": vec_out})
 
+    from kafka_graphs_spark.library.cf import _factors_schema
+
     for i in range(reps):
         t0 = time.time()
         nested_gathered().mapInPandas(nested_solve, schema=_FACTORS_SCHEMA).count()
@@ -107,12 +111,25 @@ def main():
         g = _gathered(edges, user_f, max_neighbors=None, broadcast=True)
         g.mapInPandas(cf._make_solve_batch(dim, 0.01), schema=_FACTORS_SCHEMA).count()
         tf = time.time() - t0
-        print(f"half-step rep {i}: nested={tn:.2f}s flat={tf:.2f}s", flush=True)
+        # r11 arm: float32-carried factors — half the Arrow bytes in the
+        # flattened fvecs gather column AND the broadcast factor frame
+        t0 = time.time()
+        g32 = _gathered(edges, user_f32, max_neighbors=None, broadcast=True)
+        g32.mapInPandas(
+            cf._make_solve_batch(dim, 0.01, dtype="float32"),
+            schema=_factors_schema("float32"),
+        ).count()
+        t32 = time.time() - t0
+        print(f"half-step rep {i}: nested={tn:.2f}s flat={tf:.2f}s float32={t32:.2f}s", flush=True)
 
     # end-to-end 4-iteration als for the headline number
     t0 = time.time()
     als(Graph.from_edges(edges, F.lit(0.0)), dim=dim, iterations=4, seed=11).count()
     print(f"als iterations=4 end-to-end: {time.time()-t0:.2f}s")
+    t0 = time.time()
+    als(Graph.from_edges(edges, F.lit(0.0)), dim=dim, iterations=4, seed=11,
+        dtype="float32").count()
+    print(f"als iterations=4 end-to-end (float32): {time.time()-t0:.2f}s")
     spark.stop()
 
 

@@ -387,6 +387,33 @@ class TestCollaborativeFiltering:
         b = {r["id"]: r["vec"] for r in als(g, dim=2, iterations=3, seed=9).collect()}
         assert a == b
 
+    def test_als_float32_matches_float64(self, spark):
+        # r11: dtype='float32' carries factors as array<float> (half the
+        # per-half-step Arrow/shuffle bytes; the reference's jblas
+        # FloatMatrix is float32 anyway). The solve stays float64, so
+        # after a few iterations factors agree to float32 precision and
+        # the fit converges identically.
+        from kafka_graphs_spark.library import als, predict
+
+        g = self._graph(spark)
+        f64 = {r["id"]: r["vec"]
+               for r in als(g, dim=2, lambda_=0.001, iterations=6, seed=7).collect()}
+        fdf = als(g, dim=2, lambda_=0.001, iterations=6, seed=7, dtype="float32")
+        assert fdf.schema["vec"].dataType.simpleString() == "array<float>"
+        f32 = {r["id"]: r["vec"] for r in fdf.collect()}
+        assert set(f64) == set(f32)
+        for k in f64:
+            for a, b in zip(f64[k], f32[k]):
+                assert abs(a - b) <= 1e-4 * max(1.0, abs(a))
+        preds = predict(fdf, g.edges).collect()
+        assert self._rmse(preds) < 0.05
+
+    def test_als_dtype_validated(self, spark):
+        from kafka_graphs_spark.library import als
+
+        with pytest.raises(ValueError):
+            als(self._graph(spark), dim=2, iterations=1, dtype="float16")
+
     def test_sgd_improves(self, spark):
         from kafka_graphs_spark.library import predict, sgd
 
