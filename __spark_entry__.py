@@ -3998,6 +3998,70 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return hot_keys(ev.select(item.alias("item")), "item", k=10)
 
+    def ec_hot_keys_stream(spark, sf):
+        # ONLINE skew monitor (r11): the streaming twin of ec_hot_keys —
+        # the same deterministically skewed item stream replayed as a
+        # REAL 3-file multi-batch update-mode stream, per-7-day-window
+        # running counts (ONE windowed stateful agg, watermark-evicted
+        # state), then the per-window top-5 ranked in the batch
+        # finalizer over the monotone emissions (per-key max). Oracle is
+        # the closed-form per-window top-k over the same item and
+        # epoch-aligned window arithmetic.
+        import shutil
+        import tempfile
+
+        from kafka_graphs_spark.streaming import (
+            finalize_hot_keys,
+            streaming_hot_keys,
+        )
+
+        ev = datasets.load(spark, sf, "events")
+        item = (
+            F.when(F.col("event_id") % 3 == 0, F.lit(7))
+            .when(F.col("event_id") % 5 == 0, F.lit(11))
+            .otherwise(F.col("user_id") + 1000)
+        )
+        base = ev.select(item.cast("long").alias("item"), "ts")
+        dirs = {}
+        rows: list = []
+        try:
+            d = tempfile.mkdtemp(prefix="kgs_hk_src_")
+            dirs["src"] = d
+            base.repartition(3).write.mode("overwrite").parquet(d)
+            ckpt = tempfile.mkdtemp(prefix="kgs_hk_ckpt_")
+            dirs["ckpt"] = ckpt
+            stream = (
+                spark.readStream.schema("item long, ts timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d)
+            )
+            counts = streaming_hot_keys(
+                stream, "item", "ts", "7 days", watermark="3650 days"
+            )
+
+            def sink(batch_df, _bid):
+                rows.extend(batch_df.collect())
+
+            q = (
+                counts.writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            # never rmtree under a live query (see ec_stream_join)
+            if not q.awaitTermination(600):
+                q.stop()
+                raise TimeoutError("ec_hot_keys_stream: query exceeded 600s")
+        finally:
+            for p in dirs.values():
+                shutil.rmtree(p, ignore_errors=True)
+        emissions = spark.createDataFrame(
+            [(r["window_start"], r["key"], r["n_rows"]) for r in rows],
+            "window_start long, key long, n_rows long",
+        )
+        return finalize_hot_keys(emissions, k=5)
+
     def doc_curate_report(spark, sf):
         # gate-by-gate curation funnel (r10): quality 0.7 (drops the 47
         # score-0.6 docs), blocklist ['dup'] (25 docs carry the token,
@@ -4408,6 +4472,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_katz": sp_katz,
         "sp_hits": sp_hits,
         "sp_walks": sp_walks,
+        # -- round-11 additions (registered after slot 50 per protocol;
+        # next rotation pulls them into the scored window) --
+        "ec_hot_keys_stream": ec_hot_keys_stream,
         # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL):
         # seeded numerics + rows-only ANN variants whose evidence is
         # their invariant/loss/recall twins inside the window --
@@ -8222,6 +8289,30 @@ def oracle_sql() -> dict[str, str]:
                      CAST(row_number() OVER (ORDER BY n_rows DESC, key ASC NULLS FIRST) AS BIGINT) AS rank
                   FROM a)
             SELECT key, n_rows, share, rank FROM t WHERE rank <= 10
+        ''',
+        # online skew monitor: per-7-day-window (epoch-aligned tumbling,
+        # same arithmetic as Spark's F.window) top-5 heavy keys of the
+        # skewed item stream — closed-form item construction, ranks/
+        # shares per window; batch parity of the streaming entry
+        "ec_hot_keys_stream": '''
+            WITH it AS (SELECT CASE WHEN event_id % 3 = 0 THEN 7
+                                    WHEN event_id % 5 = 0 THEN 11
+                                    ELSE user_id + 1000 END AS key,
+                               CAST(floor(epoch(ts) / 604800) * 604800
+                                    AS BIGINT) AS window_start
+                        FROM events),
+            a AS (SELECT window_start, key,
+                         CAST(count(*) AS BIGINT) AS n_rows
+                  FROM it GROUP BY 1, 2),
+            t AS (SELECT window_start, key, n_rows,
+                     round(n_rows / CAST(sum(n_rows) OVER
+                         (PARTITION BY window_start) AS DOUBLE), 6) AS share,
+                     CAST(row_number() OVER (PARTITION BY window_start
+                         ORDER BY n_rows DESC, key ASC NULLS FIRST)
+                         AS BIGINT) AS rank
+                  FROM a)
+            SELECT window_start, key, n_rows, share, rank
+            FROM t WHERE rank <= 5
         ''',
         # curation funnel: the same quality/blocklist/dedup chain as the
         # curate composites, but emitting per-stage counts (n_in of a

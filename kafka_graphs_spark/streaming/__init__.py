@@ -26,10 +26,12 @@ from kafka_graphs_spark.streaming.library import (
 from kafka_graphs_spark.streaming.joins import stream_interval_join
 from kafka_graphs_spark.streaming.sketches import (
     heavy_hitters_check,
+    finalize_hot_keys,
     misra_gries,
     quantile_estimates,
     quantile_sketch_check,
     quantile_summary,
+    streaming_hot_keys,
 )
 from kafka_graphs_spark.streaming.incremental import (
     lp_windowed_incremental,
@@ -73,6 +75,8 @@ __all__ = [
     "AdjacencyListGraph",
     "stream_interval_join",
     "misra_gries",
+    "streaming_hot_keys",
+    "finalize_hot_keys",
     "heavy_hitters_check",
     "quantile_summary",
     "quantile_estimates",

@@ -330,3 +330,76 @@ def quantile_sketch_check(
             ).alias("within_bound"),
         )
     )
+
+
+def streaming_hot_keys(
+    stream: DataFrame,
+    key_col: str,
+    ts_col: str,
+    window_duration: str,
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Per-window running key counts over a watermarked stream —
+    the streaming stage of the online skew monitor (the online twin of
+    the batch :func:`~kafka_graphs_spark.pipeline.datasheet.hot_keys`
+    audit: watch a would-be join/aggregation key for emerging hot
+    values WHILE the data arrives, instead of discovering the skew in
+    a post-mortem).
+
+    Returns an update-mode streaming frame ``(window_start, key,
+    n_rows)`` — epoch-aligned tumbling windows over ``ts_col``, ONE
+    windowed stateful aggregation (map-side combinable count), state
+    bounded by (active windows × distinct keys per window) with closed
+    windows evicted by the watermark. NULL keys count as a key (NULL
+    skew is the most common real case). Feed the emissions to
+    :func:`finalize_hot_keys` for the per-window top-k report (counts
+    are monotone across re-emissions, so the finalizer takes the
+    per-key max — the incremental-tier recipe).
+
+    Scale ceiling, stated honestly: per-window state is the DISTINCT
+    key count, which for an adversarial key column (e.g. a UUID) is
+    the window's row count. When that bound is unacceptable, compose
+    with the Misra-Gries sketch instead of this exact count: run
+    :func:`misra_gries` per window inside a ``foreachBatch`` sink and
+    sum the per-batch summaries by (window, key) — MG partials are
+    mergeable (module docstring), so the summed estimates undercount
+    by at most ``2·n_w/(k+1)`` per window and every key heavier than
+    that still surfaces. The exact operator here is the right default:
+    real join keys (user ids, URLs, domains) have per-window
+    cardinalities that fit state comfortably, and the report is exact.
+    """
+    win = F.window(F.col(ts_col), window_duration)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("_w"), F.col(key_col).alias("key"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+        .select(
+            F.col("_w.start").cast("long").alias("window_start"),
+            "key",
+            "n_rows",
+        )
+    )
+
+
+def finalize_hot_keys(emissions: DataFrame, k: int = 10) -> DataFrame:
+    """(window_start, key, n_rows, share, rank) — per-window top-k from
+    :func:`streaming_hot_keys` update-mode emissions.
+
+    Counts are monotone across re-emissions of the same (window, key),
+    so the per-key MAX is the final count; the ranking window then runs
+    over the AGGREGATED per-(window,key) frame only (never the event
+    stream), partitioned by window — the same one-small-shuffle shape
+    as the batch ``hot_keys`` audit, per window.
+    """
+    agg = emissions.groupBy("window_start", "key").agg(
+        F.max("n_rows").alias("n_rows")
+    )
+    total = F.sum("n_rows").over(Window.partitionBy("window_start"))
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_rows"), F.asc_nulls_first("key")
+    )
+    return (
+        agg.withColumn("share", F.round(F.col("n_rows") / total, 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
