@@ -4062,6 +4062,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return finalize_hot_keys(emissions, k=5)
 
+    def _license_injected(docs):
+        # shared injection for the r11 license tier: the pure-ASCII
+        # corpus carries no reuse signals (verified 0 hits at all SFs),
+        # so robots meta / CC URLs / SPDX / rights boilerplate are
+        # injected in closed form per doc_id — the oracle rebuilds the
+        # expected signals from doc_id arithmetic alone, independent of
+        # the extractor's regexes. Injections join the text BOTH sides,
+        # so downstream token stats stay in exact parity.
+        prefix = (
+            F.when(F.col("doc_id") % 7 == 0,
+                   F.lit('<meta name="robots" content="noindex, follow"> '))
+            .when(F.col("doc_id") % 7 == 1,
+                  F.lit('<meta name="robots" content="index, follow"> '))
+            .when(F.col("doc_id") % 7 == 2,
+                  # must NOT match: directive tokens are whole-token
+                  F.lit('<meta name="robots" content="noindexing"> '))
+            .otherwise(F.lit(""))
+        )
+        tail = (
+            F.when(F.col("doc_id") % 5 == 0,
+                   F.lit(" https://creativecommons.org/licenses/by/4.0/"))
+            .when(F.col("doc_id") % 5 == 1,
+                  F.lit(" https://creativecommons.org/licenses/by-nc/4.0/"))
+            .when(F.col("doc_id") % 5 == 2,
+                  F.lit(" https://creativecommons.org/publicdomain/zero/1.0/"))
+            .when(F.col("doc_id") % 5 == 3,
+                  F.lit(" SPDX-License-Identifier: MIT"))
+            .otherwise(F.lit(""))
+        )
+        rights = F.when(
+            F.col("doc_id") % 11 == 0, F.lit(" All Rights Reserved.")
+        ).otherwise(F.lit(""))
+        return docs.withColumn(
+            "text", F.concat(prefix, F.col("text"), tail, rights)
+        )
+
+    def doc_license_signals(spark, sf):
+        # reuse-signal extraction (r11): robots meta content + opt-out,
+        # CC license slug, SPDX id, rights boilerplate — all from the
+        # closed-form injection above; scan-speed expressions only.
+        from kafka_graphs_spark.pipeline.licenses import license_signals
+
+        return license_signals(
+            _license_injected(datasets.load(spark, sf, "documents"))
+        )
+
+    def pipeline_curate_licensed(spark, sf):
+        # curation with the reuse-policy gate (r11): quality -> honor
+        # robots opt-outs + permissive-CC allowlist -> dedup. Drops
+        # doc_id%7==0 (noindex) and doc_id%5==1 (by-nc) among quality
+        # survivors; both sides run the chain over the SAME injected
+        # text, so token stats and shingles stay in exact parity.
+        from kafka_graphs_spark.pipeline.curate import curate
+        from kafka_graphs_spark.pipeline.licenses import PERMISSIVE_CC
+
+        return curate(
+            _license_injected(datasets.load(spark, sf, "documents")),
+            min_score=0.6, n=3, jaccard_threshold=0.05,
+            respect_robots=True, license_allow=list(PERMISSIVE_CC),
+        )
+
     def doc_curate_report(spark, sf):
         # gate-by-gate curation funnel (r10): quality 0.7 (drops the 47
         # score-0.6 docs), blocklist ['dup'] (25 docs carry the token,
@@ -4475,6 +4536,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-11 additions (registered after slot 50 per protocol;
         # next rotation pulls them into the scored window) --
         "ec_hot_keys_stream": ec_hot_keys_stream,
+        "doc_license_signals": doc_license_signals,
+        "pipeline_curate_licensed": pipeline_curate_licensed,
         # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL):
         # seeded numerics + rows-only ANN variants whose evidence is
         # their invariant/loss/recall twins inside the window --
@@ -8290,6 +8353,83 @@ def oracle_sql() -> dict[str, str]:
                   FROM a)
             SELECT key, n_rows, share, rank FROM t WHERE rank <= 10
         ''',
+        # reuse-signal extraction: every signal rebuilt in closed form
+        # from the doc_id injection arithmetic — independent of the
+        # extractor's regexes
+        "doc_license_signals": '''
+            SELECT doc_id,
+                   CASE doc_id % 7 WHEN 0 THEN 'noindex, follow'
+                        WHEN 1 THEN 'index, follow'
+                        WHEN 2 THEN 'noindexing' ELSE '' END AS robots,
+                   doc_id % 7 = 0 AS opted_out,
+                   CASE doc_id % 5 WHEN 0 THEN 'by' WHEN 1 THEN 'by-nc'
+                        WHEN 2 THEN 'zero' ELSE '' END AS cc_license,
+                   CASE WHEN doc_id % 5 = 3 THEN 'MIT' ELSE '' END AS spdx,
+                   doc_id % 11 = 0 AS rights_reserved
+            FROM documents
+        ''',
+        # curation with the reuse-policy gate: the SAME injected text
+        # drives quality + shingles on both sides (exact token parity);
+        # the gate itself is closed-form (drops doc_id%7==0 noindex and
+        # doc_id%5==1 by-nc), then the standard dedup chain
+        "pipeline_curate_licensed": f"""
+            WITH RECURSIVE documents2 AS (SELECT doc_id,
+                (CASE doc_id % 7
+                     WHEN 0 THEN '<meta name="robots" content="noindex, follow"> '
+                     WHEN 1 THEN '<meta name="robots" content="index, follow"> '
+                     WHEN 2 THEN '<meta name="robots" content="noindexing"> '
+                     ELSE '' END)
+                || text ||
+                (CASE doc_id % 5
+                     WHEN 0 THEN ' https://creativecommons.org/licenses/by/4.0/'
+                     WHEN 1 THEN ' https://creativecommons.org/licenses/by-nc/4.0/'
+                     WHEN 2 THEN ' https://creativecommons.org/publicdomain/zero/1.0/'
+                     WHEN 3 THEN ' SPDX-License-Identifier: MIT'
+                     ELSE '' END)
+                || (CASE WHEN doc_id % 11 = 0 THEN ' All Rights Reserved.'
+                         ELSE '' END) AS text
+                FROM documents),
+            t AS (SELECT doc_id, {TOKS} AS toks FROM documents2),
+            s AS (SELECT doc_id,
+                CAST(len(toks) AS INTEGER) AS n_tokens,
+                len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS n_stop,
+                CASE WHEN len(toks) > 0
+                     THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                     ELSE 0.0 END AS mtl
+                FROM t),
+            q AS (SELECT doc_id FROM s WHERE
+                (CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE)/n_tokens >= 0.01
+                           AND CAST(n_stop AS DOUBLE)/n_tokens <= 0.5 THEN 0.4 ELSE 0.0 END
+                 + CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 0.3 ELSE 0.0 END
+                 + CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.3 ELSE 0.0 END)
+                >= 0.6),
+            g AS (SELECT doc_id FROM q
+                  WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 1),
+            kt AS (SELECT t.doc_id, t.toks FROM t JOIN g USING (doc_id)),
+            sh AS (SELECT DISTINCT doc_id,
+                       unnest(CASE WHEN len(toks) >= 3
+                              THEN list_transform(range(0, len(toks) - 2),
+                                                  i -> array_to_string(toks[i+1:i+3], ' '))
+                              ELSE CAST([] AS VARCHAR[]) END) AS shingle
+                   FROM kt),
+            sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+            inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+                      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2),
+            prs AS (SELECT doc_a, doc_b FROM inter
+                    JOIN sz sa ON sa.doc_id = doc_a JOIN sz sb ON sb.doc_id = doc_b
+                    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.05),
+            und AS (SELECT doc_a AS s, doc_b AS d FROM prs
+                    UNION SELECT doc_b, doc_a FROM prs),
+            reach(id, r) AS (
+                SELECT s, s FROM und
+                UNION
+                SELECT u.d, reach.r FROM reach JOIN und u ON u.s = reach.id
+            ),
+            keep AS (SELECT id, MIN(r) AS k FROM reach GROUP BY id)
+            SELECT g.doc_id FROM g LEFT JOIN keep ON keep.id = g.doc_id
+            WHERE coalesce(keep.k, g.doc_id) = g.doc_id
+        """,
         # online skew monitor: per-7-day-window (epoch-aligned tumbling,
         # same arithmetic as Spark's F.window) top-5 heavy keys of the
         # skewed item stream — closed-form item construction, ranks/

@@ -44,6 +44,7 @@ from kafka_graphs_spark.pipeline import (
     domains,
     events,
     features,
+    licenses,
     multimodal,
     relational,
     sample,
@@ -53,4 +54,4 @@ from kafka_graphs_spark.pipeline import (
     text,
 )
 
-__all__ = ["text", "dedup", "domains", "similarity", "multimodal", "curate", "sample", "sessions", "events", "bpe", "features", "relational", "datasheet", "shards", "classifier", "bloom"]
+__all__ = ["text", "dedup", "domains", "similarity", "multimodal", "curate", "sample", "sessions", "events", "bpe", "features", "relational", "datasheet", "shards", "classifier", "bloom", "licenses"]

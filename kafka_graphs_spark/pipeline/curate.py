@@ -45,6 +45,9 @@ def curate(
     url_col: str = "url",
     max_docs_per_domain: Optional[int] = None,
     max_tokens_per_domain: Optional[int] = None,
+    respect_robots: bool = False,
+    license_allow=None,
+    require_license: bool = False,
 ) -> DataFrame:
     """(doc_id) — documents that pass the quality gate, are not
     benchmark-contaminated (when ``benchmark`` is given), pass the
@@ -92,6 +95,12 @@ def curate(
     and the token budget sees only cap survivors. Host-less documents
     (registered domain ``''``) pass both budgets unconditionally. Both
     require a URL column.
+
+    ``respect_robots`` / ``license_allow`` / ``require_license``: the
+    reuse-policy gate (:func:`~kafka_graphs_spark.pipeline.licenses.license_gate`):
+    honor robots meta opt-outs (noindex/noarchive/none), enforce a
+    CC-license allowlist on license-carrying documents, or keep only
+    affirmatively-licensed documents. Pre-dedup, zero shuffles.
 
     ``url_dedup_first``: when True, URL-level deduplication
     (:func:`~kafka_graphs_spark.pipeline.domains.url_dedup` — one
@@ -161,6 +170,22 @@ def curate(
             ~F.col("keep")
         ).select("doc_id")
         kept = kept.join(blocked, on="doc_id", how="left_anti")
+    if respect_robots or license_allow is not None or require_license:
+        # reuse-policy gate (r11 — the C4 licence-filter shape): robots
+        # meta opt-outs honored, CC-license allowlist enforced,
+        # optionally only affirmatively-licensed documents kept. A
+        # zero-shuffle per-row expression gate, so like every narrow
+        # gate it runs pre-dedup and shrinks pair generation.
+        from kafka_graphs_spark.pipeline.licenses import license_gate
+
+        licensed = license_gate(
+            kept,
+            text_col=text_col,
+            respect_robots=respect_robots,
+            license_allow=license_allow,
+            require_license=require_license,
+        ).filter(F.col("keep")).select("doc_id")
+        kept = kept.join(licensed, on="doc_id", how="left_semi")
     if blocked_domains:
         from kafka_graphs_spark.pipeline.domains import domain_blocklist
 

@@ -1,0 +1,133 @@
+"""Robots / license signal extraction and the responsible-crawl gate.
+
+Beyond-reference pipeline tier (r11). The C4-style licence filter: a
+crawl corpus carries machine-readable reuse signals — robots meta
+directives (``noindex``/``noarchive``: the publisher's opt-out),
+Creative Commons license URLs, SPDX identifiers, and the "all rights
+reserved" boilerplate — and a training-data pipeline must read them
+per-document BEFORE anything expensive runs.
+
+Everything here is a codegen'd per-row expression over the raw text
+(``regexp_extract`` / ``contains`` / ``lower``) — scan speed at 100 TB,
+no shuffle, no Python. The regex dialect avoids lookarounds so Java
+(Spark) and RE2-based engines agree and the signals are exactly
+oracle-checkable.
+
+Extraction is intentionally conservative and DOCUMENTED rather than
+exhaustive: the robots regex reads the canonical
+``<meta name="robots" content="...">`` attribute order (the form
+real-world emitters overwhelmingly produce); a signal the regex cannot
+see is treated as absent, and :func:`license_gate` decides what absent
+means (``require_license`` flips the default from allow to deny).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: robots content directives that opt a page out of indexing/archival —
+#: a responsible crawl pipeline honors them (the "none" directive is
+#: shorthand for noindex,nofollow per the robots-meta spec)
+OPT_OUT_DIRECTIVES = ("noindex", "noarchive", "none")
+
+#: permissive Creative Commons license slugs a training pipeline can
+#: typically keep without share-alike/no-derivative complications
+PERMISSIVE_CC = ("by", "by-sa", "zero", "publicdomain")
+
+_ROBOTS_RE = r'<meta\s+name="robots"\s+content="([^"]*)"'
+_CC_RE = r"creativecommons\.org/(?:licenses|publicdomain)/([a-z-]+)"
+_SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+
+
+def robots_content_expr(col: Column) -> Column:
+    """The raw ``content`` attribute of the first canonical robots meta
+    tag ('' when absent)."""
+    return F.regexp_extract(F.lower(col), _ROBOTS_RE, 1)
+
+
+def license_signals(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, robots, opted_out, cc_license, spdx, rights_reserved) —
+    the per-document reuse-signal table.
+
+    - ``robots``: content of the canonical robots meta tag ('' if none);
+    - ``opted_out``: robots carries any of :data:`OPT_OUT_DIRECTIVES`
+      as a whole comma-separated token (``noindexing`` must NOT match);
+    - ``cc_license``: Creative Commons slug from the first license URL
+      ('' if none) — e.g. ``by``, ``by-nc-sa``, ``zero``;
+    - ``spdx``: first SPDX-License-Identifier value ('' if none);
+    - ``rights_reserved``: the "all rights reserved" boilerplate
+      (case-insensitive) appears.
+    """
+    text = F.col(text_col)
+    robots = robots_content_expr(text)
+    # whole-token membership over the comma-separated directive list:
+    # split on commas, trim each token, compare exact — 'noindexing'
+    # never matches 'noindex'
+    tokens = F.transform(
+        F.split(robots, ","), lambda t: F.trim(t)
+    )
+    opted_out = F.arrays_overlap(
+        tokens, F.array(*[F.lit(d) for d in OPT_OUT_DIRECTIVES])
+    ) & (robots != "")
+    return docs.select(
+        "doc_id",
+        robots.alias("robots"),
+        F.coalesce(opted_out, F.lit(False)).alias("opted_out"),
+        F.regexp_extract(F.lower(text), _CC_RE, 1).alias("cc_license"),
+        F.regexp_extract(text, _SPDX_RE, 1).alias("spdx"),
+        F.contains(F.lower(text), F.lit("all rights reserved")).alias(
+            "rights_reserved"
+        ),
+    )
+
+
+def license_gate(
+    docs: DataFrame,
+    text_col: str = "text",
+    respect_robots: bool = True,
+    license_allow: Optional[Sequence[str]] = None,
+    require_license: bool = False,
+    drop_rights_reserved: bool = False,
+) -> DataFrame:
+    """(doc_id, keep) — the reuse-policy gate over
+    :func:`license_signals`.
+
+    A document is kept unless a signal says otherwise:
+
+    - ``respect_robots``: drop documents whose robots meta opts out
+      (noindex/noarchive/none) — the publisher said no;
+    - ``license_allow`` (e.g. :data:`PERMISSIVE_CC`): when given, a
+      document CARRYING a CC license must carry one of these slugs —
+      an unlisted license (by-nc, by-nd, …) drops the document;
+    - ``require_license``: flip the no-signal default — documents
+      without any CC/SPDX license signal are dropped (the
+      licensed-corpus build, where only affirmatively-licensed pages
+      may enter);
+    - ``drop_rights_reserved``: drop on the "all rights reserved"
+      boilerplate (strict mode; off by default because the phrase is
+      boilerplate on many pages whose actual terms allow use).
+
+    One scan, zero shuffles — compose with ``curate()`` via
+    ``respect_robots=True, license_allow=[...]`` so the gate shrinks
+    the expensive pair stage like every other narrow gate.
+    """
+    sig = license_signals(docs, text_col=text_col)
+    keep = F.lit(True)
+    if respect_robots:
+        keep = keep & ~F.col("opted_out")
+    if license_allow is not None:
+        allowed = F.array(*[F.lit(s) for s in license_allow])
+        keep = keep & (
+            (F.col("cc_license") == "")
+            | F.array_contains(allowed, F.col("cc_license"))
+        )
+    if require_license:
+        keep = keep & ((F.col("cc_license") != "") | (F.col("spdx") != ""))
+    if drop_rights_reserved:
+        keep = keep & ~F.col("rights_reserved")
+    return sig.select("doc_id", keep.alias("keep"))

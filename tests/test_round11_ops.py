@@ -1,5 +1,6 @@
 """Round-11 operator tests — online skew monitor (streaming_hot_keys +
-finalize_hot_keys), the streaming twin of the batch hot_keys audit."""
+finalize_hot_keys, the streaming twin of the batch hot_keys audit) and
+the robots/license reuse-policy tier (pipeline.licenses)."""
 
 import shutil
 import tempfile
@@ -181,3 +182,93 @@ class TestStreamingHotKeys:
         # optimizedPlan prints top-down: Window must sit ABOVE (before)
         # the Aggregate it consumes
         assert win_pos < agg_pos
+
+
+class TestLicenseSignals:
+    """pipeline.licenses — reuse-signal extraction + the policy gate."""
+
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, '<meta name="robots" content="noindex, follow"> body text'),
+                (2, '<meta name="robots" content="index, follow"> body text'),
+                (3, '<meta name="robots" content="noindexing"> body text'),
+                (4, "see https://creativecommons.org/licenses/by-nc-sa/4.0/ terms"),
+                (5, "dedicated https://creativecommons.org/publicdomain/zero/1.0/"),
+                (6, "code under SPDX-License-Identifier: Apache-2.0 here"),
+                (7, "Copyright 2024. All Rights Reserved."),
+                (8, "plain text with no signals at all"),
+                (9, '<meta name="robots" content="NONE"> shouty opt-out'),
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_signal_extraction(self, spark):
+        from kafka_graphs_spark.pipeline.licenses import license_signals
+
+        out = {r["doc_id"]: r.asDict() for r in license_signals(self._docs(spark)).collect()}
+        assert out[1]["robots"] == "noindex, follow" and out[1]["opted_out"]
+        assert out[2]["robots"] == "index, follow" and not out[2]["opted_out"]
+        # whole-token: 'noindexing' must NOT opt out
+        assert out[3]["robots"] == "noindexing" and not out[3]["opted_out"]
+        assert out[4]["cc_license"] == "by-nc-sa"
+        assert out[5]["cc_license"] == "zero"
+        assert out[6]["spdx"] == "Apache-2.0"
+        assert out[7]["rights_reserved"] and not out[8]["rights_reserved"]
+        assert out[8]["robots"] == "" and out[8]["cc_license"] == "" and out[8]["spdx"] == ""
+        # robots content is lowercased before matching: NONE opts out
+        assert out[9]["opted_out"]
+
+    def test_gate_semantics(self, spark):
+        from kafka_graphs_spark.pipeline.licenses import (
+            PERMISSIVE_CC,
+            license_gate,
+        )
+
+        docs = self._docs(spark)
+        keep = lambda df: {r["doc_id"] for r in df.filter(F.col("keep")).collect()}
+        # default: only robots opt-outs drop
+        assert keep(license_gate(docs)) == {2, 3, 4, 5, 6, 7, 8}
+        # allowlist: carrying a non-permissive CC license drops; no
+        # license stays (allow-by-default)
+        out = keep(license_gate(docs, license_allow=list(PERMISSIVE_CC)))
+        assert 4 not in out and {5, 6, 7, 8} <= out
+        # require_license: only affirmatively-licensed docs stay
+        out = keep(license_gate(docs, require_license=True))
+        assert out == {4, 5, 6}
+        # strict rights_reserved
+        out = keep(license_gate(docs, drop_rights_reserved=True))
+        assert 7 not in out and 8 in out
+
+    def test_plan_is_pure_codegen(self, spark):
+        from kafka_graphs_spark.pipeline.licenses import (
+            license_gate,
+            license_signals,
+        )
+
+        docs = self._docs(spark)
+        for df in (license_signals(docs), license_gate(docs)):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BatchEvalPython" not in plan and "Exchange" not in plan
+
+    def test_curate_composition(self, spark):
+        # the gate composes pre-dedup: licensed curate keeps a strict
+        # subset of the ungated curate
+        from kafka_graphs_spark.pipeline.curate import curate
+        from kafka_graphs_spark.pipeline.licenses import PERMISSIVE_CC
+
+        docs = self._docs(spark).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" filler words to pass the "
+            "quality gate with enough real tokens in the document body "
+            "for the stopword and length bands to be satisfied here")),
+        )
+        base = {r["doc_id"] for r in curate(docs, min_score=0.6, jaccard_threshold=0.99).collect()}
+        gated = {
+            r["doc_id"]
+            for r in curate(
+                docs, min_score=0.6, jaccard_threshold=0.99,
+                respect_robots=True, license_allow=list(PERMISSIVE_CC),
+                require_license=False,
+            ).collect()
+        }
+        assert gated < base and 1 not in gated and 4 not in gated
