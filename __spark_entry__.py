@@ -3764,6 +3764,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             url_dedup_first=True,
         )
 
+    def doc_bloom_url_dedup(spark, sf):
+        # cross-snapshot incremental URL dedup (r11): the corpus
+        # snapshot's canonical URLs become a FIXED-SIZE Bloom filter —
+        # the persisted crawl state — and the new snapshot probes it
+        # (seen -> dropped, zero false negatives), then resolves
+        # within-snapshot dups exactly. Split doc_id%3 (200 % 3 != 0, so
+        # the split does NOT correlate with the page identity p =
+        # doc_id%200, and canonical keys genuinely straddle it; a %2 or
+        # %5 split would make the sides disjoint). Audit row: exact-side
+        # counts closed-form; FN must be 0; FPs within the analytic
+        # bound; Bloom keeps ⊆ exact keeps.
+        from kafka_graphs_spark.pipeline.bloom import bloom_url_dedup_check
+
+        docs = _doc_urls_messy(spark, sf)
+        return bloom_url_dedup_check(
+            docs.filter(F.col("doc_id") % 3 == 2),
+            docs.filter(F.col("doc_id") % 3 < 2),
+        )
+
     def ec_heavy_hitters_inv(spark, sf):
         # distributed Misra-Gries heavy hitters (mergeable summaries):
         # guarantee audit vs exact counts over a deterministically
@@ -4538,6 +4557,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ec_hot_keys_stream": ec_hot_keys_stream,
         "doc_license_signals": doc_license_signals,
         "pipeline_curate_licensed": pipeline_curate_licensed,
+        "doc_bloom_url_dedup": doc_bloom_url_dedup,
         # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL):
         # seeded numerics + rows-only ANN variants whose evidence is
         # their invariant/loss/recall twins inside the window --
@@ -8353,6 +8373,30 @@ def oracle_sql() -> dict[str, str]:
                   FROM a)
             SELECT key, n_rows, share, rank FROM t WHERE rank <= 10
         ''',
+        # cross-snapshot Bloom URL dedup audit: exact side in closed
+        # form from the messy-URL fixture's canonical key; the filter's
+        # structural guarantees (FN=0, keeps subset) as literals the
+        # Spark side must reproduce
+        "doc_bloom_url_dedup": f"""
+            WITH {_MESSY_URL_CTES},
+            corp AS (SELECT DISTINCT canon FROM u WHERE doc_id % 3 < 2),
+            nw AS (SELECT doc_id, canon FROM u WHERE doc_id % 3 = 2),
+            flag AS (SELECT n.doc_id, n.canon,
+                            (c.canon IS NOT NULL) AS e
+                     FROM nw n LEFT JOIN corp c ON c.canon = n.canon),
+            win AS (SELECT canon, MIN(doc_id) AS kid FROM flag
+                    WHERE NOT e GROUP BY canon)
+            SELECT CAST((SELECT count(*) FROM nw) AS BIGINT) AS n_new,
+                   CAST((SELECT count(*) FROM corp) AS BIGINT) AS n_corpus_urls,
+                   CAST((SELECT sum(CASE WHEN e THEN 1 ELSE 0 END) FROM flag)
+                        AS BIGINT) AS seen_exact,
+                   CAST(0 AS BIGINT) AS false_neg_violations,
+                   true AS fp_within_bound,
+                   CAST((SELECT count(*) FROM flag f JOIN win w
+                         ON w.canon = f.canon AND f.doc_id = w.kid)
+                        AS BIGINT) AS kept_exact,
+                   true AS no_extra_keeps
+        """,
         # reuse-signal extraction: every signal rebuilt in closed form
         # from the doc_id injection arithmetic — independent of the
         # extractor's regexes

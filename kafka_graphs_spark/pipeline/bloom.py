@@ -232,3 +232,195 @@ def bloom_contamination_check(
             <= F.lit(3.0 * fp_rate) * F.col("_clean").cast("double") + F.lit(8.0)
         ).alias("fp_within_bound"),
     )
+
+
+def build_url_filter(
+    corpus: DataFrame,
+    url_col: str = "url",
+    bits_per_key: int = 10,
+    extra_params=None,
+) -> tuple[DataFrame, int, int, int]:
+    """(filter frame, m_bits, k, n_keys) over the corpus's distinct
+    canonical URLs — the PERSISTED crawl state between snapshots.
+
+    Cross-snapshot incremental ingest never re-reads the old corpus: the
+    fixed-size filter (one ``array<long>`` row; ~10 bits per distinct
+    URL) IS the "have I crawled this page" state a new snapshot probes
+    — 1.25 GB of filter covers a billion URLs where the exact key set
+    would be terabytes. Host-less rows (canonical key ``''``) are
+    excluded: an unparseable URL is no evidence of identity (the same
+    policy as :func:`~kafka_graphs_spark.pipeline.domains.url_dedup`).
+    """
+    from kafka_graphs_spark.pipeline.domains import canonicalize_urls
+
+    canon = canonicalize_urls(corpus, url_col, extra_params).filter(
+        F.col("canonical_url") != ""
+    )
+    return build_bloom_filter(canon, "canonical_url", bits_per_key)
+
+
+def bloom_url_dedup(
+    new_docs: DataFrame,
+    url_filter: DataFrame,
+    m_bits: int,
+    k: int,
+    url_col: str = "url",
+    extra_params=None,
+) -> DataFrame:
+    """(doc_id, canonical_url, seen, keep) — cross-snapshot incremental
+    URL dedup: probe each new document's canonical URL against the
+    previous snapshots' filter (:func:`build_url_filter`), then resolve
+    WITHIN-snapshot duplicates exactly among the unseen documents.
+
+    Guarantees carried from the filter: a URL present in the corpus is
+    ALWAYS flagged ``seen`` (zero false negatives — no corpus duplicate
+    ever re-enters); a genuinely new URL is over-dropped at the analytic
+    false-positive rate (bounded by construction; ~0.8% at 10 bits/key).
+    ``keep`` = unseen AND within-snapshot winner (min doc_id per
+    canonical key — same tie-break as ``url_dedup``); host-less rows
+    bypass both gates and keep themselves.
+
+    One broadcast of the fixed-size filter + one min-agg shuffle over
+    the UNSEEN subset only — the state between crawls never grows with
+    corpus size, which is the point at 100 TB. To roll the state
+    forward, build a same-parameter filter over the kept URLs and OR it
+    in (:func:`merge_bloom_filters`).
+    """
+    from kafka_graphs_spark.pipeline.domains import canonicalize_urls
+
+    canon = canonicalize_urls(new_docs, url_col, extra_params)
+    probed = canon.join(F.broadcast(url_filter)).select(
+        "doc_id",
+        "canonical_url",
+        F.when(F.col("canonical_url") == "", F.lit(False))
+        .otherwise(
+            bloom_probe(F.col("canonical_url"), m_bits, k, F.col("bloom"))
+        )
+        .alias("seen"),
+    )
+    winners = (
+        probed.filter(~F.col("seen") & (F.col("canonical_url") != ""))
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("_keep_id"))
+    )
+    return probed.join(winners, on="canonical_url", how="left").select(
+        "doc_id",
+        "canonical_url",
+        "seen",
+        (
+            ~F.col("seen")
+            & (
+                F.col("_keep_id").isNull()  # host-less: keeps itself
+                | (F.col("doc_id") == F.col("_keep_id"))
+            )
+        ).alias("keep"),
+    )
+
+
+def merge_bloom_filters(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Word-wise OR of two same-parameter filters — the state rollover
+    after an ingest (old corpus filter ∪ newly-kept URLs). Both inputs
+    must share (m_bits, k); the caller owns that invariant (parameters
+    travel alongside the frame). One-row frames: the zip is driver-side
+    trivial but expressed as a plan so the result composes lazily."""
+    wa = a.select(F.col("bloom").alias("_a"))
+    wb = b.select(F.col("bloom").alias("_b"))
+    return wa.join(wb).select(
+        F.zip_with("_a", "_b", lambda x, y: x.bitwiseOR(y)).alias("bloom")
+    )
+
+
+def bloom_url_dedup_check(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    url_col: str = "url",
+    bits_per_key: int = 10,
+    extra_params=None,
+) -> DataFrame:
+    """One-row audit of the cross-snapshot Bloom URL gate against the
+    exact gate: (n_new, n_corpus_urls, seen_exact, false_neg_violations,
+    fp_within_bound, kept_exact, no_extra_keeps).
+
+    - ``false_neg_violations``: new docs whose canonical URL IS in the
+      corpus but the probe missed — MUST be 0 (structural);
+    - ``fp_within_bound``: observed false positives over the truly-new
+      URL rows within 3× the analytic rate (finite-fixture slack);
+    - ``kept_exact``: the keep count the EXACT gate produces (corpus
+      membership by equi-join, then min-per-key + host-less bypass) —
+      closed-form oracle-checkable;
+    - ``no_extra_keeps``: the Bloom gate's keep set is a SUBSET of the
+      exact gate's (FPs only ever over-drop) — must be true.
+    """
+    from kafka_graphs_spark.pipeline.domains import canonicalize_urls
+
+    filt, m_bits, k, n_keys = build_url_filter(
+        corpus, url_col, bits_per_key, extra_params
+    )
+    fp_rate = (1.0 - math.exp(-k * n_keys / m_bits)) ** k
+
+    corpus_urls = (
+        canonicalize_urls(corpus, url_col, extra_params)
+        .filter(F.col("canonical_url") != "")
+        .select("canonical_url")
+        .distinct()
+        .withColumn("_in_corpus", F.lit(True))
+    )
+    bloomed = bloom_url_dedup(
+        new_docs, filt, m_bits, k, url_col, extra_params
+    ).join(corpus_urls, on="canonical_url", how="left").select(
+        "doc_id",
+        "canonical_url",
+        "seen",
+        "keep",
+        F.coalesce("_in_corpus", F.lit(False)).alias("_e"),
+    )
+    # the exact gate's keep decision, computed over the same frame:
+    # unseen-exactly AND (host-less OR min doc_id among exact-unseen)
+    exact_winners = (
+        bloomed.filter(~F.col("_e") & (F.col("canonical_url") != ""))
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("_keep_id"))
+    )
+    both = bloomed.join(exact_winners, on="canonical_url", how="left").select(
+        "seen",
+        "keep",
+        "_e",
+        (
+            ~F.col("_e")
+            & (
+                F.col("_keep_id").isNull()
+                | (F.col("doc_id") == F.col("_keep_id"))
+            )
+        ).alias("_keep_exact"),
+    )
+    agg = both.agg(
+        F.count(F.lit(1)).cast("long").alias("n_new"),
+        F.sum(F.when(F.col("_e"), 1).otherwise(0)).cast("long").alias("seen_exact"),
+        F.sum(F.when(F.col("_e") & ~F.col("seen"), 1).otherwise(0))
+        .cast("long")
+        .alias("false_neg_violations"),
+        F.sum(F.when(F.col("seen") & ~F.col("_e"), 1).otherwise(0))
+        .cast("long")
+        .alias("_fp"),
+        F.sum(F.when(~F.col("_e"), 1).otherwise(0)).cast("long").alias("_clean"),
+        F.sum(F.when(F.col("_keep_exact"), 1).otherwise(0))
+        .cast("long")
+        .alias("kept_exact"),
+        F.sum(F.when(F.col("keep") & ~F.col("_keep_exact"), 1).otherwise(0))
+        .cast("long")
+        .alias("_extra"),
+    )
+    return agg.select(
+        "n_new",
+        F.lit(n_keys).cast("long").alias("n_corpus_urls"),
+        "seen_exact",
+        "false_neg_violations",
+        (
+            F.col("_fp").cast("double")
+            <= F.greatest(
+                F.lit(3.0 * fp_rate) * F.col("_clean"), F.lit(1.0)
+            )
+        ).alias("fp_within_bound"),
+        "kept_exact",
+        (F.col("_extra") == 0).alias("no_extra_keeps"),
+    )

@@ -1,6 +1,7 @@
 """Round-11 operator tests — online skew monitor (streaming_hot_keys +
 finalize_hot_keys, the streaming twin of the batch hot_keys audit) and
-the robots/license reuse-policy tier (pipeline.licenses)."""
+the robots/license reuse-policy tier (pipeline.licenses), and the
+cross-snapshot Bloom URL dedup gate (pipeline.bloom)."""
 
 import shutil
 import tempfile
@@ -272,3 +273,92 @@ class TestLicenseSignals:
             ).collect()
         }
         assert gated < base and 1 not in gated and 4 not in gated
+
+
+class TestBloomUrlDedup:
+    """pipeline.bloom cross-snapshot URL gate — the persisted crawl
+    state between snapshots."""
+
+    def _snap(self, spark, ids_urls):
+        return spark.createDataFrame(ids_urls, "doc_id long, url string")
+
+    def test_seen_dropped_unseen_resolved(self, spark):
+        from kafka_graphs_spark.pipeline.bloom import (
+            bloom_url_dedup,
+            build_url_filter,
+        )
+
+        corpus = self._snap(spark, [
+            (1, "https://a.com/x"), (2, "https://b.com/y"),
+        ])
+        new = self._snap(spark, [
+            (10, "http://www.a.com/x/"),        # canonical dup of corpus
+            (11, "https://c.com/z?utm_source=f"),  # new page, 2 mirrors
+            (12, "https://www.c.com/z"),
+            (13, ""),                           # host-less: keeps itself
+        ])
+        filt, m, k, n = build_url_filter(corpus)
+        assert n == 2
+        out = {r["doc_id"]: (r["seen"], r["keep"])
+               for r in bloom_url_dedup(new, filt, m, k).collect()}
+        assert out[10] == (True, False)   # zero false negatives
+        assert out[11] == (False, True)   # min doc_id wins the new page
+        assert out[12] == (False, False)
+        assert out[13] == (False, True)   # host-less bypass
+
+    def test_merge_filters_rolls_state_forward(self, spark):
+        from kafka_graphs_spark.pipeline.bloom import (
+            bloom_parameters,
+            bloom_probe,
+            build_bloom_filter,
+            merge_bloom_filters,
+        )
+
+        a = spark.createDataFrame([("u1",), ("u2",)], "k string")
+        b = spark.createDataFrame([("v1",), ("v2",)], "k string")
+        # same parameters on both sides (the caller-owned invariant)
+        m, k = bloom_parameters(2)
+        fa, ma, ka, _ = build_bloom_filter(a, "k")
+        fb, mb, kb, _ = build_bloom_filter(b, "k")
+        assert (ma, ka) == (mb, kb) == (m, k)
+        merged = merge_bloom_filters(fa, fb)
+        probe = spark.createDataFrame(
+            [("u1",), ("v2",), ("w9",)], "k string"
+        ).join(F.broadcast(merged)).select(
+            "k", bloom_probe(F.col("k"), m, k, F.col("bloom")).alias("hit")
+        )
+        hits = {r["k"]: r["hit"] for r in probe.collect()}
+        assert hits["u1"] and hits["v2"]  # members of either side hit
+
+    def test_check_guarantees(self, spark):
+        from kafka_graphs_spark.pipeline.bloom import bloom_url_dedup_check
+
+        corpus = self._snap(
+            spark, [(i, f"https://s{i % 7}.com/p/{i % 20}") for i in range(60)]
+        )
+        new = self._snap(
+            spark,
+            [(100 + i, f"https://s{i % 7}.com/p/{i % 20}") for i in range(10)]
+            + [(200 + i, f"https://fresh.org/n/{i}") for i in range(10)],
+        )
+        row = bloom_url_dedup_check(new, corpus).collect()[0]
+        assert row["false_neg_violations"] == 0
+        assert row["no_extra_keeps"] and row["fp_within_bound"]
+        assert row["seen_exact"] == 10 and row["kept_exact"] == 10
+        assert row["n_new"] == 20
+
+    def test_probe_stays_jvm_side(self, spark):
+        from kafka_graphs_spark.pipeline.bloom import (
+            bloom_url_dedup,
+            build_url_filter,
+        )
+
+        corpus = self._snap(spark, [(1, "https://a.com/x")])
+        new = self._snap(spark, [(2, "https://a.com/x"), (3, "https://b.io/y")])
+        filt, m, k, _ = build_url_filter(corpus)
+        plan = (
+            bloom_url_dedup(new, filt, m, k)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan  # broadcast of the one-row filter
