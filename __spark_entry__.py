@@ -3764,6 +3764,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             url_dedup_first=True,
         )
 
+    def doc_shard_datasheet(spark, sf):
+        # per-shard DATA CARD (r11): the shard manifest joined with
+        # language mix + quality rollups — same cumsum arithmetic as
+        # doc_shards, language columns flat (zh lands in n_other_lang,
+        # 75 docs at sf0.01, so the bucket is never vacuous), quality
+        # aggregated as exact integer deci-scores with ONE final
+        # division (no float-summation-order dependence).
+        from kafka_graphs_spark.pipeline.shards import shard_datasheet
+
+        return shard_datasheet(
+            datasets.load(spark, sf, "documents"), tokens_per_shard=500
+        )
+
     def doc_bloom_url_dedup(spark, sf):
         # cross-snapshot incremental URL dedup (r11): the corpus
         # snapshot's canonical URLs become a FIXED-SIZE Bloom filter —
@@ -4558,6 +4571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_license_signals": doc_license_signals,
         "pipeline_curate_licensed": pipeline_curate_licensed,
         "doc_bloom_url_dedup": doc_bloom_url_dedup,
+        "doc_shard_datasheet": doc_shard_datasheet,
         # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL):
         # seeded numerics + rows-only ANN variants whose evidence is
         # their invariant/loss/recall twins inside the window --
@@ -8373,6 +8387,45 @@ def oracle_sql() -> dict[str, str]:
                   FROM a)
             SELECT key, n_rows, share, rank FROM t WHERE rank <= 10
         ''',
+        # per-shard data card: the doc_shards cumsum + flat language
+        # counts + integer deci-score quality rollup (bands 4/3/3)
+        "doc_shard_datasheet": f"""
+            WITH t AS (SELECT doc_id, source, lang, {TOKS} AS toks
+                       FROM documents),
+            s AS (SELECT doc_id, source, lang,
+                     CAST(len(toks) AS BIGINT) AS n_tokens,
+                     len(list_filter(toks, x -> list_contains({STOP_EN}, x))) AS n_stop,
+                     CASE WHEN len(toks) > 0
+                          THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+                          ELSE 0.0 END AS mtl
+                  FROM t),
+            sc AS (SELECT doc_id, source, lang, n_tokens,
+                     (CASE WHEN n_tokens > 0 AND CAST(n_stop AS DOUBLE)/n_tokens >= 0.01
+                                AND CAST(n_stop AS DOUBLE)/n_tokens <= 0.5 THEN 4 ELSE 0 END
+                      + CASE WHEN mtl >= 3.0 AND mtl <= 10.0 THEN 3 ELSE 0 END
+                      + CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 3 ELSE 0 END)
+                     AS q10
+                   FROM s),
+            c AS (SELECT doc_id, source, lang, n_tokens, q10,
+                     coalesce(sum(n_tokens) OVER (PARTITION BY source
+                        ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) AS cb
+                  FROM sc),
+            a AS (SELECT doc_id, source, lang, n_tokens, q10,
+                     CAST(cb // 500 AS BIGINT) AS shard FROM c)
+            SELECT source, shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+                   CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS n_de,
+                   CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS n_es,
+                   CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS n_fr,
+                   CAST(sum(CASE WHEN lang NOT IN ('en','de','es','fr') THEN 1 ELSE 0 END) AS BIGINT) AS n_other_lang,
+                   round(CAST(sum(q10) AS DOUBLE) / (count(*) * 10.0), 6) AS mean_quality,
+                   round(CAST(min(q10) AS DOUBLE) / 10.0, 6) AS min_quality
+            FROM a GROUP BY 1, 2
+        """,
         # cross-snapshot Bloom URL dedup audit: exact side in closed
         # form from the messy-URL fixture's canonical key; the filter's
         # structural guarantees (FN=0, keeps subset) as literals the

@@ -199,3 +199,70 @@ def write_shards(
         data.withColumn("shard", F.col("shard").cast("long")),
         group_col=group_col,
     )
+
+
+def shard_datasheet(
+    docs: DataFrame,
+    tokens_per_shard: int,
+    group_col: str = "source",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    langs: Sequence[str] = ("en", "de", "es", "fr"),
+) -> DataFrame:
+    """(<group_col>, shard, n_docs, n_tokens, n_<lang>..., n_other_lang,
+    mean_quality, min_quality) — the per-shard DATA CARD a loader wants
+    next to the manifest: what mixture of languages and what quality
+    band each physical shard actually carries, so a training run can
+    stripe/weight shards without re-scanning their contents.
+
+    Joins the deterministic shard assignment (:func:`assign_shards`)
+    with the per-document language label and heuristic quality score,
+    then ONE map-side-combinable groupBy on the (group, shard) key —
+    the same key the manifest aggregates on, so at 100 TB this is one
+    extra keyed shuffle over rows already in flight in the writer job.
+    Language columns are a FLAT fixed set (``langs`` + ``n_other_lang``)
+    rather than a map, so the card is engine-portable and directly
+    queryable; extend ``langs`` to the corpus's label set.
+
+    Exactness note: the quality bands sum to a deci-score in
+    {0,3,4,6,7,10}; the card aggregates the INTEGER deci-scores and
+    divides once at the end, so the mean is a single exact-int/double
+    division — no float-summation-order dependence, bit-identical in
+    any engine.
+    """
+    from kafka_graphs_spark.pipeline.text import quality_score
+
+    assigned = assign_shards(
+        docs, tokens_per_shard, group_col=group_col, text_col=text_col
+    )
+    # score ∈ sums of {0.4, 0.3, 0.3} — ×10 rounds to the exact band sum
+    deci = F.round(F.col("score") * 10).cast("long")
+    base = assigned.join(docs.select("doc_id", lang_col), on="doc_id").join(
+        quality_score(docs, text_col=text_col).select(
+            "doc_id", deci.alias("_q10")
+        ),
+        on="doc_id",
+    )
+    lang_counts = [
+        F.sum(F.when(F.col(lang_col) == lang, 1).otherwise(0))
+        .cast("long")
+        .alias(f"n_{lang}")
+        for lang in langs
+    ]
+    other = (
+        F.sum(
+            F.when(~F.col(lang_col).isin(list(langs)), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_other_lang")
+    )
+    return base.groupBy(group_col, "shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        *lang_counts,
+        other,
+        F.round(
+            F.sum("_q10") / (F.count(F.lit(1)) * F.lit(10.0)), 6
+        ).alias("mean_quality"),
+        F.round(F.min("_q10") / F.lit(10.0), 6).alias("min_quality"),
+    )

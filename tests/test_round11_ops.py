@@ -362,3 +362,59 @@ class TestBloomUrlDedup:
         )
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan  # broadcast of the one-row filter
+
+
+class TestShardDatasheet:
+    """shards.shard_datasheet — the per-shard data card."""
+
+    def test_card_reconciles(self, spark):
+        from kafka_graphs_spark.pipeline.shards import (
+            assign_shards,
+            shard_datasheet,
+            shard_manifest,
+        )
+
+        rows = [
+            (i, "s" + str(i % 2), ["en", "de", "zh"][i % 3],
+             " ".join(["word"] * (8 + i % 5)))
+            for i in range(120)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, lang string, text string"
+        )
+        card = shard_datasheet(docs, tokens_per_shard=100).collect()
+        manifest = {
+            (r["source"], r["shard"]): (r["n_docs"], r["n_tokens"])
+            for r in shard_manifest(assign_shards(docs, 100)).collect()
+        }
+        assert len(card) == len(manifest) >= 4
+        for r in card:
+            # doc/token totals match the manifest exactly
+            assert manifest[(r["source"], r["shard"])] == (
+                r["n_docs"], r["n_tokens"],
+            )
+            # language columns partition the shard's docs
+            assert (
+                r["n_en"] + r["n_de"] + r["n_es"] + r["n_fr"]
+                + r["n_other_lang"] == r["n_docs"]
+            )
+            assert r["n_other_lang"] > 0 or r["n_docs"] < 3  # zh present
+            assert 0.0 <= r["min_quality"] <= r["mean_quality"] <= 1.0
+
+    def test_quality_is_exact_integer_arithmetic(self, spark):
+        # one shard, known scores: all docs pass all three bands
+        # (score 1.0) except one that fails the size band (score 0.7,
+        # 5 tokens < 10) — mean is exact
+        from kafka_graphs_spark.pipeline.shards import shard_datasheet
+
+        docs = spark.createDataFrame(
+            [(1, "s", "en", "the quick brown fox jumps over the lazy dog ten"),
+             (2, "s", "en", "the quick brown fox jumps over the lazy dog ten"),
+             (3, "s", "en", "the tiny doc here now")],
+            "doc_id long, source string, lang string, text string",
+        )
+        card = shard_datasheet(docs, tokens_per_shard=10_000).collect()
+        assert len(card) == 1
+        r = card[0]
+        assert r["min_quality"] == 0.7
+        assert r["mean_quality"] == 0.9  # (10+10+7)/30
