@@ -274,13 +274,16 @@ def curate_report(
     blocklist=None,
     max_pii=None,
     max_dup_trigram_frac=None,
+    respect_robots: bool = False,
+    license_allow=None,
+    require_license: bool = False,
 ) -> DataFrame:
     """(stage_idx, stage, n_in, n_dropped, n_out) — the gate-by-gate
     funnel of a :func:`curate` run: how many documents each gate
     received, dropped, and passed on, in the exact order curate applies
-    them (quality → blocklist → pii → repetition → dedup resolution).
-    The accounting artifact every production curation job publishes
-    next to its keep list — "which gate is eating my corpus".
+    them (quality → blocklist → license → pii → repetition → dedup
+    resolution). The accounting artifact every production curation job
+    publishes next to its keep list — "which gate is eating my corpus".
 
     Same gate semantics as :func:`curate` (each stage filters the
     previous stage's survivors). All stage counts evaluate in ONE
@@ -307,6 +310,18 @@ def curate_report(
         ).select("doc_id")
         cur = cur.join(blocked, on="doc_id", how="left_anti")
         stages.append(("blocklist", cur))
+    if respect_robots or license_allow is not None or require_license:
+        from kafka_graphs_spark.pipeline.licenses import license_gate
+
+        licensed = license_gate(
+            cur,
+            text_col=text_col,
+            respect_robots=respect_robots,
+            license_allow=license_allow,
+            require_license=require_license,
+        ).filter(F.col("keep")).select("doc_id")
+        cur = cur.join(licensed, on="doc_id", how="left_semi")
+        stages.append(("license_gate", cur))
     if max_pii is not None:
         noisy = pii_stats(cur, text_col=text_col).filter(
             F.col("n_pii") > max_pii

@@ -418,3 +418,51 @@ class TestShardDatasheet:
         r = card[0]
         assert r["min_quality"] == 0.7
         assert r["mean_quality"] == 0.9  # (10+10+7)/30
+
+
+class TestCurateReportLicenseStage:
+    def test_funnel_includes_license_gate_and_reconciles(self, spark):
+        from kafka_graphs_spark.pipeline.curate import curate, curate_report
+        from kafka_graphs_spark.pipeline.licenses import PERMISSIVE_CC
+
+        filler = (
+            " the quick brown fox jumps over the lazy dog and it is a"
+            " reasonable document for the quality bands to accept today"
+        )
+        docs = spark.createDataFrame(
+            [
+                (1, '<meta name="robots" content="noindex"> opted out' + filler),
+                (2, "cc https://creativecommons.org/licenses/by-nd/4.0/" + filler),
+                (3, "cc https://creativecommons.org/licenses/by/4.0/" + filler),
+                (4, "no signals here at all" + filler),
+            ],
+            "doc_id long, text string",
+        )
+        report = {
+            r["stage"]: (r["n_in"], r["n_dropped"], r["n_out"])
+            for r in curate_report(
+                docs, min_score=0.6, jaccard_threshold=0.99,
+                respect_robots=True, license_allow=list(PERMISSIVE_CC),
+            ).collect()
+        }
+        assert "license_gate" in report
+        n_in, dropped, out = report["license_gate"]
+        assert dropped == 2 and out == n_in - 2  # noindex + by-nd
+        # funnel chains: each stage's n_in is the previous n_out
+        kept = curate(
+            docs, min_score=0.6, jaccard_threshold=0.99,
+            respect_robots=True, license_allow=list(PERMISSIVE_CC),
+        ).count()
+        assert report["dedup_resolve"][2] == kept
+
+    def test_defaults_unchanged(self, spark):
+        # no license params -> no license stage, byte-identical funnel
+        from kafka_graphs_spark.pipeline.curate import curate_report
+
+        docs = spark.createDataFrame(
+            [(i, "the quick brown fox jumps over a lazy dog again " * 3)
+             for i in range(6)],
+            "doc_id long, text string",
+        )
+        stages = [r["stage"] for r in curate_report(docs).collect()]
+        assert stages == ["quality_gate", "dedup_resolve"]
