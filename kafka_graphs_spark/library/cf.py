@@ -343,14 +343,23 @@ def sgd(
     max_rating: float = 5.0,
     seed: int = 42,
     max_neighbors: Optional[int] = 1000,
+    dtype: str = "float64",
 ) -> DataFrame:
-    """Stochastic gradient descent MF → (id, vec array<double>).
+    """Stochastic gradient descent MF → (id, vec array<double|float>).
 
     Both sides update every superstep from the previous superstep's
     factors; per-vertex message order is pinned (sorted by sender id) so
     the sequential in-place update chain (Sgd.java:222-237) is
     deterministic.
+
+    ``dtype='float32'`` carries factors as ``array<float>`` — the same
+    per-superstep Arrow/shuffle-byte halving as ``als(dtype=...)``
+    (sgd rides the identical flat ``fvecs`` gather column); the update
+    arithmetic stays float64, factors round once per superstep. The
+    reference's jblas FloatMatrix is float32. Default float64 keeps the
+    goldens and the ``sp_sgd_loss`` twin byte-stable.
     """
+    factors_schema = _factors_schema(dtype)
     edges, release_edges = sized_cache(
         graph.edges.select("src", "dst", F.col("value").cast("double").alias("value"))
     )
@@ -375,12 +384,14 @@ def sgd(
                     pred = min(max(float(v @ u), min_rating), max_rating)
                     err = pred - r
                     v -= gamma * (lambda_ * v + err * u)
+                if dtype != "float64":
+                    v = v.astype(dtype)  # round once per superstep
                 out.append(v.tolist())
             yield pd.DataFrame({"id": pdf["id"], "vec": out})
 
     loop = ChainLoop()
     try:
-        factors, _ = loop.advance(_init_factors(all_v, dim, seed))
+        factors, _ = loop.advance(_init_factors(all_v, dim, seed, dtype))
 
         dot = F.aggregate(
             F.zip_with(F.col("uv"), F.col("iv"), lambda a, b: a * b),
@@ -393,7 +404,7 @@ def sgd(
                 factors.select("id", F.col("vec").alias("own")), on="id"
             )
             factors, _ = loop.advance(
-                gathered.mapInPandas(update_batch, schema=_FACTORS_SCHEMA)
+                gathered.mapInPandas(update_batch, schema=factors_schema)
             )
             if rmse_target is not None:
                 sq = (

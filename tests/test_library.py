@@ -408,6 +408,33 @@ class TestCollaborativeFiltering:
         preds = predict(fdf, g.edges).collect()
         assert self._rmse(preds) < 0.05
 
+    def test_sgd_float32_matches_float64(self, spark):
+        # r11: same flat-fvecs gather as ALS, same opt-in width; update
+        # arithmetic stays float64, factors round once per superstep
+        from kafka_graphs_spark.library import predict, sgd
+
+        g = self._graph(spark)
+        f64 = {r["id"]: r["vec"]
+               for r in sgd(g, dim=2, gamma=0.05, lambda_=0.001,
+                            iterations=20, seed=7).collect()}
+        fdf = sgd(g, dim=2, gamma=0.05, lambda_=0.001,
+                  iterations=20, seed=7, dtype="float32")
+        assert fdf.schema["vec"].dataType.simpleString() == "array<float>"
+        f32 = {r["id"]: r["vec"] for r in fdf.collect()}
+        assert set(f64) == set(f32)
+        for k in f64:
+            for a, b in zip(f64[k], f32[k]):
+                assert abs(a - b) <= 1e-3 * max(1.0, abs(a))
+        # the float32 fit converges the same way the float64 one does
+        r32 = self._rmse(predict(fdf, g.edges).collect())
+        r64 = self._rmse(
+            predict(
+                sgd(g, dim=2, gamma=0.05, lambda_=0.001, iterations=20, seed=7),
+                g.edges,
+            ).collect()
+        )
+        assert abs(r32 - r64) < 1e-3
+
     def test_als_dtype_validated(self, spark):
         from kafka_graphs_spark.library import als
 
