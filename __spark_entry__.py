@@ -4316,68 +4316,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evidence is the invariant/loss/recall twins inside the window.
     # ------------------------------------------------------------------
     return {
-        # -- ROUND-11 WINDOW (generated by scripts/rotate_window.py):
-        # slots 1-12 are the twelve never-scored round-10 additions
-        # (bloom gate, domain budgets, streaming datasheet, quantile
-        # sketch, incremental dedup x2, shard writer, fix/strip text,
-        # hot_keys, curate_report, domcap composite); slots 13-50 are
-        # the stalest-scored greens (the r6 staple cohort, then r7).
-        # After this window scores, every oracle-backed query in the
-        # 249-registry has a hash-green driver row at least once. --
-        "doc_bloom_contamination": doc_bloom_contamination,
+        # -- ROUND-12 WINDOW (generated by scripts/rotate_window.py):
+        # slot 1 is the red-aware re-score of doc_domain_token_budget
+        # (engine judge-verified exact in r11; the HUGEINT oracle cast
+        # landed this round); slots 2-6 are the five never-scored
+        # round-11 registrations (hot-keys stream, license signals,
+        # licensed curate, bloom URL dedup, shard datasheet); slots
+        # 7-50 are the stalest-scored greens (the r7 staple cohort,
+        # then the r8 incremental/stateful block). After this window
+        # scores, every one of the 242 oracle-backed queries has a
+        # hash-green driver row. --
         "doc_domain_token_budget": doc_domain_token_budget,
-        "pipeline_curate_domcap": pipeline_curate_domcap,
-        "doc_datasheet_stream": doc_datasheet_stream,
-        "doc_quantile_sketch_inv": doc_quantile_sketch_inv,
-        "doc_incremental_dedup": doc_incremental_dedup,
-        "emb_incremental_dedup": emb_incremental_dedup,
-        "doc_shard_roundtrip": doc_shard_roundtrip,
-        "doc_fix_text": doc_fix_text,
-        "doc_strip_markup": doc_strip_markup,
-        "ec_hot_keys": ec_hot_keys,
-        "doc_curate_report": doc_curate_report,
-        "hier_n2v_walks": hier_n2v_walks,
-        "ec_modularity": ec_modularity,
-        "hier_ktruss3": hier_ktruss3,
-        "hier_graph_stats": hier_graph_stats,
-        "doc_bigrams": doc_bigrams,
-        "doc_repetition": doc_repetition,
-        "doc_language_stats": doc_language_stats,
-        "doc_sketch_inv": doc_sketch_inv,
-        "doc_source_profile": doc_source_profile,
-        "doc_pii_stats": doc_pii_stats,
-        "doc_mixture_sample": doc_mixture_sample,
-        "doc_pack_sequences": doc_pack_sequences,
-        "doc_cap_per_source": doc_cap_per_source,
-        "ec_pagerank5": ec_pagerank5,
-        "ec_wcc": ec_wcc,
-        "ec_sssp": ec_sssp,
-        "ec_bfs": ec_bfs,
-        "sp_out_degrees": sp_out_degrees,
-        "dedup_exact": dedup_exact,
-        "doc_token_count": doc_token_count,
-        "ec_lp10": ec_lp10,
-        "hier_lcc": hier_lcc,
-        "ec_window_pagerank": ec_window_pagerank,
-        "ec_stream_degrees": ec_stream_degrees,
-        "dedup_minhash_lsh": dedup_minhash_lsh,
-        "ec_stream_edge_count": ec_stream_edge_count,
-        "ec_stream_vertex_count": ec_stream_vertex_count,
-        "ec_stream_aggregate": ec_stream_aggregate,
-        "ec_stream_global_aggregate": ec_stream_global_aggregate,
-        "ec_fold_neighbors": ec_fold_neighbors,
-        "emb_ivfpq_recall": emb_ivfpq_recall,
-        "emb_semantic_dedup_inv": emb_semantic_dedup_inv,
-        "doc_dup_spans": doc_dup_spans,
-        "doc_span_removal": doc_span_removal,
-        "doc_dedup_rate": doc_dedup_rate,
-        "doc_bpe_inv": doc_bpe_inv,
-        "doc_bpe_apply_inv": doc_bpe_apply_inv,
-        "doc_temperature_sample": doc_temperature_sample,
-        # -- window ends (slot 50) --
-        # -- rotation body: scored-green queries, stalest first
-        # (registry-order ties) — recomputed each round by
-        # scripts/rotate_window.py --
+        "ec_hot_keys_stream": ec_hot_keys_stream,
+        "doc_license_signals": doc_license_signals,
+        "pipeline_curate_licensed": pipeline_curate_licensed,
+        "doc_bloom_url_dedup": doc_bloom_url_dedup,
+        "doc_shard_datasheet": doc_shard_datasheet,
         "doc_weighted_sample": doc_weighted_sample,
         "doc_negative_samples": doc_negative_samples,
         "doc_tfidf_pairs": doc_tfidf_pairs,
@@ -4565,16 +4519,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_katz": sp_katz,
         "sp_hits": sp_hits,
         "sp_walks": sp_walks,
-        # -- round-11 additions (registered after slot 50 per protocol;
-        # next rotation pulls them into the scored window) --
-        "ec_hot_keys_stream": ec_hot_keys_stream,
-        "doc_license_signals": doc_license_signals,
-        "pipeline_curate_licensed": pipeline_curate_licensed,
-        "doc_bloom_url_dedup": doc_bloom_url_dedup,
-        "doc_shard_datasheet": doc_shard_datasheet,
-        # -- permanent no-oracle tail (rotate_window.PERMANENT_TAIL):
-        # seeded numerics + rows-only ANN variants whose evidence is
-        # their invariant/loss/recall twins inside the window --
+        "doc_bloom_contamination": doc_bloom_contamination,
+        "pipeline_curate_domcap": pipeline_curate_domcap,
+        "doc_datasheet_stream": doc_datasheet_stream,
+        "doc_quantile_sketch_inv": doc_quantile_sketch_inv,
+        "doc_incremental_dedup": doc_incremental_dedup,
+        "emb_incremental_dedup": emb_incremental_dedup,
+        "doc_shard_roundtrip": doc_shard_roundtrip,
+        "doc_fix_text": doc_fix_text,
+        "doc_strip_markup": doc_strip_markup,
+        "ec_hot_keys": ec_hot_keys,
+        "doc_curate_report": doc_curate_report,
+        "hier_n2v_walks": hier_n2v_walks,
+        "ec_modularity": ec_modularity,
+        "hier_ktruss3": hier_ktruss3,
+        "hier_graph_stats": hier_graph_stats,
+        "doc_bigrams": doc_bigrams,
+        "doc_repetition": doc_repetition,
+        "doc_language_stats": doc_language_stats,
+        "doc_sketch_inv": doc_sketch_inv,
+        "doc_source_profile": doc_source_profile,
+        "doc_pii_stats": doc_pii_stats,
+        "doc_mixture_sample": doc_mixture_sample,
+        "doc_pack_sequences": doc_pack_sequences,
+        "doc_cap_per_source": doc_cap_per_source,
+        "ec_pagerank5": ec_pagerank5,
+        "ec_wcc": ec_wcc,
+        "ec_sssp": ec_sssp,
+        "ec_bfs": ec_bfs,
+        "sp_out_degrees": sp_out_degrees,
+        "dedup_exact": dedup_exact,
+        "doc_token_count": doc_token_count,
+        "ec_lp10": ec_lp10,
+        "hier_lcc": hier_lcc,
+        "ec_window_pagerank": ec_window_pagerank,
+        "ec_stream_degrees": ec_stream_degrees,
+        "dedup_minhash_lsh": dedup_minhash_lsh,
+        "ec_stream_edge_count": ec_stream_edge_count,
+        "ec_stream_vertex_count": ec_stream_vertex_count,
+        "ec_stream_aggregate": ec_stream_aggregate,
+        "ec_stream_global_aggregate": ec_stream_global_aggregate,
+        "ec_fold_neighbors": ec_fold_neighbors,
+        "emb_ivfpq_recall": emb_ivfpq_recall,
+        "emb_semantic_dedup_inv": emb_semantic_dedup_inv,
+        "doc_dup_spans": doc_dup_spans,
+        "doc_span_removal": doc_span_removal,
+        "doc_dedup_rate": doc_dedup_rate,
+        "doc_bpe_inv": doc_bpe_inv,
+        "doc_bpe_apply_inv": doc_bpe_apply_inv,
+        "doc_temperature_sample": doc_temperature_sample,
         "sp_als_factors": sp_als_factors,
         "sp_sgd_factors": sp_sgd_factors,
         "hier_semiclusters": hier_semiclusters,
@@ -8279,7 +8272,8 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                          0) AS cum_before
                   FROM dom JOIN t USING (doc_id))
-            SELECT doc_id, domain, n_tokens, cum_before,
+            SELECT doc_id, domain, n_tokens,
+                   CAST(cum_before AS BIGINT) AS cum_before,
                    (domain = '' OR cum_before < 400) AS keep
             FROM o
         """,

@@ -10,7 +10,15 @@ query output whenever the driver row is green) and flags:
 - boolean/flag columns with a single distinct value over >= 10 rows
   (a gate that never fires);
 - any non-key column with exactly 1 distinct value over >= 20 rows
-  (a computed column that never discriminates).
+  (a computed column that never discriminates);
+- oracle output columns typed HUGEINT or DECIMAL (round-11 lesson:
+  DuckDB widens window ``sum(BIGINT)`` to HUGEINT, which ``fetchdf``
+  renders as float64 against Spark's int64 — a hash mismatch on
+  exactly-equal values; ``doc_domain_token_budget`` scored red for
+  this alone).  HUGEINT is a hard failure (CAST it to BIGINT in the
+  oracle); DECIMAL is allowed only when the paired Spark column is a
+  double (pandas renders both sides float64) and the pairing is
+  recorded in DECIMAL_DOUBLE_PAIRED.
 
 Flags are leads, not failures — some are legitimately constant
 (invariant twins SHOULD emit all-true violation=0 rows; those are
@@ -54,6 +62,37 @@ ADJUDICATED = {
 }
 
 
+#: DECIMAL oracle columns adjudicated as safe: the paired Spark column
+#: is a double (verified against queries() schemas at sf0.01, round 12),
+#: so the driver's pandas canonicalization renders BOTH sides float64
+#: and the hash compares like-for-like (all five have green driver
+#: history).  Any DECIMAL column NOT listed here is a failure.
+DECIMAL_DOUBLE_PAIRED = {
+    ("doc_domain_quality", "score"),
+    ("doc_quality", "score"),
+    ("doc_quantile_sketch_inv", "q"),
+    ("gen_betweenness_star", "betweenness"),
+    ("gen_harmonic_star", "harmonic"),
+}
+
+
+def dtype_sweep(con, oracles):
+    """DESCRIBE every oracle; return (hugeint, unpaired_decimal) lists."""
+    hugeint, decimal = [], []
+    for name, sql in sorted(oracles.items()):
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception:  # noqa: BLE001 — runtime errors reported by main()
+            continue
+        for col, typ, *_ in desc:
+            t = typ.upper()
+            if "HUGEINT" in t:
+                hugeint.append((name, col, typ))
+            elif "DECIMAL" in t and (name, col) not in DECIMAL_DOUBLE_PAIRED:
+                decimal.append((name, col, typ))
+    return hugeint, decimal
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     con = duckdb.connect()
@@ -86,14 +125,21 @@ def main() -> int:
                 val = next(iter(distinct))
                 if isinstance(val, bool) or (n >= 20):
                     flags.append((name, c, n, repr(val)))
+    hugeint, decimal = dtype_sweep(con, oracles)
     print(f"# audited {len(oracles)} oracles at {sf_dir}")
     print(f"# zero-row outputs: {zero_rows or 'none'}")
     for name, col, n, val in flags:
         print(f"CONSTANT {name}.{col} = {val} over {n} rows")
+    for name, col, typ in hugeint:
+        print(f"DTYPE-HUGEINT {name}.{col} ({typ}) — CAST to BIGINT in the oracle")
+    for name, col, typ in decimal:
+        print(f"DTYPE-DECIMAL {name}.{col} ({typ}) — unadjudicated; pair with a "
+              f"Spark double and add to DECIMAL_DOUBLE_PAIRED, or CAST")
     for name, err in errors:
         print(f"ERROR {name}: {err}")
-    print(f"# {len(flags)} constant-column leads, {len(errors)} errors")
-    return 1 if zero_rows else 0
+    print(f"# {len(flags)} constant-column leads, {len(hugeint)} HUGEINT, "
+          f"{len(decimal)} unadjudicated DECIMAL, {len(errors)} errors")
+    return 1 if zero_rows or hugeint or decimal else 0
 
 
 if __name__ == "__main__":
