@@ -4110,6 +4110,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .when(F.col("doc_id") % 7 == 2,
                   # must NOT match: directive tokens are whole-token
                   F.lit('<meta name="robots" content="noindexing"> '))
+            .when(F.col("doc_id") % 7 == 3,
+                  # content-first, single-quoted (r12): the real-crawl
+                  # variant the widened extractor must honor
+                  F.lit("<meta content='noarchive' name='robots'> "))
             .otherwise(F.lit(""))
         )
         tail = (
@@ -4143,7 +4147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def pipeline_curate_licensed(spark, sf):
         # curation with the reuse-policy gate (r11): quality -> honor
         # robots opt-outs + permissive-CC allowlist -> dedup. Drops
-        # doc_id%7==0 (noindex) and doc_id%5==1 (by-nc) among quality
+        # doc_id%7==0 (noindex), doc_id%7==3 (noarchive, content-first
+        # single-quoted tag — r12) and doc_id%5==1 (by-nc) among quality
         # survivors; both sides run the chain over the SAME injected
         # text, so token stats and shingles stay in exact parity.
         from kafka_graphs_spark.pipeline.curate import curate
@@ -8451,8 +8456,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE doc_id % 7 WHEN 0 THEN 'noindex, follow'
                         WHEN 1 THEN 'index, follow'
-                        WHEN 2 THEN 'noindexing' ELSE '' END AS robots,
-                   doc_id % 7 = 0 AS opted_out,
+                        WHEN 2 THEN 'noindexing'
+                        WHEN 3 THEN 'noarchive' ELSE '' END AS robots,
+                   doc_id % 7 IN (0, 3) AS opted_out,
                    CASE doc_id % 5 WHEN 0 THEN 'by' WHEN 1 THEN 'by-nc'
                         WHEN 2 THEN 'zero' ELSE '' END AS cc_license,
                    CASE WHEN doc_id % 5 = 3 THEN 'MIT' ELSE '' END AS spdx,
@@ -8461,14 +8467,16 @@ def oracle_sql() -> dict[str, str]:
         ''',
         # curation with the reuse-policy gate: the SAME injected text
         # drives quality + shingles on both sides (exact token parity);
-        # the gate itself is closed-form (drops doc_id%7==0 noindex and
-        # doc_id%5==1 by-nc), then the standard dedup chain
+        # the gate itself is closed-form (drops doc_id%7 IN (0,3) —
+        # noindex / content-first noarchive — and doc_id%5==1 by-nc),
+        # then the standard dedup chain
         "pipeline_curate_licensed": f"""
             WITH RECURSIVE documents2 AS (SELECT doc_id,
                 (CASE doc_id % 7
                      WHEN 0 THEN '<meta name="robots" content="noindex, follow"> '
                      WHEN 1 THEN '<meta name="robots" content="index, follow"> '
                      WHEN 2 THEN '<meta name="robots" content="noindexing"> '
+                     WHEN 3 THEN '<meta content=''noarchive'' name=''robots''> '
                      ELSE '' END)
                 || text ||
                 (CASE doc_id % 5
@@ -8495,7 +8503,7 @@ def oracle_sql() -> dict[str, str]:
                  + CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.3 ELSE 0.0 END)
                 >= 0.6),
             g AS (SELECT doc_id FROM q
-                  WHERE doc_id % 7 <> 0 AND doc_id % 5 <> 1),
+                  WHERE doc_id % 7 NOT IN (0, 3) AND doc_id % 5 <> 1),
             kt AS (SELECT t.doc_id, t.toks FROM t JOIN g USING (doc_id)),
             sh AS (SELECT DISTINCT doc_id,
                        unnest(CASE WHEN len(toks) >= 3

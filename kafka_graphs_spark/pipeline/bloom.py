@@ -321,12 +321,31 @@ def merge_bloom_filters(a: DataFrame, b: DataFrame) -> DataFrame:
     """Word-wise OR of two same-parameter filters — the state rollover
     after an ingest (old corpus filter ∪ newly-kept URLs). Both inputs
     must share (m_bits, k); the caller owns that invariant (parameters
-    travel alongside the frame). One-row frames: the zip is driver-side
-    trivial but expressed as a plan so the result composes lazily."""
+    travel alongside the frame), but a word-count mismatch is checked
+    here and raises — zip_with would otherwise NULL-pad past the
+    shorter array and every probe into those words would return NULL
+    seen/keep (silent corruption, not a loud failure). One-row frames:
+    the zip is driver-side trivial but expressed as a plan so the
+    result composes lazily."""
     wa = a.select(F.col("bloom").alias("_a"))
     wb = b.select(F.col("bloom").alias("_b"))
     return wa.join(wb).select(
-        F.zip_with("_a", "_b", lambda x, y: x.bitwiseOR(y)).alias("bloom")
+        F.when(
+            F.size("_a") == F.size("_b"),
+            F.zip_with("_a", "_b", lambda x, y: x.bitwiseOR(y)),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("merge_bloom_filters: word-count mismatch ("),
+                    F.size("_a").cast("string"),
+                    F.lit(" vs "),
+                    F.size("_b").cast("string"),
+                    F.lit(") — filters built with different m_bits"),
+                )
+            )
+        )
+        .alias("bloom")
     )
 
 
@@ -344,7 +363,8 @@ def bloom_url_dedup_check(
     - ``false_neg_violations``: new docs whose canonical URL IS in the
       corpus but the probe missed — MUST be 0 (structural);
     - ``fp_within_bound``: observed false positives over the truly-new
-      URL rows within 3× the analytic rate (finite-fixture slack);
+      URL rows within 3× the analytic rate plus an additive +8
+      small-sample slack (same bound as ``bloom_contamination_check``);
     - ``kept_exact``: the keep count the EXACT gate produces (corpus
       membership by equi-join, then min-per-key + host-less bypass) —
       closed-form oracle-checkable;
@@ -416,10 +436,12 @@ def bloom_url_dedup_check(
         "seen_exact",
         "false_neg_violations",
         (
+            # same additive small-sample slack as bloom_contamination_check:
+            # on tiny truly-new counts a couple of hash collisions must not
+            # flag a healthy filter (multiplicative-only bounds are fragile
+            # for new callers on small snapshots)
             F.col("_fp").cast("double")
-            <= F.greatest(
-                F.lit(3.0 * fp_rate) * F.col("_clean"), F.lit(1.0)
-            )
+            <= F.lit(3.0 * fp_rate) * F.col("_clean").cast("double") + F.lit(8.0)
         ).alias("fp_within_bound"),
         "kept_exact",
         (F.col("_extra") == 0).alias("no_extra_keeps"),

@@ -14,11 +14,14 @@ no shuffle, no Python. The regex dialect avoids lookarounds so Java
 oracle-checkable.
 
 Extraction is intentionally conservative and DOCUMENTED rather than
-exhaustive: the robots regex reads the canonical
-``<meta name="robots" content="...">`` attribute order (the form
-real-world emitters overwhelmingly produce); a signal the regex cannot
-see is treated as absent, and :func:`license_gate` decides what absent
-means (``require_license`` flips the default from allow to deny).
+exhaustive: the robots regex reads BOTH attribute orders
+(``name= content=`` and ``content= name=``) and BOTH quote styles —
+the variants real crawl HTML actually produces (r11 ADVICE: a policy
+gate must not fail open on a single-quoted or content-first tag).
+Anything beyond those forms (unquoted attributes, interleaved extra
+attributes) is still treated as absent, and :func:`license_gate`
+decides what absent means (``require_license`` flips the default from
+allow to deny).
 """
 
 from __future__ import annotations
@@ -37,15 +40,36 @@ OPT_OUT_DIRECTIVES = ("noindex", "noarchive", "none")
 #: typically keep without share-alike/no-derivative complications
 PERMISSIVE_CC = ("by", "by-sa", "zero", "publicdomain")
 
-_ROBOTS_RE = r'<meta\s+name="robots"\s+content="([^"]*)"'
+#: robots-meta forms in priority order: canonical name-first double-
+#: quoted, then single-quoted, then content-first in both quote styles.
+#: Lookaround-free so Java (Spark) and RE2 engines agree. The name
+#: attribute accepts either quote via a class (``robots`` itself
+#: contains no quote); the content capture is per-quote-style so a
+#: quote character inside the value can't over-capture.
+_ROBOTS_RES = (
+    '<meta\\s+name=["\']robots["\']\\s+content="([^"]*)"',
+    "<meta\\s+name=[\"']robots[\"']\\s+content='([^']*)'",
+    '<meta\\s+content="([^"]*)"\\s+name=["\']robots["\']',
+    "<meta\\s+content='([^']*)'\\s+name=[\"']robots[\"']",
+)
 _CC_RE = r"creativecommons\.org/(?:licenses|publicdomain)/([a-z-]+)"
 _SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
 
 
 def robots_content_expr(col: Column) -> Column:
-    """The raw ``content`` attribute of the first canonical robots meta
-    tag ('' when absent)."""
-    return F.regexp_extract(F.lower(col), _ROBOTS_RE, 1)
+    """The raw ``content`` attribute of the first robots meta tag (''
+    when absent). Forms are tried in :data:`_ROBOTS_RES` priority
+    order — each form's FIRST occurrence wins within that form; when a
+    document mixes forms, the earlier-listed form takes precedence
+    (one tag per document in practice)."""
+    low = F.lower(col)
+    return F.coalesce(
+        *[
+            F.nullif(F.regexp_extract(low, p, 1), F.lit(""))
+            for p in _ROBOTS_RES
+        ],
+        F.lit(""),
+    )
 
 
 def license_signals(

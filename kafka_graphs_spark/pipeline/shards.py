@@ -192,11 +192,16 @@ def write_shards(
     )
     # verification path: re-read the partitioned DATA and rebuild the
     # manifest from it. Partition-column types come back from directory
-    # names (group as string, shard as int) — cast shard back to long
-    # so the observed manifest's schema matches the written artifact.
+    # names under type INFERENCE (shard as int; a numeric-looking group
+    # like '123' as int too) — cast BOTH partition columns back to the
+    # input's dtypes so the observed manifest matches the written
+    # artifact even for numeric-looking group values.
     data = assigned.sparkSession.read.parquet(f"{path}/data")
     return shard_manifest(
-        data.withColumn("shard", F.col("shard").cast("long")),
+        data.withColumn("shard", F.col("shard").cast("long")).withColumn(
+            group_col,
+            F.col(group_col).cast(assigned.schema[group_col].dataType),
+        ),
         group_col=group_col,
     )
 
