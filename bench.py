@@ -130,32 +130,39 @@ def main() -> None:
     qs = bench_queries(spark, SF_DIR)
     times = {}
     best = {}
+    # pass 1: one clean loop over every query — its WALL time (including
+    # inter-query overhead) is the r1-r10 "value" definition, so the
+    # series stays comparable artifact-to-artifact
     t0 = time.time()
     for name, fn in qs.items():
         t = time.time()
         fn()
         times[name] = round(time.time() - t, 3)
+    first_wall = round(time.time() - t0, 3)
+    # pass 2 (instrumentation only): per-query min of the two passes is
+    # the noise-robust floor; excluded from "value"
+    for name, fn in qs.items():
         t = time.time()
         fn()
         second = round(time.time() - t, 3)
         best[name] = min(times[name], second)
-        print(
-            f"# {name}: {times[name]}s (2nd {second}s)", file=sys.stderr
-        )
+        print(f"# {name}: {times[name]}s (2nd {second}s)", file=sys.stderr)
     total = round(time.time() - t0, 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
-                # first-pass numbers — comparable to the r1-r10 artifacts
-                "value": round(sum(times.values()), 3),
+                # first-pass LOOP WALL — same definition as the r1-r10
+                # artifacts (includes inter-query overhead)
+                "value": first_wall,
                 "unit": "sec",
                 "queries": times,
                 # per-query min of the two same-session passes — the
                 # noise-robust floor (read THIS against BASELINE.md)
                 "queries_best_of": best,
                 "value_best_of": round(sum(best.values()), 3),
+                # both passes end-to-end, NOT comparable to "value"
                 "wall_total": total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
