@@ -252,15 +252,37 @@ class ChainLoop:
     (double-buffered) to stay clear of any lazy reader.
     """
 
-    def __init__(self, adaptive: bool = True):
+    def __init__(
+        self,
+        adaptive: bool = True,
+        body_rows: int = 0,
+        body_bytes: int = 0,
+    ):
         # [(cache_df, ckpt_df)] of recent rounds, oldest first (≤2 kept)
         self._gens: List[Tuple[DataFrame, DataFrame]] = []
         self._conf = AdaptiveLoopConf() if adaptive else None
         self._spark = None
+        # Floors for the per-round shuffle sizing. The probe measures the
+        # checkpointed STATE, but loops whose round BODY shuffles far more
+        # than the state (CF: the per-edge gather/message payload is
+        # 100-1000x the factor frame) must size partitions by the body —
+        # 10k factor rows otherwise tune the 6M-rating gather to ONE
+        # partition with AQE off (r12 finding: a single ShuffleMapTask
+        # wrote the whole ~1 GB SVD++ gather at sf1.0). Callers pass the
+        # known per-round volumes (e.g. n_ratings and its serialized
+        # estimate); state-sized loops (WCC/SSSP frontiers) pass nothing
+        # and keep the measured-state behavior.
+        self._body_rows = body_rows
+        self._body_bytes = body_bytes
 
     def _tune(self, n_rows: int, n_bytes: int = -1) -> None:
         if self._conf is not None and self._spark is not None:
-            self._conf.tune(self._spark, n_rows, n_bytes)
+            self._conf.tune(
+                self._spark,
+                max(n_rows, self._body_rows),
+                max(n_bytes, self._body_bytes) if n_bytes >= 0 or self._body_bytes > 0
+                else n_bytes,
+            )
 
     def _restore_conf(self) -> None:
         if self._conf is not None and self._spark is not None:

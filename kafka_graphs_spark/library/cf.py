@@ -282,7 +282,13 @@ def als(
 
     solve_batch = _make_solve_batch(dim, lambda_, dtype)
 
-    loop = ChainLoop()
+    # the round body shuffles one dim-vector per RATING through the
+    # gather groupBy — size the loop's partitions by that volume, not by
+    # the (tiny) factor-frame state the probe measures
+    loop = ChainLoop(
+        body_rows=n_ratings,
+        body_bytes=n_ratings * (dim * bytes_per + 24),
+    )
     try:
         user_f, _ = loop.advance(_init_factors(users, dim, seed, dtype))
         item_f = None
@@ -389,7 +395,13 @@ def sgd(
                 out.append(v.tolist())
             yield pd.DataFrame({"id": pdf["id"], "vec": out})
 
-    loop = ChainLoop()
+    # und doubles the edges, and each carries one dim-vector through the
+    # gather — size the loop by the body volume, not the factor state
+    bytes_per = 4 if dtype == "float32" else 8
+    loop = ChainLoop(
+        body_rows=2 * n_ratings,
+        body_bytes=2 * n_ratings * (dim * bytes_per + 24),
+    )
     try:
         factors, _ = loop.advance(_init_factors(all_v, dim, seed, dtype))
 
@@ -490,6 +502,7 @@ def svdpp(
     min_rating: float = 0.0,
     max_rating: float = 5.0,
     seed: int = 42,
+    dtype: str = "float64",
 ) -> Tuple[DataFrame, DataFrame, float]:
     """Koren SVD++ → (users(id, b, p), items(id, b, q, y), mean_rating).
 
@@ -502,7 +515,24 @@ def svdpp(
     one item superstep; message order is pinned by sorting on the
     counterpart id. RMSE (aggregated on user supersteps) halts early when
     below ``rmse_target``.
+
+    ``dtype='float32'`` carries every per-edge vector that moves through
+    Arrow — the gathered (q, w) neighbor structs AND the (fstep, wstep)
+    message structs, four dim-vectors per rating per round — plus the
+    factor frames as ``array<float>``; all arithmetic stays float64
+    inside numpy and values are rounded once per superstep on emit, the
+    same contract as ``als(dtype=...)``/``sgd(dtype=...)``. The
+    reference's jblas FloatMatrix IS float32 (Svdpp.java:36), so this is
+    the reference-faithful width; float64 stays the default so goldens
+    are byte-stable.
     """
+    if dtype not in ("float64", "float32"):
+        raise ValueError(f"dtype must be 'float64' or 'float32', got {dtype!r}")
+    arr = "array<float>" if dtype == "float32" else "array<double>"
+
+    def _emit(vec):  # round once per superstep on emit (numpy float64 inside)
+        return vec.astype(dtype).tolist() if dtype != "float64" else vec.tolist()
+
     edges, release_edges = sized_cache(
         graph.edges.select("src", "dst", F.col("value").cast("double").alias("value"))
     )
@@ -530,19 +560,27 @@ def svdpp(
                 cols = ["id", "b", "vec"] + (["w"] if with_weights else [])
                 yield pd.DataFrame(rows, columns=cols)
 
-        schema = "id long, b double, vec array<double>" + (
-            ", w array<double>" if with_weights else ""
+        schema = f"id long, b double, vec {arr}" + (
+            f", w {arr}" if with_weights else ""
         )
         return vertices.mapInPandas(gen, schema=schema)
 
-    loop = ChainLoop()
+    # each rating carries FOUR dim-vectors per round through the gather
+    # and message shuffles — size the loop by that body volume, not the
+    # (tiny) factor-frame state (r12: state-sized tuning ran the whole
+    # ~1 GB sf1.0 gather through ONE ShuffleMapTask)
+    bytes_per = 4 if dtype == "float32" else 8
+    loop = ChainLoop(
+        body_rows=n_ratings,
+        body_bytes=2 * n_ratings * (dim * bytes_per + 32),
+    )
     try:
         user_f, _ = loop.advance(init_side(users, False))
         item_f, _ = loop.advance(init_side(items, True))
 
         msg_schema = (
-            "id long, b double, vec array<double>, rmse double, "
-            "msgs array<struct<item: long, fstep: array<double>, wstep: array<double>, bstep: double>>"
+            f"id long, b double, vec {arr}, rmse double, "
+            f"msgs array<struct<item: long, fstep: {arr}, wstep: {arr}, bstep: double>>"
         )
 
         def user_step(batches: Iterator) -> Iterator:
@@ -581,8 +619,8 @@ def svdpp(
                         err = t["r"] - pred
                         f_step = (imp + p) * (factor_gamma * err)
                         rmse += err * err
-                        msgs.append((int(t["i"]), f_step.tolist(), w_step.tolist(), bias_gamma * err))
-                    rows.append((int(uid), bu, p.tolist(), rmse, msgs))
+                        msgs.append((int(t["i"]), _emit(f_step), _emit(w_step), bias_gamma * err))
+                    rows.append((int(uid), bu, _emit(p), rmse, msgs))
                 yield pd.DataFrame(rows, columns=["id", "b", "vec", "rmse", "msgs"])
 
         def item_step(batches: Iterator) -> Iterator:
@@ -599,7 +637,7 @@ def svdpp(
                         bi = bi + s["bstep"] - bias_gamma * bias_lambda * bi
                         q += np.asarray(s["fstep"], dtype="float64") - factor_gamma * factor_lambda * q
                         y += np.asarray(s["wstep"], dtype="float64") - factor_gamma * factor_lambda * y
-                    rows.append((int(iid), bi, q.tolist(), y.tolist()))
+                    rows.append((int(iid), bi, _emit(q), _emit(y)))
                 yield pd.DataFrame(rows, columns=["id", "b", "vec", "w"])
 
         for _ in range(iterations):
@@ -636,7 +674,7 @@ def svdpp(
             item_f, _ = loop.advance(
                 item_f.join(steps, on="id", how="left")
                 .withColumn("steps", F.coalesce(F.col("steps"), F.array()))
-                .mapInPandas(item_step, schema="id long, b double, vec array<double>, w array<double>")
+                .mapInPandas(item_step, schema=f"id long, b double, vec {arr}, w {arr}")
             )
 
         users_out = user_f.select("id", "b", F.col("vec").alias("p")).localCheckpoint(eager=True)

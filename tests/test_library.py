@@ -550,6 +550,51 @@ class TestSvdpp:
         )
         assert users.count() == 3 and items.count() == 2
 
+    def test_svdpp_float32_matches_float64(self, spark):
+        # r12: dtype='float32' carries the nested (q, w) gather structs,
+        # the (fstep, wstep) message structs, AND the factor frames as
+        # array<float> — four dim-vectors per rating per round through
+        # Arrow. Arithmetic stays float64; factors round once per
+        # superstep, so after a few rounds the two fits agree to
+        # float32 precision and converge identically.
+        import math as _math
+
+        from kafka_graphs_spark.library import svdpp, svdpp_predict
+
+        g = self._graph(spark)
+        want = {(u, i): r for u, i, r in self.RATINGS}
+
+        def rmse(users, items, mean):
+            preds = svdpp_predict(users, items, g.edges, g.edges, mean).collect()
+            errs = [(p["prediction"] - want[(p["src"], p["dst"])]) ** 2 for p in preds]
+            return _math.sqrt(sum(errs) / len(errs))
+
+        u64, i64, m64 = svdpp(
+            g, dim=3, iterations=8, bias_gamma=0.1, factor_gamma=0.1, seed=3
+        )
+        u32, i32, m32 = svdpp(
+            g, dim=3, iterations=8, bias_gamma=0.1, factor_gamma=0.1, seed=3,
+            dtype="float32",
+        )
+        assert u32.schema["p"].dataType.simpleString() == "array<float>"
+        assert i32.schema["q"].dataType.simpleString() == "array<float>"
+        assert i32.schema["y"].dataType.simpleString() == "array<float>"
+        p64 = {r["id"]: r["p"] for r in u64.collect()}
+        p32 = {r["id"]: r["p"] for r in u32.collect()}
+        assert set(p64) == set(p32)
+        for k in p64:
+            for a, b in zip(p64[k], p32[k]):
+                assert abs(a - b) <= 1e-3 * max(1.0, abs(a))
+        assert abs(rmse(u32, i32, m32) - rmse(u64, i64, m64)) < 1e-3
+
+    def test_svdpp_dtype_validated(self, spark):
+        import pytest as _pytest
+
+        from kafka_graphs_spark.library import svdpp
+
+        with _pytest.raises(ValueError, match="dtype"):
+            svdpp(self._graph(spark), dim=2, iterations=1, dtype="float16")
+
 
 class TestPageRankGeneratorParity:
     """Cross-check the DataFrame delta-PageRank against an independent
