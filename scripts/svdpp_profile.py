@@ -6,9 +6,13 @@ gathered (q, w) neighbor structs into the user superstep and the
 (nested-struct) serialization shape from ALS's flat fvecs gather, so
 the ALS float32 measurement (flat 2.34 -> 1.95 s warm half-step at
 sf1.0, BASELINE.md round 11) does not proxy it. This measures the
-end-to-end wall of svdpp() at iterations=1 and iterations=3 per dtype;
-the marginal (t3 - t1) / 2 is the warm per-round cost (one user + one
-item superstep) with setup/init excluded.
+end-to-end wall of svdpp() at iterations=1 and iterations=2 per dtype;
+the marginal (t2 - t1) is the warm per-round cost (one user + one item
+superstep) with setup/init excluded. CAVEAT (r12 measured): on a
+phasey box the end-to-end walls swing 2-4x on identical code and the
+marginal can come out negative — the robust protocol is the
+interleaved ISOLATED user-superstep A/B recorded in BASELINE.md round
+12 (gather -> user_step -> message explode/groupBy, paired reps).
 
 Usage: python scripts/svdpp_profile.py [SF_DIR] [DIM] [REPS]
        (default: .scratch/sf1.0, dim 8, 2 reps per point)
