@@ -116,6 +116,25 @@ def sized_cache(df: DataFrame, rows_per_partition: int = 250_000):
     return out, df.unpersist
 
 
+def message_loop(edges_df: DataFrame, bytes_per_row: int = 32) -> "ChainLoop":
+    """A :class:`ChainLoop` floored by the per-round MESSAGE volume.
+
+    Message-propagation loops (HashMin, frontier relax, rank push)
+    shuffle up to one message per edge per round, while the probe
+    measures only the per-vertex state — on a hub-heavy graph
+    (|E| >> |V|) state-sized tuning funnels the message shuffle into
+    too few partitions (the r12 CF finding, generalized). ``edges_df``
+    should be the ``sized_cache``'d frame, so the extra ``count()``
+    here is a cheap cached scan. ``bytes_per_row`` sizes the message
+    width (32 B for narrow (id, value) messages; pass more for fat
+    payloads like SemiClustering's cluster lists). On |E| ~ |V| graphs
+    (the benched event chains) the floors match the state sizing and
+    behavior is unchanged.
+    """
+    n = edges_df.count()
+    return ChainLoop(body_rows=n, body_bytes=n * bytes_per_row)
+
+
 def checkpoint_with_real_stats(df: DataFrame) -> DataFrame:
     """localCheckpoint via a temporary cache so stats are measured, not
     the exponentially-compounding product estimate (see module docstring)."""

@@ -146,7 +146,7 @@ def semi_clustering(
     """
     from pyspark.sql.window import Window
 
-    from kafka_graphs_spark.library._loop import ChainLoop, sized_cache
+    from kafka_graphs_spark.library._loop import ChainLoop, message_loop, sized_cache
 
     und, release_und = sized_cache(
         graph.edges.select("src", "dst", F.col("value").cast("double").alias("w"))
@@ -168,7 +168,7 @@ def semi_clustering(
             "id", F.array(F.array("id")).alias("value"), F.array(F.array("id")).alias("outbox")
         )
     )
-    loop = ChainLoop()
+    loop = message_loop(und, bytes_per_row=512)
     try:
         out = _semi_clustering_loop(
             loop, state, und, iterations, max_clusters, cluster_capacity, score_factor

@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_graphs_spark.graph import Graph
-from kafka_graphs_spark.library._loop import ChainLoop, sized_cache
+from kafka_graphs_spark.library._loop import ChainLoop, message_loop, sized_cache
 
 
 def connected_components(graph: Graph, max_iterations: int = 50) -> DataFrame:
@@ -37,7 +37,7 @@ def connected_components(graph: Graph, max_iterations: int = 50) -> DataFrame:
         .distinct()
     )
     state = graph.vertices.select("id", F.col("id").alias("value"))
-    loop = ChainLoop()
+    loop = message_loop(und)
     try:
         result = _wcc_loop(loop, state, und, max_iterations)
     finally:
@@ -120,7 +120,7 @@ def label_propagation(
     cols = ["src", "dst"] + (["value"] if weighted else [])
     edges, release_edges = sized_cache(graph.edges.select(*cols))
     state = graph.vertices.select("id", F.col("id").alias("value"))
-    loop = ChainLoop()
+    loop = message_loop(edges)
     try:
         state, _ = loop.advance(state)
         for _ in range(max_iterations):

@@ -215,8 +215,10 @@ def louvain(
     adj, selfw = _adj_selfw(pair_scan)
 
     for _level in range(max_levels):
+        n_adj = 0  # body-volume floor for the sub-sweep loop (see below)
         if local_threshold > 0:
             n_pairs = adj.count() // 2 + 1  # adj holds both directions
+            n_adj = 2 * n_pairs
             if n_pairs <= local_threshold:
                 pairs = [
                     (r["u"], r["v"], r["w"])
@@ -263,7 +265,12 @@ def louvain(
             release_level()
             break
 
-        loop = ChainLoop()
+        # each sub-sweep aggregates one candidate message per adjacency
+        # row — floor the loop's shuffle sizing by that BODY volume, not
+        # the per-vertex community state (r12: the CF funnel finding,
+        # generalized; n_adj rides the count the threshold check already
+        # paid — with local_threshold=0 the old state-sizing stands)
+        loop = ChainLoop(body_rows=n_adj, body_bytes=n_adj * 32)
         # FUSED-SWEEP STATE (VERDICT r6 "Next round" #3): the community
         # frame carries k (the static per-level vertex strength) so that
         #   - sigma is ONE map-side-combined groupBy over the state (no

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_graphs_spark.graph import Graph
-from kafka_graphs_spark.library._loop import INF, ChainLoop, sized_cache
+from kafka_graphs_spark.library._loop import INF, ChainLoop, message_loop, sized_cache
 
 
 def pagerank(
@@ -94,7 +94,7 @@ def pagerank(
             else F.lit(0.0)
         ).alias("delta"),
     )
-    loop = ChainLoop()
+    loop = message_loop(edges_w)
     try:
         result = _pagerank_loop(
             loop, state, edges_w, init_msg, damp, tolerance, max_iterations

@@ -31,7 +31,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from kafka_graphs_spark.graph import Graph
-from kafka_graphs_spark.library._loop import INF, MAX_LONG, ChainLoop, sized_cache
+from kafka_graphs_spark.library._loop import (
+    INF,
+    MAX_LONG,
+    ChainLoop,
+    message_loop,
+    sized_cache,
+)
 
 def _n_changed():
     # built lazily: Column construction needs an active SparkContext
@@ -117,7 +123,7 @@ def bfs(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
             )
         )
 
-    loop = ChainLoop()
+    loop = message_loop(edges)
     try:
         state = _frontier_loop(loop, state, step, max_iterations)
         result = state.select("id", "value").localCheckpoint(eager=True)
@@ -158,7 +164,7 @@ def sssp(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
             (F.col("d") < F.col("value")).alias("_changed"),
         )
 
-    loop = ChainLoop()
+    loop = message_loop(edges)
     try:
         state = _frontier_loop(loop, state, step, max_iterations)
         result = state.select("id", "value").localCheckpoint(eager=True)
@@ -216,7 +222,7 @@ def mssp(
             (F.col("d") < F.coalesce(F.col("dist"), F.lit(INF))).alias("_changed"),
         )
 
-    loop = ChainLoop()
+    loop = message_loop(edges)
     try:
         state = _frontier_loop(loop, state, step, max_iterations)
         state = state.select("id", "landmark", "dist")
@@ -293,7 +299,7 @@ def temporal_earliest_arrival(
             (F.col("t") < F.col("value")).alias("_changed"),
         )
 
-    loop = ChainLoop()
+    loop = message_loop(edges)
     try:
         state = _frontier_loop(loop, state, step, max_iterations)
         result = state.select("id", "value").localCheckpoint(eager=True)
@@ -576,7 +582,7 @@ def temporal_latest_departure(
             (F.col("t") > F.col("value")).alias("_changed"),
         )
 
-    loop = ChainLoop()
+    loop = message_loop(edges)
     try:
         state = _frontier_loop(loop, state, step, max_iterations)
         result = state.select("id", "value").localCheckpoint(eager=True)

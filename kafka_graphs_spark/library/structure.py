@@ -38,6 +38,7 @@ from kafka_graphs_spark.library._loop import (
     MAX_LONG,
     ChainLoop,
     eager_checkpoint,
+    message_loop,
     free_df,
     sized_cache,
 )
@@ -121,7 +122,7 @@ def strongly_connected_components(
                 f"scc did not converge in {max_iterations} peel rounds"
             )
         e_cached, release_e = sized_cache(active_e)
-        loop = ChainLoop()
+        loop = message_loop(e_cached)
         fwd = None
         try:
             # detach fwd from the loop's 2-generation window: the backward
@@ -226,7 +227,7 @@ def minimum_spanning_forest(graph: Graph, max_iterations: int = 64) -> DataFrame
     ew, release_ew = sized_cache(_canonical_weighted_edges(graph.edges))
     comp = graph.vertices.select("id", F.col("id").alias("comp"))
     msf = None
-    loop = ChainLoop()
+    loop = message_loop(ew)
     try:
         comp, _ = loop.advance(comp)
         rounds = 0
@@ -319,7 +320,7 @@ def maximal_independent_set(
     und, release_und = sized_cache(_undirected_simple_edges(graph.edges))
     # status: 0 undecided / 1 in MIS / 2 excluded
     state = graph.vertices.select("id", F.lit(0).alias("status"))
-    loop = ChainLoop()
+    loop = message_loop(und)
     try:
         state, row = loop.advance(
             state,
@@ -437,7 +438,7 @@ def topological_levels(graph: Graph, max_iterations: int = 10_000) -> DataFrame:
     # keep self-loops: a self-loop IS a cycle and must trip the detector,
     # not be silently ignored
     edges, release_e = sized_cache(graph.edges.select("src", "dst").distinct())
-    loop = ChainLoop()
+    loop = message_loop(edges)
     try:
         init = graph.vertices.select(
             "id", F.lit(0).cast("long").alias("level"), F.lit(True).alias("_changed")

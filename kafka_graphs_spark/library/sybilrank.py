@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_graphs_spark.graph import Graph
-from kafka_graphs_spark.library._loop import ChainLoop, sized_cache
+from kafka_graphs_spark.library._loop import ChainLoop, message_loop, sized_cache
 
 _NAN = float("nan")
 _INF = float("inf")
@@ -70,7 +70,7 @@ def sybil_rank(
         .join(tflag.withColumn("_t", F.lit(True)), on="id", how="left")
         .select("id", F.when(F.col("_t"), F.lit(init_rank)).otherwise(F.lit(0.0)).alias("u"))
     )
-    loop = ChainLoop()
+    loop = message_loop(edges)
     try:
         u, _ = loop.advance(u)
 
