@@ -222,7 +222,9 @@ def mssp(
             (F.col("d") < F.coalesce(F.col("dist"), F.lit(INF))).alias("_changed"),
         )
 
-    loop = message_loop(edges)
+    # per-round messages are (edge x landmark) pairs — scale the narrow
+    # per-message width by the landmark fan-out
+    loop = message_loop(edges, bytes_per_row=32 * max(1, len(landmarks)))
     try:
         state = _frontier_loop(loop, state, step, max_iterations)
         state = state.select("id", "landmark", "dist")
