@@ -4114,6 +4114,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                   # content-first, single-quoted (r12): the real-crawl
                   # variant the widened extractor must honor
                   F.lit("<meta content='noarchive' name='robots'> "))
+            .when(F.col("doc_id") % 7 == 4,
+                  # fully-unquoted attributes (r13): must opt out
+                  F.lit("<meta name=robots content=noindex> "))
+            .when(F.col("doc_id") % 7 == 5,
+                  # explicitly-EMPTY canonical tag + content-first decoy
+                  # (r13): presence-based priority stops at the empty
+                  # tag — robots = '', NOT 'noarchive'
+                  F.lit('<meta name="robots" content=""> '
+                        "<meta content='noarchive' name='robots'> "))
             .otherwise(F.lit(""))
         )
         tail = (
@@ -4148,9 +4157,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # curation with the reuse-policy gate (r11): quality -> honor
         # robots opt-outs + permissive-CC allowlist -> dedup. Drops
         # doc_id%7==0 (noindex), doc_id%7==3 (noarchive, content-first
-        # single-quoted tag — r12) and doc_id%5==1 (by-nc) among quality
-        # survivors; both sides run the chain over the SAME injected
-        # text, so token stats and shingles stay in exact parity.
+        # single-quoted tag — r12), doc_id%7==4 (unquoted noindex —
+        # r13) and doc_id%5==1 (by-nc) among quality survivors;
+        # doc_id%7==5 (empty canonical tag + content-first decoy — r13)
+        # is NOT dropped: presence-based priority stops at the empty
+        # tag. Both sides run the chain over the SAME injected text,
+        # so token stats and shingles stay in exact parity.
         from kafka_graphs_spark.pipeline.curate import curate
         from kafka_graphs_spark.pipeline.licenses import PERMISSIVE_CC
 
@@ -4321,66 +4333,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evidence is the invariant/loss/recall twins inside the window.
     # ------------------------------------------------------------------
     return {
-        # -- ROUND-12 WINDOW (generated by scripts/rotate_window.py):
-        # slot 1 is the red-aware re-score of doc_domain_token_budget
-        # (engine judge-verified exact in r11; the HUGEINT oracle cast
-        # landed this round); slots 2-6 are the five never-scored
-        # round-11 registrations (hot-keys stream, license signals,
-        # licensed curate, bloom URL dedup, shard datasheet); slots
-        # 7-50 are the stalest-scored greens (the r7 staple cohort,
-        # then the r8 incremental/stateful block). After this window
-        # scores, every one of the 242 oracle-backed queries has a
-        # hash-green driver row. --
-        "doc_domain_token_budget": doc_domain_token_budget,
-        "ec_hot_keys_stream": ec_hot_keys_stream,
-        "doc_license_signals": doc_license_signals,
-        "pipeline_curate_licensed": pipeline_curate_licensed,
-        "doc_bloom_url_dedup": doc_bloom_url_dedup,
-        "doc_shard_datasheet": doc_shard_datasheet,
-        "doc_weighted_sample": doc_weighted_sample,
-        "doc_negative_samples": doc_negative_samples,
-        "doc_tfidf_pairs": doc_tfidf_pairs,
-        "doc_bm25": doc_bm25,
-        "doc_hybrid_retrieval": doc_hybrid_retrieval,
-        "doc_zipf_fit": doc_zipf_fit,
-        "doc_source_divergence": doc_source_divergence,
-        "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
-        "dedup_minhash_estimate": dedup_minhash_estimate,
-        "pipeline_curate_spans": pipeline_curate_spans,
-        "emb_rp_project": emb_rp_project,
-        "emb_neighborhood_features": emb_neighborhood_features,
-        "hier_eigenvector": hier_eigenvector,
-        "hier_avg_nbr_degree": hier_avg_nbr_degree,
-        "ec_hyperanf": ec_hyperanf,
-        "ec_effective_diameter": ec_effective_diameter,
-        "ec_window_wcc": ec_window_wcc,
-        "ec_window_lp": ec_window_lp,
-        "ec_window_triangles": ec_window_triangles,
-        "gen_betweenness_sampled": gen_betweenness_sampled,
-        "gen_random_graph": gen_random_graph,
-        "gen_wcc_random": gen_wcc_random,
-        "ec_stateful_degrees": ec_stateful_degrees,
-        "ec_stateful_sessions": ec_stateful_sessions,
-        "gen_louvain_cliques": gen_louvain_cliques,
-        "ec_louvain_inv": ec_louvain_inv,
-        "ec_mssp": ec_mssp,
-        "ec_sybilrank": ec_sybilrank,
-        "ec_ppr5": ec_ppr5,
-        "hier_adamic_adar": hier_adamic_adar,
-        "hier_jaccard": hier_jaccard,
-        "sp_in_degrees": sp_in_degrees,
-        "sp_join_vertices": sp_join_vertices,
-        "sp_join_edges": sp_join_edges,
-        "sp_join_edges_src": sp_join_edges_src,
-        "sp_join_edges_tgt": sp_join_edges_tgt,
-        "ec_stream_wcc": ec_stream_wcc,
-        "stream_bipartiteness": stream_bipartiteness,
-        "ec_spanner": ec_spanner,
-        "ec_window_wcc_incr": ec_window_wcc_incr,
-        "ec_window_triangles_incr": ec_window_triangles_incr,
-        "ec_window_pagerank_incr": ec_window_pagerank_incr,
-        "ec_window_lp_incr": ec_window_lp_incr,
-        "ec_stateful_heavy": ec_stateful_heavy,
+        # -- ROUND-13 WINDOW (generated by scripts/rotate_window.py):
+        # with every oracle-backed query hash-green at least once
+        # (r12 verdict), the window's job is freshness — slots 1-43
+        # are the entire stalest r8 cohort (motif/temporal/asof/range
+        # joins, DSIR, quality-train, multimodal, the dedup family,
+        # cosine top-k, pregel sssp, io roundtrip), slots 44-50 the
+        # oldest r9 greens (domain tier, stream join, simhash pairs).
+        # Target: max staleness <= 4 rounds across the registry. --
         "hier_motif_find_triangle": hier_motif_find_triangle,
         "hier_motif_find_wedge_neg": hier_motif_find_wedge_neg,
         "ec_motif_find_path": ec_motif_find_path,
@@ -4573,6 +4533,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_inv": doc_bpe_inv,
         "doc_bpe_apply_inv": doc_bpe_apply_inv,
         "doc_temperature_sample": doc_temperature_sample,
+        "doc_domain_token_budget": doc_domain_token_budget,
+        "ec_hot_keys_stream": ec_hot_keys_stream,
+        "doc_license_signals": doc_license_signals,
+        "pipeline_curate_licensed": pipeline_curate_licensed,
+        "doc_bloom_url_dedup": doc_bloom_url_dedup,
+        "doc_shard_datasheet": doc_shard_datasheet,
+        "doc_weighted_sample": doc_weighted_sample,
+        "doc_negative_samples": doc_negative_samples,
+        "doc_tfidf_pairs": doc_tfidf_pairs,
+        "doc_bm25": doc_bm25,
+        "doc_hybrid_retrieval": doc_hybrid_retrieval,
+        "doc_zipf_fit": doc_zipf_fit,
+        "doc_source_divergence": doc_source_divergence,
+        "doc_jsonl_roundtrip": doc_jsonl_roundtrip,
+        "dedup_minhash_estimate": dedup_minhash_estimate,
+        "pipeline_curate_spans": pipeline_curate_spans,
+        "emb_rp_project": emb_rp_project,
+        "emb_neighborhood_features": emb_neighborhood_features,
+        "hier_eigenvector": hier_eigenvector,
+        "hier_avg_nbr_degree": hier_avg_nbr_degree,
+        "ec_hyperanf": ec_hyperanf,
+        "ec_effective_diameter": ec_effective_diameter,
+        "ec_window_wcc": ec_window_wcc,
+        "ec_window_lp": ec_window_lp,
+        "ec_window_triangles": ec_window_triangles,
+        "gen_betweenness_sampled": gen_betweenness_sampled,
+        "gen_random_graph": gen_random_graph,
+        "gen_wcc_random": gen_wcc_random,
+        "ec_stateful_degrees": ec_stateful_degrees,
+        "ec_stateful_sessions": ec_stateful_sessions,
+        "gen_louvain_cliques": gen_louvain_cliques,
+        "ec_louvain_inv": ec_louvain_inv,
+        "ec_mssp": ec_mssp,
+        "ec_sybilrank": ec_sybilrank,
+        "ec_ppr5": ec_ppr5,
+        "hier_adamic_adar": hier_adamic_adar,
+        "hier_jaccard": hier_jaccard,
+        "sp_in_degrees": sp_in_degrees,
+        "sp_join_vertices": sp_join_vertices,
+        "sp_join_edges": sp_join_edges,
+        "sp_join_edges_src": sp_join_edges_src,
+        "sp_join_edges_tgt": sp_join_edges_tgt,
+        "ec_stream_wcc": ec_stream_wcc,
+        "stream_bipartiteness": stream_bipartiteness,
+        "ec_spanner": ec_spanner,
+        "ec_window_wcc_incr": ec_window_wcc_incr,
+        "ec_window_triangles_incr": ec_window_triangles_incr,
+        "ec_window_pagerank_incr": ec_window_pagerank_incr,
+        "ec_window_lp_incr": ec_window_lp_incr,
+        "ec_stateful_heavy": ec_stateful_heavy,
         "sp_als_factors": sp_als_factors,
         "sp_sgd_factors": sp_sgd_factors,
         "hier_semiclusters": hier_semiclusters,
@@ -8457,8 +8467,9 @@ def oracle_sql() -> dict[str, str]:
                    CASE doc_id % 7 WHEN 0 THEN 'noindex, follow'
                         WHEN 1 THEN 'index, follow'
                         WHEN 2 THEN 'noindexing'
-                        WHEN 3 THEN 'noarchive' ELSE '' END AS robots,
-                   doc_id % 7 IN (0, 3) AS opted_out,
+                        WHEN 3 THEN 'noarchive'
+                        WHEN 4 THEN 'noindex' ELSE '' END AS robots,
+                   doc_id % 7 IN (0, 3, 4) AS opted_out,
                    CASE doc_id % 5 WHEN 0 THEN 'by' WHEN 1 THEN 'by-nc'
                         WHEN 2 THEN 'zero' ELSE '' END AS cc_license,
                    CASE WHEN doc_id % 5 = 3 THEN 'MIT' ELSE '' END AS spdx,
@@ -8467,9 +8478,11 @@ def oracle_sql() -> dict[str, str]:
         ''',
         # curation with the reuse-policy gate: the SAME injected text
         # drives quality + shingles on both sides (exact token parity);
-        # the gate itself is closed-form (drops doc_id%7 IN (0,3) —
-        # noindex / content-first noarchive — and doc_id%5==1 by-nc),
-        # then the standard dedup chain
+        # the gate itself is closed-form (drops doc_id%7 IN (0,3,4) —
+        # noindex / content-first noarchive / unquoted noindex — and
+        # doc_id%5==1 by-nc; %7==5's EMPTY canonical tag stops the
+        # priority chain, so its decoy noarchive does NOT drop), then
+        # the standard dedup chain
         "pipeline_curate_licensed": f"""
             WITH RECURSIVE documents2 AS (SELECT doc_id,
                 (CASE doc_id % 7
@@ -8477,6 +8490,8 @@ def oracle_sql() -> dict[str, str]:
                      WHEN 1 THEN '<meta name="robots" content="index, follow"> '
                      WHEN 2 THEN '<meta name="robots" content="noindexing"> '
                      WHEN 3 THEN '<meta content=''noarchive'' name=''robots''> '
+                     WHEN 4 THEN '<meta name=robots content=noindex> '
+                     WHEN 5 THEN '<meta name="robots" content=""> <meta content=''noarchive'' name=''robots''> '
                      ELSE '' END)
                 || text ||
                 (CASE doc_id % 5
@@ -8503,7 +8518,7 @@ def oracle_sql() -> dict[str, str]:
                  + CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 0.3 ELSE 0.0 END)
                 >= 0.6),
             g AS (SELECT doc_id FROM q
-                  WHERE doc_id % 7 NOT IN (0, 3) AND doc_id % 5 <> 1),
+                  WHERE doc_id % 7 NOT IN (0, 3, 4) AND doc_id % 5 <> 1),
             kt AS (SELECT t.doc_id, t.toks FROM t JOIN g USING (doc_id)),
             sh AS (SELECT DISTINCT doc_id,
                        unnest(CASE WHEN len(toks) >= 3

@@ -15,13 +15,13 @@ oracle-checkable.
 
 Extraction is intentionally conservative and DOCUMENTED rather than
 exhaustive: the robots regex reads BOTH attribute orders
-(``name= content=`` and ``content= name=``) and BOTH quote styles —
-the variants real crawl HTML actually produces (r11 ADVICE: a policy
-gate must not fail open on a single-quoted or content-first tag).
-Anything beyond those forms (unquoted attributes, interleaved extra
-attributes) is still treated as absent, and :func:`license_gate`
-decides what absent means (``require_license`` flips the default from
-allow to deny).
+(``name= content=`` and ``content= name=``), BOTH quote styles, AND
+unquoted attribute values (``<meta name=robots content=noindex>`` —
+r12 verdict item: an unquoted opt-out must not fail open). Anything
+beyond those forms (interleaved extra attributes, a ``name=robots``
+with no tag close/whitespace after it) is still treated as absent,
+and :func:`license_gate` decides what absent means
+(``require_license`` flips the default from allow to deny).
 """
 
 from __future__ import annotations
@@ -40,17 +40,25 @@ OPT_OUT_DIRECTIVES = ("noindex", "noarchive", "none")
 #: typically keep without share-alike/no-derivative complications
 PERMISSIVE_CC = ("by", "by-sa", "zero", "publicdomain")
 
-#: robots-meta forms in priority order: canonical name-first double-
-#: quoted, then single-quoted, then content-first in both quote styles.
-#: Lookaround-free so Java (Spark) and RE2 engines agree. The name
-#: attribute accepts either quote via a class (``robots`` itself
-#: contains no quote); the content capture is per-quote-style so a
-#: quote character inside the value can't over-capture.
+#: robots-meta forms in priority order: name-first double-quoted /
+#: single-quoted / unquoted content, then content-first in the same
+#: three styles. Lookaround-free so Java (Spark) and RE2 engines
+#: agree. The name attribute's quotes are OPTIONAL in the name-first
+#: forms (``\s+content`` anchors the name token, so ``name=robotsx``
+#: can't prefix-match); in the content-first forms the name sits at
+#: the end of the match, so an unquoted name requires a following
+#: whitespace / ``/`` / ``>`` delimiter to anchor it. The content
+#: capture is per-style so a quote character inside a quoted value
+#: can't over-capture, and an unquoted value ends at whitespace,
+#: quote, or ``>`` (HTML unquoted-attribute rules).
+_NAME_END = "(?:[\"']robots[\"']|robots[\\s/>])"
 _ROBOTS_RES = (
-    '<meta\\s+name=["\']robots["\']\\s+content="([^"]*)"',
-    "<meta\\s+name=[\"']robots[\"']\\s+content='([^']*)'",
-    '<meta\\s+content="([^"]*)"\\s+name=["\']robots["\']',
-    "<meta\\s+content='([^']*)'\\s+name=[\"']robots[\"']",
+    '<meta\\s+name=["\']?robots["\']?\\s+content="([^"]*)"',
+    "<meta\\s+name=[\"']?robots[\"']?\\s+content='([^']*)'",
+    "<meta\\s+name=[\"']?robots[\"']?\\s+content=([^\\s\"'>]+)",
+    '<meta\\s+content="([^"]*)"\\s+name=' + _NAME_END,
+    "<meta\\s+content='([^']*)'\\s+name=" + _NAME_END,
+    "<meta\\s+content=([^\\s\"'>]+)\\s+name=" + _NAME_END,
 )
 _CC_RE = r"creativecommons\.org/(?:licenses|publicdomain)/([a-z-]+)"
 _SPDX_RE = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
@@ -61,15 +69,20 @@ def robots_content_expr(col: Column) -> Column:
     when absent). Forms are tried in :data:`_ROBOTS_RES` priority
     order — each form's FIRST occurrence wins within that form; when a
     document mixes forms, the earlier-listed form takes precedence
-    (one tag per document in practice)."""
+    (one tag per document in practice).
+
+    Priority is PRESENCE-based (``regexp_like`` per form), not
+    extract-then-nullif: an explicitly EMPTY canonical tag
+    (``content=""``) stops the chain and yields '' instead of falling
+    through to a lower-priority form's content (r12 ADVICE — the two
+    cases were previously indistinguishable)."""
     low = F.lower(col)
-    return F.coalesce(
-        *[
-            F.nullif(F.regexp_extract(low, p, 1), F.lit(""))
-            for p in _ROBOTS_RES
-        ],
-        F.lit(""),
-    )
+    expr: Column = F.lit("")
+    for p in reversed(_ROBOTS_RES):
+        expr = F.when(
+            F.regexp_like(low, F.lit(p)), F.regexp_extract(low, p, 1)
+        ).otherwise(expr)
+    return expr
 
 
 def license_signals(

