@@ -191,19 +191,21 @@ def write_shards(
         f"{path}/_manifest"
     )
     # verification path: re-read the partitioned DATA and rebuild the
-    # manifest from it. Partition-column types come back from directory
-    # names under type INFERENCE (shard as int; a numeric-looking group
-    # like '123' as int too) — cast BOTH partition columns back to the
-    # input's dtypes so the observed manifest matches the written
-    # artifact even for numeric-looking group values.
-    data = assigned.sparkSession.read.parquet(f"{path}/data")
-    return shard_manifest(
-        data.withColumn("shard", F.col("shard").cast("long")).withColumn(
-            group_col,
-            F.col(group_col).cast(assigned.schema[group_col].dataType),
-        ),
-        group_col=group_col,
+    # manifest from it, declaring the INPUT's schema explicitly so
+    # partition-column values are parsed straight from the directory
+    # names into the input dtypes. The previous infer-then-cast-back
+    # round trip silently canonicalized numeric-looking group strings
+    # ('0123' -> inferred int 123 -> cast '123'), so the observed
+    # manifest diverged from the written artifact (r12 ADVICE).
+    from pyspark.sql.types import StructType
+
+    part_cols = (group_col, "shard")
+    schema = StructType(
+        [f for f in assigned.schema.fields if f.name not in part_cols]
+        + [assigned.schema[c] for c in part_cols]
     )
+    data = assigned.sparkSession.read.schema(schema).parquet(f"{path}/data")
+    return shard_manifest(data, group_col=group_col)
 
 
 def shard_datasheet(

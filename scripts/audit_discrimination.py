@@ -77,12 +77,18 @@ DECIMAL_DOUBLE_PAIRED = {
 
 
 def dtype_sweep(con, oracles):
-    """DESCRIBE every oracle; return (hugeint, unpaired_decimal) lists."""
-    hugeint, decimal = [], []
+    """DESCRIBE every oracle; return (hugeint, unpaired_decimal,
+    describe_errors) lists.
+
+    A failed DESCRIBE (missing view, SQL drift) is returned in the
+    third list instead of silently skipped (r12 ADVICE: an oracle the
+    sweep never inspected must not count as dtype-clean)."""
+    hugeint, decimal, errors = [], [], []
     for name, sql in sorted(oracles.items()):
         try:
             desc = con.execute(f"DESCRIBE {sql}").fetchall()
-        except Exception:  # noqa: BLE001 — runtime errors reported by main()
+        except Exception as exc:  # noqa: BLE001
+            errors.append((name, str(exc)[:120]))
             continue
         for col, typ, *_ in desc:
             t = typ.upper()
@@ -90,7 +96,7 @@ def dtype_sweep(con, oracles):
                 hugeint.append((name, col, typ))
             elif "DECIMAL" in t and (name, col) not in DECIMAL_DOUBLE_PAIRED:
                 decimal.append((name, col, typ))
-    return hugeint, decimal
+    return hugeint, decimal, errors
 
 
 def main() -> int:
@@ -125,7 +131,7 @@ def main() -> int:
                 val = next(iter(distinct))
                 if isinstance(val, bool) or (n >= 20):
                     flags.append((name, c, n, repr(val)))
-    hugeint, decimal = dtype_sweep(con, oracles)
+    hugeint, decimal, desc_errors = dtype_sweep(con, oracles)
     print(f"# audited {len(oracles)} oracles at {sf_dir}")
     print(f"# zero-row outputs: {zero_rows or 'none'}")
     for name, col, n, val in flags:
@@ -137,9 +143,15 @@ def main() -> int:
               f"Spark double and add to DECIMAL_DOUBLE_PAIRED, or CAST")
     for name, err in errors:
         print(f"ERROR {name}: {err}")
+    for name, err in desc_errors:
+        if name not in {n for n, _ in errors}:
+            print(f"DESCRIBE-ERROR {name}: {err}")
     print(f"# {len(flags)} constant-column leads, {len(hugeint)} HUGEINT, "
-          f"{len(decimal)} unadjudicated DECIMAL, {len(errors)} errors")
-    return 1 if zero_rows or hugeint or decimal else 0
+          f"{len(decimal)} unadjudicated DECIMAL, {len(errors)} errors, "
+          f"{len(desc_errors)} describe-errors")
+    # an oracle that errors (run or DESCRIBE) was never inspected —
+    # fail the gate rather than count it clean (r12 ADVICE)
+    return 1 if zero_rows or hugeint or decimal or errors or desc_errors else 0
 
 
 if __name__ == "__main__":

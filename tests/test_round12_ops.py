@@ -32,27 +32,27 @@ def _sweep(oracles):
 
 def test_dtype_sweep_flags_uncast_hugeint():
     # a window sum over BIGINT is exactly the doc_domain_token_budget bug
-    hugeint, _ = _sweep({
+    hugeint, _, errs = _sweep({
         "bad": """
             SELECT x, sum(CAST(x AS BIGINT)) OVER (ORDER BY x) AS cum
             FROM (VALUES (1), (2), (3)) t(x)
         """,
     })
-    assert hugeint == [("bad", "cum", "HUGEINT")]
+    assert hugeint == [("bad", "cum", "HUGEINT")] and errs == []
 
 
 def test_dtype_sweep_accepts_cast_bigint():
-    hugeint, decimal = _sweep({
+    hugeint, decimal, errs = _sweep({
         "good": """
             SELECT x, CAST(sum(CAST(x AS BIGINT)) OVER (ORDER BY x) AS BIGINT) AS cum
             FROM (VALUES (1), (2), (3)) t(x)
         """,
     })
-    assert hugeint == [] and decimal == []
+    assert hugeint == [] and decimal == [] and errs == []
 
 
 def test_dtype_sweep_flags_unadjudicated_decimal():
-    _, decimal = _sweep({
+    _, decimal, _ = _sweep({
         "dec": "SELECT CAST(1.5 AS DECIMAL(4,1)) AS score",
     })
     assert decimal and decimal[0][:2] == ("dec", "score")
@@ -157,8 +157,11 @@ def test_registry_oracles_dtype_clean():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
             )
-        hugeint, decimal = dtype_sweep(con, entry_mod.oracle_sql())
+        hugeint, decimal, errs = dtype_sweep(con, entry_mod.oracle_sql())
     finally:
         con.close()
     assert hugeint == [], f"un-CAST HUGEINT oracle columns: {hugeint}"
     assert decimal == [], f"unadjudicated DECIMAL oracle columns: {decimal}"
+    # r12 ADVICE: a DESCRIBE failure means the sweep never inspected
+    # that oracle — it must fail the gate, not silently count as clean
+    assert errs == [], f"oracles the dtype sweep could not DESCRIBE: {errs}"

@@ -72,3 +72,30 @@ class TestRobotsUnquoted:
                 '<meta name="robots" content="index, follow"> body'),
         ])
         assert out[1]["robots"] == "index, follow" and not out[1]["opted_out"]
+
+
+# ---------------------------------------------------------------------------
+# write_shards verification read (r12 ADVICE): the infer-then-cast-back
+# round trip canonicalized numeric-looking group strings ('0123' ->
+# int 123 -> '123'); the explicit-schema read must preserve them.
+# ---------------------------------------------------------------------------
+
+
+def test_write_shards_preserves_noncanonical_numeric_groups(spark, tmp_path):
+    from kafka_graphs_spark.pipeline.shards import shard_manifest, write_shards
+
+    rows = [
+        (i, "0123" if i % 3 == 0 else ("1e2" if i % 3 == 1 else "plain"),
+         i % 2, 10)
+        for i in range(30)
+    ]
+    assigned = spark.createDataFrame(
+        rows, ["doc_id", "source", "shard", "n_tokens"]
+    )
+    out = str(tmp_path / "shards")
+    observed = write_shards(assigned, out, group_col="source")
+    want = {tuple(r) for r in shard_manifest(assigned, group_col="source").collect()}
+    got = {tuple(r) for r in observed.collect()}
+    assert got == want
+    groups = {r[0] for r in got}
+    assert groups == {"0123", "1e2", "plain"}, groups
