@@ -2,17 +2,34 @@
 
 Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "queries_best_of": {name: sec},
-"value_best_of": sec, "sf": ...}. Each query runs TWICE in the same
-session: "queries"/"value" are the first-pass numbers (continuity with
-the r1-r10 artifacts), "queries_best_of"/"value_best_of" the per-query
-minimum — the noise-robust floor. The box this runs on has documented
-co-tenant phases with 2x run-to-run swings on identical plans
-(BASELINE.md round 10); the best-of column makes the artifact itself
-carry the quiet-band reading instead of every round re-litigating the
-phase. The mix covers every engine tier:
-iterative graph algorithms (PageRank/WCC/SSSP/LP), graph algebra (degrees),
-dedup (MinHash-LSH, SimHash), similarity search (cosine top-k), and text
-analysis — the same workloads the correctness gate checks, at bench scale.
+"value_best_of": sec, "queries_series_median": {name: sec},
+"value_series_median": sec, "queries_extra*": ..., "sf": ...}.
+
+Each query runs $SPARK_GRAFT_BENCH_PASSES times (default 3) as
+INTERLEAVED full loops in the same session: "queries"/"value" are the
+first-pass numbers (continuity with the r1-r10 artifacts),
+"queries_best_of"/"value_best_of" the per-query minimum over all
+passes (best-of-2 in r11-r12, best-of-3 since r13), and
+"queries_series_median" the per-query median — together the same
+n=3 series protocol scripts/bench_series.py runs across sessions,
+carried INSIDE the artifact. The box this runs on has documented
+co-tenant phases with 2-4x run-to-run swings on identical plans
+(BASELINE.md rounds 10/12); two of three rounds' headline readings
+were phase artifacts decodable only against hand-recorded BASELINE
+series — the in-artifact floors make each artifact self-decoding:
+read "value" for series continuity, "queries_best_of" vs the prior
+round's for regressions, and the min/median spread for the phase.
+
+"queries_extra" (same three-pass treatment, EXCLUDED from every
+"value" column so the r1-r12 series stays comparable) tracks the
+production CF configs: als4_f32 — the reference-faithful float32
+width (Als.java uses FloatMatrix throughout) — and svdpp1, one
+SVD++ round at bench scale.
+
+The mix covers every engine tier: iterative graph algorithms
+(PageRank/WCC/SSSP/LP), graph algebra (degrees), dedup (MinHash-LSH,
+SimHash), similarity search (cosine top-k), and text analysis — the
+same workloads the correctness gate checks, at bench scale.
 """
 
 from __future__ import annotations
@@ -90,15 +107,18 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
     from kafka_graphs_spark.library.louvain import louvain
     from kafka_graphs_spark.streaming import exact_triangle_count
 
-    def run_als():
+    def ratings_graph():
         from kafka_graphs_spark.graph import Graph
 
         ratings = datasets.load(spark, sf_dir, "lineitem").groupBy(
             F.col("l_suppkey").alias("src"), (F.col("l_partkey") + 1000000).alias("dst")
         ).agg((F.avg("l_quantity") / 10.0).alias("value"))
-        return als(Graph.from_edges(ratings, F.lit(0.0)), dim=8, iterations=4, seed=11).count()
+        return Graph.from_edges(ratings, F.lit(0.0))
 
-    return {
+    def run_als():
+        return als(ratings_graph(), dim=8, iterations=4, seed=11).count()
+
+    qs = {
         "pagerank5": lambda: pagerank(ec, max_iterations=5).count(),
         "triangles": lambda: exact_triangle_count(
             datasets.hierarchy_edges(spark, sf_dir)
@@ -122,31 +142,59 @@ def bench_queries(spark: SparkSession, sf_dir: str) -> dict:
         "quality": lambda: text.quality_score(docs).count(),
         "tfidf": lambda: text.tfidf_keywords(docs, k=3).count(),
     }
+    # production CF configs (r13): tracked as SEPARATE artifact columns
+    # so the r1-r12 headline series stays comparable — als4_f32 is the
+    # reference-faithful float32 factor width, svdpp1 one SVD++ round
+    from kafka_graphs_spark.library import svdpp
+
+    extras = {
+        "als4_f32": lambda: als(
+            ratings_graph(), dim=8, iterations=4, seed=11, dtype="float32"
+        ).count(),
+        "svdpp1": lambda: svdpp(
+            ratings_graph(), dim=8, iterations=1, seed=11, dtype="float32"
+        )[0].count(),
+    }
+    return qs, extras
+
+
+def _series(qs: dict, passes: int) -> tuple[dict, float, dict, dict]:
+    """Run ``passes`` interleaved full loops; return (first-pass times,
+    first-pass loop wall, per-query min, per-query median)."""
+    import statistics
+
+    series: dict[str, list[float]] = {name: [] for name in qs}
+    first_wall = 0.0
+    for p in range(passes):
+        t0 = time.time()
+        for name, fn in qs.items():
+            t = time.time()
+            fn()
+            series[name].append(round(time.time() - t, 3))
+        if p == 0:
+            first_wall = round(time.time() - t0, 3)
+    for name, s in series.items():
+        print(f"# {name}: " + " ".join(f"{t}s" for t in s), file=sys.stderr)
+    first = {name: s[0] for name, s in series.items()}
+    smin = {name: round(min(s), 3) for name, s in series.items()}
+    smed = {name: round(statistics.median(s), 3) for name, s in series.items()}
+    return first, first_wall, smin, smed
 
 
 def main() -> None:
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     spark = build_session()
     spark.sparkContext.setLogLevel("ERROR")
-    qs = bench_queries(spark, SF_DIR)
-    times = {}
-    best = {}
-    # pass 1: one clean loop over every query — its WALL time (including
-    # inter-query overhead) is the r1-r10 "value" definition, so the
-    # series stays comparable artifact-to-artifact
+    qs, extras = bench_queries(spark, SF_DIR)
     t0 = time.time()
-    for name, fn in qs.items():
-        t = time.time()
-        fn()
-        times[name] = round(time.time() - t, 3)
-    first_wall = round(time.time() - t0, 3)
-    # pass 2 (instrumentation only): per-query min of the two passes is
-    # the noise-robust floor; excluded from "value"
-    for name, fn in qs.items():
-        t = time.time()
-        fn()
-        second = round(time.time() - t, 3)
-        best[name] = min(times[name], second)
-        print(f"# {name}: {times[name]}s (2nd {second}s)", file=sys.stderr)
+    # pass 1's LOOP WALL (incl. inter-query overhead) is the r1-r10
+    # "value" definition, so the series stays comparable
+    # artifact-to-artifact; passes 2..n are instrumentation only —
+    # the same n=3 interleaved protocol as scripts/bench_series.py,
+    # carried inside the artifact so a phase-inflated first pass is
+    # self-decoding (min = quiet floor, median = session phase)
+    times, first_wall, best, med = _series(qs, passes)
+    xtimes, _, xbest, xmed = _series(extras, passes)
     total = round(time.time() - t0, 3)
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -158,11 +206,22 @@ def main() -> None:
                 "value": first_wall,
                 "unit": "sec",
                 "queries": times,
-                # per-query min of the two same-session passes — the
-                # noise-robust floor (read THIS against BASELINE.md)
+                # per-query min over the same-session passes — the
+                # noise-robust floor (read THIS against BASELINE.md);
+                # best-of-2 in r11-r12, best-of-3 since r13
                 "queries_best_of": best,
                 "value_best_of": round(sum(best.values()), 3),
-                # both passes end-to-end, NOT comparable to "value"
+                # per-query median over the passes — with the min, the
+                # artifact carries its own phase evidence
+                "queries_series_median": med,
+                "value_series_median": round(sum(med.values()), 3),
+                "series_passes": passes,
+                # production CF configs — separate columns, excluded
+                # from every "value" aggregate (series continuity)
+                "queries_extra": xtimes,
+                "queries_extra_best_of": xbest,
+                "queries_extra_series_median": xmed,
+                # all passes end-to-end, NOT comparable to "value"
                 "wall_total": total,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
