@@ -1360,11 +1360,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select(epoch_start.alias("window_start"), "id", "value")
 
     def ec_maxbmatching(spark, sf):
-        # greedy message protocol — no SQL oracle (rows-only check)
+        # ORACLE-BACKED since r13 (r12 verdict #5): weights chosen so the
+        # greedy ½-approx matching is provably UNIQUE. The event chains
+        # are disjoint paths; give the edge ending at chain position p
+        # weight 2.0 when p is odd, 1.0 when even. Every vertex's two
+        # incident edges are one odd + one even (positions alternate), so
+        # each vertex's heaviest available edge is its odd edge — the
+        # locally-dominant protocol (MaxBMatching.java:43-201 semantics)
+        # includes EXACTLY the odd-position edges, independent of
+        # tie-breaks (ties only arise between non-adjacent edges).
+        # Closed-form oracle: edges whose dst chain position is odd, in
+        # both directions. Protocol semantics unchanged; generic-weight
+        # behavior remains covered by ec_maxbmatching_inv.
+        from pyspark.sql.window import Window
+
         from kafka_graphs_spark import Graph
         from kafka_graphs_spark.library import max_b_matching
 
-        e = datasets.event_chain_edges(spark, sf)
+        ev = datasets.load(spark, sf, "events")
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        pos = ev.select(
+            "user_id", "event_id",
+            (F.row_number().over(w) - 1).alias("rn"),
+            F.lag("event_id").over(w).alias("prev_id"),
+        )
+        e = pos.filter(F.col("prev_id").isNotNull()).select(
+            F.col("prev_id").alias("src"),
+            F.col("event_id").alias("dst"),
+            F.when(F.col("rn") % 2 == 1, F.lit(2.0)).otherwise(F.lit(1.0)).alias("value"),
+        )
         und = e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "value")
         )
@@ -1660,11 +1684,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb.unionByName(planted), threshold=0.9
         )
 
+    def _planted_onehot(emb, clusters=8):
+        # planted well-separated clusters (r12 verdict #5): every vector
+        # in cluster c = vec_id % clusters is the SAME one-hot e_c
+        # (clusters <= dim 64). In-cluster cosine is EXACTLY 1.0 (dot 1,
+        # norms sqrt(1)=1), cross-cluster exactly 0.0 — no float noise
+        # on either engine — and identical vectors land in the same LSH
+        # bucket in every table / the same IVF or k-means cell under any
+        # quantizer, so the candidate set provably contains the whole
+        # cluster and the (cos DESC, neighbor_id ASC) re-rank returns
+        # the exact top-k: the k smallest same-cluster ids excluding
+        # self. That closed form IS the oracle.
+        c = (F.col("vec_id") % clusters).cast("int")
+        vec = F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: F.when(j == c, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+        return emb.select("vec_id", vec.alias("embedding"))
+
     def emb_lsh_topk(spark, sf):
-        # approximate scale path — no SQL oracle (rows-only check).
-        # 4 planes × 8 tables: the recall-measured configuration (see
-        # emb_lsh_recall) for this corpus's weak-similarity neighbors.
-        emb = datasets.load(spark, sf, "embeddings")
+        # ORACLE-BACKED since r13 via the planted one-hot clusters above;
+        # real-corpus recall behavior remains covered by emb_lsh_recall
+        # (4 planes × 8 tables, the recall-measured configuration).
+        emb = _planted_onehot(datasets.load(spark, sf, "embeddings"))
         return similarity.rp_lsh_topk(
             emb, emb.filter(F.col("vec_id") < 10), k=5, n_planes=4, n_tables=8, dim=64
         )
@@ -1897,15 +1939,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def emb_near_dup_lsh(spark, sf):
-        # the 100 TB shape: RP-LSH banded candidates → exact cosine verify
-        # (no all-pairs join). Approximate — rows-only check; the exact
+        # ORACLE-BACKED since r13 via planted one-hot clusters
+        # (vec_id % 64): in-cluster pairs have cosine exactly 1.0 ≥ the
+        # canonical 0.95 threshold, cross-cluster exactly 0.0, and
+        # identical vectors share every LSH bucket — so the LSH-banded
+        # candidate set provably contains every in-cluster pair and the
+        # output is EXACTLY the same-cluster (a < b) pairs. Real-corpus
+        # LSH recall stays covered by emb_near_dup_lsh_inv; the exact
         # path stays oracle-checked as emb_near_dup.
-        # threshold 0.3 matches the _inv twin: at 0.8 this corpus has zero
-        # near-dup pairs (the exact twin hash-matched 0 rows in r1), which
-        # made the rows-only driver row vacuous (VERDICT r6 "What's wrong" #1)
-        emb = datasets.load(spark, sf, "embeddings")
+        emb = _planted_onehot(
+            datasets.load(spark, sf, "embeddings"), clusters=64
+        )
         return similarity.embedding_near_duplicates(
-            emb, threshold=0.3, method="lsh", n_planes=6, n_tables=8, dim=64
+            emb, threshold=0.95, method="lsh", n_planes=6, n_tables=8, dim=64
         )
 
     def dedup_simhash_pairs(spark, sf):
@@ -1974,8 +2020,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def emb_ivf_topk(spark, sf):
-        # IVF approximate ANN (k-means cells + n_probe) — rows-only check
-        emb = datasets.load(spark, sf, "embeddings")
+        # ORACLE-BACKED since r13 via the planted one-hot clusters (see
+        # _planted_onehot): identical in-cluster vectors share an IVF
+        # cell under ANY trained quantizer and the query's first probe is
+        # its own cell, so candidates provably contain the cluster and
+        # top-k = k smallest same-cluster ids. Real-corpus recall remains
+        # covered by emb_ivf_recall.
+        emb = _planted_onehot(datasets.load(spark, sf, "embeddings"))
         return similarity.ivf_topk(
             emb, emb.filter(F.col("vec_id") < 10), k=5, n_cells=16, n_probe=4, dim=64
         )
@@ -2539,11 +2590,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def doc_bpe_segments(spark, sf):
-        # trained segmentation table (rows-only; invariants pinned above)
+        # ORACLE-BACKED since r13 (r12 verdict #5): every document gets
+        # the SAME constructed text whose pair counts form a strict
+        # chain, so the merge sequence is provably unique. With N docs,
+        # types are xy:8N xz:4N yz:2N xyz:N; initial pair counts (x,y)
+        # 9N > (x,z) 4N > (y,z) 3N; after merge 1 ("x y") the xyz type
+        # becomes [xy, z], leaving (x,z) 4N > (y,z) 2N > (xy,z) N —
+        # three merges, never a tie, all counts ≥ min_pair_count. Final
+        # segmentations are closed-form: xy/xz/yz single symbols, xyz =
+        # "xy z" (merge budget exhausted before (xy,z)). Real-corpus
+        # training behavior remains covered by doc_bpe_inv /
+        # doc_bpe_apply_inv.
         from kafka_graphs_spark.pipeline.bpe import train_bpe
 
-        docs = datasets.load(spark, sf, "documents")
-        _, seg = train_bpe(docs, n_merges=20)
+        docs = datasets.load(spark, sf, "documents").select(
+            "doc_id",
+            F.lit("xy xy xy xy xy xy xy xy xz xz xz xz yz yz xyz").alias("text"),
+        )
+        _, seg = train_bpe(docs, n_merges=3)
         return seg.select(
             "token", "freq", F.concat_ws(" ", "symbols").alias("segmentation"),
             "n_symbols",
@@ -2825,10 +2889,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.duplicated_spans(docs, w=8).orderBy("doc_id")
 
     def emb_semantic_dedup(spark, sf):
-        # SemDeDup (cluster-then-cosine-dedup) — rows-only check;
-        # the keep-rule contract is pinned by emb_semantic_dedup_inv
-        emb = datasets.load(spark, sf, "embeddings")
-        return similarity.semantic_dedup(emb, threshold=0.3, n_clusters=16, dim=64)
+        # ORACLE-BACKED since r13 via planted one-hot clusters
+        # (vec_id % 64): identical vectors share a k-means cell under
+        # any trained quantizer; within a cell the only cosine-0.95
+        # witnesses are same-planted-cluster mates (cross-cluster cosine
+        # is exactly 0), so keep ⇔ id is its planted cluster's minimum
+        # ⇔ vec_id < 64 — independent of the (seeded, unprovable)
+        # k-means cell ids, which are therefore projected away. The
+        # real-corpus keep-rule contract stays pinned by
+        # emb_semantic_dedup_inv.
+        emb = _planted_onehot(
+            datasets.load(spark, sf, "embeddings"), clusters=64
+        )
+        return similarity.semantic_dedup(
+            emb, threshold=0.95, n_clusters=16, dim=64
+        ).select("id", "keep")
 
     def emb_semantic_dedup_inv(spark, sf):
         # invariant oracle for semantic_dedup: against a FRESH exact-cosine
@@ -4334,13 +4409,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ------------------------------------------------------------------
     return {
         # -- ROUND-13 WINDOW (generated by scripts/rotate_window.py):
-        # with every oracle-backed query hash-green at least once
-        # (r12 verdict), the window's job is freshness — slots 1-43
-        # are the entire stalest r8 cohort (motif/temporal/asof/range
-        # joins, DSIR, quality-train, multimodal, the dedup family,
-        # cosine top-k, pregel sssp, io roundtrip), slots 44-50 the
-        # oldest r9 greens (domain tier, stream join, simhash pairs).
+        # slots 1-6 are the six permanent-tail CONVERSIONS — their
+        # constructed fixtures (unique greedy matching, planted one-hot
+        # ANN/near-dup/SemDeDup clusters, strict-chain BPE corpus) made
+        # the outputs provably unique, so each now has an oracle and
+        # re-scores first (old rows were no_oracle). Slots 7-47 are the
+        # stalest r8 cohort (motif/temporal/asof/range joins, DSIR,
+        # quality-train, multimodal, the dedup family, cosine top-k,
+        # pregel sssp, io roundtrip), slots 48-50 the oldest r9 greens.
         # Target: max staleness <= 4 rounds across the registry. --
+        "ec_maxbmatching": ec_maxbmatching,
+        "emb_lsh_topk": emb_lsh_topk,
+        "emb_ivf_topk": emb_ivf_topk,
+        "doc_bpe_segments": doc_bpe_segments,
+        "emb_near_dup_lsh": emb_near_dup_lsh,
+        "emb_semantic_dedup": emb_semantic_dedup,
         "hier_motif_find_triangle": hier_motif_find_triangle,
         "hier_motif_find_wedge_neg": hier_motif_find_wedge_neg,
         "ec_motif_find_path": ec_motif_find_path,
@@ -4587,14 +4670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_sgd_factors": sp_sgd_factors,
         "hier_semiclusters": hier_semiclusters,
         "emb_kmeans": emb_kmeans,
-        "ec_maxbmatching": ec_maxbmatching,
-        "emb_lsh_topk": emb_lsh_topk,
-        "emb_ivf_topk": emb_ivf_topk,
-        "emb_near_dup_lsh": emb_near_dup_lsh,
         "emb_ivfpq_topk": emb_ivfpq_topk,
-        "emb_semantic_dedup": emb_semantic_dedup,
         "sp_svdpp_factors": sp_svdpp_factors,
-        "doc_bpe_segments": doc_bpe_segments,
     }
 
 
@@ -8778,7 +8855,78 @@ def oracle_sql() -> dict[str, str]:
         "sp_als_loss": "SELECT true AS beats_mean",
         "sp_sgd_loss": "SELECT true AS loss_decreased",
         "sp_svdpp_loss": "SELECT true AS loss_decreased",
-        # sp_svdpp_factors, emb_near_dup_lsh, emb_lsh_topk: intentionally no
-        # oracle (sequential gradient chain / approximate LSH recall) —
-        # driver records the weaker rows-only check.
+        # ---- r13 permanent-tail conversions (r12 verdict #5):
+        # constructed fixtures whose output is provably unique, so the
+        # exact closed form is a valid oracle ----
+        # unique greedy matching: odd/even path weights make the
+        # locally-dominant matching exactly the odd-position edges
+        # (both directions; see the query docstring for the proof)
+        "ec_maxbmatching": f"""
+            WITH pos AS ({EC_POS}),
+            e AS (SELECT p1.event_id AS src, p2.event_id AS dst
+                  FROM pos p1 JOIN pos p2
+                    ON p1.user_id = p2.user_id AND p2.rn = p1.rn + 1
+                  WHERE p2.rn % 2 = 1)
+            SELECT src, dst FROM e
+            UNION ALL SELECT dst AS src, src AS dst FROM e
+        """,
+        # planted one-hot clusters (cluster = vec_id % 8): in-cluster
+        # cosine exactly 1.0, cross-cluster 0.0, identical vectors share
+        # every LSH bucket / IVF cell — ANN provably equals the exact
+        # top-k = the 5 smallest same-cluster ids excluding self
+        "emb_lsh_topk": """
+            WITH q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10),
+            r AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         row_number() OVER (PARTITION BY q.query_id
+                                            ORDER BY e.vec_id) AS rank
+                  FROM q JOIN embeddings e
+                    ON e.vec_id % 8 = q.query_id % 8
+                   AND e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, CAST(1.0 AS DOUBLE) AS cos,
+                   CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 5
+        """,
+        "emb_ivf_topk": """
+            WITH q AS (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 10),
+            r AS (SELECT q.query_id, e.vec_id AS neighbor_id,
+                         row_number() OVER (PARTITION BY q.query_id
+                                            ORDER BY e.vec_id) AS rank
+                  FROM q JOIN embeddings e
+                    ON e.vec_id % 8 = q.query_id % 8
+                   AND e.vec_id <> q.query_id)
+            SELECT query_id, neighbor_id, CAST(1.0 AS DOUBLE) AS cos,
+                   CAST(rank AS INTEGER) AS rank
+            FROM r WHERE rank <= 5
+        """,
+        # planted one-hot near-dup: the LSH-banded candidates provably
+        # contain every in-cluster pair (identical vectors share all
+        # buckets), and only in-cluster pairs clear the 0.95 threshold
+        "emb_near_dup_lsh": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(1.0 AS DOUBLE) AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.vec_id < b.vec_id AND a.vec_id % 64 = b.vec_id % 64
+        """,
+        # planted one-hot SemDeDup: keep ⇔ id is its planted cluster's
+        # minimum ⇔ vec_id < 64 (see the query docstring for the proof)
+        "emb_semantic_dedup": """
+            SELECT vec_id AS id, vec_id < 64 AS keep FROM embeddings
+        """,
+        # strict-chain BPE corpus: with N docs of identical text
+        # "xy"×8 "xz"×4 "yz"×2 "xyz", pair counts are 9N > 4N > 3N→2N
+        # with never a tie, so 3 merges are provably (x,y)(x,z)(y,z)
+        # and the segmentation table is closed-form
+        "doc_bpe_segments": """
+            WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+            SELECT token, freq, segmentation, n_symbols FROM (
+                SELECT 'xy' AS token, 8 * n AS freq, 'xy' AS segmentation,
+                       CAST(1 AS INTEGER) AS n_symbols FROM n
+                UNION ALL SELECT 'xyz', n, 'xy z', CAST(2 AS INTEGER) FROM n
+                UNION ALL SELECT 'xz', 4 * n, 'xz', CAST(1 AS INTEGER) FROM n
+                UNION ALL SELECT 'yz', 2 * n, 'yz', CAST(1 AS INTEGER) FROM n
+            ) ORDER BY token
+        """,
+        # sp_svdpp_factors, emb_near_dup_lsh, emb_ivfpq_topk, ...:
+        # intentionally no oracle (sequential gradient chain / lossy PQ
+        # approximation) — driver records the weaker rows-only check.
     }

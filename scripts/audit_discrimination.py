@@ -59,6 +59,9 @@ ADJUDICATED = {
     ("gen_star_edges", "dst"),                   # star center is vertex 0
     ("gen_ktruss_complete", "support"),          # K20: all supports equal
     ("gen_msf_complete", "src"),                 # min-id MSF of K_n roots at 0
+    ("emb_lsh_topk", "cos"),   # planted one-hot clusters: in-cluster
+    ("emb_ivf_topk", "cos"),   # cosine is EXACTLY 1.0 by construction
+    ("emb_near_dup_lsh", "cos"),  # same planted construction
 }
 
 

@@ -53,14 +53,15 @@ PERMANENT_TAIL = [
     "sp_sgd_factors",
     "hier_semiclusters",
     "emb_kmeans",
-    "ec_maxbmatching",
-    "emb_lsh_topk",
-    "emb_ivf_topk",
-    "emb_near_dup_lsh",
     "emb_ivfpq_topk",
-    "emb_semantic_dedup",
     "sp_svdpp_factors",
-    "doc_bpe_segments",
+    # r13: ec_maxbmatching, emb_lsh_topk, emb_ivf_topk,
+    # emb_near_dup_lsh, emb_semantic_dedup and doc_bpe_segments left
+    # this tail — constructed fixtures made their outputs provably
+    # unique, so they are oracle-backed now. The remaining six are
+    # genuinely closed-form-free: seeded factor/center numerics
+    # (evidence = their loss/invariant twins) and the lossy-PQ top-k
+    # (evidence = emb_ivfpq_recall).
 ]
 
 
