@@ -702,16 +702,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def emb_kmeans(spark, sf):
-        # iterative centroid refinement — no SQL oracle (rows-only check)
+        # ORACLE-BACKED since r13: planted one-hot clusters (vec_id % 8)
+        # with the 8 one-hot centers pinned in order. Every point's
+        # nearest center is its own one-hot (distance 0 vs 2, unique
+        # argmin), the center update is the exact mean of identical
+        # vectors (movement 0 → converges after one refinement pass), so
+        # the assignment is provably cluster = vec_id % 8. Real-corpus
+        # refinement stays covered by emb_kmeans_assign (pinned centers
+        # + one iteration, closed-form oracle on the raw embeddings).
         from kafka_graphs_spark import Graph
         from kafka_graphs_spark.library import kmeans
 
-        emb = datasets.load(spark, sf, "embeddings")
+        emb = _planted_onehot(datasets.load(spark, sf, "embeddings"))
         v = emb.select(
             F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("value")
         )
         e = spark.createDataFrame([], "src long, dst long, value double")
-        return kmeans(Graph(v, e), k=8, max_iterations=10, seed=5)
+        centers = [[1.0 if j == c else 0.0 for j in range(64)] for c in range(8)]
+        return kmeans(
+            Graph(v, e), k=8, max_iterations=10, initial_centers=centers
+        )
 
     def hier_triangles(spark, sf):
         from kafka_graphs_spark.datasets import hierarchy_edges
@@ -4409,21 +4419,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ------------------------------------------------------------------
     return {
         # -- ROUND-13 WINDOW (generated by scripts/rotate_window.py):
-        # slots 1-6 are the six permanent-tail CONVERSIONS — their
+        # slots 1-7 are the seven permanent-tail CONVERSIONS — their
         # constructed fixtures (unique greedy matching, planted one-hot
-        # ANN/near-dup/SemDeDup clusters, strict-chain BPE corpus) made
-        # the outputs provably unique, so each now has an oracle and
-        # re-scores first (old rows were no_oracle). Slots 7-47 are the
-        # stalest r8 cohort (motif/temporal/asof/range joins, DSIR,
-        # quality-train, multimodal, the dedup family, cosine top-k,
-        # pregel sssp, io roundtrip), slots 48-50 the oldest r9 greens.
-        # Target: max staleness <= 4 rounds across the registry. --
+        # ANN/near-dup/SemDeDup/k-means clusters, strict-chain BPE
+        # corpus) made the outputs provably unique, so each now has an
+        # oracle and re-scores first (old rows were no_oracle). Slots
+        # 8-47 are the stalest r8 cohort (motif/temporal/asof/range
+        # joins, DSIR, quality-train, multimodal, the dedup family,
+        # cosine top-k, pregel sssp, io roundtrip), slots 48-50 the
+        # oldest r9 greens. Target: max staleness <= 4 rounds. --
         "ec_maxbmatching": ec_maxbmatching,
         "emb_lsh_topk": emb_lsh_topk,
         "emb_ivf_topk": emb_ivf_topk,
         "doc_bpe_segments": doc_bpe_segments,
         "emb_near_dup_lsh": emb_near_dup_lsh,
         "emb_semantic_dedup": emb_semantic_dedup,
+        "emb_kmeans": emb_kmeans,
         "hier_motif_find_triangle": hier_motif_find_triangle,
         "hier_motif_find_wedge_neg": hier_motif_find_wedge_neg,
         "ec_motif_find_path": ec_motif_find_path,
@@ -4669,7 +4680,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_als_factors": sp_als_factors,
         "sp_sgd_factors": sp_sgd_factors,
         "hier_semiclusters": hier_semiclusters,
-        "emb_kmeans": emb_kmeans,
         "emb_ivfpq_topk": emb_ivfpq_topk,
         "sp_svdpp_factors": sp_svdpp_factors,
     }
@@ -8911,6 +8921,13 @@ def oracle_sql() -> dict[str, str]:
         # minimum ⇔ vec_id < 64 (see the query docstring for the proof)
         "emb_semantic_dedup": """
             SELECT vec_id AS id, vec_id < 64 AS keep FROM embeddings
+        """,
+        # planted one-hot k-means with pinned one-hot centers: nearest
+        # center = own one-hot (unique argmin), zero movement after one
+        # pass — assignment is provably vec_id % 8
+        "emb_kmeans": """
+            SELECT vec_id AS id, CAST(vec_id % 8 AS INTEGER) AS cluster
+            FROM embeddings
         """,
         # strict-chain BPE corpus: with N docs of identical text
         # "xy"×8 "xz"×4 "yz"×2 "xyz", pair counts are 9N > 4N > 3N→2N

@@ -52,16 +52,15 @@ PERMANENT_TAIL = [
     "sp_als_factors",
     "sp_sgd_factors",
     "hier_semiclusters",
-    "emb_kmeans",
     "emb_ivfpq_topk",
     "sp_svdpp_factors",
-    # r13: ec_maxbmatching, emb_lsh_topk, emb_ivf_topk,
+    # r13: ec_maxbmatching, emb_lsh_topk, emb_ivf_topk, emb_kmeans,
     # emb_near_dup_lsh, emb_semantic_dedup and doc_bpe_segments left
     # this tail — constructed fixtures made their outputs provably
-    # unique, so they are oracle-backed now. The remaining six are
-    # genuinely closed-form-free: seeded factor/center numerics
-    # (evidence = their loss/invariant twins) and the lossy-PQ top-k
-    # (evidence = emb_ivfpq_recall).
+    # unique, so they are oracle-backed now. The remaining five are
+    # genuinely closed-form-free: seeded factor numerics and the
+    # Pregel semi-clustering score chain (evidence = their loss /
+    # invariant twins) and the lossy-PQ top-k (emb_ivfpq_recall).
 ]
 
 
