@@ -96,14 +96,22 @@ def bfs(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
 
     Reference: BreadthFirstSearch.java:33-73 — superstep n labels the
     frontier with n; messages only carry activation. Returns (id, value).
+
+    SPARSE loop state (r13, the mssp pattern): only REACHED vertices
+    carry a row through the rounds, so the per-round merge shuffles
+    O(|reached|) instead of O(|V|) — on a 100 TB graph a BFS that
+    touches one component must not rewrite a billion-row state every
+    superstep. Unvisited vertices join back as MAX_LONG in ONE densify
+    pass at the end.
     """
     edges, release_edges = sized_cache(graph.edges.select("src", "dst"))
-    state = graph.vertices.select(
-        "id",
-        F.when(F.col("id") == src_vertex_id, F.lit(0).cast("long"))
-        .otherwise(F.lit(MAX_LONG))
-        .alias("value"),
-        (F.col("id") == src_vertex_id).alias("_changed"),
+    state = (
+        graph.vertices.filter(F.col("id") == src_vertex_id)
+        .select(
+            "id",
+            F.lit(0).cast("long").alias("value"),
+            F.lit(True).alias("_changed"),
+        )
     )
     def step(state, hop):
         frontier = state.filter(F.col("_changed")).select("id")
@@ -112,21 +120,26 @@ def bfs(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
             .select(F.col("dst").alias("id"))
             .distinct()
         )
+        # full-outer sparse merge: a row NEW to the state (old value
+        # null) is this hop's frontier; existing rows keep their label
         return (
-            state.join(reached.withColumn("_new", F.lit(True)), on="id", how="left")
+            state.join(reached.withColumn("_new", F.lit(True)), on="id", how="full_outer")
             .select(
                 "id",
-                F.when(F.col("_new") & (F.col("value") == MAX_LONG), F.lit(hop).cast("long"))
-                .otherwise(F.col("value"))
-                .alias("value"),
-                (F.col("_new") & (F.col("value") == MAX_LONG)).alias("_changed"),
+                F.coalesce(F.col("value"), F.lit(hop).cast("long")).alias("value"),
+                F.col("value").isNull().alias("_changed"),
             )
         )
 
     loop = message_loop(edges)
     try:
         state = _frontier_loop(loop, state, step, max_iterations)
-        result = state.select("id", "value").localCheckpoint(eager=True)
+        result = (
+            graph.vertices.select("id")
+            .join(state.select("id", "value"), on="id", how="left")
+            .select("id", F.coalesce(F.col("value"), F.lit(MAX_LONG)).alias("value"))
+            .localCheckpoint(eager=True)
+        )
     finally:
         loop.release()
         release_edges()
@@ -139,14 +152,20 @@ def sssp(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
     Reference: SingleSourceShortestPaths.java:30-68 — relax if the combined
     min message < value, then send ``min + edge.value`` along out-edges.
     Returns (id, value double).
+
+    SPARSE loop state (r13, the mssp pattern): only REACHED vertices
+    carry a row through the rounds, so the per-round merge shuffles
+    O(|reached|) instead of O(|V|) — Bellman-Ford from one source on a
+    100 TB graph must not rewrite a billion-row state every relaxation
+    round. Unreached vertices join back as +inf in ONE densify pass at
+    the end.
     """
     edges, release_edges = sized_cache(
         graph.edges.select("src", "dst", F.col("value").cast("double").alias("w"))
     )
-    state = graph.vertices.select(
-        "id",
-        F.when(F.col("id") == src_vertex_id, F.lit(0.0)).otherwise(F.lit(INF)).alias("value"),
-        (F.col("id") == src_vertex_id).alias("_changed"),
+    state = (
+        graph.vertices.filter(F.col("id") == src_vertex_id)
+        .select("id", F.lit(0.0).alias("value"), F.lit(True).alias("_changed"))
     )
     def step(state, _it):
         frontier = state.filter(F.col("_changed")).select("id", "value")
@@ -156,18 +175,24 @@ def sssp(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
             .groupBy("id")
             .agg(F.min("d").alias("d"))  # min combiner — map-side partial agg
         )
-        return state.join(msgs, on="id", how="left").select(
+        return state.join(msgs, on="id", how="full_outer").select(
             "id",
-            F.when(F.col("d") < F.col("value"), F.col("d"))
-            .otherwise(F.col("value"))
-            .alias("value"),
-            (F.col("d") < F.col("value")).alias("_changed"),
+            F.least(
+                F.coalesce(F.col("value"), F.lit(INF)),
+                F.coalesce(F.col("d"), F.lit(INF)),
+            ).alias("value"),
+            (F.col("d") < F.coalesce(F.col("value"), F.lit(INF))).alias("_changed"),
         )
 
     loop = message_loop(edges)
     try:
         state = _frontier_loop(loop, state, step, max_iterations)
-        result = state.select("id", "value").localCheckpoint(eager=True)
+        result = (
+            graph.vertices.select("id")
+            .join(state.select("id", "value"), on="id", how="left")
+            .select("id", F.coalesce(F.col("value"), F.lit(INF)).alias("value"))
+            .localCheckpoint(eager=True)
+        )
     finally:
         loop.release()
         release_edges()
