@@ -44,6 +44,9 @@ action per sub-sweep, lazy checkpoints, measured-size partitioning).
 
 from __future__ import annotations
 
+import time
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -173,6 +176,8 @@ def louvain(
     max_sweeps: int = 8,
     min_gain: float = 1e-9,
     local_threshold: int = 100_000,
+    min_moved_frac: float = 0.0,
+    sweep_stats: Optional[list] = None,
 ) -> DataFrame:
     """Returns (id, community) — community labels canonicalized to the
     minimum member vertex id. Edge ``value`` is the (non-negative) weight;
@@ -190,6 +195,17 @@ def louvain(
     in milliseconds instead of dozens of scheduled rounds. Same scoring
     (6-dp rounded gain, smallest-label tie-break) in both tiers;
     ``local_threshold=0`` forces fully-distributed execution.
+
+    ``min_moved_frac`` (r13, the standard Louvain early-stop): end a
+    level's sweep phase when a full parity pair moves fewer than
+    ``min_moved_frac * n_vertices`` vertices — the long tail of
+    sub-percent sweeps costs full distributed passes for negligible
+    modularity gain (each move's gain is already ≤ the sweep's best
+    candidate score). 0.0 (default) keeps the exact legacy behavior
+    (run until a pair moves nothing or ``max_sweeps`` ends).
+    ``sweep_stats``, when a list, receives one dict per distributed
+    sub-sweep: {level, sweep, parity, seconds, moves, n} — the
+    measurement hook behind the r13 sweep-cost split.
 
     Hybrid-handoff caveat (inherent, documented): the sequential tier
     applies moves in-sweep (Gauss–Seidel, no parity classes or singleton
@@ -402,16 +418,29 @@ def louvain(
         moved_in_pair = 0
         for sweep in range(2 * max_sweeps):
             parity = sweep % 2
+            _t0 = time.time() if sweep_stats is not None else 0.0
             state, row = loop.advance(
                 move_sweep(comm, parity=parity),
                 [F.sum(F.when(F.col("_moved"), 1).otherwise(0)).alias("moves")],
             )
             comm = state.select("u", "c", "k")
             moves = row["moves"] or 0
+            n_level = row["_kgs_rows"]
+            if sweep_stats is not None:
+                sweep_stats.append({
+                    "level": _level, "sweep": sweep, "parity": parity,
+                    "seconds": round(time.time() - _t0, 3),
+                    "moves": int(moves), "n": int(n_level),
+                })
             level_moves += moves
             moved_in_pair += moves
             if parity == 1:
-                if moved_in_pair == 0:
+                # converged pair, or (r13 early-stop) a pair whose moved
+                # fraction fell below the epsilon knob
+                if moved_in_pair == 0 or (
+                    min_moved_frac > 0.0
+                    and moved_in_pair < min_moved_frac * max(n_level, 1)
+                ):
                     break
                 moved_in_pair = 0
 

@@ -51,8 +51,10 @@ def main() -> int:
         d["value"] - sum(d["queries"].get(q, 0.0) for q in COMPARABLE_EXCLUDES)
         for d in runs
     ]
-    # per-query floor: min over runs of min(first-pass, best-of-2) —
-    # bench.py emits queries_best_of since r11 (two passes per session)
+    # per-query floor: min over runs of min(first-pass, best-of) —
+    # bench.py emits queries_best_of since r11 (best-of-2 in r11-r12,
+    # best-of-3 since r13; the in-artifact series now carries medians
+    # too, so this cross-session script is the long-horizon check)
     def _q(d, q):
         return min(d["queries"][q], d.get("queries_best_of", {}).get(q, d["queries"][q]))
 
