@@ -99,3 +99,65 @@ def test_write_shards_preserves_noncanonical_numeric_groups(spark, tmp_path):
     assert got == want
     groups = {r[0] for r in got}
     assert groups == {"0123", "1e2", "plain"}, groups
+
+
+# ---------------------------------------------------------------------------
+# Louvain r13 instrumentation: the sweep_stats hook and the
+# min_moved_frac early-stop knob (default off = legacy behavior).
+# ---------------------------------------------------------------------------
+
+
+class TestLouvainEarlyStop:
+    def _graph(self, spark):
+        from pyspark.sql import functions as F
+
+        from kafka_graphs_spark import Graph
+
+        # two K4 cliques joined by one weak bridge — unambiguous optimum
+        cliques = [(a, b, 1.0) for grp in (range(4), range(4, 8))
+                   for a in grp for b in grp if a < b]
+        edges = spark.createDataFrame(
+            cliques + [(3, 4, 0.01)], "src long, dst long, value double"
+        )
+        return Graph.from_edges(edges, F.lit(0.0))
+
+    def test_sweep_stats_hook_records_distributed_sweeps(self, spark):
+        from kafka_graphs_spark.library.louvain import louvain
+
+        stats = []
+        out = louvain(
+            self._graph(spark), max_levels=1, max_sweeps=4,
+            local_threshold=0, sweep_stats=stats,
+        )
+        comms = {r["community"] for r in out.collect()}
+        assert comms == {0, 4}
+        assert stats and all(
+            set(s) == {"level", "sweep", "parity", "seconds", "moves", "n"}
+            for s in stats
+        )
+        assert stats[0]["n"] == 8 and stats[0]["moves"] >= 1
+
+    def test_min_moved_frac_stops_after_first_pair(self, spark):
+        from kafka_graphs_spark.library.louvain import louvain
+
+        # epsilon 1.0: any pair moving < 100% of vertices ends the
+        # level after its first parity pair (2 sub-sweeps per level)
+        stats = []
+        out = louvain(
+            self._graph(spark), max_levels=1, max_sweeps=4,
+            local_threshold=0, min_moved_frac=1.0, sweep_stats=stats,
+        )
+        assert len(stats) == 2
+        # the partition is still a valid labeling of all 8 vertices
+        assert out.count() == 8
+
+    def test_default_epsilon_is_legacy_behavior(self, spark):
+        from kafka_graphs_spark.library.louvain import louvain
+
+        a, b = [], []
+        ga = louvain(self._graph(spark), max_levels=2, max_sweeps=4,
+                     local_threshold=0, sweep_stats=a)
+        gb = louvain(self._graph(spark), max_levels=2, max_sweeps=4,
+                     local_threshold=0, min_moved_frac=0.0, sweep_stats=b)
+        assert sorted(map(tuple, ga.collect())) == sorted(map(tuple, gb.collect()))
+        assert [s["sweep"] for s in a] == [s["sweep"] for s in b]
