@@ -295,16 +295,28 @@ def temporal_earliest_arrival(
     now-usable later edges — the standard label-correcting treatment of
     temporal graphs (Wu et al., "Path Problems in Temporal Graphs",
     VLDB 2014 — single-pass relaxation semantics).
+
+    SPARSE loop state (r13, the bfs/sssp pattern): only REACHED vertices
+    carry a row through the rounds, so the per-round merge shuffles
+    O(|reached|) instead of O(|V|). Unreached vertices join back as
+    MAX_LONG in ONE densify pass at the end — identical output. The
+    merge is the same full-outer state⋈messages the whole frontier
+    family uses: the r13 in-session merge-shape A/B (dense left-join vs
+    sparse full-outer vs sparse union+groupBy, interleaved, identical
+    checksums) measured full-outer fastest in the clean sessions at
+    sf0.1 (sssp) and sf1.0 (this operator) — the dense left join pays
+    an O(|V|) state scan+rewrite every round instead.
     """
     edges, release_edges = sized_cache(
         graph.edges.select("src", "dst", F.col("value").cast("long").alias("t"))
     )
-    state = graph.vertices.select(
-        "id",
-        F.when(F.col("id") == src_vertex_id, F.lit(int(start_time)).cast("long"))
-        .otherwise(F.lit(MAX_LONG))
-        .alias("value"),
-        (F.col("id") == src_vertex_id).alias("_changed"),
+    state = (
+        graph.vertices.filter(F.col("id") == src_vertex_id)
+        .select(
+            "id",
+            F.lit(int(start_time)).cast("long").alias("value"),
+            F.lit(True).alias("_changed"),
+        )
     )
 
     def step(state, _it):
@@ -318,18 +330,24 @@ def temporal_earliest_arrival(
             .groupBy("id")
             .agg(F.min("t").alias("t"))
         )
-        return state.join(msgs, on="id", how="left").select(
+        return state.join(msgs, on="id", how="full_outer").select(
             "id",
-            F.when(F.col("t") < F.col("value"), F.col("t"))
-            .otherwise(F.col("value"))
-            .alias("value"),
-            (F.col("t") < F.col("value")).alias("_changed"),
+            F.least(
+                F.coalesce(F.col("value"), F.lit(MAX_LONG)),
+                F.coalesce(F.col("t"), F.lit(MAX_LONG)),
+            ).alias("value"),
+            (F.col("t") < F.coalesce(F.col("value"), F.lit(MAX_LONG))).alias("_changed"),
         )
 
     loop = message_loop(edges)
     try:
         state = _frontier_loop(loop, state, step, max_iterations)
-        result = state.select("id", "value").localCheckpoint(eager=True)
+        result = (
+            graph.vertices.select("id")
+            .join(state.select("id", "value"), on="id", how="left")
+            .select("id", F.coalesce(F.col("value"), F.lit(MAX_LONG)).alias("value"))
+            .localCheckpoint(eager=True)
+        )
     finally:
         loop.release()
         release_edges()
@@ -577,17 +595,25 @@ def temporal_latest_departure(
     keyed on ``dst`` (messages flow BACKWARD along edges): one equi-join
     per round, temporal gate as a post-join filter, map-side-combined
     ``max`` per source, chunk-chained through ChainLoop.
+
+    SPARSE loop state (r13, the bfs/sssp pattern): only vertices with a
+    valid departure carry a row through the rounds, so the per-round
+    merge shuffles O(|reached|) instead of O(|V|). Vertices with no
+    valid departure join back as MIN_LONG in ONE densify pass at the
+    end — identical output. Full-outer state merge, like the rest of
+    the frontier family (see :func:`temporal_earliest_arrival`).
     """
     edges, release_edges = sized_cache(
         graph.edges.select("src", "dst", F.col("value").cast("long").alias("t"))
         .filter(F.col("t") <= F.lit(int(deadline)))
     )
-    state = graph.vertices.select(
-        "id",
-        F.when(F.col("id") == dst_vertex_id, F.lit(int(deadline)).cast("long"))
-        .otherwise(F.lit(MIN_LONG))
-        .alias("value"),
-        (F.col("id") == dst_vertex_id).alias("_changed"),
+    state = (
+        graph.vertices.filter(F.col("id") == dst_vertex_id)
+        .select(
+            "id",
+            F.lit(int(deadline)).cast("long").alias("value"),
+            F.lit(True).alias("_changed"),
+        )
     )
 
     def step(state, _it):
@@ -601,18 +627,24 @@ def temporal_latest_departure(
             .groupBy("id")
             .agg(F.max("t").alias("t"))
         )
-        return state.join(msgs, on="id", how="left").select(
+        return state.join(msgs, on="id", how="full_outer").select(
             "id",
-            F.when(F.col("t") > F.col("value"), F.col("t"))
-            .otherwise(F.col("value"))
-            .alias("value"),
-            (F.col("t") > F.col("value")).alias("_changed"),
+            F.greatest(
+                F.coalesce(F.col("value"), F.lit(MIN_LONG)),
+                F.coalesce(F.col("t"), F.lit(MIN_LONG)),
+            ).alias("value"),
+            (F.col("t") > F.coalesce(F.col("value"), F.lit(MIN_LONG))).alias("_changed"),
         )
 
     loop = message_loop(edges)
     try:
         state = _frontier_loop(loop, state, step, max_iterations)
-        result = state.select("id", "value").localCheckpoint(eager=True)
+        result = (
+            graph.vertices.select("id")
+            .join(state.select("id", "value"), on="id", how="left")
+            .select("id", F.coalesce(F.col("value"), F.lit(MIN_LONG)).alias("value"))
+            .localCheckpoint(eager=True)
+        )
     finally:
         loop.release()
         release_edges()
