@@ -37,16 +37,30 @@ def _persistent_rdd_ids(sc) -> set:
     return {int(i) for i in sc._jsc.getPersistentRDDs().keySet()}
 
 
+def _tag_ckpt_ids(out: DataFrame) -> DataFrame:
+    """Tag a localCheckpoint output with ITS OWN checkpoint RDD id.
+
+    The id is read off the frame's LogicalRDD plan directly — precise and
+    thread-safe. The r13 implementation set-diffed ``getPersistentRDDs()``
+    around the checkpoint call, which under concurrent query threads
+    (the r14 parity sweep, guide §2.6) captured OTHER threads' freshly
+    persisted RDDs and let ``free_df`` drop blocks a live loop still
+    needed (CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND).
+    """
+    try:
+        rid = int(out._jdf.queryExecution().analyzed().rdd().id())
+        out._kgs_ckpt_ids = [rid]
+    except Exception:
+        out._kgs_ckpt_ids = []  # blocks then fall to GC/ContextCleaner
+    return out
+
+
 def lazy_checkpoint(df: DataFrame) -> DataFrame:
     """``localCheckpoint(eager=False)`` with the created RDD's block ids
     tagged for explicit release (``free_df``). The checkpoint RDD is
     registered as persisted at mark time; its blocks materialize on the
     first action that computes through the returned frame."""
-    sc = df.sparkSession.sparkContext
-    before = _persistent_rdd_ids(sc)
-    out = df.localCheckpoint(eager=False)
-    out._kgs_ckpt_ids = sorted(_persistent_rdd_ids(sc) - before)
-    return out
+    return _tag_ckpt_ids(df.localCheckpoint(eager=False))
 
 
 def eager_checkpoint(df: DataFrame, count: bool = False) -> DataFrame:
@@ -60,11 +74,7 @@ def eager_checkpoint(df: DataFrame, count: bool = False) -> DataFrame:
     drops the tagged blocks explicitly. Returns (optionally) the row count
     alongside when ``count=True`` callers need it for free.
     """
-    sc = df.sparkSession.sparkContext
-    before = _persistent_rdd_ids(sc)
-    out = df.localCheckpoint(eager=True)
-    out._kgs_ckpt_ids = sorted(_persistent_rdd_ids(sc) - before)
-    return out
+    return _tag_ckpt_ids(df.localCheckpoint(eager=True))
 
 
 def free_df(df: DataFrame) -> None:
