@@ -126,6 +126,34 @@ def sized_cache(df: DataFrame, rows_per_partition: int = 250_000):
     return out, df.unpersist
 
 
+#: logical-plan node names whose presence means re-deriving the frame
+#: per loop round would repeat real work (a shuffle, an aggregation, a
+#: window) instead of re-running a storage scan with pushed filters
+_NONTRIVIAL_PLAN_NODES = (
+    "Join", "Aggregate", "Window", "Generate", "Sort", "Repartition",
+    "Rebalance", "Union", "Limit", "Deduplicate", "Expand",
+)
+
+
+def prunable_source(df: DataFrame) -> Optional[DataFrame]:
+    """Return ``df`` when re-scanning it once per loop round is as cheap
+    as a filtered storage scan — its optimized plan is scan/project/
+    filter only — so per-round LITERAL frontier filters reach the source
+    (parquet ``PushedFilters``, bucket pruning / ``SelectedBucketsCount``
+    on bucketed tables, guide §6). Returns ``None`` when the frame
+    derives through a shuffle-bearing op (its plan string mentions a
+    Join/Aggregate/Window/…, including inside an ``InMemoryRelation``'s
+    cached plan) — callers then fall back to their cached frame, where
+    the literal filter still prunes in-memory batches by column stats."""
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return None
+    if any(n in plan for n in _NONTRIVIAL_PLAN_NODES):
+        return None
+    return df
+
+
 def message_loop(edges_df: DataFrame, bytes_per_row: int = 32) -> "ChainLoop":
     """A :class:`ChainLoop` floored by the per-round MESSAGE volume.
 

@@ -25,6 +25,7 @@ Spark job relaxes every landmark at once; the map is reassembled at the end.
 
 from __future__ import annotations
 
+import os
 from typing import Iterable
 
 from pyspark.sql import DataFrame
@@ -36,6 +37,7 @@ from kafka_graphs_spark.library._loop import (
     MAX_LONG,
     ChainLoop,
     message_loop,
+    prunable_source,
     sized_cache,
 )
 
@@ -52,9 +54,33 @@ def _n_changed():
 # cheap at 8 (see ChainLoop.chain).
 _CHUNK = 8
 
+# Frontier size at or below which a round runs in LITERAL mode (r14,
+# guide §3/§6): the frontier's (id, value) rows are inlined into the
+# plan as literals, so the round is a FILTERED SCAN of the edge source
+# (src IN (...) — pushed to parquet / bucket-pruned on bucketed tables,
+# batch-pruned on cached frames) plus the usual min-combine and state
+# merge, with NO join and NO broadcast. A broadcast join already
+# collects the frontier to the driver every round — literal mode
+# collects the same ≤_LITERAL_MAX rows and skips shipping them back.
+# Kept well under the parquet In-pushdown conversion threshold's useful
+# range and small enough that the per-round plan stays tiny.
+_LITERAL_MAX = 64
+
+# Edge count below which literal mode is NOT worth it: a literal round
+# costs one extra driver action (the bounded frontier collect) to avoid
+# one full O(|E|) edge scan; when the whole edge set scans in less than
+# a job launch, the r13 chunked path (8 rounds per driver action) wins.
+# Measured crossover on this box: at |E| = 1e5 (sf0.1) literal rounds
+# run at par-to-slightly-slower in quiet phases; at |E| = 5e6 (sf5.0)
+# they win multiples (BASELINE r14). Scale-dependent, so env-overridable
+# (KGS_LITERAL_MIN_EDGES); at 100 TB every graph clears any plausible
+# setting.
+_LITERAL_MIN_EDGES = int(os.environ.get("KGS_LITERAL_MIN_EDGES", "1000000"))
+
 
 def _frontier_loop(loop: "ChainLoop", state, step, max_iterations: int,
-                   extra_probes=(), probe_check=None, raise_label=None):
+                   extra_probes=(), probe_check=None, raise_label=None,
+                   literal_step=None, literal_max: int = _LITERAL_MAX):
     """Drive a frontier-relaxation loop with chunked termination probes.
 
     ``step(state, round_no)`` builds ONE lazy round from a leaf frame.
@@ -68,10 +94,42 @@ def _frontier_loop(loop: "ChainLoop", state, step, max_iterations: int,
     ``raise_label`` turns round-budget exhaustion into a RuntimeError
     instead of returning the non-converged state (for callers whose
     result is only meaningful at the fixpoint).
+
+    ``literal_step(state, frontier_rows, round_no)`` (optional) builds
+    one round from the COLLECTED frontier instead of a join — used
+    whenever the live frontier has ≤ ``literal_max`` rows (known from
+    the previous probe's ``n_changed``, re-checked by a bounded
+    ``limit(k+1).collect()`` on the cached state). Single-source
+    traversals spend most rounds far under the threshold (a BFS frontier
+    starts at 1), and each such round then prunes the edge scan instead
+    of scanning everything; hub rounds fall back to the chunked join
+    path automatically. Semantics are unchanged: each literal round is
+    exactly one relaxation round.
     """
     state, _ = loop.advance(state)
     it = 0
+    try_literal = literal_step is not None
     while it < max_iterations:
+        if try_literal:
+            rows = (
+                state.filter(F.col("_changed")).select("id", "value")
+                .limit(literal_max + 1).collect()
+            )
+            if not rows:
+                return state
+            if len(rows) <= literal_max:
+                it += 1
+                state, row = loop.advance(
+                    literal_step(state, rows, it),
+                    probes=[_n_changed(), *extra_probes],
+                )
+                if probe_check is not None:
+                    probe_check(row)
+                if not row["n_changed"]:
+                    return state
+                try_literal = row["n_changed"] <= literal_max
+                continue
+            try_literal = False
         n = min(_CHUNK, max_iterations - it)
         for _ in range(n - 1):
             it += 1
@@ -84,6 +142,9 @@ def _frontier_loop(loop: "ChainLoop", state, step, max_iterations: int,
             probe_check(row)
         if not row["n_changed"]:
             return state
+        try_literal = (
+            literal_step is not None and row["n_changed"] <= literal_max
+        )
     if raise_label is not None:
         raise RuntimeError(
             f"{raise_label} did not converge in {max_iterations} rounds"
@@ -104,7 +165,16 @@ def bfs(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
     superstep. Unvisited vertices join back as MAX_LONG in ONE densify
     pass at the end.
     """
-    edges, release_edges = sized_cache(graph.edges.select("src", "dst"))
+    raw_edges = graph.edges.select("src", "dst")
+    edges, release_edges = sized_cache(raw_edges)
+    # literal rounds filter the UN-projected source FIRST when its plan
+    # is storage-only (see sssp) — the filter reaches the parquet scan
+    lit_base = prunable_source(graph.edges)
+
+    def lit_scan(cond):
+        if lit_base is not None:
+            return lit_base.filter(cond).select("src", "dst")
+        return edges.filter(cond)
     state = (
         graph.vertices.filter(F.col("id") == src_vertex_id)
         .select(
@@ -113,13 +183,8 @@ def bfs(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
             F.lit(True).alias("_changed"),
         )
     )
-    def step(state, hop):
-        frontier = state.filter(F.col("_changed")).select("id")
-        reached = (
-            frontier.join(edges, frontier["id"] == edges["src"])
-            .select(F.col("dst").alias("id"))
-            .distinct()
-        )
+
+    def merge(state, reached, hop):
         # full-outer sparse merge: a row NEW to the state (old value
         # null) is this hop's frontier; existing rows keep their label
         return (
@@ -131,9 +196,31 @@ def bfs(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
             )
         )
 
+    def step(state, hop):
+        frontier = state.filter(F.col("_changed")).select("id")
+        reached = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        return merge(state, reached, hop)
+
+    def literal_step(state, rows, hop):
+        # frontier inlined as literals: filtered scan, no join
+        reached = (
+            lit_scan(F.col("src").isin([r["id"] for r in rows]))
+            .select(F.col("dst").alias("id"))
+            .distinct()
+        )
+        return merge(state, reached, hop)
+
     loop = message_loop(edges)
+    # literal rounds only when the avoided per-round O(|E|) scan beats
+    # the extra driver action (see _LITERAL_MIN_EDGES)
+    lit = literal_step if loop._body_rows >= _LITERAL_MIN_EDGES else None
     try:
-        state = _frontier_loop(loop, state, step, max_iterations)
+        state = _frontier_loop(loop, state, step, max_iterations,
+                               literal_step=lit)
         result = (
             graph.vertices.select("id")
             .join(state.select("id", "value"), on="id", how="left")
@@ -160,21 +247,31 @@ def sssp(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
     round. Unreached vertices join back as +inf in ONE densify pass at
     the end.
     """
-    edges, release_edges = sized_cache(
-        graph.edges.select("src", "dst", F.col("value").cast("double").alias("w"))
+    raw_edges = graph.edges.select(
+        "src", "dst", F.col("value").cast("double").alias("w")
     )
+    edges, release_edges = sized_cache(raw_edges)
+    # literal rounds filter the UN-projected source FIRST when its plan
+    # is storage-only: the filter-first shape does not match the cached
+    # projection's plan, so the src IN (...) predicate reaches parquet
+    # (PushedFilters + bucket pruning on bucketed tables) instead of
+    # re-scanning the cache; otherwise they filter the cached frame
+    lit_base = prunable_source(graph.edges)
+
+    def lit_scan(cond):
+        if lit_base is not None:
+            return lit_base.filter(cond).select(
+                "src", "dst", F.col("value").cast("double").alias("w")
+            )
+        return edges.filter(cond)
+
+    id_type = dict(graph.vertices.dtypes)["id"]
     state = (
         graph.vertices.filter(F.col("id") == src_vertex_id)
         .select("id", F.lit(0.0).alias("value"), F.lit(True).alias("_changed"))
     )
-    def step(state, _it):
-        frontier = state.filter(F.col("_changed")).select("id", "value")
-        msgs = (
-            frontier.join(edges, frontier["id"] == edges["src"])
-            .select(F.col("dst").alias("id"), (F.col("value") + F.col("w")).alias("d"))
-            .groupBy("id")
-            .agg(F.min("d").alias("d"))  # min combiner — map-side partial agg
-        )
+
+    def merge(state, msgs):
         return state.join(msgs, on="id", how="full_outer").select(
             "id",
             F.least(
@@ -184,9 +281,40 @@ def sssp(graph: Graph, src_vertex_id, max_iterations: int = 50) -> DataFrame:
             (F.col("d") < F.coalesce(F.col("value"), F.lit(INF))).alias("_changed"),
         )
 
+    def step(state, _it):
+        frontier = state.filter(F.col("_changed")).select("id", "value")
+        msgs = (
+            frontier.join(edges, frontier["id"] == edges["src"])
+            .select(F.col("dst").alias("id"), (F.col("value") + F.col("w")).alias("d"))
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))  # min combiner — map-side partial agg
+        )
+        return merge(state, msgs)
+
+    def literal_step(state, rows, _it):
+        # frontier inlined as literals: filtered scan + map lookup, no join
+        vmap = F.create_map(
+            *[c for r in rows
+              for c in (F.lit(r["id"]).cast(id_type), F.lit(r["value"]))]
+        )
+        msgs = (
+            lit_scan(F.col("src").isin([r["id"] for r in rows]))
+            .select(
+                F.col("dst").alias("id"),
+                (F.element_at(vmap, F.col("src")) + F.col("w")).alias("d"),
+            )
+            .groupBy("id")
+            .agg(F.min("d").alias("d"))
+        )
+        return merge(state, msgs)
+
     loop = message_loop(edges)
+    # literal rounds only when the avoided per-round O(|E|) scan beats
+    # the extra driver action (see _LITERAL_MIN_EDGES)
+    lit = literal_step if loop._body_rows >= _LITERAL_MIN_EDGES else None
     try:
-        state = _frontier_loop(loop, state, step, max_iterations)
+        state = _frontier_loop(loop, state, step, max_iterations,
+                               literal_step=lit)
         result = (
             graph.vertices.select("id")
             .join(state.select("id", "value"), on="id", how="left")
@@ -307,9 +435,22 @@ def temporal_earliest_arrival(
     sf0.1 (sssp) and sf1.0 (this operator) — the dense left join pays
     an O(|V|) state scan+rewrite every round instead.
     """
-    edges, release_edges = sized_cache(
-        graph.edges.select("src", "dst", F.col("value").cast("long").alias("t"))
+    raw_edges = graph.edges.select(
+        "src", "dst", F.col("value").cast("long").alias("t")
     )
+    edges, release_edges = sized_cache(raw_edges)
+    # literal rounds filter the UN-projected source FIRST when its plan
+    # is storage-only (see sssp) — the filter reaches the parquet scan
+    lit_base = prunable_source(graph.edges)
+
+    def lit_scan(cond):
+        if lit_base is not None:
+            return lit_base.filter(cond).select(
+                "src", "dst", F.col("value").cast("long").alias("t")
+            )
+        return edges.filter(cond)
+
+    id_type = dict(graph.vertices.dtypes)["id"]
     state = (
         graph.vertices.filter(F.col("id") == src_vertex_id)
         .select(
@@ -318,6 +459,16 @@ def temporal_earliest_arrival(
             F.lit(True).alias("_changed"),
         )
     )
+
+    def merge(state, msgs):
+        return state.join(msgs, on="id", how="full_outer").select(
+            "id",
+            F.least(
+                F.coalesce(F.col("value"), F.lit(MAX_LONG)),
+                F.coalesce(F.col("t"), F.lit(MAX_LONG)),
+            ).alias("value"),
+            (F.col("t") < F.coalesce(F.col("value"), F.lit(MAX_LONG))).alias("_changed"),
+        )
 
     def step(state, _it):
         frontier = state.filter(F.col("_changed")).select("id", "value")
@@ -330,18 +481,31 @@ def temporal_earliest_arrival(
             .groupBy("id")
             .agg(F.min("t").alias("t"))
         )
-        return state.join(msgs, on="id", how="full_outer").select(
-            "id",
-            F.least(
-                F.coalesce(F.col("value"), F.lit(MAX_LONG)),
-                F.coalesce(F.col("t"), F.lit(MAX_LONG)),
-            ).alias("value"),
-            (F.col("t") < F.coalesce(F.col("value"), F.lit(MAX_LONG))).alias("_changed"),
+        return merge(state, msgs)
+
+    def literal_step(state, rows, _it):
+        # frontier inlined as literals: filtered scan + map-lookup
+        # temporal gate, no join
+        vmap = F.create_map(
+            *[c for r in rows
+              for c in (F.lit(r["id"]).cast(id_type), F.lit(r["value"]))]
         )
+        msgs = (
+            lit_scan(F.col("src").isin([r["id"] for r in rows]))
+            .filter(F.col("t") >= F.element_at(vmap, F.col("src")))
+            .select(F.col("dst").alias("id"), "t")
+            .groupBy("id")
+            .agg(F.min("t").alias("t"))
+        )
+        return merge(state, msgs)
 
     loop = message_loop(edges)
+    # literal rounds only when the avoided per-round O(|E|) scan beats
+    # the extra driver action (see _LITERAL_MIN_EDGES)
+    lit = literal_step if loop._body_rows >= _LITERAL_MIN_EDGES else None
     try:
-        state = _frontier_loop(loop, state, step, max_iterations)
+        state = _frontier_loop(loop, state, step, max_iterations,
+                               literal_step=lit)
         result = (
             graph.vertices.select("id")
             .join(state.select("id", "value"), on="id", how="left")
@@ -603,10 +767,26 @@ def temporal_latest_departure(
     end — identical output. Full-outer state merge, like the rest of
     the frontier family (see :func:`temporal_earliest_arrival`).
     """
-    edges, release_edges = sized_cache(
-        graph.edges.select("src", "dst", F.col("value").cast("long").alias("t"))
-        .filter(F.col("t") <= F.lit(int(deadline)))
-    )
+    raw_edges = graph.edges.select(
+        "src", "dst", F.col("value").cast("long").alias("t")
+    ).filter(F.col("t") <= F.lit(int(deadline)))
+    edges, release_edges = sized_cache(raw_edges)
+    # literal rounds filter the UN-projected source FIRST when its plan
+    # is storage-only. Messages flow BACKWARD, so the literal filter is
+    # dst IN (...) — no bucket pruning on src-bucketed tables, but the
+    # predicate still pushes to parquet and the join and the frontier
+    # broadcast still disappear from every small round
+    lit_base = prunable_source(graph.edges)
+
+    def lit_scan(cond):
+        if lit_base is not None:
+            return (
+                lit_base.filter(cond)
+                .select("src", "dst", F.col("value").cast("long").alias("t"))
+                .filter(F.col("t") <= F.lit(int(deadline)))
+            )
+        return edges.filter(cond)
+    id_type = dict(graph.vertices.dtypes)["id"]
     state = (
         graph.vertices.filter(F.col("id") == dst_vertex_id)
         .select(
@@ -615,6 +795,16 @@ def temporal_latest_departure(
             F.lit(True).alias("_changed"),
         )
     )
+
+    def merge(state, msgs):
+        return state.join(msgs, on="id", how="full_outer").select(
+            "id",
+            F.greatest(
+                F.coalesce(F.col("value"), F.lit(MIN_LONG)),
+                F.coalesce(F.col("t"), F.lit(MIN_LONG)),
+            ).alias("value"),
+            (F.col("t") > F.coalesce(F.col("value"), F.lit(MIN_LONG))).alias("_changed"),
+        )
 
     def step(state, _it):
         frontier = state.filter(F.col("_changed")).select("id", "value")
@@ -627,18 +817,29 @@ def temporal_latest_departure(
             .groupBy("id")
             .agg(F.max("t").alias("t"))
         )
-        return state.join(msgs, on="id", how="full_outer").select(
-            "id",
-            F.greatest(
-                F.coalesce(F.col("value"), F.lit(MIN_LONG)),
-                F.coalesce(F.col("t"), F.lit(MIN_LONG)),
-            ).alias("value"),
-            (F.col("t") > F.coalesce(F.col("value"), F.lit(MIN_LONG))).alias("_changed"),
+        return merge(state, msgs)
+
+    def literal_step(state, rows, _it):
+        vmap = F.create_map(
+            *[c for r in rows
+              for c in (F.lit(r["id"]).cast(id_type), F.lit(r["value"]))]
         )
+        msgs = (
+            lit_scan(F.col("dst").isin([r["id"] for r in rows]))
+            .filter(F.col("t") <= F.element_at(vmap, F.col("dst")))
+            .select(F.col("src").alias("id"), "t")
+            .groupBy("id")
+            .agg(F.max("t").alias("t"))
+        )
+        return merge(state, msgs)
 
     loop = message_loop(edges)
+    # literal rounds only when the avoided per-round O(|E|) scan beats
+    # the extra driver action (see _LITERAL_MIN_EDGES)
+    lit = literal_step if loop._body_rows >= _LITERAL_MIN_EDGES else None
     try:
-        state = _frontier_loop(loop, state, step, max_iterations)
+        state = _frontier_loop(loop, state, step, max_iterations,
+                               literal_step=lit)
         result = (
             graph.vertices.select("id")
             .join(state.select("id", "value"), on="id", how="left")
