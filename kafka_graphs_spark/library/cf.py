@@ -47,6 +47,13 @@ from kafka_graphs_spark.library._loop import ChainLoop, sized_cache
 _FACTORS_SCHEMA = "id long, vec array<double>"
 
 
+#: element budget per padded (chunk × n_max × dim) svdpp work array —
+#: bounds each task's Python RSS regardless of hub degree. Chunk
+#: boundaries never change results (lanes are independent; pinned by
+#: tests/test_round14_ops.py), so this is purely a memory knob.
+_PAD_BUDGET = 2_000_000
+
+
 def _factors_schema(dtype: str) -> str:
     """Factor-frame schema for the carried representation.
 
@@ -529,10 +536,6 @@ def svdpp(
     if dtype not in ("float64", "float32"):
         raise ValueError(f"dtype must be 'float64' or 'float32', got {dtype!r}")
     arr = "array<float>" if dtype == "float32" else "array<double>"
-
-    def _emit(vec):  # round once per superstep on emit (numpy float64 inside)
-        return vec.astype(dtype).tolist() if dtype != "float64" else vec.tolist()
-
     edges, release_edges = sized_cache(
         graph.edges.select("src", "dst", F.col("value").cast("double").alias("value"))
     )
@@ -578,68 +581,210 @@ def svdpp(
         user_f, _ = loop.advance(init_side(users, False))
         item_f, _ = loop.advance(init_side(items, True))
 
-        msg_schema = (
-            f"id long, b double, vec {arr}, rmse double, "
-            f"msgs array<struct<item: long, fstep: {arr}, wstep: {arr}, bstep: double>>"
+        # r14 rewrite of both supersteps (guide §4.2 — vectorize inside the
+        # Python boundary, shrink what crosses it). Three changes, all
+        # BIT-IDENTICAL to the r13 per-row code (oracle + goldens pinned):
+        #   1. the gather sorts/flattens in SQL (array_sort = the Python
+        #      ``sorted(key=i)``, flat fvecs like ALS) and pre-aggregates
+        #      the y-vector sum as a SORTED SQL fold — the per-rating w
+        #      vector no longer crosses Arrow into the user step at all
+        #      (it only ever entered Σw), cutting the gather's Arrow
+        #      payload nearly in half (VERDICT r13 #3);
+        #   2. wstep — ONE vector per user, identical across its messages
+        #      — crosses Arrow once per user and is re-attached JVM-side
+        #      before the item shuffle, halving the user step's Arrow
+        #      output;
+        #   3. both steps run the sequential per-message recurrences
+        #      VECTORIZED ACROSS VERTICES (padded length-sorted chunks,
+        #      masked updates — the ALS batching pattern): each vertex's
+        #      own op sequence is unchanged, lanes are independent, and
+        #      the per-message dot uses np.matmul((b,1,dim),(b,dim,1)),
+        #      measured bitwise-equal to the per-row BLAS ddot the r13
+        #      code called (scripts/svdpp_break.py session); rmse uses
+        #      cumsum (sequential-order guarantee) with exact +0.0 pads.
+        vec_sum = F.aggregate(
+            F.col("pairs"),
+            F.array_repeat(F.lit(0.0), dim),
+            lambda acc, p: F.zip_with(acc, p["w"], lambda a, b: a + b),
         )
+        msg_schema = (
+            f"id long, b double, vec {arr}, rmse double, wstep {arr}, "
+            f"msg_items array<long>, msg_fflat {arr}, msg_bsteps array<double>"
+        )
+        pad_budget = _PAD_BUDGET
+
+        def _chunks(order, lens):
+            """Greedy length-sorted chunks with bounded padded size."""
+            start = 0
+            while start < len(order):
+                end = start + 1
+                while (
+                    end < len(order)
+                    and (end + 1 - start) * max(1, int(lens[order[end]])) * dim
+                    <= pad_budget
+                ):
+                    end += 1
+                yield order[start:end]
+                start = end
 
         def user_step(batches: Iterator) -> Iterator:
             import numpy as np
             import pandas as pd
 
+            c_pf = -factor_lambda * factor_gamma
             for pdf in batches:
-                rows = []
-                for uid, bu, p, nbrs in zip(pdf["id"], pdf["b"], pdf["vec"], pdf["nbrs"]):
-                    p = np.asarray(p, dtype="float64").copy()
-                    bu = float(bu)
-                    nbrs = sorted(nbrs, key=lambda t: t["i"])  # TreeMap order, Svdpp.java:428-431
-                    n = len(nbrs)
-                    sum_w = np.zeros(dim)
-                    for t in nbrs:
-                        sum_w += np.asarray(t["w"], dtype="float64")
-                    imp = sum_w / math.sqrt(n)
-                    w_step = np.zeros(dim)
-                    for t in nbrs:
-                        q = np.asarray(t["q"], dtype="float64")
-                        pred = min(max(mean + bu + t["bi"] + float(q @ (p + imp)), min_rating), max_rating)
-                        # NOTE: standard Koren'08 sign (err = observed − predicted).
-                        # The reference's UserComputation.updateValue (Svdpp.java
-                        # :388-393, :184-190) ADDS the (predicted − observed)
-                        # gradient — an ascent step that diverges; its own Sgd.java
-                        # :222-237 subtracts. We use descent and pin our goldens.
-                        err = t["r"] - pred
-                        bu = bu + bias_gamma * (err - bias_lambda * bu)
-                        p += -factor_lambda * factor_gamma * p + factor_gamma * err * q
-                        w_step += err * q
-                    w_step *= factor_gamma / math.sqrt(n)
-                    msgs, rmse = [], 0.0
-                    for t in nbrs:
-                        q = np.asarray(t["q"], dtype="float64")
-                        pred = min(max(mean + bu + t["bi"] + float(q @ (p + imp)), min_rating), max_rating)
-                        err = t["r"] - pred
-                        f_step = (imp + p) * (factor_gamma * err)
-                        rmse += err * err
-                        msgs.append((int(t["i"]), _emit(f_step), _emit(w_step), bias_gamma * err))
-                    rows.append((int(uid), bu, _emit(p), rmse, msgs))
-                yield pd.DataFrame(rows, columns=["id", "b", "vec", "rmse", "msgs"])
+                n_rows = len(pdf)
+                a_items = pdf["items"].to_numpy()
+                a_qflat = pdf["qflat"].to_numpy()
+                a_bis = pdf["bis"].to_numpy()
+                a_rs = pdf["rs"].to_numpy()
+                a_sw = pdf["sum_w"].to_numpy()
+                a_own = pdf["vec"].to_numpy()
+                a_bu = pdf["b"].to_numpy()
+                lens = np.fromiter((len(r) for r in a_rs), dtype="int64", count=n_rows)
+                order = np.argsort(lens, kind="stable")
+                o_b = np.empty(n_rows, dtype="float64")
+                o_vec: list = [None] * n_rows
+                o_rmse = np.empty(n_rows, dtype="float64")
+                o_wstep: list = [None] * n_rows
+                o_fflat: list = [None] * n_rows
+                o_bsteps: list = [None] * n_rows
+                for idx in _chunks(order, lens):
+                    ns = lens[idx]
+                    b, n_max = len(idx), int(ns.max()) if len(idx) else 0
+                    Q = np.zeros((b, n_max, dim))
+                    BI = np.zeros((b, n_max))
+                    R = np.zeros((b, n_max))
+                    P = np.empty((b, dim))
+                    SW = np.empty((b, dim))
+                    BU = np.empty(b)
+                    for j, i in enumerate(idx):
+                        k = ns[j]
+                        Q[j, :k, :] = np.asarray(a_qflat[i], dtype="float64").reshape(k, dim)
+                        BI[j, :k] = np.asarray(a_bis[i], dtype="float64")
+                        R[j, :k] = np.asarray(a_rs[i], dtype="float64")
+                        P[j] = np.asarray(a_own[i], dtype="float64")
+                        SW[j] = np.asarray(a_sw[i], dtype="float64")
+                        BU[j] = float(a_bu[i])
+                    IMP = SW / np.sqrt(ns)[:, None]
+                    W = np.zeros((b, dim))
+                    # pass 1 — the sequential per-message recurrence, lanes
+                    # independent across users, masked past each user's n.
+                    # NOTE: standard Koren'08 sign (err = observed − predicted).
+                    # The reference's UserComputation.updateValue (Svdpp.java
+                    # :388-393, :184-190) ADDS the (predicted − observed)
+                    # gradient — an ascent step that diverges; its own Sgd.java
+                    # :222-237 subtracts. We use descent and pin our goldens.
+                    for k in range(n_max):
+                        act = ns > k
+                        qk = Q[:, k, :]
+                        d = np.matmul(qk[:, None, :], (P + IMP)[:, :, None])[:, 0, 0]
+                        pred = np.minimum(
+                            np.maximum(mean + BU + BI[:, k] + d, min_rating), max_rating
+                        )
+                        err = R[:, k] - pred
+                        BU = np.where(act, BU + bias_gamma * (err - bias_lambda * BU), BU)
+                        P = np.where(
+                            act[:, None],
+                            P + (c_pf * P + (factor_gamma * err)[:, None] * qk),
+                            P,
+                        )
+                        W = np.where(act[:, None], W + err[:, None] * qk, W)
+                    W *= (factor_gamma / np.sqrt(ns))[:, None]
+                    # pass 2 — messages from the settled (bu, p)
+                    V = P + IMP
+                    FS = np.zeros((b, n_max, dim))
+                    ERR = np.zeros((b, n_max))
+                    for k in range(n_max):
+                        act = ns > k
+                        d = np.matmul(Q[:, k, :][:, None, :], V[:, :, None])[:, 0, 0]
+                        pred = np.minimum(
+                            np.maximum(mean + BU + BI[:, k] + d, min_rating), max_rating
+                        )
+                        err = np.where(act, R[:, k] - pred, 0.0)
+                        ERR[:, k] = err
+                        FS[:, k, :] = V * (factor_gamma * err)[:, None]
+                    rmse = (
+                        np.cumsum(ERR * ERR, axis=1)[:, -1] if n_max else np.zeros(b)
+                    )
+                    if dtype != "float64":
+                        P_out, W_out, FS_out = (
+                            P.astype(dtype), W.astype(dtype), FS.astype(dtype)
+                        )
+                    else:
+                        P_out, W_out, FS_out = P, W, FS
+                    BSTEP = bias_gamma * ERR
+                    for j, i in enumerate(idx):
+                        k = ns[j]
+                        o_b[i] = BU[j]
+                        o_vec[i] = P_out[j]
+                        o_rmse[i] = rmse[j]
+                        o_wstep[i] = W_out[j]
+                        o_fflat[i] = FS_out[j, :k, :].ravel()
+                        o_bsteps[i] = BSTEP[j, :k]
+                    del Q, BI, R, FS, ERR
+                yield pd.DataFrame(
+                    {
+                        "id": pdf["id"], "b": o_b, "vec": o_vec, "rmse": o_rmse,
+                        "wstep": o_wstep, "msg_items": a_items,
+                        "msg_fflat": o_fflat, "msg_bsteps": o_bsteps,
+                    }
+                )
 
         def item_step(batches: Iterator) -> Iterator:
             import numpy as np
             import pandas as pd
 
+            c_b = bias_gamma * bias_lambda
+            c_f = factor_gamma * factor_lambda
             for pdf in batches:
-                rows = []
-                for iid, bi, q, y, steps in zip(pdf["id"], pdf["b"], pdf["vec"], pdf["w"], pdf["steps"]):
-                    q = np.asarray(q, dtype="float64").copy()
-                    y = np.asarray(y, dtype="float64").copy()
-                    bi = float(bi)
-                    for s in sorted(steps, key=lambda t: t["u"]):
-                        bi = bi + s["bstep"] - bias_gamma * bias_lambda * bi
-                        q += np.asarray(s["fstep"], dtype="float64") - factor_gamma * factor_lambda * q
-                        y += np.asarray(s["wstep"], dtype="float64") - factor_gamma * factor_lambda * y
-                    rows.append((int(iid), bi, _emit(q), _emit(y)))
-                yield pd.DataFrame(rows, columns=["id", "b", "vec", "w"])
+                n_rows = len(pdf)
+                a_ff = pdf["fflat"].to_numpy()
+                a_wf = pdf["wflat"].to_numpy()
+                a_bs = pdf["bsteps"].to_numpy()
+                a_q = pdf["vec"].to_numpy()
+                a_y = pdf["w"].to_numpy()
+                a_bi = pdf["b"].to_numpy()
+                lens = np.fromiter((len(s) for s in a_bs), dtype="int64", count=n_rows)
+                order = np.argsort(lens, kind="stable")
+                o_b = np.empty(n_rows, dtype="float64")
+                o_q: list = [None] * n_rows
+                o_y: list = [None] * n_rows
+                for idx in _chunks(order, lens):
+                    ns = lens[idx]
+                    b, n_max = len(idx), int(ns.max()) if len(idx) else 0
+                    FS = np.zeros((b, n_max, dim))
+                    WS = np.zeros((b, n_max, dim))
+                    BS = np.zeros((b, n_max))
+                    Q = np.empty((b, dim))
+                    Y = np.empty((b, dim))
+                    BI = np.empty(b)
+                    for j, i in enumerate(idx):
+                        k = ns[j]
+                        if k:
+                            FS[j, :k, :] = np.asarray(a_ff[i], dtype="float64").reshape(k, dim)
+                            WS[j, :k, :] = np.asarray(a_wf[i], dtype="float64").reshape(k, dim)
+                            BS[j, :k] = np.asarray(a_bs[i], dtype="float64")
+                        Q[j] = np.asarray(a_q[i], dtype="float64")
+                        Y[j] = np.asarray(a_y[i], dtype="float64")
+                        BI[j] = float(a_bi[i])
+                    for k in range(n_max):
+                        act = ns > k
+                        BI = np.where(act, BI + BS[:, k] - c_b * BI, BI)
+                        Q = np.where(act[:, None], Q + (FS[:, k, :] - c_f * Q), Q)
+                        Y = np.where(act[:, None], Y + (WS[:, k, :] - c_f * Y), Y)
+                    if dtype != "float64":
+                        Q_out, Y_out = Q.astype(dtype), Y.astype(dtype)
+                    else:
+                        Q_out, Y_out = Q, Y
+                    for j, i in enumerate(idx):
+                        o_b[i] = BI[j]
+                        o_q[i] = Q_out[j]
+                        o_y[i] = Y_out[j]
+                    del FS, WS, BS
+                yield pd.DataFrame({"id": pdf["id"], "b": o_b, "vec": o_q, "w": o_y})
 
+        empty_arr = F.array().cast(arr)
         for _ in range(iterations):
             gathered = (
                 edges.select(F.col("src").alias("id"), F.col("dst").alias("_i"),
@@ -650,9 +795,20 @@ def svdpp(
                     on="_i",
                 )
                 .groupBy("id")
-                .agg(F.collect_list(F.struct(
+                # one sorted struct list (TreeMap order, Svdpp.java:428-431),
+                # projected to flat columns so the Arrow transfer carries one
+                # contiguous array per user — and w only as its sorted SUM
+                .agg(F.array_sort(F.collect_list(F.struct(
                     F.col("_i").alias("i"), F.col("_q").alias("q"), F.col("_w").alias("w"),
-                    F.col("_bi").alias("bi"), F.col("_r").alias("r"))).alias("nbrs"))
+                    F.col("_bi").alias("bi"), F.col("_r").alias("r")))).alias("pairs"))
+                .select(
+                    "id",
+                    F.transform("pairs", lambda p: p["i"]).alias("items"),
+                    F.flatten(F.transform("pairs", lambda p: p["q"])).alias("qflat"),
+                    F.transform("pairs", lambda p: p["bi"]).alias("bis"),
+                    F.transform("pairs", lambda p: p["r"]).alias("rs"),
+                    vec_sum.alias("sum_w"),
+                )
                 .join(user_f.select("id", "b", "vec"), on="id")
             )
             ures, _ = loop.advance(gathered.mapInPandas(user_step, schema=msg_schema))
@@ -664,16 +820,35 @@ def svdpp(
                     break
 
             steps = (
-                ures.select(F.col("id").alias("u"), F.explode("msgs").alias("m"))
-                .select(F.col("m.item").alias("id"), F.struct(
-                    F.col("u").alias("u"), F.col("m.fstep").alias("fstep"),
-                    F.col("m.wstep").alias("wstep"), F.col("m.bstep").alias("bstep")).alias("s"))
+                ures.select(
+                    F.col("id").alias("u"), "wstep", "msg_fflat", "msg_bsteps",
+                    F.posexplode("msg_items").alias("pos", "item"),
+                )
+                .select(F.col("item").alias("id"), F.struct(
+                    F.col("u").alias("u"),
+                    F.slice(
+                        "msg_fflat", F.col("pos") * dim + F.lit(1), F.lit(dim)
+                    ).alias("fstep"),
+                    F.col("wstep").alias("wstep"),
+                    F.element_at("msg_bsteps", F.col("pos") + 1).alias("bstep")).alias("s"))
                 .groupBy("id")
-                .agg(F.collect_list("s").alias("steps"))
+                # array_sort orders by the struct's leading field u (unique
+                # per item) — the Python ``sorted(key=u)`` moved JVM-side
+                .agg(F.array_sort(F.collect_list("s")).alias("pairs"))
+                .select(
+                    "id",
+                    F.flatten(F.transform("pairs", lambda p: p["fstep"])).alias("fflat"),
+                    F.flatten(F.transform("pairs", lambda p: p["wstep"])).alias("wflat"),
+                    F.transform("pairs", lambda p: p["bstep"]).alias("bsteps"),
+                )
             )
             item_f, _ = loop.advance(
                 item_f.join(steps, on="id", how="left")
-                .withColumn("steps", F.coalesce(F.col("steps"), F.array()))
+                .withColumn("fflat", F.coalesce(F.col("fflat"), empty_arr))
+                .withColumn("wflat", F.coalesce(F.col("wflat"), empty_arr))
+                .withColumn(
+                    "bsteps", F.coalesce(F.col("bsteps"), F.array().cast("array<double>"))
+                )
                 .mapInPandas(item_step, schema=f"id long, b double, vec {arr}, w {arr}")
             )
 
