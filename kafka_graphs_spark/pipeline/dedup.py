@@ -57,6 +57,14 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
     no-op; results are identical either way (everything downstream is
     keyed aggregation).
     """
+    return _exploded_shingles(docs, n, text_col).distinct()
+
+
+def _exploded_shingles(docs: DataFrame, n: int, text_col: str) -> DataFrame:
+    """(doc_id, shingle) WITH per-document duplicates — the raw explode
+    behind :func:`shingles`, exposed for duplicate-insensitive consumers
+    (``min`` aggregation in :func:`minhash_signatures`) that can skip the
+    distinct's full shuffle of raw shingle strings (guide §2.4)."""
     target = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target, "doc_id")
@@ -69,10 +77,7 @@ def shingles(docs: DataFrame, n: int = 3, text_col: str = "text") -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select("doc_id", F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+    return docs.select("doc_id", F.explode(grams).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -120,8 +125,16 @@ def minhash_signatures(
     md5-hex min is order-isomorphic to the integer min, and both Spark and
     DuckDB produce identical digests — the cross-engine-reproducible hash
     family. Documents with no shingles get an empty signature row.
+
+    Raw shingle strings never cross a shuffle (r14, guide §2.3/§2.4):
+    ``min`` is duplicate-insensitive, so the per-seed minima are computed
+    over the raw shingle explode — the ``distinct()`` exchange (the only
+    shuffle whose bytes outgrow the input: shingles ≈ 8× doc bytes) is
+    dropped outright, and the one remaining exchange carries just the
+    map-side-combined per-(partition, doc) digest minima. Bit-identical:
+    min over a multiset equals min over its support.
     """
-    sh = shingles(docs, n=n, text_col=text_col)
+    sh = _exploded_shingles(docs, n, text_col)
     # all per-seed minima in ONE map-side-combined aggregation: the seeded
     # digests are parallel column expressions over each shingle row (no
     # num_hashes-way explode, no second shuffle on (doc_id, seed))
