@@ -41,6 +41,24 @@ from kafka_graphs_spark.library._loop import (
     sized_cache,
 )
 
+# NULL-means-unchanged contract for sparse loop state (ADVICE r13): in
+# the full-outer merges below, a state row that receives NO message this
+# round gets _changed = NULL (the comparison against a null message is
+# null), not False. Both consumers honor it — the frontier filter
+# (F.col("_changed")) keeps only TRUE rows, and _n_changed counts
+# NULL as 0 via otherwise(0). Any new consumer must NOT use ~_changed
+# or _changed == False.
+#
+# Graph invariant the sparse merges assume (also ADVICE r13): every edge
+# endpoint appears in graph.vertices (Graph.from_edges derives vertices
+# FROM the endpoints, so graphs built that way satisfy it by
+# construction). A hand-built Graph whose edges mention ids absent from
+# its vertex table lets those ids enter loop state and relay messages;
+# the final densify join then drops them from the output, but distances
+# that flowed THROUGH them are kept — the same behavior the whole
+# bfs/sssp family has shared since the r13 sparse-state change.
+
+
 def _n_changed():
     # built lazily: Column construction needs an active SparkContext
     return F.sum(F.when(F.col("_changed"), 1).otherwise(0)).alias("n_changed")

@@ -79,17 +79,21 @@ def main():
         print(f"rep {r}: old={walls['old'][-1]:.2f}s new={walls['new'][-1]:.2f}s",
               flush=True)
     for k, v in walls.items():
-        print(f"{k}: min={min(v):.2f} all=" + " ".join(f"{x:.2f}" for x in v),
-              flush=True)
+        if v:
+            print(f"{k}: min={min(v):.2f} all=" + " ".join(f"{x:.2f}" for x in v),
+                  flush=True)
 
-    # bitwise equality (2 iterations to exercise the loop re-entry too)
+    # bitwise equality (2 iterations to exercise the loop re-entry too);
+    # users are (id, b, p), items are (id, b, q, y)
     def canon(users, items):
         rows = {}
         for tag, df in (("u", users), ("i", items)):
             for row in df.collect():
                 d = row.asDict()
                 rows[(tag, d["id"])] = (
-                    d["b"], tuple(d["vec"]), tuple(d.get("w") or ()),
+                    d["b"],
+                    tuple(d["p"] if tag == "u" else d["q"]),
+                    tuple(d.get("y") or ()),
                 )
         return rows
 
